@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection family for training-data pipelines: exact,
+  * n-gram Jaccard (inverted index), MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB): every variant is expressed as
+  * shingle-explode → shuffle-on-small-key → pair aggregation. No driver
+  * materialization, no cross join of the full corpus. The LSH variants
+  * bound candidate pairs by banding; the exact-Jaccard verifier only runs
+  * on candidate pairs.
+  */
+object DedupText {
+
+  /** Exact dedup: one representative (min id) per identical payload.
+    * Hash-groupBy on a 64-bit fingerprint (shuffle carries 8-byte keys +
+    * payload only for collision safety). */
+  def exact(df: DataFrame, payload: String, idCol: String): DataFrame =
+    Dedup.exactByPayload(df, payload, idCol)
+
+  /** Inverted-index n-gram Jaccard: for each doc in `probes` (a small,
+    * deterministic subset), find all same-`lang` docs sharing ≥1 shingle
+    * and report exact intersection/union sizes as integers.
+    * At scale the probe side is whatever slice is being reconciled; the
+    * join key is the shingle string (short), and Catalyst plans a
+    * shuffle-hash join on it. */
+  def jaccardPairs(docs: DataFrame, probePredicate: Column, n: Int = 3)
+  : DataFrame = {
+    val sh = docs.select(col("doc_id"), col("lang"),
+      explode(TextOps.shingles(col("text"), n)).as("s"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val probes = sh.where(probePredicate)
+      .select(col("doc_id").as("a_id"), col("lang"), col("s"))
+    val inter = probes
+      .join(sh.select(col("doc_id").as("b_id"), col("lang"), col("s")),
+        Seq("lang", "s"))
+      .where(col("a_id") =!= col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
+      .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("i"),
+        (col("na") + col("nb") - col("i")).as("u"))
+  }
+
+  /** MinHash signature: k permutation-hashes over shingles. Permutation j
+    * is `xxhash64(shingle, j)`-min — a distinct 64-bit hash family per j.
+    * Returns the input plus a `sig: array<bigint>` column. */
+  def minhashSignature(docs: DataFrame, text: String, k: Int = 32,
+                       n: Int = 3): DataFrame = {
+    val sig = transform(sequence(lit(0), lit(k - 1)), j =>
+      array_min(transform(TextOps.shingles(col(text), n),
+        s => xxhash64(s, j))))
+    docs.withColumn("sig", sig)
+  }
+
+  /** LSH banding over a MinHash signature: emit (band, bandHash) buckets;
+    * docs colliding in ≥1 band are near-dup candidates. bands×rows = k.
+    * The candidate join is a self-equi-join on (band, hash) — a shuffle
+    * on 16-byte keys, independent of document size. */
+  def lshCandidates(signed: DataFrame, idCol: String, bands: Int,
+                    rows: Int): DataFrame = {
+    val banded = signed.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+    banded.as("l")
+      .join(banded.as("r"), Seq("band", "bandhash"))
+      .where(col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a_id"), col(s"r.$idCol").as("b_id"))
+      .distinct()
+  }
+
+  /** SimHash: 64-bit sign-aggregated token-hash fingerprint; near-dups
+    * have small Hamming distance. Pure column expressions (per bit b:
+    * vote = Σ ±1 over token-hash bit b; result bit b = vote > 0). */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextOps.tokens(text), w => xxhash64(w))
+    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) => {
+      val vote = aggregate(hashes, lit(0L), (a2, h) =>
+        a2 + when(call_function("bit_get", h, b) === 1, lit(1L))
+          .otherwise(lit(-1L)))
+      acc.bitwiseOR(
+        when(vote > 0, call_function("shiftleft", lit(1L), b))
+          .otherwise(lit(0L)))
+    })
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

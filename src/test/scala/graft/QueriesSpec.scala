@@ -5,8 +5,11 @@ package graft
   * the driver's t2 gate. */
 class QueriesSpec extends SparkSuite {
 
-  test("every query has an oracle and every oracle has a query") {
-    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+  test("every oracle has a query; only hash-dependent queries lack oracles") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // xxhash64-dependent ops are rows-only checked by design
+    assert(noOracle === Set("dd_minhash_lsh", "dd_simhash", "sim_lsh_topk"))
   }
 
   test("entry returns rows") {
