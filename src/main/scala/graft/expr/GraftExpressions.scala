@@ -1,0 +1,140 @@
+package graft.expr
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the operators Spark's function library
+  * can't express (SURVEY §2.10/§7.2). Registered per-session by
+  * [[graft.expr.GraftFunctions.register]]; null propagation comes from the
+  * Unary/BinaryExpression nullSafeEval contract.
+  */
+
+/** P1 — recursive `$$`-field pruning of a JSON document: drop every key
+  * starting with `$$` except `$$meta`, at ANY nesting depth (arrays
+  * included), preserving field order; re-serialized compact.
+  * Reference semantics: removeDollarFields (src/lib/utils.js:14-25).
+  * Higher-order builtins can't express unknown-depth recursion, hence a
+  * native expression (CodegenFallback: per-row JSON parse dominates; a
+  * generated-code version would not beat Jackson).
+  */
+case class RemoveDollarFields(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val m = JsonSupport.mapper
+    val root = m.readTree(input.asInstanceOf[UTF8String].toString)
+    UTF8String.fromString(m.writeValueAsString(JsonSupport.stripDollar(root)))
+  }
+  override protected def withNewChildInternal(c: Expression): RemoveDollarFields =
+    copy(child = c)
+  override def prettyName: String = "remove_dollar_fields"
+}
+
+/** F10 — RFC 7386 JSON merge-patch: `json_merge_patch(target, patch)`.
+  * Objects merge recursively; a null in the patch deletes the key; any
+  * non-object patch value replaces wholesale.
+  * Reference: jsonmergepatch.apply in multi-config composition
+  * (src/lib/client.js:2105). */
+case class JsonMergePatch(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(t: Any, p: Any): Any = {
+    val m = JsonSupport.mapper
+    val merged = JsonSupport.mergePatch(
+      m.readTree(t.asInstanceOf[UTF8String].toString),
+      m.readTree(p.asInstanceOf[UTF8String].toString))
+    UTF8String.fromString(m.writeValueAsString(merged))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+  : JsonMergePatch = copy(left = l, right = r)
+  override def prettyName: String = "json_merge_patch"
+}
+
+/** F4 — 32-bit Java-style string hash `h = 31*h + c` with int32 wrap
+  * (reference: hashCode, src/lib/utils.js:31-42 — used to key the
+  * connection pool without storing passwords). Whole-stage-codegen'd:
+  * compiles to `UTF8String.toString().hashCode()` inline. */
+case class JavaStringHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    input.asInstanceOf[UTF8String].toString.hashCode
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"($c).toString().hashCode()")
+
+  override protected def withNewChildInternal(c: Expression): JavaStringHash =
+    copy(child = c)
+  override def prettyName: String = "java_string_hash"
+}
+
+private[expr] object JsonSupport {
+  val mapper = new ObjectMapper()
+
+  /** Recursive $$-prune, field order preserved (Jackson ObjectNode keeps
+    * insertion order). Matches the reference's in-place mutation
+    * semantics: $$meta is kept AND recursed into. */
+  def stripDollar(node: JsonNode): JsonNode = {
+    node match {
+      case o: ObjectNode =>
+        val names = new scala.collection.mutable.ArrayBuffer[String]()
+        o.fieldNames().forEachRemaining(n => names += n)
+        names.foreach { n =>
+          if (n.startsWith("$$") && n != "$$meta") o.remove(n)
+          else stripDollar(o.get(n))
+        }
+      case a if a != null && a.isArray =>
+        a.elements().forEachRemaining(e => { stripDollar(e); () })
+      case _ =>
+    }
+    node
+  }
+
+  /** RFC 7386 merge-patch. */
+  def mergePatch(target: JsonNode, patch: JsonNode): JsonNode = {
+    if (!patch.isObject) return patch
+    val result: ObjectNode =
+      if (target.isObject) target.asInstanceOf[ObjectNode]
+      else mapper.createObjectNode()
+    val it = patch.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.isNull) result.remove(e.getKey)
+      else if (result.has(e.getKey))
+        result.set(e.getKey, mergePatch(result.get(e.getKey), e.getValue))
+      else result.set(e.getKey, mergePatch(mapper.createObjectNode(), e.getValue))
+    }
+    result
+  }
+}
+
+/** Session-level registration + typed Column wrappers. Registration is
+  * idempotent; wrappers route through call_function so they resolve via
+  * the registry (the public Spark 4 path from Expression to Column). */
+object GraftFunctions {
+  import org.apache.spark.sql.{Column, SparkSession}
+  import org.apache.spark.sql.functions.call_function
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("remove_dollar_fields",
+      es => RemoveDollarFields(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("json_merge_patch",
+      es => JsonMergePatch(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("java_string_hash",
+      es => JavaStringHash(es.head), "scala_udf")
+  }
+
+  def remove_dollar_fields(c: Column): Column =
+    call_function("remove_dollar_fields", c)
+  def json_merge_patch(t: Column, p: Column): Column =
+    call_function("json_merge_patch", t, p)
+  def java_string_hash(c: Column): Column =
+    call_function("java_string_hash", c)
+}

@@ -166,6 +166,38 @@ object SyncQueries {
       sri(s, dir).select(col("href"),
           to_json(struct(col("href"), col("key"), col("modified_ms"))).as("doc"))
         .orderBy("href")
+    }),
+
+    "p1_strip_dollar" -> ((s, dir) => {
+      // custom Catalyst expression: recursive $$-field pruning at any
+      // depth. Input synthesized with $$ keys nested 2 levels deep; the
+      // oracle constructs the expected output string independently.
+      graft.expr.GraftFunctions.register(s)
+      val k = get_json_object(col("jsondata"), "$.k")
+      val doc = concat(lit("""{"$$meta": {"type": "event"}, "k": """), k,
+        lit(""", "$$expanded": {"x": 1}, "nested": {"$$ref": "r", "v": """),
+        k, lit("}}"))
+      sri(s, dir).select(col("href"),
+          graft.expr.GraftFunctions.remove_dollar_fields(doc).as("stripped"))
+        .orderBy("href")
+    }),
+
+    "f10_json_merge_patch" -> ((s, dir) => {
+      // custom Catalyst expression: RFC 7386 merge-patch — replace k,
+      // delete nothing, add a field; oracle constructs expected output
+      graft.expr.GraftFunctions.register(s)
+      sri(s, dir).select(col("href"),
+          graft.expr.GraftFunctions.json_merge_patch(col("jsondata"),
+            lit("""{"k": null, "patched": 7}""")).as("doc"))
+        .orderBy("href")
+    }),
+
+    "f4_string_hash" -> ((s, dir) => {
+      // custom codegen'd expression: 31*h+c int32 string hash
+      graft.expr.GraftFunctions.register(s)
+      sri(s, dir).select(col("href"),
+          graft.expr.GraftFunctions.java_string_hash(col("href")).as("h"))
+        .orderBy("href")
     })
   )
 
@@ -313,6 +345,27 @@ object SyncQueries {
       s"""${sriCtes}SELECT href,
          |  to_json(struct_pack(href := href, key := key,
          |    modified_ms := modified_ms)) AS doc
+         |FROM sri ORDER BY href""".stripMargin,
+
+    "p1_strip_dollar" ->
+      s"""${sriCtes}SELECT href,
+         |  '{"$$$$meta":{"type":"event"},"k":' || json_extract_string(jsondata, '$$.k')
+         |    || ',"nested":{"v":' || json_extract_string(jsondata, '$$.k')
+         |    || '}}' AS stripped
+         |FROM sri ORDER BY href""".stripMargin,
+
+    "f10_json_merge_patch" ->
+      s"""${sriCtes}SELECT href, '{"patched":7}' AS doc
+         |FROM sri ORDER BY href""".stripMargin,
+
+    "f4_string_hash" ->
+      s"""${sriCtes}SELECT href,
+         |  CAST(list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split_regex(href, ''),
+         |        c -> CAST(unicode(c) AS BIGINT))),
+         |    (h, c) -> ((((h * 31 + c + 2147483648) % 4294967296)
+         |      + 4294967296) % 4294967296) - 2147483648) AS INTEGER) AS h
          |FROM sri ORDER BY href""".stripMargin
   )
 }

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.{Dedup, Merge}
+import graft.runner.TargetTable
+
+/** T3/T6/T7 — push-triggered incremental sync as Structured Streaming.
+  *
+  * The reference's socket.io trigger (client.js:1981-2047) fires a
+  * deltaSync per `update` event; in Spark terms each micro-batch IS one
+  * delta: `readStream → foreachBatch(merge into target)`. The engine's
+  * merge algebra is reused verbatim — batch and streaming share one
+  * implementation (T7 late-data handling = keep-latest dedup inside the
+  * merge; the source watermark bounds state).
+  *
+  * `Trigger.AvailableNow` gives the batch-incremental mode (drain all
+  * pending input, then stop) — the direct analog of one CLI `deltaSync`
+  * invocation; `Trigger.ProcessingTime` gives the timer mode
+  * (README.md:138). Exactly-once: foreachBatch may retry a batch after a
+  * failure, and the merge is idempotent by key (T6), so replays converge.
+  */
+object StreamingSync {
+
+  /** Start a streaming delta-merge from a file-backed resource stream.
+    *
+    * @param stream   streaming DataFrame in SRI row shape
+    *                 (href/key/modified_ms/jsondata/resourcetype)
+    * @param isTombstone row predicate marking delete events (T2)
+    * @param target   merge target (parquet locally, JDBC at deployment)
+    */
+  def deltaMergeStream(spark: SparkSession, stream: DataFrame,
+                       isTombstone: org.apache.spark.sql.Column,
+                       target: TargetTable,
+                       checkpoint: String,
+                       keys: Seq[String] = Seq("href"),
+                       modified: String = "modified_ms",
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val staged = batch.where(!isTombstone)
+        val tombs = batch.where(isTombstone).select(keys.map(col): _*)
+        val current =
+          if (target.exists) target.read(spark)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            staged.schema)
+        target.overwrite(Merge.delta(current, staged, tombs, keys, modified))
+        ()
+      }
+      .start()
+
+  /** Stateful per-key latest-version stream (mapGroupsWithState analog of
+    * the keep-latest merge) — emits the current winner per href whenever
+    * it changes. Demonstrates custom state semantics beyond windowing. */
+  def latestPerKey(spark: SparkSession, stream: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = stream.select("href", "modified_ms", "jsondata")
+      .as[(String, Long, String)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (href: String, rows: Iterator[(String, Long, String)],
+         state: GroupState[(Long, String)]) =>
+          val newest = (rows ++ state.getOption.iterator
+            .map { case (m, j) => (href, m, j) })
+            .maxBy { case (_, m, j) => (m, j) }
+          state.update((newest._2, newest._3))
+          (href, newest._2, newest._3)
+      }
+      .toDF("href", "modified_ms", "jsondata")
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expr.GraftFunctions
+
+/** Custom Catalyst expressions: semantics pinned against the reference's
+  * documented behavior (utils.js:14-25 strip, RFC 7386, utils.js:31-42). */
+class ExprSpec extends SparkSuite {
+
+  private def one(colExpr: org.apache.spark.sql.Column): String = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq(1).toDF("x").select(colExpr.as("r")).collect().head.getAs[String]("r")
+  }
+
+  test("remove_dollar_fields strips $$ keys at any depth, keeps $$meta") {
+    val in = """{"$$meta": {"permalink": "/a/1", "$$x": 1}, "key": "1",
+                "$$expanded": {"deep": true},
+                "nested": {"$$ref": "x", "keep": [ {"$$y": 2, "z": 3} ]}}"""
+    val out = one(GraftFunctions.remove_dollar_fields(lit(in)))
+    // $$meta kept but recursed into ($$x dropped inside it);
+    // $$expanded dropped; $$ref dropped; array elements recursed
+    assert(out ===
+      """{"$$meta":{"permalink":"/a/1"},"key":"1","nested":{"keep":[{"z":3}]}}""")
+  }
+
+  test("json_merge_patch follows RFC 7386") {
+    // the RFC's own example shape: replace, delete, nested merge, add
+    val target = """{"a":"b","c":{"d":"e","f":"g"}}"""
+    val patch = """{"a":"z","c":{"f":null},"h":1}"""
+    val out = one(GraftFunctions.json_merge_patch(lit(target), lit(patch)))
+    assert(out === """{"a":"z","c":{"d":"e"},"h":1}""")
+    // non-object patch replaces wholesale
+    assert(one(GraftFunctions.json_merge_patch(lit("""{"a":1}"""), lit("[1,2]")))
+      === "[1,2]")
+  }
+
+  test("java_string_hash equals java.lang.String.hashCode") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val inputs = Seq("", "a", "/events/123", "The quick brown fox", "ü≈Ω")
+    val got = inputs.toDF("s")
+      .select(GraftFunctions.java_string_hash(col("s")).as("h"))
+      .collect().map(_.getInt(0))
+    assert(got.toSeq === inputs.map(_.hashCode))
+  }
+
+  test("expressions registered via SQL are usable in spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """select java_string_hash('abc') h,
+        |  remove_dollar_fields('{"$$x":1,"y":2}') s""".stripMargin)
+      .collect().head
+    assert(r.getInt(0) === "abc".hashCode)
+    assert(r.getString(1) === """{"y":2}""")
+  }
+}

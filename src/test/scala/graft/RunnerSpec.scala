@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.Fixtures
+import graft.runner._
+
+/** The reference lifecycle (SURVEY §3) end-to-end on parquet targets:
+  * full → delta → safe-delta, watermark persistence, single-flight. */
+class RunnerSpec extends SparkSuite {
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("runner").toString
+
+  private def sri: DataFrame = Tables.sriEvents(spark, sfDir)
+  private val cut = Fixtures.CutMs
+
+  test("fullSync then deltaSync converges to the full dataset") {
+    val base = tmpDir()
+    val cfg = SyncConfig("t", s"$base/state")
+    val runner = new SyncRunner(spark, cfg)
+    val target = new ParquetTarget(spark, s"$base/table")
+
+    // full sync over the pre-cut slice
+    val r1 = runner.fullSync(sri.where(col("modified_ms") < cut), target)
+    assert(r1.rowsAfter === sri.where(col("modified_ms") < cut).count())
+
+    // delta sync over everything (cold-start watermark) minus errors
+    val staged = sri.where(col("resourcetype") =!= "error")
+    val tombs = sri.where(col("resourcetype") === "error").select("href")
+    val r2 = runner.deltaSync(staged, tombs, target)
+    assert(r2.watermark.isDefined)
+    // final state: all non-error hrefs exactly once
+    val got = target.read(spark)
+    assert(got.count() === staged.select("href").distinct().count())
+    assert(got.where(col("resourcetype") === "error").count() === 0)
+  }
+
+  test("deltaSync uses persisted watermark to skip already-synced rows") {
+    val base = tmpDir()
+    val cfg = SyncConfig("t", s"$base/state")
+    val runner = new SyncRunner(spark, cfg)
+    val target = new ParquetTarget(spark, s"$base/table")
+    val empty = sri.where(lit(false))
+
+    val r1 = runner.deltaSync(sri.where(col("modified_ms") < cut),
+      empty.select("href"), target)
+    val wm1 = r1.watermark.get
+    // wm regressed from max-seen by 1.01×duration, but far above cold start
+    assert(wm1 > ops.Watermark.ColdStartMs && wm1 <= cut)
+
+    // second delta: source filtered by wm internally; state advances
+    val r2 = runner.deltaSync(sri, empty.select("href"), target)
+    assert(r2.watermark.get >= wm1)
+    assert(target.read(spark).count() === sri.select("href").distinct().count())
+  }
+
+  test("explicit modifiedSince does NOT advance the watermark (README:174)") {
+    val base = tmpDir()
+    val runner = new SyncRunner(spark, SyncConfig("t", s"$base/state"))
+    val target = new ParquetTarget(spark, s"$base/table")
+    val r = runner.deltaSync(sri, sri.where(lit(false)).select("href"),
+      target, modifiedSince = Some(cut))
+    assert(r.watermark.isEmpty)
+    assert(ops.Watermark.readState(spark, s"$base/state", "t",
+      SyncType.Delta).isEmpty)
+    // and only post-cut rows landed
+    assert(target.read(spark).count() ===
+      sri.where(col("modified_ms") >= cut).count())
+  }
+
+  test("safeDeltaSync reconciles membership") {
+    val base = tmpDir()
+    val runner = new SyncRunner(spark, SyncConfig("t", s"$base/state"))
+    val target = new ParquetTarget(spark, s"$base/table")
+    // target = everything
+    new SyncRunner(spark, SyncConfig("t0", s"$base/state0"))
+      .fullSync(sri, target)
+    // authoritative membership: only click events
+    val members = sri.where(col("resourcetype") === "click").select("href")
+    val r = runner.safeDeltaSync(
+      source = sri.where(lit(false)),
+      tombstones = sri.where(lit(false)).select("href"),
+      members = members,
+      fetchMissing = missing => sri.join(missing, Seq("href"), "left_semi"),
+      target = target)
+    assert(r.rowsAfter === members.count())
+  }
+
+  test("dryRun computes but does not commit (README:69)") {
+    val base = tmpDir()
+    val runner = new SyncRunner(spark,
+      SyncConfig("t", s"$base/state", dryRun = true))
+    val target = new ParquetTarget(spark, s"$base/table")
+    val r = runner.fullSync(sri, target)
+    assert(r.rowsAfter === sri.count())
+    assert(!target.exists)
+  }
+
+  test("single-flight rejects concurrent sync (T4)") {
+    val base = tmpDir()
+    val runner = new SyncRunner(spark, SyncConfig("t", s"$base/state"))
+    val target = new ParquetTarget(spark, s"$base/table")
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val slowSource = sri // the sync itself is slow enough at test scale
+    val t = new Thread(() => {
+      gate.countDown(); runner.fullSync(slowSource, target); ()
+    })
+    t.start(); gate.await()
+    Thread.sleep(50) // let the first sync acquire the flag
+    val denied =
+      try { runner.fullSync(sri, target); false }
+      catch { case _: IllegalStateException => true }
+    t.join()
+    assert(denied, "second concurrent sync should have been rejected")
+  }
+
+  test("MultiSync settles each job independently (T5)") {
+    val results = MultiSync.run(Seq(
+      () => 1 + 1,
+      () => throw new RuntimeException("boom"),
+      () => 40 + 2), concurrency = 2)
+    assert(results(0).isSuccess && results(0).get === 2)
+    assert(results(1).isFailure)
+    assert(results(2).isSuccess && results(2).get === 42)
+  }
+}
