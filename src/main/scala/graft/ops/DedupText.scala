@@ -28,14 +28,15 @@ object DedupText {
     * shuffle-hash join on it. */
   def jaccardPairs(docs: DataFrame, probePredicate: Column, n: Int = 3)
   : DataFrame = {
-    val sh = docs.select(col("doc_id"), col("lang"),
-      explode(TextOps.shingles(col("text"), n)).as("s"))
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val probes = sh.where(probePredicate)
-      .select(col("doc_id").as("a_id"), col("lang"), col("s"))
-    val inter = probes
-      .join(sh.select(col("doc_id").as("b_id"), col("lang"), col("s")),
-        Seq("lang", "s"))
+    val shCol = TextOps.shingles(col("text"), n)
+    // corpus exploded ONCE; probe side explodes only the (tiny) probe
+    // subset; per-doc set sizes come from size() with no explode at all
+    val corpus = docs.select(col("doc_id").as("b_id"), col("lang"),
+      explode(shCol).as("s"))
+    val probes = docs.where(probePredicate)
+      .select(col("doc_id").as("a_id"), col("lang"), explode(shCol).as("s"))
+    val counts = docs.select(col("doc_id"), size(shCol).cast("long").as("n_sh"))
+    val inter = probes.join(corpus, Seq("lang", "s"))
       .where(col("a_id") =!= col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
     inter
@@ -45,15 +46,23 @@ object DedupText {
         (col("na") + col("nb") - col("i")).as("u"))
   }
 
-  /** MinHash signature: k permutation-hashes over shingles. Permutation j
+  /** MinHash signatures: k permutation-hashes over shingles. Permutation j
     * is `xxhash64(shingle, j)`-min — a distinct 64-bit hash family per j.
-    * Returns the input plus a `sig: array<bigint>` column. */
-  def minhashSignature(docs: DataFrame, text: String, k: Int = 32,
-                       n: Int = 3): DataFrame = {
-    val sig = transform(sequence(lit(0), lit(k - 1)), j =>
-      array_min(transform(TextOps.shingles(col(text), n),
-        s => xxhash64(s, j))))
-    docs.withColumn("sig", sig)
+    * Returns (idCol, sig: array<bigint>).
+    *
+    * Shape: shingle-explode → partial-agg k mins → final agg. Each shingle
+    * is materialized once and hashed k times (the minhash lower bound);
+    * the groupBy gets map-side combine, so the shuffle carries k longs per
+    * doc, not shingles. (A single-projection formulation looks simpler but
+    * Catalyst's project collapsing re-inlines the shingle array into all k
+    * array_min branches — measured 70× slower at sf0.1.) */
+  def minhashSignatures(docs: DataFrame, idCol: String, text: String,
+                        k: Int = 32, n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(TextOps.shingles(col(text), n)).as("s"))
+    val mins = (0 until k).map(j => min(xxhash64(col("s"), lit(j))).as(s"m$j"))
+    sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
   }
 
   /** LSH banding over a MinHash signature: emit (band, bandHash) buckets;

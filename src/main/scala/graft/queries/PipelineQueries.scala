@@ -50,7 +50,8 @@ object PipelineQueries {
     "dd_minhash_lsh" -> ((s, dir) => {
       // MinHash(32) + LSH(8 bands × 4 rows) candidate pairs
       // (no oracle: xxhash64-dependent; baseline = dd_ngram_jaccard)
-      val signed = DedupText.minhashSignature(docsWithDups(s, dir), "text")
+      val signed = DedupText.minhashSignatures(docsWithDups(s, dir),
+        "doc_id", "text")
       DedupText.lshCandidates(signed, "doc_id", bands = 8, rows = 4)
         .orderBy("a_id", "b_id")
     }),
