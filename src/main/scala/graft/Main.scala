@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.runner._
+
+/** CLI entry point — the analog of the reference's `bin/sri2db.js`
+  * (sync-type dispatch table, client.js:1948-1956): read an SRI page
+  * source, run the requested sync strategy into a parquet target.
+  *
+  * Usage:
+  *   graft.Main --pages <dir> --target <path> --state <path>
+  *     [--synctype fullSync|deltaSync|safeDeltaSync] [--dry-run]
+  *     [--table <name>] [--cpus N]
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val cpus = opts.getOrElse("cpus", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-sync")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val result = run(spark, opts)
+      println(s"synced: type=${result.syncType} rows=${result.rowsAfter} " +
+        s"watermark=${result.watermark.getOrElse("-")} " +
+        s"elapsedMs=${result.elapsedMs}")
+    } finally spark.stop()
+  }
+
+  def run(spark: SparkSession, opts: Map[String, String]): SyncResult = {
+    val pages = opts("pages")
+    val cfg = SyncConfig(
+      tableName = opts.getOrElse("table", "sri2db"),
+      statePath = opts("state"),
+      dryRun = opts.contains("dry-run"))
+    val runner = new SyncRunner(spark, cfg)
+    val target = new ParquetTarget(spark, opts("target"))
+
+    val src = spark.read.format("sri").option("pages", pages).load()
+    val staged: DataFrame = src.where(col("resourcetype") =!= "deleted" ||
+      col("resourcetype").isNull)
+    val tombs = src.where(col("resourcetype") === "deleted").select("href")
+
+    opts.getOrElse("synctype", "deltaSync") match {
+      case "fullSync" => runner.fullSync(staged, target)
+      case "deltaSync" => runner.deltaSync(staged, tombs, target)
+      case "safeDeltaSync" =>
+        val members = src.select("href")
+        runner.safeDeltaSync(staged, tombs, members,
+          missing => src.join(missing, Seq("href"), "left_semi"), target)
+      case other => throw new IllegalArgumentException(
+        s"unknown --synctype $other (fullSync|deltaSync|safeDeltaSync)")
+    }
+  }
+
+  private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
+    val out = scala.collection.mutable.Map[String, String]()
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val k = a.drop(2)
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          out(k) = args(i + 1); i += 2
+        } else { out(k) = "true"; i += 1 }
+      } else i += 1
+    }
+    out.toMap
+  }
+}

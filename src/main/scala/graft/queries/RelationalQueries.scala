@@ -161,6 +161,16 @@ object RelationalQueries {
         .orderBy("c_nationkey", "rnk")
     }),
 
+    "approx_distinct" -> ((s, dir) => {
+      // HLL sketch vs exact distinct per event type (rows-only: HLL
+      // estimates are implementation-specific, no cross-engine oracle)
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")
+    }),
+
     "json_get" -> ((s, dir) => {
       // JSON scalar extraction over the document column (events.props)
       Tables.events(s, dir)

@@ -146,8 +146,27 @@ object SyncQueries {
       sri(s, dir).select(
         col("href"),
         Normalize.keyFromHref(col("href")).as("derived_key"),
-        Normalize.pathFromHref(col("href")).as("derived_path"))
+        Normalize.pathFromHref(col("href")).as("derived_path"),
+        // F3 — legacy path-regex variant (client.js:148-154)
+        regexp_extract(col("href"), "^((/[A-Za-z]+)+)/[^/]*$", 1)
+          .as("derived_path_re"))
         .orderBy("href")
+    }),
+
+    "f5_expand_rewrite" -> ((s, dir) => {
+      // F5 — setExpandOnPath (utils.js:74-80): add or replace the expand=
+      // query param; three input shapes exercised deterministically
+      val path = when(col("key").cast("long") % 3 === 0,
+          concat(col("href"), lit("?expand=FULL&limit=5")))
+        .when(col("key").cast("long") % 3 === 1,
+          concat(col("href"), lit("?limit=5")))
+        .otherwise(col("href"))
+      val rewritten = when(path.contains("?") && path.contains("expand="),
+          regexp_replace(path, "expand=[^&]*", "expand=NONE"))
+        .when(path.contains("?"), concat(path, lit("&expand=NONE")))
+        .otherwise(concat(path, lit("?expand=NONE")))
+      sri(s, dir).select(col("href"), path.as("path"),
+        rewritten.as("rewritten")).orderBy("href")
     }),
 
     "f6_time_roundtrip" -> ((s, dir) => {
@@ -330,8 +349,24 @@ object SyncQueries {
     "f1_f2_href_fns" ->
       s"""${sriCtes}SELECT href,
          |  regexp_extract(href, '([^/]*)$$', 1) AS derived_key,
-         |  regexp_replace(href, '/[^/]*$$', '') AS derived_path
+         |  regexp_replace(href, '/[^/]*$$', '') AS derived_path,
+         |  regexp_extract(href, '^((/[A-Za-z]+)+)/[^/]*$$', 1) AS derived_path_re
          |FROM sri ORDER BY href""".stripMargin,
+
+    "f5_expand_rewrite" ->
+      s"""${sriCtes}SELECT href, path,
+         |  CASE WHEN path LIKE '%?%' AND path LIKE '%expand=%'
+         |       THEN regexp_replace(path, 'expand=[^&]*', 'expand=NONE')
+         |       WHEN path LIKE '%?%' THEN path || '&expand=NONE'
+         |       ELSE path || '?expand=NONE' END AS rewritten
+         |FROM (
+         |  SELECT href,
+         |    CASE WHEN CAST(key AS BIGINT) % 3 = 0
+         |         THEN href || '?expand=FULL&limit=5'
+         |         WHEN CAST(key AS BIGINT) % 3 = 1 THEN href || '?limit=5'
+         |         ELSE href END AS path
+         |  FROM sri)
+         |ORDER BY href""".stripMargin,
 
     "f6_time_roundtrip" ->
       s"""${sriCtes}SELECT href,
