@@ -83,6 +83,45 @@ object Similarity {
     if ((h & 1L) == 0L) 1.0 else -1.0
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells of
+    * `centroids` (here: a deterministic corpus subset — at deployment,
+    * k-means trained offline); a probe searches only its `nprobe` nearest
+    * cells, then exact-reranks. Unlike the sign-LSH variant this is fully
+    * deterministic given the centroid set, so it IS oracle-checkable.
+    *
+    * Scale: assignment is a broadcast of the (small) centroid set against
+    * the streaming corpus — one narrow pass; the search joins probe cells
+    * to corpus cells on cell id (equi-join), never the full cross product.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(centroids.select(col("vec_id").as("cent_id"),
+      col("embedding").as("cent_emb")))
+    def assign(df: DataFrame, idAs: String, embAs: String, n: Int) = {
+      val w = Window.partitionBy(col(idAs))
+        .orderBy(col("__cos").desc, col("cent_id").asc)
+      df.select(col("vec_id").as(idAs), col("embedding").as(embAs))
+        .join(cents)
+        .withColumn("__cos", cosine(col(embAs), col("cent_emb")))
+        .withColumn("__cr", row_number().over(w))
+        .where(col("__cr") <= n)
+        .select(col(idAs), col(embAs), col("cent_id").as("cell"))
+    }
+    val corpusCells = assign(corpus, "neighbor_id", "c_emb", 1)
+    val probeCells = assign(probes, "query_id", "q_emb", nprobe)
+    val scored = corpusCells.join(broadcast(probeCells), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+  }
+
   /** Sign-bit bucket: bit p = (dot(emb, plane_{seed+p}) > 0), planes
     * packed into a long. `dims` is the embedding width (fixtures: 64). */
   def bucketExpr(emb: Column, planes: Int, seedOffset: Int,

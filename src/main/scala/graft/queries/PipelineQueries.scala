@@ -86,6 +86,16 @@ object PipelineQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    "sim_ivf_topk" -> ((s, dir) => {
+      // IVF ANN: deterministic centroid subset (vec_id%61), nprobe=2 —
+      // fully deterministic, oracle-checked (unlike sign-LSH)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") % 50 === 0),
+          emb.where(col("vec_id") % 61 === 0), k = 5, nprobe = 2)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk")
+    }),
+
     "txt_stats" -> ((s, dir) => {
       // corpus stats per (lang, source): exact integer token/char math
       val d = Tables.documents(s, dir)
@@ -138,6 +148,15 @@ object PipelineQueries {
 
   private val langs = Seq("de", "en", "es", "fr")
 
+  /** DuckDB cosine matching Spark's double-fold exactly (left-to-right
+    * double accumulation; verified bit-equal on the fixtures). */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x, $y), " +
+        s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
   val oracles: Map[String, String] = Map(
 
     "dd_exact" ->
@@ -186,6 +205,38 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT query_id, rnk, neighbor_id FROM ranked WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_ivf_topk" -> {
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+         |  FROM embeddings WHERE vec_id % 61 = 0),
+         |corpus_assign AS (
+         |  SELECT neighbor_id, c_emb, cell FROM (
+         |    SELECT e.vec_id AS neighbor_id, e.embedding AS c_emb,
+         |      c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC,
+         |                 c.cent_id ASC) AS rn
+         |    FROM embeddings e, cents c) WHERE rn <= 1),
+         |probe_assign AS (
+         |  SELECT query_id, q_emb, cell FROM (
+         |    SELECT e.vec_id AS query_id, e.embedding AS q_emb,
+         |      c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.cent_emb")} DESC,
+         |                 c.cent_id ASC) AS rn
+         |    FROM embeddings e, cents c WHERE e.vec_id % 50 = 0) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT DISTINCT pa.query_id, ca.neighbor_id,
+         |    ${cosSql("pa.q_emb", "ca.c_emb")} AS cos
+         |  FROM corpus_assign ca JOIN probe_assign pa ON ca.cell = pa.cell
+         |  WHERE ca.neighbor_id <> pa.query_id)
+         |SELECT query_id, rnk, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |  FROM scored) WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
+    },
 
     "txt_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
