@@ -65,6 +65,42 @@ object DedupText {
       .select(col(idCol), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
   }
 
+  /** Cross-engine-exact MinHash: the hash family is k affine transforms of
+    * the 32-bit Java string hash (expr/JavaStringHash) with explicit int32
+    * wraparound — every value reproducible in DuckDB SQL, so the LSH
+    * pipeline built on it is fully oracle-checkable (unlike the
+    * xxhash64 family above). h_j(s) = wrap32((2j+1)·javaHash(s) + j).
+    */
+  def minhashSignaturesExact(docs: DataFrame, idCol: String, text: String,
+                             k: Int = 32, n: Int = 3): DataFrame = {
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    def wrap32(x: Column): Column =
+      pmod(x + lit(2147483648L), lit(4294967296L)) - lit(2147483648L)
+    val sh = docs.select(col(idCol),
+      explode(TextOps.shingles(col(text), n)).as("s"))
+    val base = sh.withColumn("h",
+      graft.expr.GraftFunctions.java_string_hash(col("s")).cast("long"))
+    val mins = (0 until k).map(j =>
+      min(wrap32(col("h") * (2 * j + 1) + j)).as(s"m$j"))
+    base.groupBy(idCol).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
+  /** LSH banding with the band VALUE (signature slice) as the join key —
+    * no band hashing, so candidates are engine-independent. */
+  def lshCandidatesExact(signed: DataFrame, idCol: String, bands: Int,
+                         rows: Int): DataFrame = {
+    val banded = signed.select(col(idCol),
+        posexplode(array((0 until bands).map(b =>
+          slice(col("sig"), b * rows + 1, rows)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandsig")
+    banded.as("l")
+      .join(banded.as("r"), Seq("band", "bandsig"))
+      .where(col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a_id"), col(s"r.$idCol").as("b_id"))
+      .distinct()
+  }
+
   /** LSH banding over a MinHash signature: emit (band, bandHash) buckets;
     * docs colliding in ≥1 band are near-dup candidates. bands×rows = k.
     * The candidate join is a self-equi-join on (band, hash) — a shuffle

@@ -48,8 +48,16 @@ object PipelineQueries {
     }),
 
     "dd_minhash_lsh" -> ((s, dir) => {
-      // MinHash(32) + LSH(8 bands × 4 rows) candidate pairs
-      // (no oracle: xxhash64-dependent; baseline = dd_ngram_jaccard)
+      // MinHash(32) + LSH(8 bands × 4 rows) candidate pairs, built on the
+      // cross-engine Java-hash family → fully oracle-checked
+      val signed = DedupText.minhashSignaturesExact(docsWithDups(s, dir),
+        "doc_id", "text")
+      DedupText.lshCandidatesExact(signed, "doc_id", bands = 8, rows = 4)
+        .orderBy("a_id", "b_id")
+    }),
+
+    "dd_minhash_lsh_xx" -> ((s, dir) => {
+      // xxhash64-family variant (faster hash; rows-only — engine-specific)
       val signed = DedupText.minhashSignatures(docsWithDups(s, dir),
         "doc_id", "text")
       DedupText.lshCandidates(signed, "doc_id", bands = 8, rows = 4)
@@ -164,6 +172,47 @@ object PipelineQueries {
          |SELECT doc_id, lang, n_chars FROM dd d
          |WHERE doc_id = (SELECT MIN(doc_id) FROM dd x WHERE x.text = d.text)
          |ORDER BY doc_id""".stripMargin,
+
+    "dd_minhash_lsh" -> {
+      // the same Java-hash affine family, spelled in DuckDB SQL
+      val javaHash =
+        """list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(string_split_regex(s, ''),
+          |      c -> CAST(unicode(c) AS BIGINT))),
+          |    (h, c) -> ((((h * 31 + c + 2147483648) % 4294967296)
+          |      + 4294967296) % 4294967296) - 2147483648)""".stripMargin
+      def wrap32(x: String) =
+        s"(((($x + 2147483648) % 4294967296) + 4294967296) % 4294967296) - 2147483648"
+      val minCols = (0 until 32)
+        .map(j => s"MIN(${wrap32(s"h * ${2 * j + 1} + $j")}) AS m$j")
+        .mkString(",\n    ")
+      val bandArms = (0 until 8).map(b =>
+        s"WHEN $b THEN [${(0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")}]")
+        .mkString("\n      ")
+      s"""WITH dd AS ($docsWithDupsSql),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM dd),
+         |sh AS (SELECT doc_id,
+         |  unnest(list_distinct(CASE WHEN len(ws) >= 3
+         |    THEN list_transform(range(1, len(ws) - 1),
+         |         i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2])
+         |    ELSE [list_aggregate(ws, 'string_agg', ' ')] END)) AS s
+         |  FROM t),
+         |based AS (SELECT doc_id, $javaHash AS h FROM sh),
+         |sig AS (SELECT doc_id,
+         |    $minCols
+         |  FROM based GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, b.band,
+         |    CASE b.band
+         |      $bandArms
+         |    END AS bandsig
+         |  FROM sig, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(band))
+         |SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+         |FROM banded l JOIN banded r
+         |  ON l.band = r.band AND l.bandsig = r.bandsig
+         |  AND l.doc_id < r.doc_id
+         |ORDER BY a_id, b_id""".stripMargin
+    },
 
     "dd_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
