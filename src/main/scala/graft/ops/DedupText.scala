@@ -118,6 +118,28 @@ object DedupText {
       .distinct()
   }
 
+  /** Cross-engine-exact 32-bit SimHash on the Java-hash family (same
+    * rationale as [[minhashSignaturesExact]]): per bit b, vote = Σ ±1 over
+    * token-hash bit b across ALL tokens (with multiplicity); fingerprint
+    * bit b = vote > 0. Shape: token-explode → 32 partial-agg votes →
+    * fingerprint fold — one narrow shuffle of 32 longs per doc. */
+  def simhashExact32(docs: DataFrame, idCol: String, text: String): DataFrame = {
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    val tok = docs.select(col(idCol),
+      explode(TextOps.tokens(col(text))).as("w"))
+    // unsigned 32-bit view of the Java hash so bit extraction is sign-free
+    val hu = graft.expr.GraftFunctions.java_string_hash(col("w"))
+      .cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+    val votes = (0 until 32).map(b =>
+      sum(when(shiftright(hu, b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b"))
+    val agged = tok.groupBy(idCol).agg(votes.head, votes.tail: _*)
+    val fp = (0 until 32).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agged.select(col(idCol), fp.as("fp"))
+  }
+
   /** SimHash: 64-bit sign-aggregated token-hash fingerprint; near-dups
     * have small Hamming distance. Pure column expressions (per bit b:
     * vote = Σ ±1 over token-hash bit b; result bit b = vote > 0). */

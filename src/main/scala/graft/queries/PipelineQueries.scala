@@ -65,8 +65,20 @@ object PipelineQueries {
     }),
 
     "dd_simhash" -> ((s, dir) => {
-      // SimHash fingerprint + Hamming distance of each doc to its exact
-      // duplicate (no oracle: xxhash64-dependent)
+      // cross-engine 32-bit SimHash: fingerprints for ALL docs, plus
+      // Hamming distance of each planted duplicate to its original
+      // (must be 0) — fully oracle-checked
+      val fp = DedupText.simhashExact32(docsWithDups(s, dir), "doc_id", "text")
+      val dup = fp.where(col("doc_id") >= 100000000L)
+        .select((col("doc_id") - 100000000L).as("doc_id"), col("fp").as("fp2"))
+      fp.join(dup, "doc_id")
+        .select(col("doc_id"), col("fp"),
+          DedupText.hamming(col("fp"), col("fp2")).as("dist"))
+        .orderBy("doc_id")
+    }),
+
+    "dd_simhash_xx" -> ((s, dir) => {
+      // 64-bit xxhash64 SimHash variant (rows-only: engine-specific)
       val fp = docsWithDups(s, dir)
         .select(col("doc_id"), DedupText.simhash(col("text")).as("fp"))
       val dup = fp.where(col("doc_id") >= 100000000L)
@@ -212,6 +224,35 @@ object PipelineQueries {
          |  ON l.band = r.band AND l.bandsig = r.bandsig
          |  AND l.doc_id < r.doc_id
          |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    "dd_simhash" -> {
+      val javaHash =
+        """list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(string_split_regex(w, ''),
+          |      c -> CAST(unicode(c) AS BIGINT))),
+          |    (h, c) -> ((((h * 31 + c + 2147483648) % 4294967296)
+          |      + 4294967296) % 4294967296) - 2147483648)""".stripMargin
+      val votes = (0 until 32)
+        .map(b => s"SUM(CASE WHEN (hu >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(",\n    ")
+      val fp = (0 until 32)
+        .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH dd AS ($docsWithDupsSql),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM dd),
+         |based AS (SELECT doc_id,
+         |  CASE WHEN h < 0 THEN h + 4294967296 ELSE h END AS hu
+         |  FROM (SELECT doc_id, $javaHash AS h FROM tok)),
+         |voted AS (SELECT doc_id,
+         |    $votes
+         |  FROM based GROUP BY doc_id),
+         |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM voted)
+         |SELECT o.doc_id, o.fp,
+         |  bit_count(xor(o.fp, d.fp)) AS dist
+         |FROM fps o JOIN (SELECT doc_id - 100000000 AS doc_id, fp FROM fps
+         |                 WHERE doc_id >= 100000000) d USING (doc_id)
+         |ORDER BY o.doc_id""".stripMargin
     },
 
     "dd_ngram_jaccard" ->

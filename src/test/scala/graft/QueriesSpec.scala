@@ -9,7 +9,7 @@ class QueriesSpec extends SparkSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // xxhash64-dependent ops are rows-only checked by design
-    assert(noOracle === Set("dd_minhash_lsh_xx", "dd_simhash", "sim_lsh_topk",
+    assert(noOracle === Set("dd_minhash_lsh_xx", "dd_simhash_xx", "sim_lsh_topk",
       "approx_distinct"))
   }
 
