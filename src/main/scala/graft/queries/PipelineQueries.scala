@@ -88,6 +88,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "dd_embed_cosine" -> ((s, dir) => {
+      // embedding-cosine near-dup: same-label blocking (≈ IVF cell) keeps
+      // the pair space linear-ish; planted duplicates (vec_id%20 re-added
+      // at +1e6) are the near-dups to find. Threshold 0.999 sits in the
+      // huge gap between self-similarity (~1.0) and the corpus max (0.47)
+      val e = Tables.embeddings(s, dir)
+      val withDups = e.unionByName(e.where(col("vec_id") % 20 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+      val a = withDups.select(col("vec_id").as("a_id"),
+        col("label"), col("embedding").as("a_emb"))
+      val b = withDups.select(col("vec_id").as("b_id"),
+        col("label"), col("embedding").as("b_emb"))
+      a.join(b, Seq("label")).where(col("a_id") < col("b_id"))
+        .where(Similarity.cosine(col("a_emb"), col("b_emb")) >= 0.999)
+        .select("a_id", "b_id", "label")
+        .orderBy("a_id", "b_id")
+    }),
+
     "sim_cosine_topk" -> ((s, dir) => {
       // brute-force cosine top-5; probe = every 50th vector. Output ids
       // only (ranking is FP-gap stable; raw cosines are not hash-stable)
@@ -295,6 +313,17 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT query_id, rnk, neighbor_id FROM ranked WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
+
+    "dd_embed_cosine" ->
+      s"""WITH we AS (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, label, embedding FROM embeddings
+         |  WHERE vec_id % 20 = 0)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label
+         |FROM we a JOIN we b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.999
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "sim_ivf_topk" -> {
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
