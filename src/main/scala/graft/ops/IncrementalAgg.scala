@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance: keep a materialized per-key
+  * (count, sum) aggregate consistent with a stream of delta rows WITHOUT
+  * re-scanning the base table — the aggregation analog of the engine's
+  * row-level merge, and the thing that makes dashboards over a 100 TB
+  * synced table affordable (the delta is small; the base is not).
+  *
+  * Invariant (tested + oracle-checked): merge(agg(base), agg(delta)) ==
+  * agg(base ∪ delta) for any split, because count/sum form a commutative
+  * monoid. Deletes retract by merging negated partials.
+  */
+object IncrementalAgg {
+
+  /** Partial aggregate of rows: (keys, cnt, sum). */
+  def partial(rows: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("sum"))
+
+  /** Merge two partial-aggregate tables (either may have keys the other
+    * lacks). Zero-count groups (fully retracted) are dropped. */
+  def merge(current: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val c = current.select((keys.map(col) :+ col("cnt").as("c_cnt")
+      :+ col("sum").as("c_sum")): _*)
+    val d = delta.select((keys.map(col) :+ col("cnt").as("d_cnt")
+      :+ col("sum").as("d_sum")): _*)
+    c.join(d, keys, "full_outer")
+      .select((keys.map(col)
+        :+ (coalesce(col("c_cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt")
+        :+ (coalesce(col("c_sum"), lit(0L)) + coalesce(col("d_sum"), lit(0L))).as("sum")): _*)
+      .where(col("cnt") > 0)
+  }
+
+  /** Retraction partial for deleted rows: negated counts/sums. */
+  def retract(rows: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    partial(rows, keys, valueCol)
+      .select((keys.map(col) :+ (-col("cnt")).as("cnt")
+        :+ (-col("sum")).as("sum")): _*)
+}

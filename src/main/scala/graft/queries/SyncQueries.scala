@@ -211,6 +211,23 @@ object SyncQueries {
         .orderBy("href")
     }),
 
+    "inc_agg_merge" -> ((s, dir) => {
+      // incremental aggregate maintenance: merge(agg(base), agg(delta))
+      // must equal agg(base ∪ delta) — the oracle computes the full
+      // aggregation directly, proving the incremental path exact
+      val ev = graft.Tables.events(s, dir)
+        .withColumn("v_cents", Fixtures.cents("value"))
+      val base = ev.where(col("ts") < lit(CutMs * 1000000L))
+      val delta = ev.where(col("ts") >= lit(CutMs * 1000000L))
+      IncrementalAgg.merge(
+          IncrementalAgg.partial(base, Seq("event_type"), "v_cents"),
+          IncrementalAgg.partial(delta, Seq("event_type"), "v_cents"),
+          Seq("event_type"))
+        .select(col("event_type"), col("cnt"),
+          (col("sum").cast("double") / 100).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     "f4_string_hash" -> ((s, dir) => {
       // custom codegen'd expression: 31*h+c int32 string hash
       graft.expr.GraftFunctions.register(s)
@@ -392,6 +409,12 @@ object SyncQueries {
     "f10_json_merge_patch" ->
       s"""${sriCtes}SELECT href, '{"patched":7}' AS doc
          |FROM sri ORDER BY href""".stripMargin,
+
+    "inc_agg_merge" ->
+      s"""SELECT event_type, COUNT(*) AS cnt,
+         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+         |    AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "f4_string_hash" ->
       s"""${sriCtes}SELECT href,

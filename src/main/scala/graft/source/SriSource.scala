@@ -74,8 +74,15 @@ class SriTable(pagesDir: String) extends Table with SupportsRead {
   override def schema(): StructType = SriSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SriScanBuilder(new LocalDirPageStore(pagesDir))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // transport selection: a directory of page files, or a live SRI API
+    val store: PageStore =
+      if (pagesDir != null && (pagesDir.startsWith("http://") ||
+          pagesDir.startsWith("https://")))
+        new HttpPageStore(pagesDir)
+      else new LocalDirPageStore(pagesDir)
+    new SriScanBuilder(store)
+  }
 }
 
 class SriScanBuilder(store: PageStore) extends ScanBuilder
