@@ -33,9 +33,12 @@ object Merge {
             modified: String = "modified_ms"): DataFrame = {
     val deduped = Dedup.keepLatest(staged, keys, modified)
     val liveNew = Diff.deleteByKeys(deduped, tombstones, keys)
-    val keep = Diff.deleteByKeys(
-      Diff.deleteByKeys(target, tombstones, keys), liveNew, keys)
-    keep.unionByName(liveNew)
+    // one anti-join pass over the (big) target: rows leave either because
+    // they were tombstoned or because the delta replaces them — union the
+    // two key sets rather than scanning the target twice
+    val excluded = tombstones.select(keys.map(col): _*)
+      .unionByName(liveNew.select(keys.map(col): _*)).distinct()
+    target.join(excluded, keys, "left_anti").unionByName(liveNew)
   }
 
   /** fullSync merge (keep-existing mode, `preferUpdatesOverInserts`):
