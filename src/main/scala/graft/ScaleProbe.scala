@@ -9,10 +9,12 @@ import graft.ops.{Dedup, Merge}
   * plan, printing row counts and wall time. Demonstrates the merge algebra
   * at row counts where a driver-side or O(n²) implementation would fail.
   *
-  *   sbt "runMain graft.ScaleProbe 20000000 2000000"
+  *   sbt "runMain graft.ScaleProbe 20000000 2000000"          # merge
+  *   sbt "runMain graft.ScaleProbe minhash 500000"            # dedup path
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("minhash")) { minhashProbe(args); return }
     val targetRows = args.headOption.map(_.toLong).getOrElse(20000000L)
     val deltaRows = args.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -45,6 +47,47 @@ object ScaleProbe {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"merged rows=$n%d target=$targetRows%d delta=${deltaRows}%d " +
       f"wall=${secs}%.1fs throughput=${(targetRows + deltaRows) / secs}%.0f rows/s")
+    spark.stop()
+  }
+
+  /** MinHash+LSH dedup pipeline over synthetic docs: every 10th doc is an
+    * exact duplicate of its predecessor, so expected candidate pairs are
+    * known and recall is checkable at any scale. */
+  private def minhashProbe(args: Array[String]): Unit = {
+    val nDocs = args.drop(1).headOption.map(_.toLong).getOrElse(500000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // groups of 10 ids share one text (dense exact dups). Vocabulary must
+    // be LARGE: a low-entropy corpus (tiny shingle space) makes MinHash
+    // sketches collide across unrelated docs and the candidate join
+    // degenerates quadratically — true of any LSH dedup; real pipelines
+    // frequency-filter boilerplate shingles for the same reason.
+    // Materialize to parquet first (in the real pipeline text is a stored
+    // column; as a live generator expression Catalyst re-inlines the
+    // 30-term builder under every shingle-transform element).
+    val gen = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 30).map(k =>
+        concat(lit("w"),
+          pmod(expr("id div 10 * 10") * (k + 7) + k * k * 31, lit(99991)))): _*)
+        .as("text"))
+    val path = java.nio.file.Files.createTempDirectory("probe").toString + "/docs"
+    gen.repartition(cpus.toInt * 2).write.mode("overwrite").parquet(path)
+    // (a single small parquet file = one input split = serial execution;
+    // production inputs split via spark.sql.files.maxPartitionBytes)
+    val docs = spark.read.parquet(path)
+    val t0 = System.nanoTime()
+    val signed = ops.DedupText.minhashSignatures(docs, "doc_id", "text")
+    val pairs = ops.DedupText.lshCandidates(signed, "doc_id", 8, 4).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"minhash docs=$nDocs%d candidate_pairs=$pairs%d " +
+      f"wall=${secs}%.1fs throughput=${nDocs / secs}%.0f docs/s")
     spark.stop()
   }
 }

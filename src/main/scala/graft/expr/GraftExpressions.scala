@@ -121,14 +121,16 @@ object GraftFunctions {
   import org.apache.spark.sql.{Column, SparkSession}
   import org.apache.spark.sql.functions.call_function
 
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "remove_dollar_fields" -> (es => RemoveDollarFields(es.head)),
+    "json_merge_patch" -> (es => JsonMergePatch(es.head, es(1))),
+    "java_string_hash" -> (es => JavaStringHash(es.head)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("remove_dollar_fields",
-      es => RemoveDollarFields(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("json_merge_patch",
-      es => JsonMergePatch(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("java_string_hash",
-      es => JavaStringHash(es.head), "scala_udf")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 
   def remove_dollar_fields(c: Column): Column =
@@ -137,4 +139,20 @@ object GraftFunctions {
     call_function("json_merge_patch", t, p)
   def java_string_hash(c: Column): Column =
     call_function("java_string_hash", c)
+}
+
+/** Session-extension registration for deployments that configure
+  * `spark.sql.extensions=graft.expr.GraftExtensions` — the functions are
+  * then present in every session (incl. SQL-only clients) without a
+  * register() call. */
+class GraftExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.expr.GraftExpressions", name), b))
+    }
 }

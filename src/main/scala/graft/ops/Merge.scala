@@ -78,14 +78,24 @@ object Merge {
                         payload: String = "jsondata"): DataFrame = {
     val deduped = Dedup.keepLatest(staged, keys, modified)
     val live = Diff.deleteByKeys(deduped, tombstones, keys)
-    val deletes = target.join(tombstones.select(keys.map(col): _*).distinct(),
-      keys, "left_semi")
-    val updates = Diff.changedRows(target, live, keys, payload)
-    val inserts = Diff.newRows(target, live, keys)
-    def tagged(df: DataFrame, action: String) =
-      df.agg(count("*").as("n")).select(lit(action).as("action"), col("n"))
-    tagged(deletes, "delete")
-      .unionByName(tagged(updates, "update"))
-      .unionByName(tagged(inserts, "insert"))
+    // single-pass classification: full-outer target↔live plus a tombstone
+    // flag, then one aggregate — instead of three separate join+count scans
+    val t = target.select((keys.map(col) :+ col(payload).as("__t_pay")
+      :+ lit(true).as("__in_t")): _*)
+    val l = live.select((keys.map(col) :+ col(payload).as("__l_pay")
+      :+ lit(true).as("__in_l")): _*)
+    val tb = tombstones.select(keys.map(col): _*).distinct()
+      .withColumn("__in_tomb", lit(true))
+    val j = t.join(l, keys, "full_outer").join(tb, keys, "left_outer")
+    val counts = j.agg(
+      sum(when(col("__in_t") && col("__in_tomb"), 1L).otherwise(0L)).as("d"),
+      sum(when(col("__in_t") && col("__in_l") &&
+        !(col("__t_pay") <=> col("__l_pay")), 1L).otherwise(0L)).as("u"),
+      sum(when(col("__in_l") && col("__in_t").isNull, 1L).otherwise(0L)).as("i"))
+    counts.select(explode(array(
+        struct(lit("delete").as("action"), col("d").as("n")),
+        struct(lit("update").as("action"), col("u").as("n")),
+        struct(lit("insert").as("action"), col("i").as("n")))).as("r"))
+      .select(col("r.action").as("action"), col("r.n").as("n"))
   }
 }
