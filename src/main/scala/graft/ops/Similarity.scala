@@ -26,6 +26,13 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine from per-row precomputed norms: one fold per pair instead of
+    * three. Bit-identical to [[cosine]] (same doubles, same multiply
+    * order) — so oracle results are unchanged, only the plan is cheaper:
+    * norms are O(n) pre-join instead of O(n·k) or O(n²) post-join. */
+  def cosinePre(aEmb: Column, bEmb: Column, aNorm: Column, bNorm: Column): Column =
+    dot(aEmb, bEmb) / (aNorm * bNorm)
+
   /** Brute-force cosine top-k: for each probe vector (small side,
     * broadcast), the k nearest corpus vectors. Returns
     * (query_id, rnk, neighbor_id, cos). Ranking ties broken by id for
@@ -34,10 +41,13 @@ object Similarity {
   : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = probes.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"))
-    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePre(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm"))
+          .as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -54,19 +64,21 @@ object Similarity {
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               planes: Int = 6, tables: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def bucketed(df: DataFrame, idAs: String, embAs: String) =
+    def bucketed(df: DataFrame, idAs: String, embAs: String, nAs: String) =
       df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+          norm(col("embedding")).as(nAs),
           posexplode(array((0 until tables).map(t =>
             bucketExpr(col("embedding"), planes, t * planes)): _*)))
         .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-    val c = bucketed(corpus, "neighbor_id", "c_emb")
-    val q = bucketed(probes, "query_id", "q_emb")
+    val c = bucketed(corpus, "neighbor_id", "c_emb", "c_n")
+    val q = bucketed(probes, "query_id", "q_emb", "q_n")
     val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"))
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"),
+        col("q_n"), col("c_n"))
       .distinct() // OR-amplification: collide in ≥1 table, count once
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_emb"), col("c_emb")).as("cos"))
+        cosinePre(col("q_emb"), col("c_emb"), col("q_n"), col("c_n")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -98,22 +110,24 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val cents = broadcast(centroids.select(col("vec_id").as("cent_id"),
       col("embedding").as("cent_emb")))
-    def assign(df: DataFrame, idAs: String, embAs: String, n: Int) = {
+    def assign(df: DataFrame, idAs: String, embAs: String, nAs: String,
+               n: Int) = {
       val w = Window.partitionBy(col(idAs))
         .orderBy(col("__cos").desc, col("cent_id").asc)
-      df.select(col("vec_id").as(idAs), col("embedding").as(embAs))
+      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+          norm(col("embedding")).as(nAs))
         .join(cents)
         .withColumn("__cos", cosine(col(embAs), col("cent_emb")))
         .withColumn("__cr", row_number().over(w))
         .where(col("__cr") <= n)
-        .select(col(idAs), col(embAs), col("cent_id").as("cell"))
+        .select(col(idAs), col(embAs), col(nAs), col("cent_id").as("cell"))
     }
-    val corpusCells = assign(corpus, "neighbor_id", "c_emb", 1)
-    val probeCells = assign(probes, "query_id", "q_emb", nprobe)
+    val corpusCells = assign(corpus, "neighbor_id", "c_emb", "c_n", 1)
+    val probeCells = assign(probes, "query_id", "q_emb", "q_n", nprobe)
     val scored = corpusCells.join(broadcast(probeCells), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_emb"), col("c_emb")).as("cos"))
+        cosinePre(col("q_emb"), col("c_emb"), col("q_n"), col("c_n")).as("cos"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -96,12 +96,13 @@ object PipelineQueries {
       val e = Tables.embeddings(s, dir)
       val withDups = e.unionByName(e.where(col("vec_id") % 20 === 0)
         .withColumn("vec_id", col("vec_id") + 1000000L))
-      val a = withDups.select(col("vec_id").as("a_id"),
-        col("label"), col("embedding").as("a_emb"))
-      val b = withDups.select(col("vec_id").as("b_id"),
-        col("label"), col("embedding").as("b_emb"))
+      val a = withDups.select(col("vec_id").as("a_id"), col("label"),
+        col("embedding").as("a_emb"), Similarity.norm(col("embedding")).as("a_n"))
+      val b = withDups.select(col("vec_id").as("b_id"), col("label"),
+        col("embedding").as("b_emb"), Similarity.norm(col("embedding")).as("b_n"))
       a.join(b, Seq("label")).where(col("a_id") < col("b_id"))
-        .where(Similarity.cosine(col("a_emb"), col("b_emb")) >= 0.999)
+        .where(Similarity.cosinePre(col("a_emb"), col("b_emb"),
+          col("a_n"), col("b_n")) >= 0.999)
         .select("a_id", "b_id", "label")
         .orderBy("a_id", "b_id")
     }),

@@ -97,6 +97,19 @@ object SyncQueries {
         .select(sriCols.map(col): _*).orderBy("href")
     }),
 
+    "merge_safe" -> ((s, dir) => {
+      // W4 composed: drop rows not in the member list, fetch + insert
+      // members the target lacks (fetch simulated by a semi-join on the
+      // full feed = the S2 point-lookup result)
+      val members = sri(s, dir).where(col("resourcetype") =!= "error")
+        .select("href")
+      val target = sriTarget(s, dir)
+      val missing = Diff.missingMembers(members, target, Seq("href"))
+      val fetched = sri(s, dir).join(missing, Seq("href"), "left_semi")
+      Merge.safe(target, members, fetched)
+        .select(sriCols.map(col): _*).orderBy("href")
+    }),
+
     "merge_counts" -> ((s, dir) => {
       Merge.deltaActionCounts(sriTarget(s, dir), sriStaged(s, dir),
         sriTombstones(s, dir)).orderBy("action")
@@ -320,6 +333,20 @@ object SyncQueries {
          |    AND NOT EXISTS (SELECT 1 FROM slive l WHERE l.href = t.href)
          |  UNION ALL
          |  SELECT href, key, modified_ms, jsondata, resourcetype FROM slive)
+         |ORDER BY href""".stripMargin,
+
+    "merge_safe" ->
+      s"""${sriCtes}SELECT href, key, modified_ms, jsondata, resourcetype FROM (
+         |  SELECT t.href, t.key, t.modified_ms, t.jsondata, t.resourcetype
+         |  FROM starget t
+         |  WHERE EXISTS (SELECT 1 FROM sri m
+         |    WHERE m.resourcetype <> 'error' AND m.href = t.href)
+         |  UNION ALL
+         |  SELECT f.href, f.key, f.modified_ms, f.jsondata, f.resourcetype
+         |  FROM sri f
+         |  WHERE EXISTS (SELECT 1 FROM sri m
+         |      WHERE m.resourcetype <> 'error' AND m.href = f.href)
+         |    AND NOT EXISTS (SELECT 1 FROM starget t WHERE t.href = f.href))
          |ORDER BY href""".stripMargin,
 
     "merge_counts" ->
