@@ -53,6 +53,20 @@ object WindowQueries {
         .orderBy("user_id", "session_start_ms")
     }),
 
+    "asof_join" -> ((s, dir) => {
+      // as-of join: for each purchase, the user's most recent click at or
+      // before the purchase time
+      val ev = Tables.events(s, dir)
+      graft.ops.AsOf.join(
+          left = ev.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts_ms"), col("event_id")),
+          right = ev.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts_ms"), col("event_id")),
+          key = "user_id", time = "ts_ms",
+          leftId = "event_id", rightId = "event_id")
+        .orderBy("user_id", "ts_ms", "event_id")
+    }),
+
     "win_running_sum" -> ((s, dir) => {
       // per-user running total ordered by event time
       val w = Window.partitionBy(col("user_id"))
@@ -96,6 +110,18 @@ object WindowQueries {
          |SELECT user_id, MIN(ms) AS session_start_ms, COUNT(*) AS n_events
          |FROM sn GROUP BY user_id, sid
          |ORDER BY user_id, session_start_ms""".stripMargin,
+
+    "asof_join" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.ts_ms, p.event_id, m.asof_id, m.asof_time
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT c.event_id AS asof_id, c.ts_ms AS asof_time FROM c
+        |  WHERE c.user_id = p.user_id AND c.ts_ms <= p.ts_ms
+        |  ORDER BY c.ts_ms DESC, c.event_id DESC LIMIT 1) m ON true
+        |ORDER BY p.user_id, p.ts_ms, p.event_id""".stripMargin,
 
     "win_running_sum" ->
       s"""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
