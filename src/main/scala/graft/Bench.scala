@@ -30,10 +30,15 @@ object Bench {
     Tables.events(spark, sfDir).limit(1).count() // needs nanosAsLong conf
     SparkEntry.queries.get("q1_agg").foreach(q => q(spark, sfDir).count())
 
+    // a failed query reports -1, never its time-to-throw (a regression
+    // must not masquerade as a speedup in the totals)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -52,9 +52,12 @@ object Main {
       case "fullSync" => runner.fullSync(staged, target)
       case "deltaSync" => runner.deltaSync(staged, tombs, target)
       case "safeDeltaSync" =>
-        val members = src.select("href")
+        // authoritative member list = LIVE resources only (the reference
+        // builds it from the filtered non-deleted list, client.js:1703);
+        // including tombstoned hrefs would resurrect deleted rows
+        val members = staged.select("href")
         runner.safeDeltaSync(staged, tombs, members,
-          missing => src.join(missing, Seq("href"), "left_semi"), target)
+          missing => staged.join(missing, Seq("href"), "left_semi"), target)
       case other => throw new IllegalArgumentException(
         s"unknown --synctype $other (fullSync|deltaSync|safeDeltaSync)")
     }

@@ -32,13 +32,16 @@ object Merge {
             keys: Seq[String] = Seq("href"),
             modified: String = "modified_ms"): DataFrame = {
     val deduped = Dedup.keepLatest(staged, keys, modified)
-    val liveNew = Diff.deleteByKeys(deduped, tombstones, keys)
-    // one anti-join pass over the (big) target: rows leave either because
+    // Reference statement order is deletes THEN upserts
+    // (copyTempTablesDataToWriteTable, client.js:1033 before 1058/1074), so
+    // a key appearing in BOTH tombstones and staged ends up alive (deleted
+    // then re-created within the window) — staged wins, not the tombstone.
+    // One anti-join pass over the (big) target: rows leave either because
     // they were tombstoned or because the delta replaces them — union the
-    // two key sets rather than scanning the target twice
+    // two key sets rather than scanning the target twice.
     val excluded = tombstones.select(keys.map(col): _*)
-      .unionByName(liveNew.select(keys.map(col): _*)).distinct()
-    target.join(excluded, keys, "left_anti").unionByName(liveNew)
+      .unionByName(deduped.select(keys.map(col): _*)).distinct()
+    target.join(excluded, keys, "left_anti").unionByName(deduped)
   }
 
   /** fullSync merge (keep-existing mode, `preferUpdatesOverInserts`):
@@ -67,17 +70,16 @@ object Merge {
     kept.unionByName(inserts)
   }
 
-  /** Per-action row counts (deletes/updates/inserts/unchanged) for a delta
-    * merge — the reference reports these from DML rowcounts
-    * (src/lib/client.js:983-994 diagnostic union, A5). One pass, no collect:
-    * returns a 4-row DataFrame (action, n). */
+  /** Per-action row counts (delete/update/insert) for a delta merge — the
+    * reference reports these from DML rowcounts
+    * (src/lib/client.js:983-994 diagnostic union, A5). One pass, no
+    * collect: returns a 3-row DataFrame (action, n). */
   def deltaActionCounts(target: DataFrame, staged: DataFrame,
                         tombstones: DataFrame,
                         keys: Seq[String] = Seq("href"),
                         modified: String = "modified_ms",
                         payload: String = "jsondata"): DataFrame = {
-    val deduped = Dedup.keepLatest(staged, keys, modified)
-    val live = Diff.deleteByKeys(deduped, tombstones, keys)
+    val live = Dedup.keepLatest(staged, keys, modified)
     // single-pass classification: full-outer target↔live plus a tombstone
     // flag, then one aggregate — instead of three separate join+count scans
     val t = target.select((keys.map(col) :+ col(payload).as("__t_pay")

@@ -93,18 +93,24 @@ object Watermark {
     val row = Seq((tablename, null: String, null: String, synctype,
       st.lastModified, st.syncStart))
       .toDF("tablename", "baseurl", "path", "synctype", "lastmodified", "syncstart")
-    val merged = existing.unionByName(row).coalesce(1).cache()
-    merged.count() // materialize before overwrite of the path we read
+    val merged = existing.unionByName(row).coalesce(1)
     merged.write.mode("overwrite").parquet(statePath + ".tmp")
-    merged.unpersist()
     val tmp = new java.io.File(statePath + ".tmp")
     val dst = new java.io.File(statePath)
-    if (dst.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-      }
-      rm(dst)
+    val bak = new java.io.File(statePath + ".bak")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
     }
-    tmp.renameTo(dst)
+    // swap with a parked backup (same protocol as ParquetTarget.overwrite):
+    // a failed rename must not silently lose the watermark — losing it
+    // falls back to a cold-start re-sync from 1900
+    if (bak.exists()) rm(bak)
+    if (dst.exists() && !dst.renameTo(bak))
+      throw new java.io.IOException(s"could not park $statePath at .bak")
+    if (!tmp.renameTo(dst)) {
+      bak.renameTo(dst)
+      throw new java.io.IOException(s"state rename $statePath failed")
+    }
+    if (bak.exists()) rm(bak)
   }
 }

@@ -69,9 +69,12 @@ object Fixtures {
        |    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY href
        |      ORDER BY modified_ms DESC, href ASC, jsondata ASC NULLS FIRST) AS rn
        |    FROM sstaged s) WHERE rn = 1),
-       |slive AS (SELECT d.* FROM sdedup d
-       |          WHERE NOT EXISTS (SELECT 1 FROM stomb t WHERE t.href = d.href))
+       |slive AS (SELECT d.* FROM sdedup d)
        |""".stripMargin
+  // slive == sdedup: reference statement order is deletes THEN upserts, so
+  // staged rows win over same-key tombstones (delete + re-create survives).
+  // The fixture slices are disjoint (staged excludes 'error'), so this is
+  // semantic documentation, not a value change.
 
   val sriCols: Seq[String] =
     Seq("href", "key", "modified_ms", "jsondata", "resourcetype")

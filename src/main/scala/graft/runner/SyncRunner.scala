@@ -23,18 +23,33 @@ trait TargetTable {
   * At cluster scale the rename becomes a metastore/table-format commit
   * (Iceberg/Delta); the runner contract is unchanged. */
 final class ParquetTarget(spark: SparkSession, path: String) extends TargetTable {
-  override def exists: Boolean = new java.io.File(path).exists()
+  override def exists: Boolean = {
+    val dst = new java.io.File(path)
+    val bak = new java.io.File(path + ".bak")
+    if (!dst.exists() && bak.exists()) bak.renameTo(dst) // crash recovery
+    dst.exists()
+  }
   override def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
   override def overwrite(df: DataFrame): Unit = {
     val tmp = path + ".staging"
     df.write.mode("overwrite").parquet(tmp)
     val dst = new java.io.File(path)
+    val bak = new java.io.File(path + ".bak")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
     }
-    if (dst.exists()) rm(dst)
-    if (!new java.io.File(tmp).renameTo(dst))
+    // swap, don't delete-then-rename: the live table is parked at .bak
+    // until the new one is in place, so a crash mid-commit leaves either
+    // the old table (at .bak, restored below/next run) or the new one —
+    // never nothing (T6)
+    if (bak.exists()) rm(bak)
+    if (dst.exists() && !dst.renameTo(bak))
+      throw new java.io.IOException(s"could not park $path at .bak")
+    if (!new java.io.File(tmp).renameTo(dst)) {
+      bak.renameTo(dst) // restore
       throw new java.io.IOException(s"atomic rename $tmp -> $path failed")
+    }
+    if (bak.exists()) rm(bak)
   }
 }
 
@@ -89,8 +104,16 @@ final class SyncRunner(spark: SparkSession, cfg: SyncConfig) {
       val since = modifiedSince.orElse(prev.map(_.lastModified))
         .getOrElse(Watermark.ColdStartMs)
       val staged = Watermark.modifiedSince(source, since, cfg.modifiedCol)
+      // the tombstone pass is watermark-fenced too (reference applies
+      // modifiedSince to the deleted-resources query, client.js:1684-1694);
+      // rows without a modified column/value are kept conservatively
+      val tombsFenced =
+        if (tombstones.columns.contains(cfg.modifiedCol))
+          tombstones.where(col(cfg.modifiedCol) >= since ||
+            col(cfg.modifiedCol).isNull)
+        else tombstones
       val current = if (target.exists) target.read(spark) else emptyLike(source)
-      val merged = Merge.delta(current, staged, tombstones, cfg.keys,
+      val merged = Merge.delta(current, staged, tombsFenced, cfg.keys,
         cfg.modifiedCol)
       val seen = Watermark.candidate(staged, cfg.modifiedCol)
         .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))

@@ -22,17 +22,26 @@ final class HttpPageStore(
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  // bodies downloaded during the next-link walk, handed to
+  // planInputPartitions via cachedBody so each page crosses the wire once
+  @transient private lazy val walked =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   override def listPages(): Seq[String] = {
     val pages = scala.collection.mutable.ArrayBuffer[String]()
     var url: String = firstPageUrl
     while (url != null) {
       pages += url
-      val next = mapper.readTree(fetch(url)).path("$$meta").path("next")
+      val b = fetch(url)
+      walked.put(url, b)
+      val next = mapper.readTree(b).path("$$meta").path("next")
       url = if (next.isMissingNode || next.isNull) null
       else resolve(firstPageUrl, next.asText())
     }
     pages.toSeq
   }
+
+  override def cachedBody(page: String): Option[String] = walked.get(page)
 
   override def fetch(page: String): String = {
     var attempt = 0

@@ -55,6 +55,11 @@ object SriSource {
 trait PageStore extends Serializable {
   def listPages(): Seq[String]
   def fetch(page: String): String
+  /** Body already fetched during enumeration (e.g. an HTTP next-link walk
+    * downloads each page to find the next link). Returned bodies are
+    * embedded in their own InputPartition so executors don't re-fetch —
+    * each partition carries only ITS page. */
+  def cachedBody(page: String): Option[String] = None
 }
 
 final class LocalDirPageStore(dir: String) extends PageStore {
@@ -103,11 +108,16 @@ class SriScanBuilder(store: PageStore) extends ScanBuilder
       case EqualTo("resourcetype", "deleted") => true
       case _ => false
     }
+    // multiple accepted bounds conjoin: keep the MAX (they were all
+    // removed from post-scan evaluation, so last-wins would return rows
+    // the query excludes)
+    def tighten(v: Long): Unit =
+      pushedMinModified = Some(pushedMinModified.fold(v)(math.max(_, v)))
     accepted.foreach {
       case GreaterThanOrEqual("modified_ms", v: java.lang.Long) =>
-        pushedMinModified = Some(v.longValue)
+        tighten(v.longValue)
       case GreaterThan("modified_ms", v: java.lang.Long) =>
-        pushedMinModified = Some(v.longValue + 1)
+        tighten(v.longValue + 1)
       case EqualTo("resourcetype", "deleted") => pushedDeletedOnly = true
       case _ =>
     }
@@ -136,33 +146,41 @@ class SriScan(store: PageStore, required: StructType,
       s"deletedOnly=$deletedOnly], ReadSchema: ${required.simpleString}"
 
   /** One partition per page — the Spark-native answer to the reference's
-    * sequential next-link walk + prefetch: all pages read concurrently. */
+    * sequential next-link walk + prefetch: all pages read concurrently.
+    * Bodies the store already downloaded while enumerating ride along in
+    * their partition (no second fetch). */
   override def planInputPartitions(): Array[InputPartition] =
-    store.listPages().map(p => SriInputPartition(p): InputPartition).toArray
+    store.listPages()
+      .map(p => SriInputPartition(p, store.cachedBody(p)): InputPartition)
+      .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SriReaderFactory(store, required.fieldNames, minModified, deletedOnly)
 }
 
-case class SriInputPartition(page: String) extends InputPartition
+case class SriInputPartition(page: String, body: Option[String] = None)
+  extends InputPartition
 
 class SriReaderFactory(store: PageStore, columns: Array[String],
                        minModified: Option[Long], deletedOnly: Boolean)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new SriPageReader(store, p.asInstanceOf[SriInputPartition].page,
-      columns, minModified, deletedOnly)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[SriInputPartition]
+    new SriPageReader(store, part.page, part.body, columns, minModified,
+      deletedOnly)
+  }
 }
 
 /** Parses one page (envelope or plain array), normalizes to rows, applies
   * pushed predicates at parse time. */
-class SriPageReader(store: PageStore, page: String, columns: Array[String],
+class SriPageReader(store: PageStore, page: String, body: Option[String],
+                    columns: Array[String],
                     minModified: Option[Long], deletedOnly: Boolean)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val iter: Iterator[InternalRow] = {
-    val root = mapper.readTree(store.fetch(page))
+    val root = mapper.readTree(body.getOrElse(store.fetch(page)))
     val results =
       if (root.isArray) root
       else if (root.has("results")) root.get("results")

@@ -61,13 +61,23 @@ object StreamingSync {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val typed = stream.select("href", "modified_ms", "jsondata")
       .as[(String, Long, String)]
+    // same winner as Dedup.keepLatest / LatestAggregator: max modified_ms,
+    // ties broken by SMALLEST jsondata with null first (null-safe — a
+    // plain tuple maxBy would NPE on null payloads and pick the opposite
+    // tie winner from the batch path)
+    def newer(a: (String, Long, String), b: (String, Long, String)) = {
+      val c = java.lang.Long.compare(a._2, b._2)
+      if (c > 0) a else if (c < 0) b
+      else if (Ordering[Option[String]].lt(Option(a._3), Option(b._3))) a
+      else b
+    }
     typed.groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (href: String, rows: Iterator[(String, Long, String)],
          state: GroupState[(Long, String)]) =>
           val newest = (rows ++ state.getOption.iterator
             .map { case (m, j) => (href, m, j) })
-            .maxBy { case (_, m, j) => (m, j) }
+            .reduce(newer)
           state.update((newest._2, newest._3))
           (href, newest._2, newest._3)
       }

@@ -15,13 +15,20 @@ class HttpPageStoreSpec extends AnyFunSuite {
     "https://api.example.org/a?limit=2&offset=4" ->
       """{"$$meta": {}, "results": [5]}""")
 
-  test("walks $$meta.next to enumerate pages, resolving relative links") {
+  test("walks $$meta.next to enumerate pages, resolving relative links; " +
+    "bodies fetched exactly once and cached for the partitions") {
+    var fetches = 0
     val store = new HttpPageStore("https://api.example.org/a?limit=2",
-      fetchFn = pages(_))
+      fetchFn = { u => fetches += 1; pages(u) })
     assert(store.listPages() === Seq(
       "https://api.example.org/a?limit=2",
       "https://api.example.org/a?limit=2&offset=2",
       "https://api.example.org/a?limit=2&offset=4"))
+    assert(fetches === 3)
+    // walked bodies are cached → partition readers won't re-fetch
+    assert(store.cachedBody("https://api.example.org/a?limit=2")
+      .contains(pages("https://api.example.org/a?limit=2")))
+    assert(fetches === 3)
   }
 
   test("retries transient failures with backoff, then succeeds") {

@@ -36,6 +36,22 @@ class MergeSpec extends SparkSuite {
       .count() === stagedKeys)
   }
 
+  test("delete + re-create within one window: staged wins (reference order)") {
+    import spark.implicits._
+    val target = Seq(("/a/1", "1", 100L, "old", "t"))
+      .toDF("href", "key", "modified_ms", "jsondata", "resourcetype")
+    val staged = Seq(("/a/1", "1", 300L, "recreated", "t"))
+      .toDF("href", "key", "modified_ms", "jsondata", "resourcetype")
+    val tombs = Seq("/a/1").toDF("href")
+    // reference applies DELETE before UPDATE/INSERT, so the re-created
+    // version survives (client.js:1033 before 1058/1074)
+    val out = Merge.delta(target, staged, tombs).collect()
+    assert(out.length === 1 && out(0).getAs[String]("jsondata") === "recreated")
+    // a tombstone with no matching staged row still deletes
+    val out2 = Merge.delta(target, staged.where(lit(false)), tombs)
+    assert(out2.count() === 0)
+  }
+
   test("keepLatest keeps the max-modified row, not an arbitrary one") {
     import spark.implicits._
     val df = Seq(

@@ -58,6 +58,15 @@ class SriSourceSpec extends SparkSuite {
       .contains("SriScan") || plan.contains("BatchScan"))
   }
 
+  test("conjoined modified_ms bounds push the tightest (max), not last-wins") {
+    val df = spark.read.format("sri").option("pages", writePages()).load()
+      .where(col("modified_ms") >= 1705795200000L)  // 2024-01-21
+      .where(col("modified_ms") >= 1704067200000L)  // 2024-01-01, looser
+    // both accepted by the source; the looser bound must not widen results
+    assert(df.select("href").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("/a/2", "/a/5"))
+  }
+
   test("tombstone-pass filter is pushed") {
     val df = spark.read.format("sri").option("pages", writePages()).load()
       .where(col("resourcetype") === "deleted")
