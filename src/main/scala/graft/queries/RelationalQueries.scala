@@ -111,6 +111,14 @@ object RelationalQueries {
       c.union(su).distinct().orderBy("nationkey")
     }),
 
+    "q9_except" -> ((s, dir) => {
+      // EXCEPT (distinct) as a surface op: nations with customers but no
+      // suppliers
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      val su = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+      c.except(su).orderBy("nationkey")
+    }),
+
     "q10_cube" -> ((s, dir) => {
       // CUBE over segment × nation: all grouping-set combinations
       Tables.customer(s, dir)
@@ -256,6 +264,12 @@ object RelationalQueries {
         |  SELECT c_nationkey AS nationkey FROM customer
         |  UNION
         |  SELECT s_nationkey AS nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+
+    "q9_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
 
     "q10_cube" ->
