@@ -52,7 +52,8 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
-      .select("query_id", "rnk", "neighbor_id", "cos")
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("cos"))
   }
 
   /** LSH-bucketed ANN top-k with OR-amplification: `tables` independent
@@ -83,7 +84,8 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
-      .select("query_id", "rnk", "neighbor_id", "cos")
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("cos"))
   }
 
   /** Deterministic ±1 hyperplane component for (plane j, dim i): a 64-bit
@@ -133,7 +135,8 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
-      .select("query_id", "rnk", "neighbor_id", "cos")
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("cos"))
   }
 
   /** Sign-bit bucket: bit p = (dot(emb, plane_{seed+p}) > 0), planes

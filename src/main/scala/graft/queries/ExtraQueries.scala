@@ -18,7 +18,8 @@ object ExtraQueries {
         .createOrReplaceTempView("ev_gs")
       s.sql(s"""
         SELECT event_type, user_bucket,
-               grouping(event_type) AS g_type, grouping(user_bucket) AS g_user,
+               CAST(grouping(event_type) AS BIGINT) AS g_type,
+               CAST(grouping(user_bucket) AS BIGINT) AS g_user,
                COUNT(*) AS n,
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
                  AS sum_value
@@ -81,7 +82,7 @@ object ExtraQueries {
       d.select(col("doc_id"),
           upper(substring(col("text"), 1, 12)).as("up"),
           lpad(col("lang"), 5, "_").as("lp"),
-          levenshtein(element_at(w, 1), element_at(w, 2)).as("lev"),
+          levenshtein(element_at(w, 1), element_at(w, 2)).cast("long").as("lev"),
           reverse(element_at(w, 1)).as("rev"))
         .orderBy("doc_id")
     })
@@ -122,7 +123,8 @@ object ExtraQueries {
     "q17_correlated" ->
       """WITH li AS (SELECT l_partkey,
         |  CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc FROM lineitem)
-        |SELECT l_partkey, COUNT(*) AS n_light, SUM(qc) AS sum_light_cents
+        |SELECT l_partkey, COUNT(*) AS n_light,
+        |  CAST(SUM(qc) AS BIGINT) AS sum_light_cents
         |FROM li l1
         |WHERE 2 * qc * (SELECT COUNT(*) FROM li l2
         |                WHERE l2.l_partkey = l1.l_partkey)

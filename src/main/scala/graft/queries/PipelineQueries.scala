@@ -73,7 +73,7 @@ object PipelineQueries {
         .select((col("doc_id") - 100000000L).as("doc_id"), col("fp").as("fp2"))
       fp.join(dup, "doc_id")
         .select(col("doc_id"), col("fp"),
-          DedupText.hamming(col("fp"), col("fp2")).as("dist"))
+          DedupText.hamming(col("fp"), col("fp2")).cast("long").as("dist"))
         .orderBy("doc_id")
     }),
 
@@ -142,7 +142,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
           sum(TextOps.tokenCount(col("text")).cast("long")).as("sum_tokens"),
-          max(length(col("text"))).as("max_len"))
+          max(length(col("text")).cast("long")).as("max_len"))
         .orderBy("lang", "source")
     }),
 
@@ -268,7 +268,7 @@ object PipelineQueries {
          |  FROM based GROUP BY doc_id),
          |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM voted)
          |SELECT o.doc_id, o.fp,
-         |  bit_count(xor(o.fp, d.fp)) AS dist
+         |  CAST(bit_count(xor(o.fp, d.fp)) AS BIGINT) AS dist
          |FROM fps o JOIN (SELECT doc_id - 100000000 AS doc_id, fp FROM fps
          |                 WHERE doc_id >= 100000000) d USING (doc_id)
          |ORDER BY o.doc_id""".stripMargin
@@ -359,8 +359,9 @@ object PipelineQueries {
     },
 
     "txt_stats" ->
-      """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
-        |  SUM(len(string_split(text, ' '))) AS sum_tokens,
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
         |  MAX(length(text)) AS max_len
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,

@@ -162,7 +162,7 @@ object RelationalQueries {
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
       Tables.customer(s, dir)
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .withColumn("prev_bal", lag(col("c_acctbal"), 1).over(w))
         .where(col("rnk") <= 3)
         .select("c_nationkey", "rnk", "c_custkey", "c_acctbal", "prev_bal")
@@ -281,10 +281,10 @@ object RelationalQueries {
 
     "q12_case_agg" ->
       """SELECT o_orderstatus,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-        |      THEN 1 ELSE 0 END) AS high_line_count,
-        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-        |      THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 

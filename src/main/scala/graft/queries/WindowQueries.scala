@@ -125,9 +125,9 @@ object WindowQueries {
 
     "win_running_sum" ->
       s"""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
-         |  SUM(${centsSql("value")}) OVER (PARTITION BY user_id
+         |  CAST(SUM(${centsSql("value")}) OVER (PARTITION BY user_id
          |    ORDER BY epoch_ms(ts) ASC, event_id ASC
-         |    ROWS UNBOUNDED PRECEDING) AS run_cents
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
          |FROM events
          |ORDER BY user_id, ts_ms, event_id""".stripMargin
   )

@@ -48,6 +48,21 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ: oracle={wcols} spark={gcols}")
             n_fail += 1
             continue
+        # Arrow-level type check: DuckDB SUM(int) yields HUGEINT → arrow
+        # decimal128, which the driver's hasher renders differently from
+        # Spark's int64 even when the numbers are equal (r1: q12/q17/
+        # txt_stats/win_running_sum). Python-level == hides it, so compare
+        # physical types explicitly.
+        tdiff = []
+        for c in wcols:
+            wt = want.schema.field(c).type
+            gt = got.schema.field(c).type
+            if str(wt) != str(gt):
+                tdiff.append((c, str(wt), str(gt)))
+        if tdiff:
+            print(f"FAIL {name}: arrow type mismatch (oracle vs spark): {tdiff}")
+            n_fail += 1
+            continue
         skey = lambda r: [(v is None, str(v)) for v in r]
         wrows = sorted([tuple(r[c] for c in wcols) for r in want.to_pylist()], key=skey)
         grows = sorted([tuple(r[c] for c in gcols) for r in got.to_pylist()], key=skey)
