@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the clustering
+  * step of a near-duplicate pipeline: LSH candidate pairs become duplicate
+  * *groups*, and one canonical document (min id) is kept per group.
+  * (The reference stops at row identity — href equality,
+  * `/root/reference/src/lib/client.js:1033` delete/upsert keying; grouping
+  * transitively-linked near-dups is the training-data extension of that.)
+  *
+  * Algorithm: min-label propagation to fixpoint. Every vertex starts
+  * labelled with its own id; each round, every vertex takes the min of its
+  * own label and its neighbours' labels; stop when no label changed.
+  *
+  * Scale design (100 TB): one round = one shuffle (groupBy vertex id) over
+  * (id, label) longs — no vertex payloads travel. Rounds are bounded by
+  * component diameter, and near-dup graphs are unions of small cliques /
+  * stars (diameter ≤ 3 in practice), so the loop is 2–4 shuffles total.
+  * For adversarial long-chain graphs swap the per-round rule for
+  * alternating large-star/small-star (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14) — same join/agg building
+  * blocks, O(log n) rounds. `localCheckpoint` truncates lineage each round
+  * so the plan does not grow with the iteration count, and the `changed`
+  * count is computed from the same checkpointed frame that seeds the next
+  * round (no recomputation).
+  */
+object Cluster {
+
+  /** @param vertices one row per vertex (must cover every id in `edges`;
+    *                 isolated vertices become singleton clusters)
+    * @return (id, cluster) where cluster = min vertex id reachable */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+                          edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .union(edges
+        .select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .localCheckpoint() // edges are re-joined every round: pin them once
+    var labels = vertices
+      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val msgs = sym.join(labels, sym("u") === labels("id"))
+        .select(col("v").as("id"), col("lbl"))
+      val next = msgs.union(labels).groupBy("id")
+        .agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .where(col("n.lbl") < col("p.lbl")).count()
+      labels = next
+      it += 1
+    }
+    require(changed == 0, s"connectedComponents: no fixpoint in $maxIter rounds")
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+}

@@ -68,4 +68,20 @@ object TextOps {
     * truncated to 16 hex chars = 64 bits). Used as the exact-dedup key at
     * scale so shuffles carry 8-byte keys, not document bodies. */
   def fingerprint(text: Column): Column = substring(sha2(text, 256), 1, 16)
+
+  /** Canonical normalization for dedup keys: lowercase, strip everything
+    * but [a-z0-9 ], collapse space runs, trim. Normalizing BEFORE
+    * fingerprinting/shingling is what makes near-dup detection robust to
+    * case/punctuation edits; at scale it is a pure codegen'd projection. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** PII redaction: email-shaped and phone-shaped spans replaced by typed
+    * placeholder tags (both patterns RE2-safe so the operation is
+    * reproducible outside the JVM). */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>"),
+      "\\d{3}-\\d{4}", "<PHONE>")
 }

@@ -55,6 +55,28 @@ object ExtraQueries {
         .orderBy("o_orderstatus")
     }),
 
+    "agg_quantiles" -> ((s, dir) => {
+      // exact discrete quantiles (percentile_disc semantics: smallest
+      // value with CDF ≥ q) spelled as one window sort per group over
+      // integer cents — engine-exact, no interpolation. The ceil(q·n)
+      // positions use pure integer DIV so both engines agree on ties.
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), cents("l_quantity").as("qc"))
+        .createOrReplaceTempView("li_quant")
+      s.sql("""
+        SELECT l_returnflag,
+          MIN(CASE WHEN rn >= (n + 3) DIV 4 THEN qc END) AS q25_cents,
+          MIN(CASE WHEN rn >= (n + 1) DIV 2 THEN qc END) AS q50_cents,
+          MIN(CASE WHEN rn >= (3 * n + 3) DIV 4 THEN qc END) AS q75_cents,
+          MAX(qc) AS q100_cents
+        FROM (SELECT l_returnflag, qc,
+                ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                  ORDER BY qc) AS rn,
+                COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM li_quant)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
     "q17_correlated" -> ((s, dir) => {
       // correlated scalar subqueries (Catalyst decorrelates into joins):
       // lineitems lighter than half their part's average quantity.
@@ -119,6 +141,19 @@ object ExtraQueries {
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_quantiles" ->
+      """WITH li AS (SELECT l_returnflag,
+        |  CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc FROM lineitem),
+        |w AS (SELECT l_returnflag, qc,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY qc) AS rn,
+        |  COUNT(*) OVER (PARTITION BY l_returnflag) AS n FROM li)
+        |SELECT l_returnflag,
+        |  MIN(CASE WHEN rn >= (n + 3) // 4 THEN qc END) AS q25_cents,
+        |  MIN(CASE WHEN rn >= (n + 1) // 2 THEN qc END) AS q50_cents,
+        |  MIN(CASE WHEN rn >= (3 * n + 3) // 4 THEN qc END) AS q75_cents,
+        |  MAX(qc) AS q100_cents
+        |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q17_correlated" ->
       """WITH li AS (SELECT l_partkey,

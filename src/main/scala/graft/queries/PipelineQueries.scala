@@ -56,6 +56,21 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    "dd_cluster_cc" -> ((s, dir) => {
+      // near-dup clustering: LSH candidate pairs → connected components →
+      // one canonical doc (min id) per duplicate group. Pairs are pinned
+      // with localCheckpoint so the propagation loop never re-runs MinHash.
+      val docs = docsWithDups(s, dir)
+      val signed = DedupText.minhashSignaturesExact(docs, "doc_id", "text")
+      val pairs = DedupText.lshCandidatesExact(signed, "doc_id",
+        bands = 8, rows = 4).localCheckpoint()
+      Cluster.connectedComponents(docs.select("doc_id"), "doc_id",
+          pairs, "a_id", "b_id")
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+          (col("cluster") === col("id")).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
     "dd_minhash_lsh_xx" -> ((s, dir) => {
       // xxhash64-family variant (faster hash; rows-only — engine-specific)
       val signed = DedupText.minhashSignatures(docsWithDups(s, dir),
@@ -176,6 +191,55 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "samp_bernoulli" -> ((s, dir) => {
+      // 10% hash-Bernoulli sample keyed on doc_id — reproducible anywhere
+      Sampling.hashBernoulli(Tables.documents(s, dir),
+          col("doc_id").cast("string"), k = 10, m = 100)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    "samp_stratified" -> ((s, dir) => {
+      // exactly 3 docs per (lang, source) stratum, hash-ordered draw
+      Sampling.stratifiedFixed(Tables.documents(s, dir),
+          Seq("lang", "source"), col("doc_id").cast("string"), n = 3)
+        .select("lang", "source", "samp_rank", "doc_id")
+        .orderBy("lang", "source", "samp_rank")
+    }),
+
+    "txt_normalize" -> ((s, dir) => {
+      // canonical form + its fingerprint (the robust dedup key)
+      val d = Tables.documents(s, dir)
+      val norm = TextOps.normalize(col("text"))
+      d.select(col("doc_id"), norm.as("norm"),
+          TextOps.fingerprint(norm).as("norm_fp"))
+        .orderBy("doc_id")
+    }),
+
+    "txt_redact" -> ((s, dir) => {
+      // PII redaction over text with deterministically planted emails and
+      // phone numbers (the raw fixture corpus contains none)
+      val d = Tables.documents(s, dir)
+      val planted = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com or 555-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
+      d.select(col("doc_id"), TextOps.redact(planted).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    "txt_topterms" -> ((s, dir) => {
+      // per-language top-5 tokens by document frequency
+      val d = Tables.documents(s, dir)
+      val tok = d.select(col("lang"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
+      val dfreq = tok.groupBy("lang", "w").agg(count(lit(1)).as("ndocs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("ndocs").desc, col("w").asc)
+      dfreq.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 5)
+        .orderBy("lang", "rnk")
+    }),
+
     "mm_binary_meta" -> ((s, dir) => {
       // multimodal: opaque binary payload + typed metadata, no decode
       Multimodal.binaryMeta(
@@ -186,6 +250,59 @@ object PipelineQueries {
   )
 
   private val langs = Seq("de", "en", "es", "fr")
+
+  /** CTE chain ending in `pairs(a_id, b_id)` — the MinHash(32)+LSH(8×4)
+    * candidate pairs on the cross-engine Java-hash affine family, spelled
+    * in DuckDB SQL. Shared by dd_minhash_lsh and dd_cluster_cc. */
+  private val minhashPairsCtes: String = {
+    val javaHash =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split_regex(s, ''),
+        |      c -> CAST(unicode(c) AS BIGINT))),
+        |    (h, c) -> ((((h * 31 + c + 2147483648) % 4294967296)
+        |      + 4294967296) % 4294967296) - 2147483648)""".stripMargin
+    def wrap32(x: String) =
+      s"(((($x + 2147483648) % 4294967296) + 4294967296) % 4294967296) - 2147483648"
+    val minCols = (0 until 32)
+      .map(j => s"MIN(${wrap32(s"h * ${2 * j + 1} + $j")}) AS m$j")
+      .mkString(",\n    ")
+    val bandArms = (0 until 8).map(b =>
+      s"WHEN $b THEN [${(0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")}]")
+      .mkString("\n      ")
+    s"""dd AS ($docsWithDupsSql),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM dd),
+       |sh AS (SELECT doc_id,
+       |  unnest(list_distinct(CASE WHEN len(ws) >= 3
+       |    THEN list_transform(range(1, len(ws) - 1),
+       |         i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2])
+       |    ELSE [list_aggregate(ws, 'string_agg', ' ')] END)) AS s
+       |  FROM t),
+       |based AS (SELECT doc_id, $javaHash AS h FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $minCols
+       |  FROM based GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, b.band,
+       |    CASE b.band
+       |      $bandArms
+       |    END AS bandsig
+       |  FROM sig, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(band)),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND l.bandsig = r.bandsig
+       |    AND l.doc_id < r.doc_id)""".stripMargin
+  }
+
+  /** The 32-bit Java string hash of an arbitrary DuckDB expression —
+    * same formula the minhash CTEs inline (proven exact by
+    * f4_string_hash). */
+  private def javaHashSql(c: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split_regex($c, ''),
+       |      ch -> CAST(unicode(ch) AS BIGINT))),
+       |    (h, ch) -> ((((h * 31 + ch + 2147483648) % 4294967296)
+       |      + 4294967296) % 4294967296) - 2147483648)""".stripMargin
 
   /** DuckDB cosine matching Spark's double-fold exactly (left-to-right
     * double accumulation; verified bit-equal on the fixtures). */
@@ -204,46 +321,24 @@ object PipelineQueries {
          |WHERE doc_id = (SELECT MIN(doc_id) FROM dd x WHERE x.text = d.text)
          |ORDER BY doc_id""".stripMargin,
 
-    "dd_minhash_lsh" -> {
-      // the same Java-hash affine family, spelled in DuckDB SQL
-      val javaHash =
-        """list_reduce(list_prepend(CAST(0 AS BIGINT),
-          |    list_transform(string_split_regex(s, ''),
-          |      c -> CAST(unicode(c) AS BIGINT))),
-          |    (h, c) -> ((((h * 31 + c + 2147483648) % 4294967296)
-          |      + 4294967296) % 4294967296) - 2147483648)""".stripMargin
-      def wrap32(x: String) =
-        s"(((($x + 2147483648) % 4294967296) + 4294967296) % 4294967296) - 2147483648"
-      val minCols = (0 until 32)
-        .map(j => s"MIN(${wrap32(s"h * ${2 * j + 1} + $j")}) AS m$j")
-        .mkString(",\n    ")
-      val bandArms = (0 until 8).map(b =>
-        s"WHEN $b THEN [${(0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")}]")
-        .mkString("\n      ")
-      s"""WITH dd AS ($docsWithDupsSql),
-         |t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM dd),
-         |sh AS (SELECT doc_id,
-         |  unnest(list_distinct(CASE WHEN len(ws) >= 3
-         |    THEN list_transform(range(1, len(ws) - 1),
-         |         i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2])
-         |    ELSE [list_aggregate(ws, 'string_agg', ' ')] END)) AS s
-         |  FROM t),
-         |based AS (SELECT doc_id, $javaHash AS h FROM sh),
-         |sig AS (SELECT doc_id,
-         |    $minCols
-         |  FROM based GROUP BY doc_id),
-         |banded AS (
-         |  SELECT doc_id, b.band,
-         |    CASE b.band
-         |      $bandArms
-         |    END AS bandsig
-         |  FROM sig, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(band))
-         |SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-         |FROM banded l JOIN banded r
-         |  ON l.band = r.band AND l.bandsig = r.bandsig
-         |  AND l.doc_id < r.doc_id
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+    "dd_minhash_lsh" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT a_id, b_id FROM pairs ORDER BY a_id, b_id""".stripMargin,
+
+    "dd_cluster_cc" ->
+      // transitive closure of the LSH candidate graph via recursive CTE:
+      // min reachable id == the cluster id min-label propagation converges to
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |cedges AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |           UNION SELECT b_id, a_id FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM dd
+         |  UNION
+         |  SELECT e.v, r.lbl FROM reach r JOIN cedges e ON e.u = r.id)
+         |SELECT id AS doc_id, MIN(lbl) AS cluster_id,
+         |  MIN(lbl) = id AS is_canonical
+         |FROM reach GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
 
     "dd_simhash" -> {
       val javaHash =
@@ -404,6 +499,57 @@ object PipelineQueries {
         |    w -> CAST(ceil(CAST(length(w) AS DOUBLE) / 4) AS BIGINT)))
         |    AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "samp_bernoulli" ->
+      s"""WITH h AS (SELECT doc_id, lang, n_chars,
+         |  ${javaHashSql("CAST(doc_id AS VARCHAR)")} AS hh FROM documents),
+         |u AS (SELECT doc_id, lang, n_chars,
+         |  CASE WHEN hh < 0 THEN hh + 4294967296 ELSE hh END AS hu FROM h)
+         |SELECT doc_id, lang, n_chars FROM u WHERE hu % 100 < 10
+         |ORDER BY doc_id""".stripMargin,
+
+    "samp_stratified" ->
+      s"""WITH h AS (SELECT lang, source, doc_id,
+         |  CAST(doc_id AS VARCHAR) AS k,
+         |  ${javaHashSql("CAST(doc_id AS VARCHAR)")} AS hh FROM documents),
+         |u AS (SELECT lang, source, doc_id, k,
+         |  CASE WHEN hh < 0 THEN hh + 4294967296 ELSE hh END AS hu FROM h),
+         |r AS (SELECT lang, source, doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY lang, source
+         |    ORDER BY hu ASC, k ASC) AS samp_rank FROM u)
+         |SELECT lang, source, samp_rank, doc_id FROM r WHERE samp_rank <= 3
+         |ORDER BY lang, source, samp_rank""".stripMargin,
+
+    "txt_normalize" ->
+      """SELECT doc_id, norm, substring(sha256(norm), 1, 16) AS norm_fp
+        |FROM (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "txt_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail.example.com or 555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "txt_topterms" ->
+      """WITH tok AS (SELECT lang,
+        |  unnest(list_distinct(string_split(text, ' '))) AS w
+        |  FROM documents),
+        |dfq AS (SELECT lang, w, COUNT(*) AS ndocs FROM tok GROUP BY 1, 2),
+        |r AS (SELECT lang, w, ndocs,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY ndocs DESC, w ASC) AS rnk FROM dfq)
+        |SELECT lang, w, ndocs, rnk FROM r WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id, 'img/' || lang AS kind,

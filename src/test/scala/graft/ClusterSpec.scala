@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Cluster
+
+/** Connected-components clustering (near-dup group assignment). */
+class ClusterSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def cc(vs: Seq[Long], es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val v = vs.toDF("id")
+    val e = es.toDF("a", "b")
+    Cluster.connectedComponents(v, "id", e, "a", "b")
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("singletons, pairs, and a triangle") {
+    val got = cc(Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      Seq((2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L)))
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("long chain needs multiple propagation rounds") {
+    // path graph 10-9-8-...-1: diameter 9, min label must reach the far end
+    val vs = (1L to 10L)
+    val es = vs.sliding(2).map(p => (p(1), p(0))).toSeq
+    val got = cc(vs, es)
+    assert(got.values.toSet === Set(1L))
+  }
+
+  test("two components merged by a bridge edge") {
+    val got = cc(Seq(10L, 20L, 30L, 40L),
+      Seq((10L, 20L), (30L, 40L), (20L, 30L)))
+    assert(got.values.toSet === Set(10L))
+  }
+
+  test("maxIter too small fails loudly instead of returning wrong labels") {
+    val vs = (1L to 6L).toDF("id")
+    val es = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Cluster.connectedComponents(vs, "id", es, "a", "b", maxIter = 1).collect()
+    }
+  }
+
+  test("graded shape: every duplicate doc clusters with its original") {
+    val q = SparkEntry.queries("dd_cluster_cc")(spark, sfDir)
+    val rows = q.collect()
+    // planted dups live at +1e8; each must share a cluster with its source
+    val byId = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byId.keys.filter(_ >= 100000000L).foreach { dup =>
+      assert(byId(dup) === byId(dup - 100000000L),
+        s"dup $dup not clustered with original")
+      assert(byId(dup) <= dup - 100000000L)
+    }
+    // canonical flag is exactly "id == cluster min"
+    rows.foreach(r => assert(r.getBoolean(2) === (r.getLong(0) == r.getLong(1))))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Sampling, TextOps}
+
+/** Deterministic sampling + text normalization/redaction operators. */
+class SamplingTextSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("hashBernoulli is a pure function of the key (partitioning-proof)") {
+    val d = Tables.documents(spark, sfDir)
+    val a = Sampling.hashBernoulli(d, col("doc_id").cast("string"), 10, 100)
+      .select("doc_id").as[Long].collect().sorted
+    val b = Sampling.hashBernoulli(d.repartition(17), col("doc_id").cast("string"), 10, 100)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+    // rate lands near 10% (hash-uniformity sanity, generous band)
+    val n = d.count().toDouble
+    assert(a.length / n > 0.04 && a.length / n < 0.20)
+  }
+
+  test("hashBernoulli co-samples across tables sharing the key") {
+    val d = Tables.documents(spark, sfDir)
+    val ids1 = Sampling.hashBernoulli(d, col("doc_id").cast("string"), 10, 100)
+      .select("doc_id").as[Long].collect().toSet
+    val other = d.select(col("doc_id"), col("lang")) // a "different table"
+    val ids2 = Sampling.hashBernoulli(other, col("doc_id").cast("string"), 10, 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 === ids2)
+  }
+
+  test("stratifiedFixed: exactly n per stratum, deterministic") {
+    val d = Tables.documents(spark, sfDir)
+    val s1 = Sampling.stratifiedFixed(d, Seq("lang"), col("doc_id").cast("string"), 3)
+    val counts = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ <= 3))
+    val again = Sampling.stratifiedFixed(d.repartition(13), Seq("lang"),
+      col("doc_id").cast("string"), 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(again.sameElements(s1.select("doc_id").as[Long].collect().sorted))
+  }
+
+  test("normalize strips case/punct and collapses whitespace") {
+    val got = Seq("  Hello,   WORLD!! x9  ").toDF("t")
+      .select(TextOps.normalize(col("t"))).as[String].head()
+    assert(got === "hello world x9")
+  }
+
+  test("redact replaces emails and phone shapes, leaves the rest") {
+    val got = Seq("write bob.smith@corp.example.org or call 555-0123 now")
+      .toDF("t").select(TextOps.redact(col("t"))).as[String].head()
+    assert(got === "write <EMAIL> or call <PHONE> now")
+  }
+}
