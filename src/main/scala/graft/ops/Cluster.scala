@@ -34,29 +34,41 @@ object Cluster {
   def connectedComponents(vertices: DataFrame, idCol: String,
                           edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
+    val verts = vertices.select(col(idCol).cast("long").as("id"))
     val sym = edges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .union(edges
         .select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
       .localCheckpoint() // edges are re-joined every round: pin them once
-    var labels = vertices
-      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lbl"))
+    // Only edge-touched vertices can ever change label; isolated vertices
+    // (the overwhelming majority of a near-dup corpus) stay out of the
+    // loop entirely and are unioned back as self-labelled singletons.
+    var labels = verts
+      .join(sym.select(col("u").as("id")).distinct(), Seq("id"), "left_semi")
+      .select(col("id"), col("id").as("lbl"))
       .localCheckpoint()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
+      // carry the previous label through the same aggregation (flag 1) so
+      // fixpoint detection needs no second join against the old frame
       val msgs = sym.join(labels, sym("u") === labels("id"))
-        .select(col("v").as("id"), col("lbl"))
-      val next = msgs.union(labels).groupBy("id")
-        .agg(min("lbl").as("lbl"))
+        .select(col("v").as("id"), col("lbl"), lit(0).as("own"))
+      val next = msgs
+        .union(labels.select(col("id"), col("lbl"), lit(1).as("own")))
+        .groupBy("id")
+        .agg(min("lbl").as("lbl"),
+          min(when(col("own") === 1, col("lbl"))).as("prev"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .where(col("n.lbl") < col("p.lbl")).count()
-      labels = next
+      changed = next.where(col("lbl") < col("prev")).count()
+      labels = next.select("id", "lbl")
       it += 1
     }
     require(changed == 0, s"connectedComponents: no fixpoint in $maxIter rounds")
-    labels.select(col("id"), col("lbl").as("cluster"))
+    labels
+      .unionByName(verts
+        .join(sym.select(col("u").as("id")).distinct(), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("lbl")))
+      .select(col("id"), col("lbl").as("cluster"))
   }
 }

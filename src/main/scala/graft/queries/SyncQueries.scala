@@ -69,14 +69,25 @@ object SyncQueries {
     "a5_diag_counts" -> ((s, dir) => {
       // staging-table diagnostic counts (client.js:983-994): one row per
       // staging role, computed without any collect
-      def tag(df: org.apache.spark.sql.DataFrame, t: String) =
-        df.agg(count(lit(1)).as("n")).select(lit(t).as("tbl"), col("n"))
-      val members = sri(s, dir).where(col("resourcetype") =!= "error").select("href")
-      tag(sriStaged(s, dir), "updates")
-        .unionByName(tag(sriTombstones(s, dir), "deletes"))
-        .unionByName(tag(members, "safedeltasync"))
-        .unionByName(tag(Diff.missingMembers(members, sriTarget(s, dir), Seq("href")),
-          "safedeltasyncinserts"))
+      // updates/deletes/safedeltasync are all filters of the same feed:
+      // ONE conditional-aggregation scan (map-side, no shuffle of rows)
+      // instead of three separate table passes. Only the inserts count
+      // genuinely needs a second pass (anti-join against the target).
+      val base = sri(s, dir)
+      val isErr = col("resourcetype") === "error"
+      val inDelta = col("modified_ms") >= CutMs
+      val three = base.agg(
+          sum(when(inDelta && !isErr, 1L).otherwise(0L)).as("updates"),
+          sum(when(inDelta && isErr, 1L).otherwise(0L)).as("deletes"),
+          sum(when(!isErr, 1L).otherwise(0L)).as("safedeltasync"))
+        .select(expr("stack(3, 'updates', updates, 'deletes', deletes, " +
+          "'safedeltasync', safedeltasync) AS (tbl, n)"))
+      val members = base.where(!isErr).select("href")
+      three
+        .unionByName(
+          Diff.missingMembers(members, sriTarget(s, dir), Seq("href"))
+            .agg(count(lit(1)).as("n"))
+            .select(lit("safedeltasyncinserts").as("tbl"), col("n")))
         .orderBy("tbl")
     }),
 
