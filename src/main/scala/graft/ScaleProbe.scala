@@ -15,6 +15,7 @@ import graft.ops.{Dedup, Merge}
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("minhash")) { minhashProbe(args); return }
+    if (args.headOption.contains("cc")) { ccProbe(args); return }
     val targetRows = args.headOption.map(_.toLong).getOrElse(20000000L)
     val deltaRows = args.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -88,6 +89,41 @@ object ScaleProbe {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"minhash docs=$nDocs%d candidate_pairs=$pairs%d " +
       f"wall=${secs}%.1fs throughput=${nDocs / secs}%.0f docs/s")
+    spark.stop()
+  }
+
+  /** Stage timing for the dd_cluster_cc pipeline over a real sf dir:
+    * signatures → LSH pairs → connected-components loop, each materialized
+    * separately so the wall time attributes to the right stage. */
+  private def ccProbe(args: Array[String]): Unit = {
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[ccprobe] $label%-12s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    timed("warmup")(spark.range(1000000).selectExpr("sum(id)").collect())
+    val docs = graft.queries.PipelineQueries
+      .docsWithDups(spark, sfDir).localCheckpoint()
+    timed("docs")(docs.count())
+    val signed = timed("signatures")(
+      ops.DedupText.minhashSignaturesExact(docs, "doc_id", "text")
+        .localCheckpoint())
+    val pairs = timed("lsh_pairs")(
+      ops.DedupText.lshCandidatesExact(signed, "doc_id", 8, 4)
+        .localCheckpoint())
+    timed("cc_loop")(
+      ops.Cluster.connectedComponents(docs.select("doc_id"), "doc_id",
+        pairs, "a_id", "b_id").count())
     spark.stop()
   }
 }

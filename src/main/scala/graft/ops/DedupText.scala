@@ -26,8 +26,9 @@ object DedupText {
     * At scale the probe side is whatever slice is being reconciled; the
     * join key is the shingle string (short), and Catalyst plans a
     * shuffle-hash join on it. */
-  def jaccardPairs(docs: DataFrame, probePredicate: Column, n: Int = 3)
+  def jaccardPairs(docs0: DataFrame, probePredicate: Column, n: Int = 3)
   : DataFrame = {
+    val docs = Par.fanOut(docs0)
     val shCol = TextOps.shingles(col("text"), n)
     // corpus exploded ONCE; probe side explodes only the (tiny) probe
     // subset; per-doc set sizes come from size() with no explode at all
@@ -58,7 +59,7 @@ object DedupText {
     * array_min branches — measured 70× slower at sf0.1.) */
   def minhashSignatures(docs: DataFrame, idCol: String, text: String,
                         k: Int = 32, n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol),
+    val sh = Par.fanOut(docs, col(idCol)).select(col(idCol),
       explode(TextOps.shingles(col(text), n)).as("s"))
     val mins = (0 until k).map(j => min(xxhash64(col("s"), lit(j))).as(s"m$j"))
     sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
@@ -76,7 +77,7 @@ object DedupText {
     graft.expr.GraftFunctions.register(docs.sparkSession)
     def wrap32(x: Column): Column =
       pmod(x + lit(2147483648L), lit(4294967296L)) - lit(2147483648L)
-    val sh = docs.select(col(idCol),
+    val sh = Par.fanOut(docs, col(idCol)).select(col(idCol),
       explode(TextOps.shingles(col(text), n)).as("s"))
     val base = sh.withColumn("h",
       graft.expr.GraftFunctions.java_string_hash(col("s")).cast("long"))
@@ -125,7 +126,7 @@ object DedupText {
     * fingerprint fold — one narrow shuffle of 32 longs per doc. */
   def simhashExact32(docs: DataFrame, idCol: String, text: String): DataFrame = {
     graft.expr.GraftFunctions.register(docs.sparkSession)
-    val tok = docs.select(col(idCol),
+    val tok = Par.fanOut(docs, col(idCol)).select(col(idCol),
       explode(TextOps.tokens(col(text))).as("w"))
     // unsigned 32-bit view of the Java hash so bit extraction is sign-free
     val hu = graft.expr.GraftFunctions.java_string_hash(col("w"))

@@ -42,7 +42,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val q = probes.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
+    val c = Par.fanOut(corpus).select(col("vec_id").as("neighbor_id"),
       col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -71,7 +71,7 @@ object Similarity {
           posexplode(array((0 until tables).map(t =>
             bucketExpr(col("embedding"), planes, t * planes)): _*)))
         .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-    val c = bucketed(corpus, "neighbor_id", "c_emb", "c_n")
+    val c = bucketed(Par.fanOut(corpus), "neighbor_id", "c_emb", "c_n")
     val q = bucketed(probes, "query_id", "q_emb", "q_n")
     val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -124,7 +124,7 @@ object Similarity {
         .where(col("__cr") <= n)
         .select(col(idAs), col(embAs), col(nAs), col("cent_id").as("cell"))
     }
-    val corpusCells = assign(corpus, "neighbor_id", "c_emb", "c_n", 1)
+    val corpusCells = assign(Par.fanOut(corpus), "neighbor_id", "c_emb", "c_n", 1)
     val probeCells = assign(probes, "query_id", "q_emb", "q_n", nprobe)
     val scored = corpusCells.join(broadcast(probeCells), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))

@@ -19,7 +19,7 @@ object PipelineQueries {
 
   /** documents ∪ a deterministic 10% re-inserted under shifted ids — gives
     * the exact-dedup operators real duplicates to collapse at every SF. */
-  private def docsWithDups(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[graft] def docsWithDups(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val d = Tables.documents(s, dir)
     d.unionByName(d.where(col("doc_id") % 10 === 0)
       .withColumn("doc_id", col("doc_id") + 100000000L))
