@@ -83,4 +83,53 @@ object StreamingSync {
       }
       .toDF("href", "modified_ms", "jsondata")
   }
+
+  /** Event-time sessionization with custom state (flatMapGroupsWithState):
+    * per user, events closer than `gapMs` belong to one session; a closed
+    * session emits (user_id, session_start_ms, n_events). Sessions close
+    * either when a later in-batch event overshoots the gap, or via
+    * event-time timeout once the watermark passes the open session's
+    * gap horizon (so state is bounded — the requirement that makes this
+    * run forever at scale). Gap semantics match the batch win_session
+    * query: a gap of exactly `gapMs` starts a new session. */
+  def sessionize(spark: SparkSession, stream: DataFrame,
+                 gapMs: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // the watermarked event-time column must survive into the stateful
+    // operator's input (Spark checks for it), so `ts` rides along
+    val typed = stream
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_millis(col("ts")).as("ms"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long)]) => // (start, last, n)
+          if (!rows.hasNext && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator((uid, s._1, s._3))
+          } else {
+            // per-batch arrival order is not time order: sort before folding
+            val sorted = rows.map(_._2).toArray.sorted
+            val closed = List.newBuilder[(Long, Long, Long)]
+            var cur = state.getOption.orNull
+            sorted.foreach { ms =>
+              cur =
+                if (cur == null) (ms, ms, 1L)
+                else if (ms - cur._2 >= gapMs) { closed += cur; (ms, ms, 1L) }
+                else (cur._1, ms, cur._3 + 1)
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur._2 + gapMs)
+            }
+            closed.result().iterator.map(s => (uid, s._1, s._3))
+          }
+      }
+      .toDF("user_id", "session_start_ms", "n_events")
+  }
 }
