@@ -136,6 +136,54 @@ class StreamingSpec extends SparkSuite {
       s"session_window disagrees with batch: ${emitted.diff(batch).take(3)}")
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val base = java.nio.file.Files.createTempDirectory("stream6").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_millis(col("ts_ms")).as("ts"))
+    ev.write.mode("overwrite").parquet(s"$base/in")
+    def src() = spark.readStream.schema(
+      spark.read.parquet(s"$base/in").schema).parquet(s"$base/in")
+
+    // purchases joined to the same user's clicks within the prior hour —
+    // the streaming form of range_join_prior_clicks. Watermarks bound the
+    // join state: clicks older than (purchase watermark - 1h) are dropped.
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src().where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"))
+      .select(col("p_id"), col("c_id"))
+
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val emitted = spark.sql("select * from ssjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bev = Tables.events(spark, sfDir)
+    val bp = bev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts_ms").as("p_ms"))
+    val bc = bev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts_ms").as("c_ms"))
+    val batch = bp.join(bc,
+        expr("p_user = c_user AND c_ms >= p_ms - 3600000 AND c_ms < p_ms"))
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(emitted === batch,
+      s"missing=${batch.diff(emitted).take(3)} extra=${emitted.diff(batch).take(3)}")
+  }
+
   test("latestPerKey emits the max-modified version per href") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("stream2").toString
