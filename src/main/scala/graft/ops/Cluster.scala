@@ -35,24 +35,16 @@ object Cluster {
                           edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
     val verts = vertices.select(col(idCol).cast("long").as("id"))
-    val sym0 = edges
+    // Each round re-shuffles (id,lbl) longs on the groupBy regardless of
+    // the checkpointed RDD's physical partitioning (Catalyst cannot see
+    // it), so no explicit repartition here: AQE coalesces the tiny
+    // candidate-graph shuffles at runtime, and a big graph spreads across
+    // whatever partitioning its shuffle picks.
+    val sym = edges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .union(edges
         .select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
       .localCheckpoint() // edges are re-joined every round: pin them once
-    // Size the loop's partitioning to the (known, checkpointed) edge
-    // count: each round is a shuffle over (id,lbl) longs, and the LSH
-    // candidate graph is orders of magnitude smaller than the corpus —
-    // iterating at the corpus's partition count schedules hundreds of
-    // near-empty tasks per round. ~500k edges per partition keeps tasks
-    // meaningful; large graphs still spread across the cluster.
-    val p = math.max(1L, math.min(
-      sym0.sparkSession.sparkContext.defaultParallelism.toLong * 4,
-      sym0.count() / 500000L + 1L)).toInt
-    val sym =
-      if (p < sym0.rdd.getNumPartitions)
-        sym0.repartition(p, col("u")).localCheckpoint()
-      else sym0
     // Only edge-touched vertices can ever change label; isolated vertices
     // (the overwhelming majority of a near-dup corpus) stay out of the
     // loop entirely and are unioned back as self-labelled singletons.

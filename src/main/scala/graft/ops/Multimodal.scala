@@ -53,6 +53,36 @@ object Multimodal {
     }
   }
 
+  /** Fit-within-box resize plan, aspect preserved, in pure integer math
+    * (millipixel scale factor) — cross-engine exact, never upscales.
+    * Returns (out_w, out_h). The actual pixel resample belongs in the
+    * partition-streaming decode step ([[decodeFeatures]]); this computes
+    * the target geometry the way a planner must: deterministically. */
+  def resizeFit(w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column,
+                boxW: Int, boxH: Int)
+  : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    // all operands positive → floor == Java/DuckDB trunc division
+    val scale = least(lit(1000L),
+      floor(lit(boxW) * 1000 / w).cast("long"),
+      floor(lit(boxH) * 1000 / h).cast("long"))
+    (greatest(lit(1L), floor(w * scale / 1000).cast("long")),
+      greatest(lit(1L), floor(h * scale / 1000).cast("long")))
+  }
+
+  /** Every-Nth-frame sampling plan: millisecond timestamps of the sampled
+    * frames of a `durationMs` clip at `fps`. Integer math only, so the
+    * sample plan is reproducible by any engine; the frame EXTRACTION runs
+    * in the decode step per partition. Empty array for zero-length clips. */
+  def frameSamples(durationMs: org.apache.spark.sql.Column, fps: Int,
+                   everyN: Int): org.apache.spark.sql.Column = {
+    val frames = floor(durationMs * fps / 1000).cast("long")
+    val maxIdx = floor((frames - 1) / everyN).cast("long")
+    when(frames > 0,
+      transform(sequence(lit(0L), maxIdx),
+        i => floor(i * everyN * 1000 / fps).cast("long")))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** Fixture: documents.text re-cast as binary media payloads. */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._

@@ -246,6 +246,33 @@ object PipelineQueries {
           Multimodal.mediaFromDocuments(s, dir).toDF(), "payload")
         .select("media_id", "kind", "n_bytes", "sha")
         .orderBy("media_id")
+    }),
+
+    "mm_resize" -> ((s, dir) => {
+      // decode (stubbed, partition-streaming mapPartitions) → integer
+      // fit-within-box resize plan. The stub's fake dimensions derive
+      // from Arrays.hashCode(payload), which the oracle replays in SQL —
+      // so the whole decode→plan path is oracle-checked end to end.
+      val feats = Multimodal.decodeFeatures(
+        Multimodal.mediaFromDocuments(s, dir)).toDF()
+      val w = col("width").cast("long")
+      val h = col("height").cast("long")
+      val (ow, oh) = Multimodal.resizeFit(w, h, 320, 240)
+      feats.select(col("media_id"), w.as("width"), h.as("height"),
+          ow.as("out_w"), oh.as("out_h"))
+        .orderBy("media_id")
+    }),
+
+    "mm_frame_sample" -> ((s, dir) => {
+      // frame-sample plan: clip duration faked as 40ms/char, 30fps,
+      // every 10th frame; one row per sampled frame
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id").as("media_id"),
+          posexplode(Multimodal.frameSamples(col("n_chars") * 40, 30, 10)))
+        .select(col("media_id"), col("pos").cast("long").as("k"),
+          (col("pos") * 10).cast("long").as("frame_no"),
+          col("col").as("offset_ms"))
+        .orderBy("media_id", "k")
     })
   )
 
@@ -555,6 +582,38 @@ object PipelineQueries {
       """SELECT doc_id AS media_id, 'img/' || lang AS kind,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Arrays.hashCode replay: h0=1, h=31*h+byte with int32 wrap (ASCII
+    // corpus → bytes == char codes). DuckDB's // and % truncate/keep
+    // dividend sign exactly like Java, so width/height reproduce.
+    "mm_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  list_reduce(list_prepend(CAST(1 AS BIGINT),
+        |    list_transform(string_split_regex(text, ''),
+        |      c -> CAST(unicode(c) AS BIGINT))),
+        |    (h, c) -> ((((h * 31 + c + 2147483648) % 4294967296)
+        |      + 4294967296) % 4294967296) - 2147483648) AS hc
+        |  FROM documents),
+        |d AS (SELECT media_id,
+        |  abs(hc % 1920) + 1 AS width,
+        |  abs((hc // 1920) % 1080) + 1 AS height FROM m),
+        |r AS (SELECT *, least(1000, 320 * 1000 // width,
+        |                      240 * 1000 // height) AS sc FROM d)
+        |SELECT media_id, CAST(width AS BIGINT) AS width,
+        |  CAST(height AS BIGINT) AS height,
+        |  CAST(greatest(1, width * sc // 1000) AS BIGINT) AS out_w,
+        |  CAST(greatest(1, height * sc // 1000) AS BIGINT) AS out_h
+        |FROM r ORDER BY media_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+        |  (n_chars * 40 * 30) // 1000 AS frames FROM documents)
+        |SELECT media_id, CAST(i AS BIGINT) AS k,
+        |  CAST(i * 10 AS BIGINT) AS frame_no,
+        |  CAST((i * 10 * 1000) // 30 AS BIGINT) AS offset_ms
+        |FROM d, UNNEST(range(0, (frames - 1) // 10 + 1)) AS t(i)
+        |WHERE frames > 0
+        |ORDER BY media_id, k""".stripMargin
   )
 }
