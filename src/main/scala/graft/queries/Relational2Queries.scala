@@ -109,6 +109,51 @@ object Relational2Queries {
         .orderBy("c_nationkey", "c_custkey")
     }),
 
+    "q19_disjunctive" -> ((s, dir) => {
+      // TPC-H Q19 shape: OR of conjunctive brand/size/qty clauses. The
+      // shared l_partkey = p_partkey stays an equi-join; the disjunction
+      // is a residual filter (Catalyst extracts the common conjunct).
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      val j = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val clause1 = col("p_brand") === "Brand#1" &&
+        col("p_size").between(1, 15) && col("l_quantity") >= 1 &&
+        col("l_quantity") <= 30
+      val clause2 = col("p_brand") === "Brand#2" &&
+        col("p_size").between(10, 30) && col("l_quantity") >= 10 &&
+        col("l_quantity") <= 40
+      val clause3 = col("p_brand") === "Brand#3" &&
+        col("p_size").between(20, 50) && col("l_quantity") >= 20
+      j.where(clause1 || clause2 || clause3)
+        .agg((sum(cents("l_extendedprice") * (lit(100) - cents("l_discount")))
+          .cast("double") / 10000).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    "q20_nested_agg_subquery" -> ((s, dir) => {
+      // nested aggregated subquery driving a semi-join (TPC-H Q20 shape):
+      // suppliers whose shipped quantity of some part exceeds 1.5x that
+      // part's average per-supplier quantity. Integer predicate:
+      // 2 * n_supp * qty_supp_part > 3 * sum_part
+      Tables.lineitem(s, dir).createOrReplaceTempView("li_q20")
+      Tables.supplier(s, dir).createOrReplaceTempView("supp_q20")
+      s.sql("""
+        WITH per_sp AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qsp
+          FROM li_q20 GROUP BY l_partkey, l_suppkey),
+        per_p AS (
+          SELECT l_partkey, SUM(qsp) AS qp, COUNT(*) AS nsupp
+          FROM per_sp GROUP BY l_partkey)
+        SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_hot_parts
+        FROM per_sp sp
+        JOIN per_p p ON sp.l_partkey = p.l_partkey
+        JOIN supp_q20 s ON sp.l_suppkey = s.s_suppkey
+        WHERE 2 * p.nsupp * sp.qsp > 3 * p.qp
+        GROUP BY s.s_suppkey, s.s_name
+        ORDER BY s.s_suppkey""")
+    }),
+
     "f13_array_fns" -> ((s, dir) => {
       // array function library: collect → sort → size/contains/max/join
       Tables.lineitem(s, dir)
@@ -210,6 +255,34 @@ object Relational2Queries {
          |WINDOW w AS (PARTITION BY c_nationkey
          |  ORDER BY ${centsSql("c_acctbal")} DESC, c_custkey ASC)
          |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "q19_disjunctive" ->
+      s"""SELECT
+         |  CAST(SUM(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS DOUBLE) / 10000 AS revenue,
+         |  COUNT(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity >= 1 AND l_quantity <= 30)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+         |       AND l_quantity >= 10 AND l_quantity <= 40)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+         |       AND l_quantity >= 20)""".stripMargin,
+
+    "q20_nested_agg_subquery" ->
+      """WITH per_sp AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qsp
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |per_p AS (
+        |  SELECT l_partkey, SUM(qsp) AS qp, COUNT(*) AS nsupp
+        |  FROM per_sp GROUP BY l_partkey)
+        |SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_hot_parts
+        |FROM per_sp sp
+        |JOIN per_p p ON sp.l_partkey = p.l_partkey
+        |JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+        |WHERE 2 * p.nsupp * sp.qsp > 3 * p.qp
+        |GROUP BY s.s_suppkey, s.s_name
+        |ORDER BY s.s_suppkey""".stripMargin,
 
     "f13_array_fns" ->
       """SELECT l_orderkey,
