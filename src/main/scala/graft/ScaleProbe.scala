@@ -16,6 +16,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("minhash")) { minhashProbe(args); return }
     if (args.headOption.contains("cc")) { ccProbe(args); return }
+    if (args.headOption.contains("skew")) { skewProbe(args); return }
     val targetRows = args.headOption.map(_.toLong).getOrElse(20000000L)
     val deltaRows = args.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -89,6 +90,45 @@ object ScaleProbe {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"minhash docs=$nDocs%d candidate_pairs=$pairs%d " +
       f"wall=${secs}%.1fs throughput=${nDocs / secs}%.0f docs/s")
+    spark.stop()
+  }
+
+  /** Hot-key demonstration: one key owns 40% of a big fact table. With
+    * broadcast and AQE skew-join disabled (the 100 TB worst case: dim too
+    * big to broadcast, skew inside one post-shuffle partition), a plain
+    * sort-merge join serializes on the hot key's reducer; Skew.saltedJoin
+    * spreads it over `salts` reducers. Prints both wall times and checks
+    * the row counts agree. */
+  private def skewProbe(args: Array[String]): Unit = {
+    val n = args.drop(1).headOption.map(_.toLong).getOrElse(20000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val nKeys = 100000L
+    val big = spark.range(n).select(
+      when(col("id") % 5 < 2, 0L).otherwise(col("id") % nKeys).as("key"),
+      (col("id") * 17 % 1000).as("v")).localCheckpoint()
+    val small = spark.range(nKeys)
+      .select(col("id").as("key"), (col("id") % 97).as("w")).localCheckpoint()
+    def timed(label: String)(f: => Long): Long = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[skewprobe] $label%-8s ${(System.nanoTime() - t0) / 1e9}%.1fs " +
+        f"($r%d rows)")
+      r
+    }
+    val plain = timed("plain")(
+      big.join(small, Seq("key")).select(col("v") + col("w")).count())
+    val salted = timed("salted")(
+      graft.ops.Skew.saltedJoin(big, small, "key", salts = cpus.toInt)
+        .select(col("v") + col("w")).count())
+    require(plain == salted, s"salted join changed cardinality: $plain vs $salted")
     spark.stop()
   }
 
