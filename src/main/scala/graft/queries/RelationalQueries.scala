@@ -179,6 +179,24 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    "approx_percentile" -> ((s, dir) => {
+      // quantile sketch next to the exact path (agg_quantiles): rows-only
+      // like approx_distinct — sketch internals are engine-specific, but
+      // the exact bounds ride along as self-validation
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), cents("l_quantity").as("qc"))
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(qc, array(0.25, 0.5, 0.75), 1000)")
+          .as("approx_q"),
+          min("qc").as("lo"), max("qc").as("hi"))
+        .select(col("l_returnflag"),
+          element_at(col("approx_q"), 1).as("q25"),
+          element_at(col("approx_q"), 2).as("q50"),
+          element_at(col("approx_q"), 3).as("q75"),
+          col("lo"), col("hi"))
+        .orderBy("l_returnflag")
+    }),
+
     "json_get" -> ((s, dir) => {
       // JSON scalar extraction over the document column (events.props)
       Tables.events(s, dir)

@@ -184,6 +184,32 @@ class StreamingSpec extends SparkSuite {
       s"missing=${batch.diff(emitted).take(3)} extra=${emitted.diff(batch).take(3)}")
   }
 
+  test("streaming dropDuplicates with watermark dedups the overlap re-read") {
+    // T1/T7: the delta overlap re-read produces duplicate hrefs; streaming
+    // dedup with a watermark bounds the dedup state by event time
+    val base = java.nio.file.Files.createTempDirectory("stream7").toString
+    val feed = Tables.sriEvents(spark, sfDir)
+      .select(col("href"), timestamp_millis(col("modified_ms")).as("mts"))
+    // stage the feed twice = a 100% overlap between consecutive pages
+    feed.write.mode("overwrite").parquet(s"$base/in")
+    feed.write.mode("append").parquet(s"$base/in")
+    val stream = spark.readStream.schema(
+      spark.read.parquet(s"$base/in").schema).parquet(s"$base/in")
+    val q = stream
+      .withWatermark("mts", "1 hour")
+      .dropDuplicates("href")
+      .writeStream.format("memory").queryName("dedupst")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val n = spark.sql("select count(distinct href) c, count(*) n from dedupst")
+      .collect().head
+    assert(n.getLong(0) === n.getLong(1), "duplicates survived the dedup")
+    assert(n.getLong(1) === feed.select("href").distinct().count())
+  }
+
   test("latestPerKey emits the max-modified version per href") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("stream2").toString
