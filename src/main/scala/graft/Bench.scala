@@ -31,17 +31,27 @@ object Bench {
     // warm the OS page cache: the first timed queries must not be charged
     // cold-disk IO that every later query gets for free
     locally {
-      import java.nio.file.{Files, Paths}
+      import java.nio.file.{Files, Path, Paths}
       import scala.jdk.CollectionConverters._
-      Files.list(Paths.get(sfDir)).iterator().asScala
-        .filter(_.toString.endsWith(".parquet"))
-        .foreach { p =>
-          val walk =
-            if (Files.isDirectory(p))
-              Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
-            else Iterator(p)
-          walk.foreach(f => Files.readAllBytes(f))
+      import scala.util.Using
+      // constant-memory streaming read (files can exceed the heap at
+      // larger SFs), streams closed eagerly (Files.list/walk hold fds)
+      def warm(f: Path): Unit =
+        Using.resource(Files.newInputStream(f)) { in =>
+          in.transferTo(java.io.OutputStream.nullOutputStream())
+          ()
         }
+      Using.resource(Files.list(Paths.get(sfDir))) { ls =>
+        ls.iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .foreach { p =>
+            if (Files.isDirectory(p))
+              Using.resource(Files.walk(p)) { w =>
+                w.iterator().asScala.filter(Files.isRegularFile(_)).foreach(warm)
+              }
+            else warm(p)
+          }
+      }
     }
     SparkEntry.queries.get("q1_agg").foreach(q => q(spark, sfDir).count())
 
@@ -59,7 +69,9 @@ object Bench {
         }
       }
       val a = once()
-      name -> (if (a < 0) a else math.min(a, once()))
+      val b = if (a < 0) a else once()
+      // a transient second-run failure must not discard a real timing
+      name -> (if (a < 0) a else if (b < 0) a else math.min(a, b))
     }
     // 3-decimal values keep the whole line inside the driver's bounded
     // tail-capture window (r1: full-precision doubles overflowed it and

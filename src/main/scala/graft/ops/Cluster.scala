@@ -40,10 +40,17 @@ object Cluster {
     // it), so no explicit repartition here: AQE coalesces the tiny
     // candidate-graph shuffles at runtime, and a big graph spreads across
     // whatever partitioning its shuffle picks.
+    // Edges are fenced to known vertices first: a stray endpoint outside
+    // `vertices` must not mint phantom output rows or — worse — win the
+    // min-label race and leave a cluster with no canonical member. The
+    // two semi-joins shuffle only ids and run once, outside the loop.
     val sym = edges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .union(edges
         .select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .join(verts.select(col("id").as("u")), Seq("u"), "left_semi")
+      .join(verts.select(col("id").as("v")), Seq("v"), "left_semi")
+      .select("u", "v")
       .localCheckpoint() // edges are re-joined every round: pin them once
     // Only edge-touched vertices can ever change label; isolated vertices
     // (the overwhelming majority of a near-dup corpus) stay out of the

@@ -115,7 +115,10 @@ object Relational2Queries {
       // is a residual filter (Catalyst extracts the common conjunct).
       val li = Tables.lineitem(s, dir)
       val p = Tables.part(s, dir)
-      val j = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      // no broadcast hint: part is dimension-sized here but grows with SF;
+      // the size-based planner choice (pinned by PlanSpec for q3) is the
+      // one that survives a 100x scale-up
+      val j = li.join(p, col("l_partkey") === col("p_partkey"))
       val clause1 = col("p_brand") === "Brand#1" &&
         col("p_size").between(1, 15) && col("l_quantity") >= 1 &&
         col("l_quantity") <= 30

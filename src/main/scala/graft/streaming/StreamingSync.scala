@@ -85,13 +85,17 @@ object StreamingSync {
   }
 
   /** Event-time sessionization with custom state (flatMapGroupsWithState):
-    * per user, events closer than `gapMs` belong to one session; a closed
-    * session emits (user_id, session_start_ms, n_events). Sessions close
-    * either when a later in-batch event overshoots the gap, or via
-    * event-time timeout once the watermark passes the open session's
-    * gap horizon (so state is bounded — the requirement that makes this
-    * run forever at scale). Gap semantics match the batch win_session
-    * query: a gap of exactly `gapMs` starts a new session. */
+    * per user, events closer than `gapMs` belong to one session; a session
+    * emits (user_id, session_start_ms, n_events) only once the WATERMARK
+    * passes its gap horizon (last + gap) — never eagerly — because until
+    * then an allowed-late event from a later micro-batch may still extend
+    * or bridge it, and append-mode emissions cannot be retracted. State
+    * holds the (few) sessions inside the watermark delay + gap window, so
+    * it stays bounded. Events merge interval-wise (each event is a unit
+    * session; adjacent intervals closer than the gap coalesce), so
+    * out-of-order and cross-batch arrivals cannot regress a session's
+    * horizon. Gap semantics match the batch win_session query: a gap of
+    * exactly `gapMs` starts a new session. */
   def sessionize(spark: SparkSession, stream: DataFrame,
                  gapMs: Long): DataFrame = {
     import spark.implicits._
@@ -104,31 +108,28 @@ object StreamingSync {
         unix_millis(col("ts")).as("ms"), col("ts"))
       .as[(Long, Long, java.sql.Timestamp)]
     typed.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+      .flatMapGroupsWithState[List[(Long, Long, Long)], (Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
-         state: GroupState[(Long, Long, Long)]) => // (start, last, n)
-          if (!rows.hasNext && state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator((uid, s._1, s._3))
-          } else {
-            // per-batch arrival order is not time order: sort before folding
-            val sorted = rows.map(_._2).toArray.sorted
-            val closed = List.newBuilder[(Long, Long, Long)]
-            var cur = state.getOption.orNull
-            sorted.foreach { ms =>
-              cur =
-                if (cur == null) (ms, ms, 1L)
-                else if (ms - cur._2 >= gapMs) { closed += cur; (ms, ms, 1L) }
-                else (cur._1, ms, cur._3 + 1)
-            }
-            if (cur != null) {
-              state.update(cur)
-              state.setTimeoutTimestamp(cur._2 + gapMs)
-            }
-            closed.result().iterator.map(s => (uid, s._1, s._3))
+         state: GroupState[List[(Long, Long, Long)]]) => // (start, last, n)*
+          val wm = state.getCurrentWatermarkMs()
+          val units = rows.map(r => (r._2, r._2, 1L)).toList
+          val all = (state.getOption.getOrElse(Nil) ++ units)
+            .sortBy(s => (s._1, s._2))
+          val merged = all.foldLeft(List.empty[(Long, Long, Long)]) {
+            case (h :: t, s) if s._1 - h._2 < gapMs =>
+              (h._1, math.max(h._2, s._2), h._3 + s._3) :: t
+            case (acc, s) => s :: acc
+          }.reverse
+          // a session is final iff no admissible future event (ts >= wm)
+          // can be within gap of it
+          val (flush, keep) = merged.partition(s => s._2 + gapMs <= wm)
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(keep)
+            state.setTimeoutTimestamp(keep.map(_._2 + gapMs).min)
           }
+          flush.iterator.map(s => (uid, s._1, s._3))
       }
       .toDF("user_id", "session_start_ms", "n_events")
   }

@@ -34,6 +34,13 @@ class ClusterSpec extends SparkSuite {
     assert(got.values.toSet === Set(10L))
   }
 
+  test("edges with endpoints outside the vertex set are fenced out") {
+    // stray endpoint 0 must not mint an output row nor win the min-label
+    // race (a cluster labeled by a non-vertex would have no canonical)
+    val got = cc(Seq(5L, 6L), Seq((0L, 5L)))
+    assert(got === Map(5L -> 5L, 6L -> 6L))
+  }
+
   test("maxIter too small fails loudly instead of returning wrong labels") {
     val vs = (1L to 6L).toDF("id")
     val es = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")

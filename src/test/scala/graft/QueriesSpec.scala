@@ -8,9 +8,9 @@ class QueriesSpec extends SparkSuite {
   test("every oracle has a query; only hash-dependent queries lack oracles") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // xxhash64-dependent ops are rows-only checked by design
+    // xxhash64/sketch-dependent ops are rows-only checked by design
     assert(noOracle === Set("dd_minhash_lsh_xx", "dd_simhash_xx", "sim_lsh_topk",
-      "approx_distinct"))
+      "approx_distinct", "approx_percentile"))
   }
 
   test("entry returns rows") {

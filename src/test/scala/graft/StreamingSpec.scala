@@ -60,8 +60,9 @@ class StreamingSpec extends SparkSuite {
   }
 
   // batch-side sessions with the same gap semantics as win_session /
-  // StreamingSync.sessionize: gap >= 30min breaks the session
-  private def batchSessions(): Set[(Long, Long, Long)] = {
+  // StreamingSync.sessionize: gap >= 30min breaks the session.
+  // Returns (user_id, start_ms, last_ms, n).
+  private def batchSessions(): Set[(Long, Long, Long, Long)] = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts_ms")
     Tables.events(spark, sfDir)
@@ -72,8 +73,11 @@ class StreamingSpec extends SparkSuite {
       .withColumn("sid", sum("brk").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "sid")
-      .agg(min("ts_ms").as("start"), count(lit(1)).as("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      .agg(min("ts_ms").as("start"), max("ts_ms").as("last"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
   }
 
   test("flatMapGroupsWithState sessionization matches batch win_session") {
@@ -94,15 +98,16 @@ class StreamingSpec extends SparkSuite {
 
     val emitted = spark.sql("select * from sess").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the final watermark is max event time - 2h delay; exactly the
+    // sessions whose gap horizon the watermark passed must have flushed
     val batch = batchSessions()
-    val users = batch.map(_._1)
-    // every emitted session must be a final batch session…
-    assert(emitted.subsetOf(batch),
-      s"streaming emitted non-batch sessions: ${emitted.diff(batch).take(3)}")
-    // …and everything except at most one open tail per user must emit
-    assert(emitted.size >= batch.size - users.size,
-      s"emitted ${emitted.size} of ${batch.size} sessions " +
-        s"(>${users.size} tails missing)")
+    val maxTs = Tables.events(spark, sfDir).agg(max("ts_ms")).head.getLong(0)
+    val finalWm = maxTs - 7200000L
+    val expected = batch.filter(s => s._3 + 1800000L <= finalWm)
+      .map(s => (s._1, s._2, s._4))
+    assert(emitted === expected,
+      s"missing=${expected.diff(emitted).take(3)} " +
+        s"extra=${emitted.diff(expected).take(3)}")
   }
 
   test("native session_window streaming aggregation emits final sessions") {
@@ -131,7 +136,7 @@ class StreamingSpec extends SparkSuite {
     // session_window's gap is exclusive (> 30min breaks) vs win_session's
     // inclusive >=; on the fixture's ms-resolution data exact-30min gaps
     // are vanishingly rare, so closed windows must match batch sessions
-    val batch = batchSessions()
+    val batch = batchSessions().map(s => (s._1, s._2, s._4))
     assert(emitted.subsetOf(batch),
       s"session_window disagrees with batch: ${emitted.diff(batch).take(3)}")
   }
