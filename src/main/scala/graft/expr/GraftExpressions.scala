@@ -74,6 +74,56 @@ case class JavaStringHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "java_string_hash"
 }
 
+/** Codegen'd float-vector dot product accumulating in double, strictly
+  * left to right — BIT-IDENTICAL to the higher-order
+  * `aggregate(zip_with(a, b, (x,y) => x.cast(double) * y.cast(double)))`
+  * fold it replaces (same widening, same op order), but whole-stage
+  * codegen'd where HOF lambdas are interpreted. Null array, length
+  * mismatch, or any null element → null, exactly like the fold
+  * (zip_with pads/propagates nulls and `acc + null` is null). */
+case class DotProductFF(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; }
+         |else {
+         |  double acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+  : DotProductFF = copy(left = l, right = r)
+  override def prettyName: String = "dot_ff"
+}
+
 private[expr] object JsonSupport {
   val mapper = new ObjectMapper()
 
@@ -124,7 +174,8 @@ object GraftFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "remove_dollar_fields" -> (es => RemoveDollarFields(es.head)),
     "json_merge_patch" -> (es => JsonMergePatch(es.head, es(1))),
-    "java_string_hash" -> (es => JavaStringHash(es.head)))
+    "java_string_hash" -> (es => JavaStringHash(es.head)),
+    "dot_ff" -> (es => DotProductFF(es.head, es(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -139,6 +190,8 @@ object GraftFunctions {
     call_function("json_merge_patch", t, p)
   def java_string_hash(c: Column): Column =
     call_function("java_string_hash", c)
+  def dot_ff(a: Column, b: Column): Column =
+    call_function("dot_ff", a, b)
 }
 
 /** Session-extension registration for deployments that configure

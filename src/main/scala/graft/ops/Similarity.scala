@@ -17,10 +17,14 @@ object Similarity {
 
   /** Elementwise-double dot product of two float vectors, accumulated
     * left-to-right (matches DuckDB `list_sum(list_transform(list_zip(..)))`
-    * with DOUBLE casts — keeps oracle comparisons bit-stable). */
+    * with DOUBLE casts — keeps oracle comparisons bit-stable).
+    * Implemented as the codegen'd [[graft.expr.DotProductFF]] expression —
+    * bit-identical to the `aggregate(zip_with(...))` fold it replaces,
+    * but whole-stage-compiled where HOF lambdas run interpreted. Callers
+    * hold only Columns, so the function registry must already contain the
+    * graft functions; every Similarity entry point registers them. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.expr.GraftFunctions.dot_ff(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -40,6 +44,7 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int)
   : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
     val q = probes.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
     val c = Par.fanOut(corpus).select(col("vec_id").as("neighbor_id"),
@@ -65,6 +70,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               planes: Int = 6, tables: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
     def bucketed(df: DataFrame, idAs: String, embAs: String, nAs: String) =
       df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
           norm(col("embedding")).as(nAs),
@@ -110,6 +116,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
     val cents = broadcast(centroids.select(col("vec_id").as("cent_id"),
       col("embedding").as("cent_emb")))
     def assign(df: DataFrame, idAs: String, embAs: String, nAs: String,

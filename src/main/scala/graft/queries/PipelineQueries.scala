@@ -108,6 +108,7 @@ object PipelineQueries {
       // the pair space linear-ish; planted duplicates (vec_id%20 re-added
       // at +1e6) are the near-dups to find. Threshold 0.999 sits in the
       // huge gap between self-similarity (~1.0) and the corpus max (0.47)
+      graft.expr.GraftFunctions.register(s) // Similarity.norm/cosinePre → dot_ff
       val e = Tables.embeddings(s, dir)
       val withDups = e.unionByName(e.where(col("vec_id") % 20 === 0)
         .withColumn("vec_id", col("vec_id") + 1000000L))

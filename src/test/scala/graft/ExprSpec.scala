@@ -54,4 +54,35 @@ class ExprSpec extends SparkSuite {
     assert(r.getInt(0) === "abc".hashCode)
     assert(r.getString(1) === """{"y":2}""")
   }
+
+  test("dot_ff is bit-identical to the aggregate(zip_with) fold") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("id", "a", "b")
+    val fold = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val diff = df.select(
+        GraftFunctions.dot_ff(col("a"), col("b")).as("fast"), fold.as("ref"))
+      .where(col("fast") =!= col("ref")) // bitwise-equal doubles compare equal
+      .count()
+    assert(diff === 0)
+  }
+
+  test("dot_ff null/length-mismatch semantics match the fold") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """select
+        |  dot_ff(array(cast(1.0 as float)), array(cast(2.0 as float), cast(3.0 as float))) mismatch,
+        |  dot_ff(array(cast(1.0 as float), cast(null as float)), array(cast(2.0 as float), cast(3.0 as float))) withnull,
+        |  dot_ff(cast(null as array<float>), array(cast(1.0 as float))) nullarr,
+        |  dot_ff(array(), array()) empty""".stripMargin).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getDouble(3) === 0.0)
+  }
 }
