@@ -87,6 +87,40 @@ object DedupText {
       .select(col(idCol), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
   }
 
+  /** Boilerplate shingle filter: shingles present in more than
+    * `maxDocFrac` of all documents (headers, footers, license blocks)
+    * carry no dedup signal but make MinHash sketches collide across
+    * unrelated docs — the classic LSH degeneracy. Returns the input's
+    * exploded (id, shingle) pairs with boilerplate removed; feed to a
+    * signature aggregation. Two narrow shuffles: doc-frequency count on
+    * the shingle key, then a broadcast-able anti-join of the hot set
+    * (by construction at most 1/maxDocFrac DISTINCT shingles can exceed
+    * the threshold... per-doc-distinct explode bounds the count). */
+  def shinglesFiltered(docs: DataFrame, idCol: String, text: String,
+                       n: Int = 3, maxDocFrac: Double = 0.5): DataFrame = {
+    val d = Par.fanOut(docs, col(idCol))
+    val sh = d.select(col(idCol), explode(TextOps.shingles(col(text), n)).as("s"))
+    val nDocs = d.count()
+    val hot = sh.groupBy("s")
+      .agg(count(lit(1)).as("df")) // shingles() is per-doc distinct
+      .where(col("df") > (lit(nDocs) * maxDocFrac))
+      .select("s")
+    sh.join(broadcast(hot), Seq("s"), "left_anti")
+  }
+
+  /** MinHash over boilerplate-filtered shingles ([[shinglesFiltered]]):
+    * the production configuration — without the filter, a boilerplate
+    * block shared corpus-wide drives unrelated docs into the same LSH
+    * buckets and the candidate join degenerates quadratically. */
+  def minhashSignaturesFiltered(docs: DataFrame, idCol: String, text: String,
+                                k: Int = 32, n: Int = 3,
+                                maxDocFrac: Double = 0.5): DataFrame = {
+    val sh = shinglesFiltered(docs, idCol, text, n, maxDocFrac)
+    val mins = (0 until k).map(j => min(xxhash64(col("s"), lit(j))).as(s"m$j"))
+    sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
   /** LSH banding with the band VALUE (signature slice) as the join key —
     * no band hashing, so candidates are engine-independent. */
   def lshCandidatesExact(signed: DataFrame, idCol: String, bands: Int,

@@ -169,6 +169,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "txt_repetition" -> ((s, dir) => {
+      // repetition-based quality filter (Gopher-style): duplicate-bigram
+      // fraction per doc as exact integer counts
+      val ws = split(col("text"), " ")
+      val bigrams = transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws("_", element_at(ws, i), element_at(ws, i + 1)))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(bigrams).cast("long").as("n_bigrams"),
+          size(array_distinct(bigrams)).cast("long").as("n_distinct"))
+        .withColumn("n_repeated", col("n_bigrams") - col("n_distinct"))
+        .orderBy("doc_id")
+    }),
+
     "txt_langid" -> ((s, dir) => {
       // marker-dictionary language scores + argmax label
       val d = Tables.documents(s, dir)
@@ -488,6 +502,18 @@ object PipelineQueries {
         |  MAX(length(text)) AS max_len
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+
+    "txt_repetition" ->
+      """WITH b AS (SELECT doc_id,
+        |  list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || '_' ||
+        |         string_split(text, ' ')[i + 1]) AS bg
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(bg) AS BIGINT) AS n_bigrams,
+        |  CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
+        |  CAST(len(bg) - len(list_distinct(bg)) AS BIGINT) AS n_repeated
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "txt_quality" ->
       """SELECT doc_id,

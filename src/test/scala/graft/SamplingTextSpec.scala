@@ -51,4 +51,30 @@ class SamplingTextSpec extends SparkSuite {
       .toDF("t").select(TextOps.redact(col("t"))).as[String].head()
     assert(got === "write <EMAIL> or call <PHONE> now")
   }
+
+  test("boilerplate filter keeps LSH from degenerating on a shared block") {
+    import graft.ops.DedupText
+    // 40 distinct docs, every one dominated by the same license header;
+    // docs 0/1 are true dups of each other
+    val header = (0 until 30).map(k => s"lic$k").mkString(" ")
+    val docs = Seq.tabulate(40) { i =>
+      val body =
+        if (i <= 1) (0 until 10).map(k => s"w${7 * k}").mkString(" ")
+        else (0 until 10).map(k => s"w${(i * 131 + k * 7) % 9973}").mkString(" ")
+      (i.toLong, s"$header $body")
+    }.toDF("doc_id", "text")
+    // unfiltered: the shared header floods the sketches -> spurious pairs
+    val rawPairs = DedupText.lshCandidates(
+      DedupText.minhashSignatures(docs, "doc_id", "text"), "doc_id", 8, 4)
+      .count()
+    // filtered: only the planted near-dup pair survives
+    val filtered = DedupText.lshCandidates(
+      DedupText.minhashSignaturesFiltered(docs, "doc_id", "text",
+        maxDocFrac = 0.5), "doc_id", 8, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(rawPairs > filtered.size,
+      s"header should inflate raw candidates: raw=$rawPairs filtered=${filtered.size}")
+    assert(filtered === Set((0L, 1L)),
+      s"only the planted pair should survive: $filtered")
+  }
 }
