@@ -98,14 +98,30 @@ object DedupText {
     * the threshold... per-doc-distinct explode bounds the count). */
   def shinglesFiltered(docs: DataFrame, idCol: String, text: String,
                        n: Int = 3, maxDocFrac: Double = 0.5): DataFrame = {
-    val d = Par.fanOut(docs, col(idCol))
-    val sh = d.select(col(idCol), explode(TextOps.shingles(col(text), n)).as("s"))
-    val nDocs = d.count()
+    // one corpus scan: the exploded pairs are pinned, then reused for the
+    // doc-frequency count, the anti-join, and the empty-doc repair
+    val sh = Par.fanOut(docs, col(idCol))
+      .select(col(idCol), explode(TextOps.shingles(col(text), n)).as("s"))
+      .localCheckpoint()
+    val nDocs = sh.select(idCol).distinct().count()
+    // hot-set size is bounded by avgDistinctShinglesPerDoc / maxDocFrac
+    // (sum of doc-frequencies ÷ threshold) — usually small, but not tiny
+    // on degenerate corpora, so the join strategy is left to the planner
     val hot = sh.groupBy("s")
       .agg(count(lit(1)).as("df")) // shingles() is per-doc distinct
       .where(col("df") > (lit(nDocs) * maxDocFrac))
       .select("s")
-    sh.join(broadcast(hot), Seq("s"), "left_anti")
+    val kept = sh.join(hot, Seq("s"), "left_anti")
+    // a doc whose every shingle was boilerplate must not vanish from the
+    // dedup pipeline (all-boilerplate docs are precisely the duplicate-
+    // rich class): give it one sentinel shingle derived from its full
+    // text, so identical such docs still collide downstream while
+    // different ones stay apart
+    val lost = sh.select(idCol).distinct()
+      .join(kept.select(idCol).distinct(), Seq(idCol), "left_anti")
+    kept.unionByName(
+      lost.join(docs.select(col(idCol), col(text)), Seq(idCol))
+        .select(col(idCol), concat(lit("__bp__"), col(text)).as("s")))
   }
 
   /** MinHash over boilerplate-filtered shingles ([[shinglesFiltered]]):

@@ -173,8 +173,12 @@ object PipelineQueries {
       // repetition-based quality filter (Gopher-style): duplicate-bigram
       // fraction per doc as exact integer counts
       val ws = split(col("text"), " ")
-      val bigrams = transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws("_", element_at(ws, i), element_at(ws, i + 1)))
+      // guarded like TextOps.shingles: a 1-word doc makes sequence(1,0)
+      // count DOWN (step defaults to -1) and element_at(ws,0) throw
+      val bigrams = when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1),
+          i => concat_ws("_", element_at(ws, i), element_at(ws, i + 1))))
+        .otherwise(array().cast("array<string>"))
       Tables.documents(s, dir)
         .select(col("doc_id"),
           size(bigrams).cast("long").as("n_bigrams"),

@@ -122,8 +122,13 @@ object StreamingSync {
             case (acc, s) => s :: acc
           }.reverse
           // a session is final iff no admissible future event (ts >= wm)
-          // can be within gap of it
-          val (flush, keep) = merged.partition(s => s._2 + gapMs <= wm)
+          // can be within gap of it. STRICT inequality to stay consistent
+          // with the timeout path: EventTimeTimeout only fires when the
+          // registered timestamp is strictly below the watermark, so a
+          // session whose horizon equals the watermark exactly must wait
+          // for the next invocation or it would flush on the data path
+          // but never on the timeout path
+          val (flush, keep) = merged.partition(s => s._2 + gapMs < wm)
           if (keep.isEmpty) state.remove()
           else {
             state.update(keep)

@@ -55,14 +55,15 @@ class SamplingTextSpec extends SparkSuite {
   test("boilerplate filter keeps LSH from degenerating on a shared block") {
     import graft.ops.DedupText
     // 40 distinct docs, every one dominated by the same license header;
-    // docs 0/1 are true dups of each other
+    // docs 0/1 are true dups of each other, docs 100/101 are pure header
+    // (all-boilerplate) and must survive filtering as a pair
     val header = (0 until 30).map(k => s"lic$k").mkString(" ")
-    val docs = Seq.tabulate(40) { i =>
+    val docs = (Seq.tabulate(40) { i =>
       val body =
         if (i <= 1) (0 until 10).map(k => s"w${7 * k}").mkString(" ")
         else (0 until 10).map(k => s"w${(i * 131 + k * 7) % 9973}").mkString(" ")
       (i.toLong, s"$header $body")
-    }.toDF("doc_id", "text")
+    } ++ Seq((100L, header), (101L, header))).toDF("doc_id", "text")
     // unfiltered: the shared header floods the sketches -> spurious pairs
     val rawPairs = DedupText.lshCandidates(
       DedupText.minhashSignatures(docs, "doc_id", "text"), "doc_id", 8, 4)
@@ -74,7 +75,7 @@ class SamplingTextSpec extends SparkSuite {
       .as[(Long, Long)].collect().toSet
     assert(rawPairs > filtered.size,
       s"header should inflate raw candidates: raw=$rawPairs filtered=${filtered.size}")
-    assert(filtered === Set((0L, 1L)),
-      s"only the planted pair should survive: $filtered")
+    assert(filtered === Set((0L, 1L), (100L, 101L)),
+      s"planted near-dups and identical all-boilerplate docs survive: $filtered")
   }
 }

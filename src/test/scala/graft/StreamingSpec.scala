@@ -99,11 +99,12 @@ class StreamingSpec extends SparkSuite {
     val emitted = spark.sql("select * from sess").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // the final watermark is max event time - 2h delay; exactly the
-    // sessions whose gap horizon the watermark passed must have flushed
+    // sessions whose gap horizon the watermark STRICTLY passed must have
+    // flushed (matching the sessionize flush predicate)
     val batch = batchSessions()
     val maxTs = Tables.events(spark, sfDir).agg(max("ts_ms")).head.getLong(0)
     val finalWm = maxTs - 7200000L
-    val expected = batch.filter(s => s._3 + 1800000L <= finalWm)
+    val expected = batch.filter(s => s._3 + 1800000L < finalWm)
       .map(s => (s._1, s._2, s._4))
     assert(emitted === expected,
       s"missing=${expected.diff(emitted).take(3)} " +
@@ -189,9 +190,13 @@ class StreamingSpec extends SparkSuite {
       s"missing=${batch.diff(emitted).take(3)} extra=${emitted.diff(batch).take(3)}")
   }
 
-  test("streaming dropDuplicates with watermark dedups the overlap re-read") {
-    // T1/T7: the delta overlap re-read produces duplicate hrefs; streaming
-    // dedup with a watermark bounds the dedup state by event time
+  test("streaming dedup within watermark dedups the overlap re-read") {
+    // T1/T7: the delta overlap re-read produces duplicate hrefs.
+    // dropDuplicatesWithinWatermark is the state-BOUNDED form: plain
+    // dropDuplicates("href") would keep one state entry per href forever
+    // (watermark eviction only applies when the event-time column is in
+    // the dedup keys); the overlap window is what needs covering, and it
+    // is bounded by the watermark delay by construction
     val base = java.nio.file.Files.createTempDirectory("stream7").toString
     val feed = Tables.sriEvents(spark, sfDir)
       .select(col("href"), timestamp_millis(col("modified_ms")).as("mts"))
@@ -202,7 +207,7 @@ class StreamingSpec extends SparkSuite {
       spark.read.parquet(s"$base/in").schema).parquet(s"$base/in")
     val q = stream
       .withWatermark("mts", "1 hour")
-      .dropDuplicates("href")
+      .dropDuplicatesWithinWatermark("href")
       .writeStream.format("memory").queryName("dedupst")
       .outputMode("append")
       .option("checkpointLocation", s"$base/ckpt")
