@@ -34,6 +34,18 @@ object IncrementalAgg {
       .where(col("cnt") > 0)
   }
 
+  /** Insert-delta of an equi-join VIEW under append-only deltas:
+    * new pairs of (A∪dA)⋈(B∪dB) beyond A⋈B are exactly
+    * dA⋈B ∪ A⋈dB ∪ dA⋈dB — three joins whose one side is a (small)
+    * delta, each broadcastable in steady state, instead of recomputing
+    * the full join of two 100 TB tables. The join-view analog of
+    * [[merge]]'s monoid identity. */
+  def joinInsertDelta(a: DataFrame, dA: DataFrame, b: DataFrame,
+                      dB: DataFrame, keys: Seq[String]): DataFrame =
+    dA.join(b, keys)
+      .unionByName(a.join(dB, keys))
+      .unionByName(dA.join(dB, keys))
+
   /** Retraction partial for deleted rows: negated counts/sums. */
   def retract(rows: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     partial(rows, keys, valueCol)

@@ -252,6 +252,28 @@ object SyncQueries {
         .orderBy("event_type")
     }),
 
+    "inc_join_delta" -> ((s, dir) => {
+      // incremental JOIN-view maintenance: the new pairs of the grown
+      // join are exactly dA⋈B ∪ A⋈dB ∪ dA⋈dB; the oracle computes them
+      // as "full join restricted to pairs touching a delta row",
+      // proving the three-join delta algebra exact
+      val ev = graft.Tables.events(s, dir)
+      def side(t: String, idAs: String, tsAs: String) =
+        ev.where(col("event_type") === t)
+          .select(col("user_id"), col("event_id").as(idAs),
+            col("ts_ms").as(tsAs))
+      val p = side("purchase", "p_id", "p_ts")
+      val c = side("click", "c_id", "c_ts")
+      val delta = IncrementalAgg.joinInsertDelta(
+        p.where(col("p_ts") < CutMs), p.where(col("p_ts") >= CutMs),
+        c.where(col("c_ts") < CutMs), c.where(col("c_ts") >= CutMs),
+        Seq("user_id"))
+      delta.groupBy("user_id")
+        .agg(count(lit(1)).as("n_new_pairs"),
+          min(col("p_id") + col("c_id")).as("min_idsum"))
+        .orderBy("user_id")
+    }),
+
     "f4_string_hash" -> ((s, dir) => {
       // custom codegen'd expression: 31*h+c int32 string hash
       graft.expr.GraftFunctions.register(s)
@@ -453,6 +475,17 @@ object SyncQueries {
          |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
          |    AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "inc_join_delta" ->
+      s"""WITH p AS (SELECT user_id, event_id AS p_id, epoch_ms(ts) AS p_ts
+         |           FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, event_id AS c_id, epoch_ms(ts) AS c_ts
+         |      FROM events WHERE event_type = 'click')
+         |SELECT user_id, COUNT(*) AS n_new_pairs,
+         |  MIN(p_id + c_id) AS min_idsum
+         |FROM p JOIN c USING (user_id)
+         |WHERE p_ts >= $CutMs OR c_ts >= $CutMs
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "f4_string_hash" ->
       s"""${sriCtes}SELECT href,
