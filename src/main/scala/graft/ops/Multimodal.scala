@@ -72,14 +72,17 @@ object Multimodal {
   /** Every-Nth-frame sampling plan: millisecond timestamps of the sampled
     * frames of a `durationMs` clip at `fps`. Integer math only, so the
     * sample plan is reproducible by any engine; the frame EXTRACTION runs
-    * in the decode step per partition. Empty array for zero-length clips. */
+    * in the decode step per partition. Empty array for zero-length clips;
+    * NULL duration (unknown length) stays NULL — it is not a zero-length
+    * clip. */
   def frameSamples(durationMs: org.apache.spark.sql.Column, fps: Int,
                    everyN: Int): org.apache.spark.sql.Column = {
     val frames = floor(durationMs * fps / 1000).cast("long")
     val maxIdx = floor((frames - 1) / everyN).cast("long")
-    when(frames > 0,
-      transform(sequence(lit(0L), maxIdx),
-        i => floor(i * everyN * 1000 / fps).cast("long")))
+    when(durationMs.isNull, lit(null).cast("array<bigint>"))
+      .when(frames > 0,
+        transform(sequence(lit(0L), maxIdx),
+          i => floor(i * everyN * 1000 / fps).cast("long")))
       .otherwise(array().cast("array<bigint>"))
   }
 

@@ -30,7 +30,7 @@ object Sampling {
   /** Keep rows where hash(key) mod `m` < `k` — an exact k/m-rate Bernoulli
     * sample, reproducible anywhere the hash is computable. */
   def hashBernoulli(df: DataFrame, key: Column, k: Int, m: Int): DataFrame = {
-    require(k >= 0 && k <= m, s"rate $k/$m out of range")
+    require(m > 0 && k >= 0 && k <= m, s"rate $k/$m out of range")
     graft.expr.GraftFunctions.register(df.sparkSession)
     df.where(pmod(hu(key), lit(m.toLong)) < k)
   }

@@ -79,9 +79,12 @@ object TextOps {
 
   /** PII redaction: email-shaped and phone-shaped spans replaced by typed
     * placeholder tags (both patterns RE2-safe so the operation is
-    * reproducible outside the JVM). */
+    * reproducible outside the JVM). Email match is case-insensitive and
+    * covers `+` tags and `-` in local part / hostname; phone match covers
+    * an optional `NNN-` area-code prefix so `555-123-4567` redacts whole
+    * instead of leaking the area code. */
   def redact(text: Column): Column =
     regexp_replace(
-      regexp_replace(text, "[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>"),
-      "\\d{3}-\\d{4}", "<PHONE>")
+      regexp_replace(text, "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
+      "(\\d{3}-)?\\d{3}-\\d{4}", "<PHONE>")
 }

@@ -594,8 +594,8 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT doc_id,
         |  regexp_replace(regexp_replace(t,
-        |    '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
-        |    '\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+        |    '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '(\d{3}-)?\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
         |FROM p ORDER BY doc_id""".stripMargin,
 
     "txt_topterms" ->

@@ -76,10 +76,15 @@ object SyncQueries {
       val base = sri(s, dir)
       val isErr = col("resourcetype") === "error"
       val inDelta = col("modified_ms") >= CutMs
+      // coalesce: sum() over an empty feed is NULL, but the diagnostic
+      // contract (and the COUNT(*)-based oracle) reports 0 counts
       val three = base.agg(
-          sum(when(inDelta && !isErr, 1L).otherwise(0L)).as("updates"),
-          sum(when(inDelta && isErr, 1L).otherwise(0L)).as("deletes"),
-          sum(when(!isErr, 1L).otherwise(0L)).as("safedeltasync"))
+          coalesce(sum(when(inDelta && !isErr, 1L).otherwise(0L)), lit(0L))
+            .as("updates"),
+          coalesce(sum(when(inDelta && isErr, 1L).otherwise(0L)), lit(0L))
+            .as("deletes"),
+          coalesce(sum(when(!isErr, 1L).otherwise(0L)), lit(0L))
+            .as("safedeltasync"))
         .select(expr("stack(3, 'updates', updates, 'deletes', deletes, " +
           "'safedeltasync', safedeltasync) AS (tbl, n)"))
       val members = base.where(!isErr).select("href")

@@ -85,4 +85,15 @@ class ExprSpec extends SparkSuite {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
     assert(r.getDouble(3) === 0.0)
   }
+
+  test("dot_ff rejects non-float arrays at analysis time") {
+    GraftFunctions.register(spark)
+    // getFloat reads 4 of 8 bytes on a double array — must be an analysis
+    // error, never a silent garbage value
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("select dot_ff(array(cast(1.0 as double)), " +
+        "array(cast(2.0 as double)))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
+  }
 }

@@ -52,6 +52,13 @@ class SamplingTextSpec extends SparkSuite {
     assert(got === "write <EMAIL> or call <PHONE> now")
   }
 
+  test("redact handles mixed case, +tags, hyphenated hosts, area codes") {
+    val got = Seq(
+      "Bob.Smith+x@My-Corp.org home 555-123-4567 desk 555-0199")
+      .toDF("t").select(TextOps.redact(col("t"))).as[String].head()
+    assert(got === "<EMAIL> home <PHONE> desk <PHONE>")
+  }
+
   test("boilerplate filter keeps LSH from degenerating on a shared block") {
     import graft.ops.DedupText
     // 40 distinct docs, every one dominated by the same license header;

@@ -100,6 +100,37 @@ class UtilOpsSpec extends SparkSuite {
     assert(rows.forall(r => viaCols(r.media_id) == r.sha))
   }
 
+  test("frameSamples: null duration stays null, zero-length is empty") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(1L, java.lang.Long.valueOf(2000L)),
+          org.apache.spark.sql.Row(2L, java.lang.Long.valueOf(0L)),
+          org.apache.spark.sql.Row(3L, null.asInstanceOf[java.lang.Long])),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dur",
+            org.apache.spark.sql.types.LongType))))
+      .select(col("id"),
+        ops.Multimodal.frameSamples(col("dur"), fps = 10, everyN = 5)
+          .as("ts"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(df(1L).get.asInstanceOf[scala.collection.Seq[Long]]
+      === Seq(0L, 500L, 1000L, 1500L))
+    assert(df(2L).get.asInstanceOf[scala.collection.Seq[Long]].isEmpty)
+    assert(df(3L).isEmpty) // unknown duration ≠ zero-length clip
+  }
+
+  test("hashBernoulli rejects a zero modulus up front") {
+    import org.apache.spark.sql.functions.col
+    val d = Tables.documents(spark, sfDir)
+    val e = intercept[IllegalArgumentException] {
+      ops.Sampling.hashBernoulli(d, col("doc_id").cast("string"), 0, 0)
+    }
+    assert(e.getMessage.contains("out of range"))
+  }
+
   test("arg parsing") {
     val m = Main.parseArgs(Array("--pages", "/p", "--dry-run",
       "--synctype", "fullSync"))
