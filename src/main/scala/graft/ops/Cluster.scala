@@ -30,27 +30,43 @@ object Cluster {
 
   /** @param vertices one row per vertex (must cover every id in `edges`;
     *                 isolated vertices become singleton clusters)
+    * @param edgesCovered caller guarantees every edge endpoint appears in
+    *                 `vertices` (true whenever edges were derived FROM the
+    *                 vertex set, e.g. LSH candidate pairs over signatures
+    *                 of these very documents) — skips the two defensive
+    *                 semi-join fences, saving two shuffles of the edge list
     * @return (id, cluster) where cluster = min vertex id reachable */
   def connectedComponents(vertices: DataFrame, idCol: String,
                           edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          edgesCovered: Boolean = false): DataFrame = {
     val verts = vertices.select(col(idCol).cast("long").as("id"))
     // Each round re-shuffles (id,lbl) longs on the groupBy regardless of
     // the checkpointed RDD's physical partitioning (Catalyst cannot see
     // it), so no explicit repartition here: AQE coalesces the tiny
     // candidate-graph shuffles at runtime, and a big graph spreads across
     // whatever partitioning its shuffle picks.
-    // Edges are fenced to known vertices first: a stray endpoint outside
-    // `vertices` must not mint phantom output rows or — worse — win the
-    // min-label race and leave a cluster with no canonical member. The
-    // two semi-joins shuffle only ids and run once, outside the loop.
-    val sym = edges
-      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .union(edges
-        .select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
-      .join(verts.select(col("id").as("u")), Seq("u"), "left_semi")
-      .join(verts.select(col("id").as("v")), Seq("v"), "left_semi")
-      .select("u", "v")
+    // Unless the caller vouches for coverage, edges are fenced to known
+    // vertices first: a stray endpoint outside `vertices` must not mint
+    // phantom output rows or — worse — win the min-label race and leave a
+    // cluster with no canonical member. The two semi-joins shuffle only
+    // ids and run once, outside the loop.
+    // Symmetrize with explode, NOT a self-union: a union would inline the
+    // (possibly expensive) edge-producing subplan into both branches and
+    // execute it twice — with an LSH pipeline upstream that doubles the
+    // dominant cost. explode reads each edge once and emits both
+    // directions in the same pass.
+    val symRaw = edges
+      .select(col(aCol).cast("long").as("u0"), col(bCol).cast("long").as("v0"))
+      .select(explode(array(
+        struct(col("u0").as("u"), col("v0").as("v")),
+        struct(col("v0").as("u"), col("u0").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val sym = (if (edgesCovered) symRaw
+      else symRaw
+        .join(verts.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(verts.select(col("id").as("v")), Seq("v"), "left_semi")
+        .select("u", "v"))
       .localCheckpoint() // edges are re-joined every round: pin them once
     // Only edge-touched vertices can ever change label; isolated vertices
     // (the overwhelming majority of a near-dup corpus) stay out of the
@@ -83,9 +99,12 @@ object Cluster {
       it += 1
     }
     require(changed == 0, s"connectedComponents: no fixpoint in $maxIter rounds")
+    // `labels` holds exactly the edge-touched vertices (the seed groups
+    // u∪v), already distinct — reuse it as the touched set instead of
+    // re-distinct-ing the edge list (one less shuffle)
     labels
       .unionByName(verts
-        .join(sym.select(col("u").as("id")).distinct(), Seq("id"), "left_anti")
+        .join(labels.select("id"), Seq("id"), "left_anti")
         .select(col("id"), col("id").as("lbl")))
       .select(col("id"), col("lbl").as("cluster"))
   }

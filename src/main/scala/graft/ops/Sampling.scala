@@ -47,4 +47,43 @@ object Sampling {
     df.withColumn("samp_rank", row_number().over(w).cast("long"))
       .where(col("samp_rank") <= n)
   }
+
+  /** Deterministic train/val/test (or any N-way) split assignment:
+    * bucket = hash(key) mod m, and each (label, width) slab claims the
+    * next `width` buckets in order. A row's split is a pure function of
+    * its key — stable across runs, partitionings, and engines — which is
+    * the property a training pipeline needs so no example ever migrates
+    * between train and eval. Adds a `split` column; zero shuffles (pure
+    * projection). */
+  def hashSplit(df: DataFrame, key: Column,
+                slabs: Seq[(String, Int)]): DataFrame = {
+    val m = slabs.map(_._2).sum
+    require(m > 0 && slabs.forall(_._2 > 0), s"need positive slab widths")
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    val bucket = pmod(hu(key), lit(m.toLong))
+    val cuts = slabs.scanLeft(0L)(_ + _._2).tail // running upper bounds
+    val labelled = slabs.zip(cuts).foldLeft(Option.empty[Column]) {
+      case (acc, ((label, _), hi)) =>
+        val cond = bucket < hi
+        Some(acc match {
+          case None => when(cond, label)
+          case Some(c) => c.when(cond, label)
+        })
+    }.get
+    df.withColumn("split", labelled)
+  }
+
+  /** Weighted mixture sampling: per-group keep rates from a (small)
+    * rates table `(groupCol, k, m)` — keep a row iff
+    * hash(key) mod m < k for its group's (k, m). The way a training mix
+    * is rebalanced across sources/domains at scale: the rates side is a
+    * dim table (broadcast join), the corpus side streams — no shuffle of
+    * the data, and the draw stays a pure function of the row key. */
+  def mixtureByGroup(df: DataFrame, groupCol: String, key: Column,
+                     rates: DataFrame): DataFrame = {
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    df.join(org.apache.spark.sql.functions.broadcast(rates), groupCol)
+      .where(pmod(hu(key), col("m").cast("long")) < col("k").cast("long"))
+      .drop("k", "m")
+  }
 }

@@ -147,13 +147,16 @@ object Similarity {
   }
 
   /** Sign-bit bucket: bit p = (dot(emb, plane_{seed+p}) > 0), planes
-    * packed into a long. `dims` is the embedding width (fixtures: 64). */
+    * packed into a long. `dims` is the embedding width (fixtures: 64).
+    * The dot runs through the codegen'd [[graft.expr.DotProductFF]]
+    * (±1 is exact in float, and dot_ff widens to double per element —
+    * bit-identical values to the interpreted HOF fold it replaces). */
   def bucketExpr(emb: Column, planes: Int, seedOffset: Int,
                  dims: Int = 64): Column = {
     val dots = (0 until planes).map { p =>
-      val signs = typedlit((0 until dims).map(i => planeSign(seedOffset + p, i)))
-      aggregate(zip_with(emb, signs, (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v)
+      val signs = typedlit(
+        (0 until dims).map(i => planeSign(seedOffset + p, i).toFloat))
+      graft.expr.GraftFunctions.dot_ff(emb, signs)
     }
     dots.zipWithIndex.map { case (d, p) =>
       when(d > 0, lit(1L << p)).otherwise(lit(0L))

@@ -22,6 +22,61 @@ object TextOps {
     aggregate(tokens(text), lit(0L),
       (acc, w) => acc + ceil(length(w).cast("double") / 4).cast("long"))
 
+  /** Context-window chunking: split the token stream into chunks of
+    * `chunk` tokens overlapping by `overlap` (stride = chunk − overlap) —
+    * the packing step that turns documents into training samples. Returns
+    * an array of chunk structs (idx, n_tok, chunk_text); explode to one
+    * row per sample. Pure integer math + array slicing, cross-engine
+    * exact, codegen'd — and embarrassingly parallel at 100 TB (no
+    * shuffle: each document chunks independently).
+    *
+    * Chunk k covers tokens [k·stride+1, k·stride+chunk] (1-based);
+    * nChunks = 1 for T ≤ chunk, else 1 + ⌈(T − chunk) / stride⌉ (the last
+    * chunk may be short, but every token is covered and no chunk starts
+    * past the end). */
+  def chunkTokens(text: Column, chunk: Int, overlap: Int): Column = {
+    require(chunk > 0 && overlap >= 0 && overlap < chunk,
+      s"need 0 <= overlap < chunk, got chunk=$chunk overlap=$overlap")
+    val stride = chunk - overlap
+    val ws = tokens(text)
+    val t = size(ws)
+    // ceil-div in exact integer column math: (x + d - 1) - mod trick
+    // avoids double rounding at any scale
+    val x = t - lit(chunk) + lit(stride - 1)
+    val nExtra = (x - pmod(x, lit(stride))) / lit(stride)
+    val n = when(t <= chunk, lit(1))
+      .otherwise(lit(1) + nExtra.cast("int"))
+    transform(sequence(lit(0), n - 1), k => struct(
+      k.cast("long").as("idx"),
+      size(slice(ws, k * stride + 1, lit(chunk))).cast("long").as("n_tok"),
+      concat_ws(" ", slice(ws, k * stride + 1, lit(chunk))).as("chunk_text")))
+  }
+
+  /** TF-IDF top terms per document, in EXACT integer math: term score =
+    * tf · ((scale·N) div df) — the idf factor is a truncated scaled
+    * integer, so ranking is reproducible bit-for-bit in any engine (no
+    * log, no float). Returns (id, rnk, term, score), top `k` per doc,
+    * ties broken by term. Shape: explode → (doc,term) count → window df
+    * over term → window rank over doc: two shuffles, both on small keys,
+    * partial aggregation map-side. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, text: String, k: Int,
+                    scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val tf = docs.select(col(idCol), explode(tokens(col(text))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfw = Window.partitionBy("term")
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(dfw))
+      // SQL `div` = exact bigint division, no doubles anywhere in the score
+      .withColumn("score", expr(s"tf * ((${scale * nDocs}L) div df)"))
+    val rw = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(rw).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("term"), col("score"))
+  }
+
   /** n-gram word shingles (distinct), the dedup/similarity unit.
     * transform over an index range keeps it codegen-friendly. Guarded for
     * docs shorter than n (sequence() would flip descending). */

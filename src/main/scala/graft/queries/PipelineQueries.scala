@@ -58,14 +58,16 @@ object PipelineQueries {
 
     "dd_cluster_cc" -> ((s, dir) => {
       // near-dup clustering: LSH candidate pairs → connected components →
-      // one canonical doc (min id) per duplicate group. Pairs are pinned
-      // with localCheckpoint so the propagation loop never re-runs MinHash.
+      // one canonical doc (min id) per duplicate group. No checkpoint
+      // here: connectedComponents pins its symmetric edge list on entry,
+      // so MinHash runs exactly once either way. Pairs come from
+      // signatures of these very docs, so the endpoint fence is skipped.
       val docs = docsWithDups(s, dir)
       val signed = DedupText.minhashSignaturesExact(docs, "doc_id", "text")
       val pairs = DedupText.lshCandidatesExact(signed, "doc_id",
-        bands = 8, rows = 4).localCheckpoint()
+        bands = 8, rows = 4)
       Cluster.connectedComponents(docs.select("doc_id"), "doc_id",
-          pairs, "a_id", "b_id")
+          pairs, "a_id", "b_id", edgesCovered = true)
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
           (col("cluster") === col("id")).as("is_canonical"))
         .orderBy("doc_id")
@@ -216,6 +218,51 @@ object PipelineQueries {
           col("doc_id").cast("string"), k = 10, m = 100)
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    "samp_split" -> ((s, dir) => {
+      // deterministic 80/10/10 train/val/test assignment keyed on doc_id:
+      // stable across runs/partitionings/engines, plus per-split counts
+      val split = Sampling.hashSplit(Tables.documents(s, dir),
+        col("doc_id").cast("string"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      split.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy("split")
+    }),
+
+    "samp_mix" -> ((s, dir) => {
+      // weighted mixture resampling: per-source keep rates from a dim
+      // table (broadcast), draw = pure function of doc_id
+      val d = Tables.documents(s, dir)
+      val rates = d.select(col("source")).distinct()
+        .withColumn("k",
+          lit(10) + lit(3) * pmod(regexp_extract(col("source"), "(\\d+)", 1)
+            .cast("long"), lit(7L)))
+        .withColumn("m", lit(100L))
+      Sampling.mixtureByGroup(d, "source", col("doc_id").cast("string"), rates)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    }),
+
+    "txt_chunk" -> ((s, dir) => {
+      // context-window packing: 32-token chunks, 8-token overlap — one
+      // training sample per row, exact token accounting
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"),
+          explode(TextOps.chunkTokens(col("text"), chunk = 32, overlap = 8))
+            .as("c"))
+        .select(col("doc_id"), col("c.idx").as("chunk_id"),
+          col("c.n_tok").as("n_tok"), col("c.chunk_text").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    "txt_tfidf" -> ((s, dir) => {
+      // top-3 TF-IDF terms per doc, exact scaled-integer idf (no floats)
+      TextOps.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rnk")
     }),
 
     "samp_stratified" -> ((s, dir) => {
@@ -565,6 +612,61 @@ object PipelineQueries {
          |  CASE WHEN hh < 0 THEN hh + 4294967296 ELSE hh END AS hu FROM h)
          |SELECT doc_id, lang, n_chars FROM u WHERE hu % 100 < 10
          |ORDER BY doc_id""".stripMargin,
+
+    "samp_split" ->
+      s"""WITH h AS (SELECT doc_id, n_chars,
+         |  ${javaHashSql("CAST(doc_id AS VARCHAR)")} AS hh FROM documents),
+         |u AS (SELECT doc_id, n_chars,
+         |  (CASE WHEN hh < 0 THEN hh + 4294967296 ELSE hh END) % 100 AS b
+         |  FROM h),
+         |s AS (SELECT doc_id, n_chars,
+         |  CASE WHEN b < 80 THEN 'train'
+         |       WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM u)
+         |SELECT split, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  MIN(doc_id) AS min_id
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "samp_mix" ->
+      s"""WITH h AS (SELECT doc_id, source, lang,
+         |  ${javaHashSql("CAST(doc_id AS VARCHAR)")} AS hh FROM documents),
+         |u AS (SELECT doc_id, source, lang,
+         |  CASE WHEN hh < 0 THEN hh + 4294967296 ELSE hh END AS hu FROM h)
+         |SELECT doc_id, source, lang FROM u
+         |WHERE hu % 100 <
+         |  10 + 3 * (CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 7)
+         |ORDER BY doc_id""".stripMargin,
+
+    "txt_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |n AS (SELECT doc_id, ws,
+        |  CASE WHEN len(ws) <= 32 THEN 1
+        |       ELSE 1 + ((len(ws) - 32 + 23) // 24) END AS nc FROM t),
+        |c AS (SELECT doc_id, ws, unnest(range(nc)) AS k FROM n)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        |  CAST(len(list_slice(ws, k * 24 + 1, k * 24 + 32)) AS BIGINT)
+        |    AS n_tok,
+        |  array_to_string(list_slice(ws, k * 24 + 1, k * 24 + 32), ' ')
+        |    AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "txt_tfidf" ->
+      """WITH tf AS (SELECT doc_id, w AS term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents) GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, term, tf,
+        |  COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+        |r AS (SELECT doc_id, term,
+        |  CAST(tf * ((1000000 * (SELECT COUNT(DISTINCT doc_id)
+        |                         FROM documents)) // df) AS BIGINT) AS score,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tf * ((1000000 * (SELECT COUNT(DISTINCT doc_id)
+        |                               FROM documents)) // df) DESC,
+        |      term ASC) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, score
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "samp_stratified" ->
       s"""WITH h AS (SELECT lang, source, doc_id,

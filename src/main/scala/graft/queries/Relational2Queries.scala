@@ -137,7 +137,12 @@ object Relational2Queries {
       // nested aggregated subquery driving a semi-join (TPC-H Q20 shape):
       // suppliers whose shipped quantity of some part exceeds 1.5x that
       // part's average per-supplier quantity. Integer predicate:
-      // 2 * n_supp * qty_supp_part > 3 * sum_part
+      // 2 * n_supp * qty_supp_part > 3 * sum_part.
+      // Spark-first plan: the oracle's nested form re-aggregates per_sp
+      // and joins it back to itself; here the per-part totals come from a
+      // window over the SAME per_sp frame — one aggregation, one window
+      // shuffle, no self-join (per_sp is never computed twice), then a
+      // broadcast join to the small supplier dim.
       Tables.lineitem(s, dir).createOrReplaceTempView("li_q20")
       Tables.supplier(s, dir).createOrReplaceTempView("supp_q20")
       s.sql("""
@@ -145,14 +150,15 @@ object Relational2Queries {
           SELECT l_partkey, l_suppkey,
                  SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qsp
           FROM li_q20 GROUP BY l_partkey, l_suppkey),
-        per_p AS (
-          SELECT l_partkey, SUM(qsp) AS qp, COUNT(*) AS nsupp
-          FROM per_sp GROUP BY l_partkey)
+        sp_w AS (
+          SELECT l_suppkey, qsp,
+                 SUM(qsp)  OVER (PARTITION BY l_partkey) AS qp,
+                 COUNT(*)  OVER (PARTITION BY l_partkey) AS nsupp
+          FROM per_sp)
         SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_hot_parts
-        FROM per_sp sp
-        JOIN per_p p ON sp.l_partkey = p.l_partkey
-        JOIN supp_q20 s ON sp.l_suppkey = s.s_suppkey
-        WHERE 2 * p.nsupp * sp.qsp > 3 * p.qp
+        FROM sp_w
+        JOIN supp_q20 s ON sp_w.l_suppkey = s.s_suppkey
+        WHERE 2 * sp_w.nsupp * sp_w.qsp > 3 * sp_w.qp
         GROUP BY s.s_suppkey, s.s_name
         ORDER BY s.s_suppkey""")
     }),
