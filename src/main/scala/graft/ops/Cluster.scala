@@ -56,8 +56,13 @@ object Cluster {
     // execute it twice — with an LSH pipeline upstream that doubles the
     // dominant cost. explode reads each edge once and emits both
     // directions in the same pass.
+    // Null endpoints are dropped unconditionally (an edge to nothing is
+    // not an edge): the semi-join fences used to eat them as a side
+    // effect, and the edgesCovered fast path must not let a null id mint
+    // a phantom output row. A codegen'd filter, costs nothing.
     val symRaw = edges
       .select(col(aCol).cast("long").as("u0"), col(bCol).cast("long").as("v0"))
+      .where(col("u0").isNotNull && col("v0").isNotNull)
       .select(explode(array(
         struct(col("u0").as("u"), col("v0").as("v")),
         struct(col("v0").as("u"), col("u0").as("v")))).as("e"))

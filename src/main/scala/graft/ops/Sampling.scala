@@ -82,8 +82,12 @@ object Sampling {
   def mixtureByGroup(df: DataFrame, groupCol: String, key: Column,
                      rates: DataFrame): DataFrame = {
     graft.expr.GraftFunctions.register(df.sparkSession)
-    df.join(org.apache.spark.sql.functions.broadcast(rates), groupCol)
-      .where(pmod(hu(key), col("m").cast("long")) < col("k").cast("long"))
-      .drop("k", "m")
+    // rates columns renamed to reserved names so a corpus that itself has
+    // k/m columns neither breaks resolution nor loses its own columns
+    val r = rates.select(col(groupCol),
+      col("k").cast("long").as("__mix_k"), col("m").cast("long").as("__mix_m"))
+    df.join(org.apache.spark.sql.functions.broadcast(r), groupCol)
+      .where(pmod(hu(key), col("__mix_m")) < col("__mix_k"))
+      .drop("__mix_k", "__mix_m")
   }
 }

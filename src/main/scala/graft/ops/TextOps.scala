@@ -62,14 +62,18 @@ object TextOps {
   def tfidfTopTerms(docs: DataFrame, idCol: String, text: String, k: Int,
                     scale: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nDocs = docs.select(col(idCol)).distinct().count()
+    // N rides the plan as a broadcast 1-row scalar — no eager job at
+    // construction time, no extra corpus scan frozen into a stale count
+    val nd = docs.select(countDistinct(col(idCol)).as("__nd"))
     val tf = docs.select(col(idCol), explode(tokens(col(text))).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
     val dfw = Window.partitionBy("term")
     val scored = tf
       .withColumn("df", count(lit(1)).over(dfw))
+      .crossJoin(broadcast(nd))
       // SQL `div` = exact bigint division, no doubles anywhere in the score
-      .withColumn("score", expr(s"tf * ((${scale * nDocs}L) div df)"))
+      .withColumn("score", expr(s"tf * ((${scale}L * __nd) div df)"))
+      .drop("__nd")
     val rw = Window.partitionBy(idCol)
       .orderBy(col("score").desc, col("term").asc)
     scored.withColumn("rnk", row_number().over(rw).cast("long"))
