@@ -25,12 +25,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SyncQueries.queries ++ RelationalQueries.queries ++
       WindowQueries.queries ++ PipelineQueries.queries ++
-      ExtraQueries.queries ++ Relational2Queries.queries
+      ExtraQueries.queries ++ Relational2Queries.queries ++
+      Pipeline2Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     SyncQueries.oracles ++ RelationalQueries.oracles ++
       WindowQueries.oracles ++ PipelineQueries.oracles ++
-      ExtraQueries.oracles ++ Relational2Queries.oracles
+      ExtraQueries.oracles ++ Relational2Queries.oracles ++
+      Pipeline2Queries.oracles
 }

@@ -141,6 +141,49 @@ case class DotProductFF(left: Expression, right: Expression)
   override def prettyName: String = "dot_ff"
 }
 
+/** Z-order (Morton) interleave of the low 16 bits of two non-negative
+  * longs into one clustering key: bit b of `left` lands at bit 2b, bit b
+  * of `right` at bit 2b+1. Range-partitioning / sorting parquet by the key
+  * co-locates rows that are close in BOTH dimensions, so min/max footer
+  * stats prune 2-D predicates — the standard multi-dimensional layout
+  * trick (Z-curves; cf. Delta/Iceberg OPTIMIZE ZORDER). Codegen'd
+  * branch-free bit spread, no loop. */
+case class ZOrder16(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (bigint, bigint), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ZOrderUtil.interleave16(l.asInstanceOf[Long], r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expr.ZOrderUtil.interleave16($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+  : ZOrder16 = copy(left = l, right = r)
+  override def prettyName: String = "zorder16"
+}
+
+/** Standalone object (no companion class) so scalac emits STATIC
+  * forwarders — janino-generated code calls it as a plain Java static. */
+object ZOrderUtil {
+  private def spread(v0: Long): Long = {
+    var v = v0 & 0xFFFFL
+    v = (v | (v << 8)) & 0x00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0FL
+    v = (v | (v << 2)) & 0x33333333L
+    v = (v | (v << 1)) & 0x55555555L
+    v
+  }
+  def interleave16(x: Long, y: Long): Long = spread(x) | (spread(y) << 1)
+}
+
 private[expr] object JsonSupport {
   val mapper = new ObjectMapper()
 
@@ -192,7 +235,17 @@ object GraftFunctions {
     "remove_dollar_fields" -> (es => RemoveDollarFields(es.head)),
     "json_merge_patch" -> (es => JsonMergePatch(es.head, es(1))),
     "java_string_hash" -> (es => JavaStringHash(es.head)),
-    "dot_ff" -> (es => DotProductFF(es.head, es(1))))
+    "dot_ff" -> (es => DotProductFF(es.head, es(1))),
+    "zorder16" -> (es => ZOrder16(es.head, es(1))),
+    // runtime bloom-join filtering — Spark ships these expressions for its
+    // InjectRuntimeFilter rule but does not expose them; registering the
+    // same pair (key pre-hashed with xxhash64, as that rule does) makes
+    // the explicit form available to ops/Bloom and SQL clients.
+    "bloom_agg" -> (es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(new XxHash64(Seq(es.head)), es(1))),
+    "might_contain" -> (es =>
+      BloomFilterMightContain(es.head, new XxHash64(Seq(es(1))))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -209,6 +262,12 @@ object GraftFunctions {
     call_function("java_string_hash", c)
   def dot_ff(a: Column, b: Column): Column =
     call_function("dot_ff", a, b)
+  def zorder16(x: Column, y: Column): Column =
+    call_function("zorder16", x, y)
+  def bloom_agg(key: Column, expectedItems: Column): Column =
+    call_function("bloom_agg", key, expectedItems)
+  def might_contain(bloom: Column, key: Column): Column =
+    call_function("might_contain", bloom, key)
 }
 
 /** Session-extension registration for deployments that configure

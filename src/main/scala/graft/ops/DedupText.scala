@@ -169,6 +169,28 @@ object DedupText {
       .distinct()
   }
 
+  /** Benchmark decontamination: per corpus document, the number of
+    * distinct n-gram shingles it shares with ANY document of a benchmark
+    * set — the standard pre-training contamination test (n-gram overlap
+    * against eval sets; GPT-3 App. C, The Pile §6.3). Returns
+    * (idCol, n_hits) for contaminated documents only; anti-join the
+    * corpus against it to decontaminate.
+    *
+    * Shape: both sides explode to per-doc-distinct shingles; the
+    * benchmark side is globally deduped and BROADCAST (an eval set is
+    * tiny next to a 100 TB corpus), so the corpus side never shuffles —
+    * the probe happens map-side inside the corpus scan stage and only
+    * (id, count) partials reach the final aggregation. */
+  def contaminationHits(corpus: DataFrame, bench: DataFrame, idCol: String,
+                        text: String, n: Int = 3): DataFrame = {
+    val cSh = Par.fanOut(corpus, col(idCol)).select(col(idCol),
+      explode(TextOps.shingles(col(text), n)).as("s"))
+    val bSh = bench.select(explode(TextOps.shingles(col(text), n)).as("s"))
+      .distinct()
+    cSh.join(broadcast(bSh), Seq("s"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Cross-engine-exact 32-bit SimHash on the Java-hash family (same
     * rationale as [[minhashSignaturesExact]]): per bit b, vote = Σ ±1 over
     * token-hash bit b across ALL tokens (with multiplicity); fingerprint

@@ -136,6 +136,41 @@ object TextOps {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", table A1), restricted to the
+    * exactly-computable subset: word-count bounds, mean-word-length
+    * bounds, minimum stop-word hits, duplicate-bigram cap. Every
+    * comparison is cross-multiplied integer math — no ratios, no floats —
+    * so the verdicts are bit-reproducible in any engine. Pure codegen'd
+    * projection: no shuffle, scales linearly with input splits. */
+  def gopherFlags(df: DataFrame, text: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Int = 3, maxMeanLen: Int = 10,
+                  minStopHits: Int = 2, maxDupBigramPct: Int = 20): DataFrame = {
+    val t = col(text)
+    val ws = tokens(t)
+    val nW = size(ws).cast("long")
+    val sumLen = aggregate(ws, lit(0L), (a, w) => a + length(w))
+    val nStop = langScore(t, "en").cast("long")
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws("_", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val nBi = size(bigrams).cast("long")
+    val nDup = nBi - size(array_distinct(bigrams)).cast("long")
+    df.withColumn("n_words", nW)
+      .withColumn("sum_word_len", sumLen)
+      .withColumn("n_stop_hits", nStop)
+      .withColumn("n_dup_bigrams", nDup)
+      .withColumn("flag_n_words", nW >= minWords && nW <= maxWords)
+      .withColumn("flag_mean_len",
+        sumLen >= nW * minMeanLen && sumLen <= nW * maxMeanLen)
+      .withColumn("flag_stop", nStop >= minStopHits)
+      .withColumn("flag_repetition", nDup * 100 <= nBi * maxDupBigramPct)
+      .withColumn("keep", col("flag_n_words") && col("flag_mean_len") &&
+        col("flag_stop") && col("flag_repetition"))
+  }
+
   /** PII redaction: email-shaped and phone-shaped spans replaced by typed
     * placeholder tags (both patterns RE2-safe so the operation is
     * reproducible outside the JVM). Email match is case-insensitive and
