@@ -101,10 +101,15 @@ object Bench {
     def group(name: String): String =
       name.takeWhile(_ != '_').takeWhile(!_.isDigit) match { case "" => "x"; case g => g }
     val groups = results.groupBy { case (k, _) => group(k) }.toSeq.sortBy(_._1)
-      .map { case (g, rs) => "\"" + g + "\":" + r3(rs.map(_._2).filter(_ >= 0).sum) }
+      .map { case (g, rs) =>
+        val ok = rs.map(_._2).filter(_ >= 0)
+        // a family with every query failed reports -1, not a fast-looking
+        // 0.000 — the global `failed` count alone has no attribution
+        "\"" + g + "\":" + (if (ok.isEmpty) "-1" else r3(ok.sum))
+      }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$groups,"n":${results.size},"failed":$failed,"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$groups,"n":${results.size},"failed":$failed,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,6 +37,17 @@ object Bloom {
   def prunedSemiJoin(fact: DataFrame, factKey: String,
                      dim: DataFrame, dimKey: String,
                      expectedItems: Long = 1000000L): DataFrame = {
+    // xxhash64 hashes int and long (etc.) through different byte widths:
+    // with mismatched key types the build and probe hashes disagree and
+    // the pre-filter would drop genuinely matching rows. The semi-join
+    // below would mask nothing — it only ever removes rows. Spark's own
+    // InjectRuntimeFilter hashes the SAME resolved join-key expression on
+    // both sides; this explicit form demands the caller align types.
+    val ft = fact.schema(factKey).dataType
+    val dt = dim.schema(dimKey).dataType
+    require(ft == dt,
+      s"bloom key types must match exactly: $factKey is ${ft.catalogString}, " +
+        s"$dimKey is ${dt.catalogString} — cast one side first")
     val bf = keyBloom(dim, dimKey, expectedItems)
     GraftFunctions.register(fact.sparkSession)
     fact

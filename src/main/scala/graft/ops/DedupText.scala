@@ -183,9 +183,15 @@ object DedupText {
     * (id, count) partials reach the final aggregation. */
   def contaminationHits(corpus: DataFrame, bench: DataFrame, idCol: String,
                         text: String, n: Int = 3): DataFrame = {
-    val cSh = Par.fanOut(corpus, col(idCol)).select(col(idCol),
+    // null/empty text carries no contamination signal, but shingles()'s
+    // short-doc branch would map it to the "" sentinel shingle on BOTH
+    // sides — flagging every empty corpus doc as contaminated by every
+    // empty benchmark doc. Fence them out up front (pushes to the scan).
+    val hasText = col(text).isNotNull && length(col(text)) > 0
+    val cSh = Par.fanOut(corpus.where(hasText), col(idCol)).select(col(idCol),
       explode(TextOps.shingles(col(text), n)).as("s"))
-    val bSh = bench.select(explode(TextOps.shingles(col(text), n)).as("s"))
+    val bSh = bench.where(hasText)
+      .select(explode(TextOps.shingles(col(text), n)).as("s"))
       .distinct()
     cSh.join(broadcast(bSh), Seq("s"))
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))

@@ -27,9 +27,22 @@ object RangeBin {
                     intervals: DataFrame, sCol: String, eCol: String,
                     equiKeys: Seq[String], binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    // floor-division via pmod: exact for negative timestamps too
+    require(!points.columns.contains("__bin") &&
+      !intervals.columns.contains("__bin"),
+      "inputs must not carry a __bin column")
+    // the residual predicate references both frames' columns unqualified:
+    // any overlap beyond the equi-keys would resolve ambiguously (or, for
+    // __bin, be silently clobbered) — fail loudly instead
+    val overlap = (points.columns.toSet & intervals.columns.toSet) --
+      equiKeys.toSet
+    require(overlap.isEmpty,
+      s"points/intervals share non-key columns: ${overlap.mkString(", ")}")
+    // floor division in PURE LONG arithmetic: subtracting pmod yields an
+    // exact multiple of binWidth (so integral `div` == floor even for
+    // negatives); Column./ would route through doubles and mis-bin
+    // values ≥ 2^53 (e.g. nanosecond epochs)
     def fdiv(c: Column): Column =
-      ((c - pmod(c, lit(binWidth))) / binWidth).cast("long")
+      call_function("div", c - pmod(c, lit(binWidth)), lit(binWidth))
     val pb = points.withColumn("__bin", fdiv(col(ptCol)))
     val ib = intervals.withColumn("__bin",
       explode(when(col(eCol) > col(sCol),

@@ -26,12 +26,15 @@ object Scd2 {
   def history(feed: DataFrame, keyCol: String, attrCol: String,
               tsCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
-    // run compression: keep only rows whose attribute differs from the
-    // previous observation (null-safe: a leading null run is one run)
+    // run compression: keep each key's FIRST row unconditionally (lag's
+    // null default is otherwise indistinguishable from a real null
+    // attribute, and a leading null run would vanish), then every row
+    // whose attribute differs null-safely from the previous observation
     val changes = feed
       .select(col(keyCol), col(attrCol), col(tsCol), col(tieCol))
+      .withColumn("__rn", row_number().over(w))
       .withColumn("__prev", lag(col(attrCol), 1).over(w))
-      .where(!(col("__prev") <=> col(attrCol)))
+      .where(col("__rn") === 1 || !(col("__prev") <=> col(attrCol)))
     changes
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .select(col(keyCol), col(attrCol),

@@ -120,7 +120,8 @@ object Pipeline2Queries {
 
     "dd_contam" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
-        |           FROM documents),
+        |           FROM documents
+        |           WHERE text IS NOT NULL AND len(text) > 0),
         |sh AS (SELECT doc_id,
         |  unnest(list_distinct(CASE WHEN len(ws) >= 3
         |    THEN list_transform(range(1, len(ws) - 1),
@@ -165,10 +166,12 @@ object Pipeline2Queries {
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
         |                  event_id FROM events),
         |m AS (SELECT *, lag(event_type) OVER
-        |        (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev
+        |        (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev,
+        |      row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts_ms, event_id) AS rn
         |      FROM e),
         |c AS (SELECT user_id, event_type, ts_ms, event_id FROM m
-        |      WHERE prev IS DISTINCT FROM event_type)
+        |      WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
         |SELECT user_id, event_type, ts_ms AS valid_from,
         |  lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
         |    AS valid_to,

@@ -56,6 +56,20 @@ class Round3Spec extends SparkSuite {
       (2L, "X", 10L, -1L, true)))
   }
 
+  test("Scd2.history keeps a leading null-attribute run") {
+    val feed = Seq(
+      (1L, Option.empty[String], 10L, 100L), (1L, Some("A"), 20L, 101L),
+      (2L, Option.empty[String], 10L, 102L))
+      .toDF("k", "attr", "ts", "tie")
+    val h = Scd2.history(feed, "k", "attr", "ts", "tie")
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) "-" else r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(h.toSeq === Seq(
+      (1L, "-", 10L, 20L), (1L, "A", 20L, -1L), (2L, "-", 10L, -1L)))
+  }
+
   test("Scd2.history plans one exchange for both window passes") {
     val feed = Seq((1L, "A", 10L, 1L)).toDF("k", "attr", "ts", "tie")
     val plan = Scd2.history(feed, "k", "attr", "ts", "tie")
@@ -117,6 +131,44 @@ class Round3Spec extends SparkSuite {
     val pts = Seq((1L, 5L)).toDF("k", "p")
     val iv = Seq((1L, 10L, 10L), (1L, 10L, 3L)).toDF("k", "s", "e")
     assert(RangeBin.pointInterval(pts, "p", iv, "s", "e", Seq("k"), 10L)
+      .count() === 0L)
+  }
+
+  test("RangeBin bins exactly beyond 2^53 (long arithmetic, no doubles)") {
+    // nanosecond-scale epochs: double rounding would mis-bin boundaries
+    val base = 1706227200000000000L // ~1.7e18, ulp(double) = 256 here
+    val pts = Seq((1L, base)).toDF("k", "p")
+    val iv = Seq((1L, base, base + 1000000000L)).toDF("k", "s", "e")
+    assert(RangeBin.pointInterval(pts, "p", iv, "s", "e", Seq("k"),
+      binWidth = 1000000000L).count() === 1L)
+  }
+
+  test("RangeBin rejects colliding column names") {
+    val pts = Seq((1L, 5L, 0L)).toDF("k", "p", "__bin")
+    val iv = Seq((1L, 0L, 10L)).toDF("k", "s", "e")
+    intercept[IllegalArgumentException] {
+      RangeBin.pointInterval(pts, "p", iv, "s", "e", Seq("k"), 10L)
+    }
+    val pts2 = Seq((1L, 5L, 7L)).toDF("k", "p", "s")
+    intercept[IllegalArgumentException] {
+      RangeBin.pointInterval(pts2, "p", iv, "s", "e", Seq("k"), 10L)
+    }
+  }
+
+  test("bloom prunedSemiJoin rejects mismatched key types") {
+    val fact = Seq((1, "a")).toDF("k", "v")          // int key
+    val dim = Seq((1L, "x")).toDF("dk", "w")         // long key
+    intercept[IllegalArgumentException] {
+      Bloom.prunedSemiJoin(fact, "k", dim, "dk", 100L)
+    }
+  }
+
+  test("contaminationHits ignores null and empty text") {
+    val corpus = Seq((1L, ""), (2L, null.asInstanceOf[String]),
+      (3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val bench = Seq((9L, ""), (10L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(DedupText.contaminationHits(corpus, bench, "doc_id", "text")
       .count() === 0L)
   }
 

@@ -111,6 +111,62 @@ class StreamingSpec extends SparkSuite {
         s"extra=${emitted.diff(expected).take(3)}")
   }
 
+  test("sessionize merges late events across a checkpointed restart") {
+    // two AvailableNow runs against the SAME checkpoint: run 1 sees the
+    // older 60% of events, run 2 the rest. Sessions spanning the cut (and
+    // run-2 events that are late w.r.t. run 1's data but inside the 2h
+    // allowed lateness) must merge into run-1 state restored from the
+    // checkpoint — the union of both runs' emissions has to equal the
+    // single-run / batch result under the final watermark.
+    val base = java.nio.file.Files.createTempDirectory("stream7").toString
+    val ev = Tables.events(spark, sfDir).select(col("user_id"), col("ts_ms"))
+    val (mn, mx) = {
+      val r = ev.agg(min("ts_ms"), max("ts_ms")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val cut = mn + (mx - mn) * 3 / 5
+    def phase(pred: org.apache.spark.sql.Column): Unit =
+      ev.where(pred)
+        .select(col("user_id"), timestamp_millis(col("ts_ms")).as("ts"))
+        .write.mode("append").parquet(s"$base/in")
+    // file sink (memory sink refuses checkpoint recovery); emissions
+    // accumulate in $base/out across both runs
+    def run(): Set[(Long, Long, Long)] = {
+      val stream = spark.readStream.schema(
+        spark.read.parquet(s"$base/in").schema).parquet(s"$base/in")
+      val q = StreamingSync.sessionize(spark, stream, 1800000L)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.read.parquet(s"$base/out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    phase(col("ts_ms") < cut)
+    val p1 = run()
+    phase(col("ts_ms") >= cut)
+    val p2 = run() // cumulative: includes run 1's files
+
+    val batch = batchSessions()
+    val finalWm = mx - 7200000L
+    val expected = batch.filter(s => s._3 + 1800000L < finalWm)
+      .map(s => (s._1, s._2, s._4))
+    val emitted = p2 // file sink accumulates: p2 ⊇ p1
+    assert(emitted === expected,
+      s"missing=${expected.diff(emitted).take(3)} " +
+        s"extra=${emitted.diff(expected).take(3)}")
+    // run 1 must have flushed something, run 2 must have added more, and
+    // some run-2 emission must come from state RESTORED from run 1's
+    // checkpoint (a session that started before the cut but was only
+    // flushed after run 2 advanced the watermark)
+    assert(p1.nonEmpty && p2.size > p1.size)
+    assert((p2 -- p1).exists(_._2 < cut),
+      "no run-2 emission used state carried across the restart")
+  }
+
   test("native session_window streaming aggregation emits final sessions") {
     val base = java.nio.file.Files.createTempDirectory("stream5").toString
     val ev = Tables.events(spark, sfDir)
