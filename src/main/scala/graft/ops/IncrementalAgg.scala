@@ -46,6 +46,19 @@ object IncrementalAgg {
       .unionByName(a.join(dB, keys))
       .unionByName(dA.join(dB, keys))
 
+  /** Signed-delta join-view maintenance with DELETES, A-side change
+    * against a static B (bag semantics):
+    * V_new = V_old ∖ (dAdel ⋈ B) ∪ (dAins ⋈ B).
+    * `exceptAll` removes exactly the multiset of retracted pairs — each
+    * deleted A-row contributes precisely its old join partners — so the
+    * maintained view is row-for-row the direct join of the new state.
+    * At scale all three joins shuffle on the same keys, and the retract
+    * side is |dAdel ⋈ B| (delta-sized), never a view recompute. */
+  def joinApplyDeltaA(vOld: DataFrame, dAins: DataFrame, dAdel: DataFrame,
+                      b: DataFrame, keys: Seq[String]): DataFrame =
+    vOld.exceptAll(dAdel.join(b, keys))
+      .unionByName(dAins.join(b, keys))
+
   /** Retraction partial for deleted rows: negated counts/sums. */
   def retract(rows: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     partial(rows, keys, valueCol)

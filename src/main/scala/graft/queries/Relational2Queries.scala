@@ -189,6 +189,19 @@ object Relational2Queries {
           date_add(d, 30).as("plus30"),
           datediff(d, lit("1995-01-01").cast("date")).cast("long").as("days_since"))
         .orderBy("o_orderkey")
+    }),
+
+    "f15_listagg" -> ((s, dir) => {
+      // ordered string aggregation (LISTAGG/string_agg): deterministic by
+      // sorting the collected set before joining — collect_set's partial
+      // aggregation keeps the shuffle small (distinct values only)
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -312,6 +325,14 @@ object Relational2Queries {
         |  CAST(o_orderdate AS DATE) + 30 AS plus30,
         |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
         |    AS days_since
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f15_listagg" ->
+      """SELECT o_orderpriority,
+        |  list_aggregate(list_sort(list_distinct(list(o_orderstatus))),
+        |    'string_agg', ',') AS statuses,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -279,6 +279,29 @@ object SyncQueries {
         .orderBy("user_id")
     }),
 
+    "inc_join_retract" -> ((s, dir) => {
+      // join-view maintenance with DELETES: purge a slice of purchases
+      // (user_id%7=0 before the cut) and insert the post-Cut2 tail; the
+      // maintained view must equal the direct join of the new state —
+      // the oracle computes that direct join
+      val ev = graft.Tables.events(s, dir)
+      def side(t: String, idAs: String, tsAs: String) =
+        ev.where(col("event_type") === t)
+          .select(col("user_id"), col("event_id").as(idAs),
+            col("ts_ms").as(tsAs))
+      val p = side("purchase", "p_id", "p_ts")
+      val c = side("click", "c_id", "c_ts").where(col("c_ts") < CutMs)
+      val aOld = p.where(col("p_ts") < Cut2Ms)
+      val dDel = aOld.where(col("user_id") % 7 === 0 && col("p_ts") < CutMs)
+      val dIns = p.where(col("p_ts") >= Cut2Ms)
+      val vOld = aOld.join(c, Seq("user_id"))
+      IncrementalAgg.joinApplyDeltaA(vOld, dIns, dDel, c, Seq("user_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("p_id") + col("c_id")).as("min_idsum"))
+        .orderBy("user_id")
+    }),
+
     "f4_string_hash" -> ((s, dir) => {
       // custom codegen'd expression: 31*h+c int32 string hash
       graft.expr.GraftFunctions.register(s)
@@ -490,6 +513,18 @@ object SyncQueries {
          |  MIN(p_id + c_id) AS min_idsum
          |FROM p JOIN c USING (user_id)
          |WHERE p_ts >= $CutMs OR c_ts >= $CutMs
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "inc_join_retract" ->
+      s"""WITH p AS (SELECT user_id, event_id AS p_id, epoch_ms(ts) AS p_ts
+         |           FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, event_id AS c_id, epoch_ms(ts) AS c_ts
+         |      FROM events WHERE event_type = 'click'
+         |        AND epoch_ms(ts) < $CutMs),
+         |anew AS (SELECT * FROM p
+         |         WHERE NOT (user_id % 7 = 0 AND p_ts < $CutMs))
+         |SELECT user_id, COUNT(*) AS n_pairs, MIN(p_id + c_id) AS min_idsum
+         |FROM anew JOIN c USING (user_id)
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "f4_string_hash" ->

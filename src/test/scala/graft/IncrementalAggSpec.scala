@@ -36,4 +36,26 @@ class IncrementalAggSpec extends SparkSuite {
     assert(canon(after) === expect)
     assert(after.where(col("event_type") === "error").count() === 0)
   }
+
+  test("joinApplyDeltaA maintains a join view through deletes, bag-exact") {
+    import spark.implicits._
+    // duplicate rows on both sides: exceptAll must remove exactly the
+    // retracted MULTISET, not all matching rows
+    val aOld = Seq((1, "x"), (1, "x"), (1, "y"), (2, "z"))
+      .toDF("k", "av")
+    val b = Seq((1, "p"), (1, "p"), (2, "q")).toDF("k", "bv")
+    val dDel = Seq((1, "x")).toDF("k", "av")       // one of the two (1,x)
+    val dIns = Seq((2, "w"), (3, "n")).toDF("k", "av")
+    val aNew = aOld.exceptAll(dDel).unionByName(dIns)
+    val vOld = aOld.join(b, Seq("k"))
+    val maintained = IncrementalAgg.joinApplyDeltaA(
+      vOld, dIns, dDel, b, Seq("k"))
+    def canonRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+        .sorted.toSeq
+    assert(canonRows(maintained) === canonRows(aNew.join(b, Seq("k"))))
+    // the surviving (1,x) keeps BOTH its b partners; the deleted one lost
+    // exactly two pairs
+    assert(maintained.where($"av" === "x").count() === 2)
+  }
 }
