@@ -50,8 +50,12 @@ object Bloom {
         s"$dimKey is ${dt.catalogString} — cast one side first")
     val bf = keyBloom(dim, dimKey, expectedItems)
     GraftFunctions.register(fact.sparkSession)
-    fact
-      .where(GraftFunctions.might_contain(lit(bf), col(factKey)))
-      .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
+    // an empty dim yields a null sketch (bloom_agg over zero rows);
+    // might_contain(lit(null), …) happens to work today but is fragile —
+    // short-circuit to the exact empty result instead
+    val pre =
+      if (bf == null) fact.where(lit(false))
+      else fact.where(GraftFunctions.might_contain(lit(bf), col(factKey)))
+    pre.join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
   }
 }

@@ -86,8 +86,14 @@ object Sampling {
     // k/m columns neither breaks resolution nor loses its own columns
     val r = rates.select(col(groupCol),
       col("k").cast("long").as("__mix_k"), col("m").cast("long").as("__mix_m"))
-    df.join(org.apache.spark.sql.functions.broadcast(r), groupCol)
-      .where(pmod(hu(key), col("__mix_m")) < col("__mix_k"))
+    // left join + per-row error on a missing rate: an incomplete (or
+    // typo'd) rates table must fail the job, not silently delete whole
+    // sources from the training mix
+    df.join(org.apache.spark.sql.functions.broadcast(r), Seq(groupCol), "left")
+      .where(when(col("__mix_m").isNull,
+          raise_error(concat(lit("mixtureByGroup: no rate for group "),
+            coalesce(col(groupCol).cast("string"), lit("NULL")))).cast("boolean"))
+        .otherwise(pmod(hu(key), col("__mix_m")) < col("__mix_k")))
       .drop("__mix_k", "__mix_m")
   }
 }

@@ -40,10 +40,11 @@ object TextOps {
     val stride = chunk - overlap
     val ws = tokens(text)
     val t = size(ws)
-    // ceil-div in exact integer column math: (x + d - 1) - mod trick
-    // avoids double rounding at any scale
+    // ceil-div in exact integer column math: (x + d - 1) - mod trick plus
+    // integral `div` (Column./ routes through doubles — exact only below
+    // 2^53; same rationale as RangeBin.fdiv)
     val x = t - lit(chunk) + lit(stride - 1)
-    val nExtra = (x - pmod(x, lit(stride))) / lit(stride)
+    val nExtra = call_function("div", x - pmod(x, lit(stride)), lit(stride))
     val n = when(t <= chunk, lit(1))
       .otherwise(lit(1) + nExtra.cast("int"))
     transform(sequence(lit(0), n - 1), k => struct(
