@@ -26,7 +26,7 @@ object SparkEntry {
     SyncQueries.queries ++ RelationalQueries.queries ++
       WindowQueries.queries ++ PipelineQueries.queries ++
       ExtraQueries.queries ++ Relational2Queries.queries ++
-      Pipeline2Queries.queries
+      Pipeline2Queries.queries ++ Pipeline3Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +34,5 @@ object SparkEntry {
     SyncQueries.oracles ++ RelationalQueries.oracles ++
       WindowQueries.oracles ++ PipelineQueries.oracles ++
       ExtraQueries.oracles ++ Relational2Queries.oracles ++
-      Pipeline2Queries.oracles
+      Pipeline2Queries.oracles ++ Pipeline3Queries.oracles
 }

