@@ -232,9 +232,13 @@ object DedupText {
       .select(col(idCol), posexplode(winArr).as(Seq("p0", "win")))
       .select(col(idCol), (col("p0") + 1).as("pos"), col("win"))
       .localCheckpoint() // reused 3×: df count, both join sides
+    // df = 1 windows (the dominant mass of a real corpus — unique text)
+    // can only pair a doc with itself, which a_id < b_id discards: keep
+    // only 2..maxDf, shrinking the self-join input to the genuinely
+    // duplicated window subset
     val rare = wins.groupBy("win")
       .agg(countDistinct(col(idCol)).as("df"))
-      .where(col("df") <= maxDf).select("win")
+      .where(col("df").between(2, maxDf)).select("win")
     val kept = wins.join(rare, Seq("win"))
     val hits = kept.select(col(idCol).as("a_id"), col("pos").as("a_pos"), col("win"))
       .join(kept.select(col(idCol).as("b_id"), col("pos").as("b_pos"), col("win")),

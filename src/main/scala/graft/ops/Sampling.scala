@@ -85,7 +85,11 @@ object Sampling {
     * id followed by one windowed min per (anchor, j). Each draw scans
     * ~N/buckets candidates; size `buckets` ~ N/1000 at corpus scale.
     * The anchor itself is excluded; a draw landing in an otherwise-empty
-    * bucket yields no row (documented: "up to k negatives").
+    * bucket yields no row, and draws are independent WITH replacement —
+    * two draws of one anchor can land on the same bucket and crown the
+    * same candidate — so an anchor gets up to `k` rows but possibly
+    * fewer distinct negatives (the standard trade for a stateless,
+    * deterministic draw; dedupe downstream if distinctness matters).
     *
     * Returns (anchor_id, j, neg_id), j in [0, k). */
   def negativeSamples(df: DataFrame, idCol: String, anchorPred: Column,

@@ -144,7 +144,7 @@ object Pipeline3Queries {
          |  FROM t, unnest(range(1, len(ws) - 6)) AS i(pos)
          |  WHERE len(ws) >= 8),
          |rare AS (SELECT win FROM wins GROUP BY win
-         |         HAVING COUNT(DISTINCT doc_id) <= 64),
+         |         HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64),
          |kept AS (SELECT w.* FROM wins w JOIN rare USING (win)),
          |hits AS (
          |  SELECT a.doc_id AS a_id, a.pos AS a_pos,

@@ -52,7 +52,6 @@ class Pipeline3Spec extends SparkSuite {
     val d = docs(1L -> "x y z w v u t s", 2L -> "x y z w v u t s",
       3L -> "totally different text here")
     val signed = DedupText.minhashSignaturesExact(d, "doc_id", "text", k = 32)
-    val a = signed.where($"doc_id" === 1L).select("sig")
     val pairs = signed.select($"doc_id".as("i"), $"sig".as("s1"))
       .crossJoin(signed.select($"doc_id".as("j"), $"sig".as("s2")))
       .where($"i" < $"j")
