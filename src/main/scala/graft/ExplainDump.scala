@@ -68,7 +68,20 @@ object ExplainDump {
       ("Decontamination: the benchmark shingle set is deduped then " +
         "BROADCAST; the corpus side probes it map-side inside its own " +
         "scan stage and only (doc_id, count) partials reach the final " +
-        "aggregation — the 100 TB corpus never shuffles its shingles.")
+        "aggregation — the 100 TB corpus never shuffles its shingles."),
+    "dd_substring" ->
+      ("Exact-substring spans, the shuffle-native suffix-array " +
+        "substitute: positional window-grams are materialized once " +
+        "(localCheckpoint) and reused for the doc-frequency fence and " +
+        "both self-join sides; windows in only one doc (the dominant " +
+        "mass) never enter the join; maximal runs come from one window " +
+        "pass per diagonal plus a partial-aggregated groupBy."),
+    "samp_negatives" ->
+      ("Deterministic negative draws without a cross join or global " +
+        "index: anchors×k draws equi-join candidates on a hash bucket " +
+        "(each draw scans ~N/buckets rows), then one windowed min per " +
+        "(anchor, draw) — both shuffles are on small keys and the " +
+        "candidate side never materializes pairs beyond its bucket.")
   )
 
   def main(args: Array[String]): Unit = {
