@@ -53,6 +53,41 @@ object TextOps {
       concat_ws(" ", slice(ws, k * stride + 1, lit(chunk))).as("chunk_text")))
   }
 
+  /** Content-defined chunking (CDC): chunk boundaries are placed where a
+    * rolling n-gram hash hits `hash % modulus == 0` — the rsync/dedup
+    * trick applied to token streams. Unlike fixed-stride chunking
+    * ([[chunkTokens]]), an edit early in a document shifts only the ONE
+    * chunk it touches: every later boundary re-synchronizes, so chunk
+    * caches, dedup fingerprints, and training-sample ids stay stable
+    * under document revisions at corpus scale.
+    *
+    * Boundary before token i (i ≥ 2) iff hash(ngram starting at i) %
+    * modulus == 0, on the cross-engine Java-hash family. Returns an array
+    * of (chunk_idx, start_tok, n_tok) structs (1-based token positions);
+    * explode to one row per chunk. Pure codegen'd array math, no shuffle
+    * — each document chunks independently. */
+  def cdcChunks(text: Column, n: Int = 3, modulus: Int = 16): Column = {
+    require(n >= 1 && modulus >= 1, s"need n >= 1 and modulus >= 1")
+    val ws = tokens(text)
+    val m = size(ws)
+    val hu = (c: Column) => graft.expr.GraftFunctions.java_string_hash(c)
+      .cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+    // candidate boundary positions 2..m-n+1 (a boundary at 1 would mint
+    // an empty chunk; a gram must fit); guard the descending-sequence
+    // trap for short docs
+    val bounds = when(m >= n + 1,
+      filter(sequence(lit(2), m - (n - 1)),
+        i => pmod(hu(concat_ws("_", slice(ws, i, lit(n)))),
+          lit(modulus.toLong)) === 0))
+      .otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(1)), bounds)
+    transform(sequence(lit(1), size(starts)), k => struct(
+      (k - 1).cast("long").as("chunk_idx"),
+      element_at(starts, k).cast("long").as("start_tok"),
+      (when(k < size(starts), element_at(starts, k + 1))
+        .otherwise(m + 1) - element_at(starts, k)).cast("long").as("n_tok")))
+  }
+
   /** TF-IDF top terms per document, in EXACT integer math: term score =
     * tf · ((scale·N) div df) — the idf factor is a truncated scaled
     * integer, so ranking is reproducible bit-for-bit in any engine (no

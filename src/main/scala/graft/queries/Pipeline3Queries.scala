@@ -117,6 +117,108 @@ object Pipeline3Queries {
         .orderBy("l_suppkey")
     }),
 
+    "inc_scd2_delta" -> ((s, dir) => {
+      // incremental SCD2: fold the post-Cut delta into the pre-Cut
+      // history; must equal a full recompute bit-for-bit (the oracle IS
+      // the full recompute)
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), col("ts_ms"), col("event_id"))
+      val hist = Scd2.history(ev.where(col("ts_ms") < Fixtures.CutMs),
+        "user_id", "event_type", "ts_ms", "event_id")
+      Scd2.applyDelta(hist, ev.where(col("ts_ms") >= Fixtures.CutMs),
+          "user_id", "event_type", "ts_ms", "event_id")
+        .orderBy("user_id", "valid_from")
+    }),
+
+    "txt_cdc" -> ((s, dir) => {
+      // content-defined chunking: boundaries where the rolling 3-gram
+      // hash ≡ 0 (mod 16) — chunk identity survives document edits
+      graft.expr.GraftFunctions.register(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.cdcChunks(col("text"))).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx"), col("c.start_tok"),
+          col("c.n_tok"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    "q21_exists_chain" -> ((s, dir) => {
+      // TPC-H Q21 shape: per supplier, orders where it shipped a returned
+      // line, at least one OTHER supplier participated (EXISTS), and no
+      // other supplier had a returned line (NOT EXISTS) — semi- then
+      // anti-join with residual inequality on the same fact table
+      val l = Tables.lineitem(s, dir)
+      val lo = l.select("l_orderkey", "l_suppkey").distinct()
+      val r = l.where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey").distinct()
+      val step1 = r.as("t").join(lo.as("o"),
+        col("t.l_orderkey") === col("o.l_orderkey") &&
+          col("t.l_suppkey") =!= col("o.l_suppkey"), "left_semi")
+      val step2 = step1.as("t").join(r.as("o2"),
+        col("t.l_orderkey") === col("o2.l_orderkey") &&
+          col("t.l_suppkey") =!= col("o2.l_suppkey"), "left_anti")
+      step2.join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+    }),
+
+    "q22_acctbal" -> ((s, dir) => {
+      // TPC-H Q22 shape: customers with no URGENT orders whose balance
+      // exceeds the mean positive balance — the mean comparison
+      // cross-multiplied to exact integers (cents·n > sum), no float
+      // division anywhere (every fixture customer has SOME order, so the
+      // anti-join side is the urgent slice)
+      val c = Tables.customer(s, dir)
+      val pos = c.where(col("c_acctbal") > 0)
+        .agg(count(lit(1)).as("n_pos"),
+          sum(Fixtures.cents("c_acctbal")).as("sum_pos"))
+      c.join(Tables.orders(s, dir)
+            .where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("c_custkey")).distinct(),
+          Seq("c_custkey"), "left_anti")
+        .crossJoin(broadcast(pos))
+        .where(Fixtures.cents("c_acctbal") * col("n_pos") > col("sum_pos"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum(Fixtures.cents("c_acctbal")).as("totacctbal_cents"))
+        .orderBy("c_nationkey")
+    }),
+
+    "agg_mode" -> ((s, dir) => {
+      // MODE() with a deterministic tie-break (max count, then smallest
+      // value) — groupBy count + one windowed argmax, no driver collect
+      val counts = Tables.orders(s, dir)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("n").desc, col("o_orderpriority").asc)
+      counts.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "asof_tolerance" -> ((s, dir) => {
+      // as-of join with a max-lookback tolerance (pandas merge_asof
+      // semantics): the latest prior click only counts within 1 hour —
+      // the latest prior is by definition the closest, so a post-filter
+      // on the matched row is exact
+      val ev = Tables.events(s, dir)
+      val j = AsOf.join(
+        left = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms"), col("event_id")),
+        right = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts_ms"), col("event_id")),
+        key = "user_id", time = "ts_ms",
+        leftId = "event_id", rightId = "event_id")
+      val ok = col("asof_time").isNotNull &&
+        (col("ts_ms") - col("asof_time")) <= 3600000L
+      j.select(col("user_id"), col("ts_ms"), col("event_id"),
+          when(ok, col("asof_id")).as("asof_id"),
+          when(ok, col("asof_time")).as("asof_time"))
+        .orderBy("user_id", "ts_ms", "event_id")
+    }),
+
     "w3_range_frame" -> ((s, dir) => {
       // value-RANGE window frame: trailing-30-day revenue per customer —
       // peers (same day) enter the frame together, unlike a ROWS frame
@@ -245,6 +347,98 @@ object Pipeline3Queries {
         |  INTERSECT ALL
         |  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "inc_scd2_delta" ->
+      // the oracle is the FULL recompute — the incremental fold must be
+      // indistinguishable from it
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+        |                  event_id FROM events),
+        |m AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev,
+        |      row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts_ms, event_id) AS rn
+        |      FROM e),
+        |c AS (SELECT user_id, event_type, ts_ms, event_id FROM m
+        |      WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, ts_ms AS valid_from,
+        |  lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |    AS valid_to,
+        |  (lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |    IS NULL) AS is_current
+        |FROM c ORDER BY user_id, valid_from""".stripMargin,
+
+    "txt_cdc" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |b AS (SELECT doc_id, len(ws) AS m,
+         |  list_prepend(CAST(1 AS BIGINT),
+         |    CASE WHEN len(ws) >= 4 THEN
+         |      list_filter(range(2, len(ws) - 1),
+         |        i -> ${huSql("ws[i] || '_' || ws[i+1] || '_' || ws[i+2]")}
+         |             % 16 = 0)
+         |    ELSE CAST([] AS BIGINT[]) END) AS starts
+         |  FROM t)
+         |SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
+         |  CAST(starts[k] AS BIGINT) AS start_tok,
+         |  CAST((CASE WHEN k < len(starts) THEN starts[k + 1]
+         |        ELSE m + 1 END) - starts[k] AS BIGINT) AS n_tok
+         |FROM b, unnest(range(1, len(starts) + 1)) AS u(k)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q21_exists_chain" ->
+      """SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |      WHERE l_returnflag = 'R') t
+        |JOIN supplier ON s_suppkey = t.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |  WHERE l2.l_orderkey = t.l_orderkey
+        |    AND l2.l_suppkey <> t.l_suppkey)
+        |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |  WHERE l3.l_orderkey = t.l_orderkey
+        |    AND l3.l_suppkey <> t.l_suppkey AND l3.l_returnflag = 'R')
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey""".stripMargin,
+
+    "q22_acctbal" ->
+      s"""WITH pos AS (
+         |  SELECT COUNT(*) AS n_pos,
+         |    CAST(SUM(${Fixtures.centsSql("c_acctbal")}) AS BIGINT) AS sum_pos
+         |  FROM customer WHERE c_acctbal > 0)
+         |SELECT c_nationkey, COUNT(*) AS numcust,
+         |  CAST(SUM(${Fixtures.centsSql("c_acctbal")}) AS BIGINT)
+         |    AS totacctbal_cents
+         |FROM customer, pos
+         |WHERE ${Fixtures.centsSql("c_acctbal")} * n_pos > sum_pos
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderpriority = '1-URGENT')
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "agg_mode" ->
+      """WITH counts AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |        ORDER BY n DESC, o_orderpriority ASC) AS rn
+        |      FROM counts)
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "asof_tolerance" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.ts_ms, p.event_id,
+        |  CASE WHEN p.ts_ms - m.asof_time <= 3600000
+        |       THEN m.asof_id END AS asof_id,
+        |  CASE WHEN p.ts_ms - m.asof_time <= 3600000
+        |       THEN m.asof_time END AS asof_time
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT c.event_id AS asof_id, c.ts_ms AS asof_time FROM c
+        |  WHERE c.user_id = p.user_id AND c.ts_ms <= p.ts_ms
+        |  ORDER BY c.ts_ms DESC, c.event_id DESC LIMIT 1) m ON true
+        |ORDER BY p.user_id, p.ts_ms, p.event_id""".stripMargin,
 
     "w3_range_frame" ->
       s"""SELECT o_custkey, o_orderkey,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{DedupText, Sampling}
+import graft.ops.{DedupText, Sampling, Scd2, TextOps}
 
 /** Round-4 operators: exact-substring spans, sketch agreement, verified
   * fuzzy dedup, deterministic negative sampling. Tiny hand-built corpora
@@ -83,6 +83,66 @@ class Pipeline3Spec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out(1L) === 1L && out(2L) === 1L) // merged, canonical = min id
     assert(out(3L) === 3L)                   // stays its own cluster
+  }
+
+  test("scd2 applyDelta equals full recompute: extend, change, new key") {
+    // key 1: run extends across the cut (same attr); key 2: attr changes
+    // at the cut; key 3: appears only in the delta
+    val feed = Seq(
+      (1L, "a", 10L, "e1"), (1L, "a", 30L, "e3"),
+      (2L, "x", 10L, "e2"), (2L, "y", 30L, "e4"),
+      (3L, "n", 35L, "e5"), (2L, "y", 40L, "e6"))
+      .toDF("k", "attr", "ts", "tie")
+    val cut = 25L
+    val hist = Scd2.history(feed.where($"ts" < cut), "k", "attr", "ts", "tie")
+    val inc = Scd2.applyDelta(hist, feed.where($"ts" >= cut),
+      "k", "attr", "ts", "tie")
+    val full = Scd2.history(feed, "k", "attr", "ts", "tie")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)), r.getBoolean(4))
+    assert(inc.collect().map(key).sortBy(_.toString).toSeq ===
+      full.collect().map(key).sortBy(_.toString).toSeq)
+    // the extended run keeps its ORIGINAL valid_from (no phantom re-open)
+    assert(inc.where($"k" === 1L).count() === 1L)
+  }
+
+  test("scd2 applyDelta raises when the delta is not strictly later") {
+    val feed = Seq((1L, "a", 10L, "e1")).toDF("k", "attr", "ts", "tie")
+    val hist = Scd2.history(feed, "k", "attr", "ts", "tie")
+    val bad = Seq((1L, "b", 10L, "e2")).toDF("k", "attr", "ts", "tie")
+    val e = intercept[Exception] {
+      Scd2.applyDelta(hist, bad, "k", "attr", "ts", "tie").count()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("cdcChunks partitions the token stream; boundaries re-sync after edits") {
+    graft.expr.GraftFunctions.register(spark)
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val edited = "CHANGED " + (2 to 60).map(i => s"tok$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> edited, 3L -> "one", 4L -> "a b c")
+    val out = d.select($"doc_id", explode(TextOps.cdcChunks($"text")).as("c"))
+      .select($"doc_id", $"c.chunk_idx", $"c.start_tok", $"c.n_tok")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1))
+    // chunks tile [1, m] exactly: contiguous, no gaps, full coverage
+    for ((id, chunks) <- out) {
+      val m = Map(1L -> 60L, 2L -> 60L, 3L -> 1L, 4L -> 3L)(id)
+      assert(chunks.head._2 === 1L)
+      assert(chunks.map(_._3).sum === m)
+      chunks.toSeq.sliding(2).foreach {
+        case Seq((_, s1, n1), (_, s2, _)) => assert(s2 === s1 + n1)
+        case _ =>
+      }
+    }
+    // only token 1 differs and grams at positions >= 2 ignore it, so the
+    // boundary sets (and thus all chunks) of docs 1 and 2 coincide — the
+    // content-defined re-sync property
+    assert(out(1L) === out(2L))
+    // short docs (< n+1 tokens) are a single chunk
+    assert(out(3L) === Seq((0L, 1L, 1L)))
+    assert(out(4L) === Seq((0L, 1L, 3L)))
   }
 
   test("negativeSamples is deterministic, self-excluding, and ≤ k per anchor") {
