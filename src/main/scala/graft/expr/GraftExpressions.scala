@@ -260,6 +260,13 @@ object GraftFunctions {
     call_function("json_merge_patch", t, p)
   def java_string_hash(c: Column): Column =
     call_function("java_string_hash", c)
+  /** Unsigned 32-bit view of [[java_string_hash]] — the engine's ONE
+    * cross-checkable hash idiom (DuckDB mirror: CASE h<0 THEN h+2^32).
+    * Every operator that hashes for sampling/bucketing/chunking must use
+    * this helper, not a local copy, so oracle parity can't drift. */
+  def java_hash_u32(c: Column): Column =
+    java_string_hash(c).cast("long")
+      .bitwiseAND(org.apache.spark.sql.functions.lit(0xFFFFFFFFL))
   def dot_ff(a: Column, b: Column): Column =
     call_function("dot_ff", a, b)
   def zorder16(x: Column, y: Column): Column =

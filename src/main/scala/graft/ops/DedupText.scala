@@ -221,13 +221,17 @@ object DedupText {
                      w: Int = 8, minWindows: Int = 1,
                      maxDf: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ws = TextOps.tokens(col(text))
-    // empty array when the doc is shorter than one window (sequence()
-    // would count down and slice() would fabricate short windows)
-    val winArr = when(size(ws) >= w,
-      transform(sequence(lit(1), size(ws) - (w - 1)),
-        i => concat_ws("_", slice(ws, i, lit(w)))))
-      .otherwise(array().cast("array<string>"))
+    // token array bound once per row (TextOps.bind): the per-position
+    // slice inside the transform must not re-split the document — that
+    // turns the window pass O(m²)
+    val winArr = TextOps.bind(TextOps.tokens(col(text))) { ws =>
+      // empty array when the doc is shorter than one window (sequence()
+      // would count down and slice() would fabricate short windows)
+      when(size(ws) >= w,
+        transform(sequence(lit(1), size(ws) - (w - 1)),
+          i => concat_ws("_", slice(ws, i, lit(w)))))
+        .otherwise(array().cast("array<string>"))
+    }
     val wins = Par.fanOut(docs, col(idCol))
       .select(col(idCol), posexplode(winArr).as(Seq("p0", "win")))
       .select(col(idCol), (col("p0") + 1).as("pos"), col("win"))
@@ -321,8 +325,7 @@ object DedupText {
     val tok = Par.fanOut(docs, col(idCol)).select(col(idCol),
       explode(TextOps.tokens(col(text))).as("w"))
     // unsigned 32-bit view of the Java hash so bit extraction is sign-free
-    val hu = graft.expr.GraftFunctions.java_string_hash(col("w"))
-      .cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+    val hu = graft.expr.GraftFunctions.java_hash_u32(col("w"))
     val votes = (0 until 32).map(b =>
       sum(when(shiftright(hu, b).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"v$b"))

@@ -24,8 +24,7 @@ object Sampling {
   /** Unsigned view of the 32-bit Java string hash of `key` — the engine's
     * cross-checkable hash family (expr/JavaStringHash). */
   private def hu(key: Column): Column =
-    graft.expr.GraftFunctions.java_string_hash(key)
-      .cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+    graft.expr.GraftFunctions.java_hash_u32(key)
 
   /** Keep rows where hash(key) mod `m` < `k` — an exact k/m-rate Bernoulli
     * sample, reproducible anywhere the hash is computable. */

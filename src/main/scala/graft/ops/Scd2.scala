@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -50,8 +50,13 @@ object Scd2 {
     *
     * Contract: every delta observation is strictly later than every
     * already-folded observation of its key (the reference's watermark
-    * overlap + keep-latest dedup delivers exactly this, SURVEY §2.9 T1);
-    * violated keys raise rather than silently corrupt closed intervals.
+    * overlap + keep-latest dedup delivers exactly this, SURVEY §2.9 T1).
+    * Pass `foldedThrough` (the fold's high watermark) for a COMPLETE
+    * guard — every delta row at or before it raises. Without it only
+    * violations at or before each open run's valid_from are detectable
+    * (run compression discards later same-attr observations), so a
+    * violation between valid_from and the true last observation passes
+    * silently and diverges from the full recompute.
     *
     * Shape: keys absent from the delta pass through untouched (anti-join
     * on the small touched-key set — broadcastable); for touched keys the
@@ -60,8 +65,25 @@ object Scd2 {
     * re-derived together with the delta rows. Work is O(delta), not
     * O(history). */
   def applyDelta(hist: DataFrame, delta: DataFrame, keyCol: String,
-                 attrCol: String, tsCol: String, tieCol: String): DataFrame = {
-    val touched = delta.select(keyCol).distinct()
+                 attrCol: String, tsCol: String, tieCol: String,
+                 foldedThrough: Option[Column] = None): DataFrame = {
+    // run compression discards repeat observations, so `hist` alone
+    // cannot witness the newest folded ts — the open run's valid_from
+    // guard below only catches violations at or before the run START.
+    // `foldedThrough` closes the gap: the caller passes the fold's high
+    // watermark (every folded observation is <= it, the state the sync
+    // runner already persists, SURVEY §2.1 S6) and every delta row must
+    // be strictly beyond it or the job fails per-row.
+    val deltaChecked = foldedThrough match {
+      case None => delta
+      case Some(wm) => delta.where(
+        when(col(tsCol) <= wm,
+          raise_error(concat(lit("applyDelta: delta at or before the " +
+            "folded watermark for key "), col(keyCol).cast("string")))
+            .cast("boolean"))
+          .otherwise(lit(true)))
+    }
+    val touched = deltaChecked.select(keyCol).distinct()
     val untouched = hist.join(touched, Seq(keyCol), "left_anti")
     val closedTouched = hist.where(!col("is_current"))
       .join(touched, Seq(keyCol), "left_semi")
@@ -76,7 +98,7 @@ object Scd2 {
     // contract guard: a delta row at or before its key's open valid_from
     // would rewrite closed intervals — fail loudly (cheap: touched keys
     // only, one small aggregation)
-    val firstDelta = delta.groupBy(keyCol).agg(min(tsCol).as("__dmin"))
+    val firstDelta = deltaChecked.groupBy(keyCol).agg(min(tsCol).as("__dmin"))
     val seed = seed0.join(firstDelta, Seq(keyCol), "left")
       .where(when(col("__dmin") <= col(tsCol),
           raise_error(concat(lit("applyDelta: delta not strictly later " +
@@ -84,7 +106,7 @@ object Scd2 {
             .cast("boolean"))
         .otherwise(lit(true)))
       .drop("__dmin")
-    val dfeed = delta.select(col(keyCol), col(attrCol), col(tsCol),
+    val dfeed = deltaChecked.select(col(keyCol), col(attrCol), col(tsCol),
       struct(lit(1).as("o"), col(tieCol).as("t")).as("__tie"))
     val re = history(seed.unionByName(dfeed), keyCol, attrCol, tsCol, "__tie")
     untouched.unionByName(closedTouched).unionByName(re)

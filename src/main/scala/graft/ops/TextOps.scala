@@ -66,26 +66,38 @@ object TextOps {
     * of (chunk_idx, start_tok, n_tok) structs (1-based token positions);
     * explode to one row per chunk. Pure codegen'd array math, no shuffle
     * — each document chunks independently. */
+  /** Let-binding for column expressions: evaluates `c` ONCE per row and
+    * passes the bound value to `body` as a lambda variable. Without it,
+    * Catalyst inlines a subexpression into every reference site — inside
+    * a higher-order function that means re-evaluating it per ARRAY
+    * ELEMENT (e.g. re-splitting a document per candidate position turns a
+    * linear scan into O(m²); measured 20× on cdcChunks at sf0.1). */
+  private[ops] def bind(c: Column)(body: Column => Column): Column =
+    element_at(transform(array(c), body), 1)
+
   def cdcChunks(text: Column, n: Int = 3, modulus: Int = 16): Column = {
     require(n >= 1 && modulus >= 1, s"need n >= 1 and modulus >= 1")
-    val ws = tokens(text)
-    val m = size(ws)
-    val hu = (c: Column) => graft.expr.GraftFunctions.java_string_hash(c)
-      .cast("long").bitwiseAND(lit(0xFFFFFFFFL))
-    // candidate boundary positions 2..m-n+1 (a boundary at 1 would mint
-    // an empty chunk; a gram must fit); guard the descending-sequence
-    // trap for short docs
-    val bounds = when(m >= n + 1,
-      filter(sequence(lit(2), m - (n - 1)),
-        i => pmod(hu(concat_ws("_", slice(ws, i, lit(n)))),
-          lit(modulus.toLong)) === 0))
-      .otherwise(array().cast("array<int>"))
-    val starts = concat(array(lit(1)), bounds)
-    transform(sequence(lit(1), size(starts)), k => struct(
-      (k - 1).cast("long").as("chunk_idx"),
-      element_at(starts, k).cast("long").as("start_tok"),
-      (when(k < size(starts), element_at(starts, k + 1))
-        .otherwise(m + 1) - element_at(starts, k)).cast("long").as("n_tok")))
+    val hu = graft.expr.GraftFunctions.java_hash_u32 _
+    bind(tokens(text)) { ws =>
+      val m = size(ws)
+      // candidate boundary positions 2..m-n+1 (a boundary at 1 would
+      // mint an empty chunk; a gram must fit); guard the
+      // descending-sequence trap for short docs
+      val bounds = when(m >= n + 1,
+        filter(sequence(lit(2), m - (n - 1)),
+          i => pmod(hu(concat_ws("_", slice(ws, i, lit(n)))),
+            lit(modulus.toLong)) === 0))
+        .otherwise(array().cast("array<int>"))
+      // starts is referenced per output chunk — bind it too, or the
+      // filter above re-runs per chunk
+      bind(concat(array(lit(1)), bounds)) { starts =>
+        transform(sequence(lit(1), size(starts)), k => struct(
+          (k - 1).cast("long").as("chunk_idx"),
+          element_at(starts, k).cast("long").as("start_tok"),
+          (when(k < size(starts), element_at(starts, k + 1))
+            .otherwise(m + 1) - element_at(starts, k)).cast("long").as("n_tok")))
+      }
+    }
   }
 
   /** TF-IDF top terms per document, in EXACT integer math: term score =

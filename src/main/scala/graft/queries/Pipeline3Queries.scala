@@ -126,7 +126,8 @@ object Pipeline3Queries {
       val hist = Scd2.history(ev.where(col("ts_ms") < Fixtures.CutMs),
         "user_id", "event_type", "ts_ms", "event_id")
       Scd2.applyDelta(hist, ev.where(col("ts_ms") >= Fixtures.CutMs),
-          "user_id", "event_type", "ts_ms", "event_id")
+          "user_id", "event_type", "ts_ms", "event_id",
+          foldedThrough = Some(lit(Fixtures.CutMs - 1)))
         .orderBy("user_id", "valid_from")
     }),
 
@@ -147,7 +148,9 @@ object Pipeline3Queries {
       // other supplier had a returned line (NOT EXISTS) — semi- then
       // anti-join with residual inequality on the same fact table
       val l = Tables.lineitem(s, dir)
-      val lo = l.select("l_orderkey", "l_suppkey").distinct()
+      // no distinct on the semi/anti probe sides — the (semi|anti) hash
+      // build deduplicates implicitly, a pre-distinct is a wasted shuffle
+      val lo = l.select("l_orderkey", "l_suppkey")
       val r = l.where(col("l_returnflag") === "R")
         .select("l_orderkey", "l_suppkey").distinct()
       val step1 = r.as("t").join(lo.as("o"),
@@ -174,7 +177,7 @@ object Pipeline3Queries {
           sum(Fixtures.cents("c_acctbal")).as("sum_pos"))
       c.join(Tables.orders(s, dir)
             .where(col("o_orderpriority") === "1-URGENT")
-            .select(col("o_custkey").as("c_custkey")).distinct(),
+            .select(col("o_custkey").as("c_custkey")),
           Seq("c_custkey"), "left_anti")
         .crossJoin(broadcast(pos))
         .where(Fixtures.cents("c_acctbal") * col("n_pos") > col("sum_pos"))

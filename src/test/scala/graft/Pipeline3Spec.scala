@@ -117,6 +117,31 @@ class Pipeline3Spec extends SparkSuite {
     assert(e.getMessage != null)
   }
 
+  test("scd2 applyDelta watermark guard catches compressed-away violations") {
+    // (k,a,10),(k,a,20) compress to one run at valid_from=10 — a delta at
+    // ts=15 is invisible to the open-run guard but violates the contract;
+    // the foldedThrough watermark catches it
+    val feed = Seq((1L, "a", 10L, "e1"), (1L, "a", 20L, "e2"))
+      .toDF("k", "attr", "ts", "tie")
+    val hist = Scd2.history(feed, "k", "attr", "ts", "tie")
+    val bad = Seq((1L, "b", 15L, "e3")).toDF("k", "attr", "ts", "tie")
+    // without the watermark: passes silently (documented limitation)
+    assert(Scd2.applyDelta(hist, bad, "k", "attr", "ts", "tie").count() === 2L)
+    // with it: raises
+    val e = intercept[Exception] {
+      Scd2.applyDelta(hist, bad, "k", "attr", "ts", "tie",
+        foldedThrough = Some(lit(20L))).count()
+    }
+    assert(e.getMessage != null)
+    // and a legitimate delta beyond the watermark still folds exactly
+    val good = Seq((1L, "b", 25L, "e3")).toDF("k", "attr", "ts", "tie")
+    val inc = Scd2.applyDelta(hist, good, "k", "attr", "ts", "tie",
+      foldedThrough = Some(lit(20L)))
+    val full = Scd2.history(feed.unionByName(good), "k", "attr", "ts", "tie")
+    assert(inc.collect().map(_.toString).sorted.toSeq ===
+      full.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("cdcChunks partitions the token stream; boundaries re-sync after edits") {
     graft.expr.GraftFunctions.register(spark)
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
