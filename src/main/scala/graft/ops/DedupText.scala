@@ -339,8 +339,15 @@ object DedupText {
   /** SimHash: 64-bit sign-aggregated token-hash fingerprint; near-dups
     * have small Hamming distance. Pure column expressions (per bit b:
     * vote = Σ ±1 over token-hash bit b; result bit b = vote > 0). */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextOps.tokens(text), w => xxhash64(w))
+  def simhash(text: Column): Column =
+    // hash array bound once (TextOps.bind): the 64-bit fold below reads
+    // it once per BIT — inlined, the corpus would re-tokenize and re-hash
+    // every document 64 times
+    TextOps.bind(transform(TextOps.tokens(text), w => xxhash64(w))) { hashes =>
+      simhashFold(hashes)
+    }
+
+  private def simhashFold(hashes: Column): Column = {
     aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) => {
       val vote = aggregate(hashes, lit(0L), (a2, h) =>
         a2 + when(call_function("bit_get", h, b) === 1, lit(1L))

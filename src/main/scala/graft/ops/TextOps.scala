@@ -38,19 +38,20 @@ object TextOps {
     require(chunk > 0 && overlap >= 0 && overlap < chunk,
       s"need 0 <= overlap < chunk, got chunk=$chunk overlap=$overlap")
     val stride = chunk - overlap
-    val ws = tokens(text)
-    val t = size(ws)
-    // ceil-div in exact integer column math: (x + d - 1) - mod trick plus
-    // integral `div` (Column./ routes through doubles — exact only below
-    // 2^53; same rationale as RangeBin.fdiv)
-    val x = t - lit(chunk) + lit(stride - 1)
-    val nExtra = call_function("div", x - pmod(x, lit(stride)), lit(stride))
-    val n = when(t <= chunk, lit(1))
-      .otherwise(lit(1) + nExtra.cast("int"))
-    transform(sequence(lit(0), n - 1), k => struct(
-      k.cast("long").as("idx"),
-      size(slice(ws, k * stride + 1, lit(chunk))).cast("long").as("n_tok"),
-      concat_ws(" ", slice(ws, k * stride + 1, lit(chunk))).as("chunk_text")))
+    bind(tokens(text)) { ws => // bound once: chunks slice it repeatedly
+      val t = size(ws)
+      // ceil-div in exact integer column math: (x + d - 1) - mod trick
+      // plus integral `div` (Column./ routes through doubles — exact only
+      // below 2^53; same rationale as RangeBin.fdiv)
+      val x = t - lit(chunk) + lit(stride - 1)
+      val nExtra = call_function("div", x - pmod(x, lit(stride)), lit(stride))
+      val n = when(t <= chunk, lit(1))
+        .otherwise(lit(1) + nExtra.cast("int"))
+      transform(sequence(lit(0), n - 1), k => struct(
+        k.cast("long").as("idx"),
+        size(slice(ws, k * stride + 1, lit(chunk))).cast("long").as("n_tok"),
+        concat_ws(" ", slice(ws, k * stride + 1, lit(chunk))).as("chunk_text")))
+    }
   }
 
   /** Content-defined chunking (CDC): chunk boundaries are placed where a
@@ -132,14 +133,16 @@ object TextOps {
   /** n-gram word shingles (distinct), the dedup/similarity unit.
     * transform over an index range keeps it codegen-friendly. Guarded for
     * docs shorter than n (sequence() would flip descending). */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = tokens(text)
-    when(size(ws) >= n,
-      array_distinct(
-        transform(sequence(lit(1), size(ws) - (n - 1)),
-          i => concat_ws("_", slice(ws, i, lit(n))))))
-      .otherwise(array_distinct(array(concat_ws(" ", ws))))
-  }
+  def shingles(text: Column, n: Int): Column =
+    // token array bound once ([[bind]]): the per-position slice must not
+    // re-split the document per shingle — O(m²) otherwise
+    bind(tokens(text)) { ws =>
+      when(size(ws) >= n,
+        array_distinct(
+          transform(sequence(lit(1), size(ws) - (n - 1)),
+            i => concat_ws("_", slice(ws, i, lit(n))))))
+        .otherwise(array_distinct(array(concat_ws(" ", ws))))
+    }
 
   /** Language-ID scores: count of tokens present in a per-language marker
     * dictionary (n-gram-free heuristic; deterministic). Returns the label
@@ -200,10 +203,13 @@ object TextOps {
     val nW = size(ws).cast("long")
     val sumLen = aggregate(ws, lit(0L), (a, w) => a + length(w))
     val nStop = langScore(t, "en").cast("long")
-    val bigrams = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws("_", element_at(ws, i), element_at(ws, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    // bound once ([[bind]]): per-position element_at must not re-split
+    val bigrams = bind(ws) { w =>
+      when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat_ws("_", element_at(w, i), element_at(w, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    }
     val nBi = size(bigrams).cast("long")
     val nDup = nBi - size(array_distinct(bigrams)).cast("long")
     df.withColumn("n_words", nW)
