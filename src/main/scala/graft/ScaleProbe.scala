@@ -17,6 +17,7 @@ object ScaleProbe {
     if (args.headOption.contains("minhash")) { minhashProbe(args); return }
     if (args.headOption.contains("cc")) { ccProbe(args); return }
     if (args.headOption.contains("skew")) { skewProbe(args); return }
+    if (args.headOption.contains("longdoc")) { longdocProbe(args); return }
     val targetRows = args.headOption.map(_.toLong).getOrElse(20000000L)
     val deltaRows = args.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -90,6 +91,51 @@ object ScaleProbe {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"minhash docs=$nDocs%d candidate_pairs=$pairs%d " +
       f"wall=${secs}%.1fs throughput=${nDocs / secs}%.0f docs/s")
+    spark.stop()
+  }
+
+  /** Long-document regression pin for the higher-order text operators:
+    * the sf fixtures average ~10² tokens/doc, far too short to expose an
+    * accidental O(m²) (a subexpression inlined into a lambda re-evaluates
+    * per array element — the bug class TextOps.bind exists to prevent).
+    * This probe runs CDC chunking + shingle extraction over documents of
+    * `tokens` length; doubling --tokens should ~double wall time, not 4×.
+    *
+    *   sbt "runMain graft.ScaleProbe longdoc 20000 4000"  # docs, tokens
+    */
+  private def longdocProbe(args: Array[String]): Unit = {
+    val nDocs = args.drop(1).headOption.map(_.toLong).getOrElse(20000L)
+    val nTok = args.drop(2).headOption.map(_.toInt).getOrElse(4000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.expr.GraftFunctions.register(spark)
+    // per-doc-distinct words so shingle/chunk work can't collapse
+    val docs = spark.range(nDocs).repartition(cpus.toInt)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(nTok)),
+          i => concat(lit("w"), pmod(col("id") * 31 + i * 7, lit(9973)))))
+          .as("text"))
+      .localCheckpoint() // charge synthesis once, not per measured op
+    def time(tag: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"$tag%-12s rows=$n%d wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    time("cdc_chunks") {
+      docs.select(explode(graft.ops.TextOps.cdcChunks(col("text")))).count()
+    }
+    time("shingles") {
+      docs.select(explode(graft.ops.TextOps.shingles(col("text"), 3))).count()
+    }
+    time("chunk_fixed") {
+      docs.select(explode(
+        graft.ops.TextOps.chunkTokens(col("text"), 512, 64))).count()
+    }
     spark.stop()
   }
 

@@ -75,6 +75,71 @@ case class JavaStringHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "java_string_hash"
 }
 
+/** UDTF surface (SURVEY §2.10): sliding token windows as a native
+  * Generator — `explode_windows(tokens, w)` emits one (pos, win) row per
+  * window of `w` consecutive elements joined by '_', pos 1-based.
+  *
+  * Row-identical to the higher-order formulation
+  * `posexplode(transform(sequence(1, m-w+1), i => concat_ws("_",
+  * slice(ws, i, w))))` (parity spec-pinned), but it never materializes
+  * the O(m·w)-char window ARRAY per row — windows stream out of the
+  * generator one at a time, so peak memory for a million-token document
+  * is one window, not the document times the window width. That array is
+  * exactly what a 100 TB corpus with long documents cannot afford per
+  * row. CodegenFallback: GenerateExec drives generators through eval;
+  * the per-window cost is the UTF8String concat either way. */
+case class ExplodeWindows(child: Expression, width: Expression)
+    extends Generator with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child, width)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("win", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if width.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"explode_windows needs (array<string>, int), got " +
+        s"(${child.dataType.catalogString}, ${width.dataType.catalogString})")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+  : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val arr = child.eval(input)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val wv = width.eval(input)
+    if (arr == null || wv == null) return Nil
+    val w = wv.asInstanceOf[Int]
+    require(w >= 1, s"explode_windows: width must be >= 1, got $w")
+    val m = arr.numElements()
+    if (m < w) return Nil
+    val sep = UTF8String.fromString("_")
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private var i = 0
+      override def hasNext: Boolean = i <= m - w
+      override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        // concatWs skips nulls — same semantics as the concat_ws builtin
+        val parts = new Array[UTF8String](w)
+        var j = 0
+        while (j < w) {
+          parts(j) =
+            if (arr.isNullAt(i + j)) null
+            else arr.getUTF8String(i + j)
+          j += 1
+        }
+        i += 1
+        new GenericInternalRow(Array[Any](i, UTF8String.concatWs(sep, parts: _*)))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ExplodeWindows =
+    copy(child = newChildren(0), width = newChildren(1))
+  override def prettyName: String = "explode_windows"
+}
+
 /** Codegen'd float-vector dot product accumulating in double, strictly
   * left to right — BIT-IDENTICAL to the higher-order
   * `aggregate(zip_with(a, b, (x,y) => x.cast(double) * y.cast(double)))`
@@ -245,7 +310,8 @@ object GraftFunctions {
       new org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(new XxHash64(Seq(es.head)), es(1))),
     "might_contain" -> (es =>
-      BloomFilterMightContain(es.head, new XxHash64(Seq(es(1))))))
+      BloomFilterMightContain(es.head, new XxHash64(Seq(es(1))))),
+    "explode_windows" -> (es => ExplodeWindows(es.head, es(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -275,6 +341,8 @@ object GraftFunctions {
     call_function("bloom_agg", key, expectedItems)
   def might_contain(bloom: Column, key: Column): Column =
     call_function("might_contain", bloom, key)
+  def explode_windows(arr: Column, width: Column): Column =
+    call_function("explode_windows", arr, width)
 }
 
 /** Session-extension registration for deployments that configure

@@ -221,20 +221,14 @@ object DedupText {
                      w: Int = 8, minWindows: Int = 1,
                      maxDf: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // token array bound once per row (TextOps.bind): the per-position
-    // slice inside the transform must not re-split the document — that
-    // turns the window pass O(m²)
-    val winArr = TextOps.bind(TextOps.tokens(col(text))) { ws =>
-      // empty array when the doc is shorter than one window (sequence()
-      // would count down and slice() would fabricate short windows)
-      when(size(ws) >= w,
-        transform(sequence(lit(1), size(ws) - (w - 1)),
-          i => concat_ws("_", slice(ws, i, lit(w)))))
-        .otherwise(array().cast("array<string>"))
-    }
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    // native Generator (expr/ExplodeWindows): windows stream out one at
+    // a time — the higher-order transform+posexplode form materializes
+    // the O(m·w)-char window array per document first, which a
+    // long-document corpus cannot afford
     val wins = Par.fanOut(docs, col(idCol))
-      .select(col(idCol), posexplode(winArr).as(Seq("p0", "win")))
-      .select(col(idCol), (col("p0") + 1).as("pos"), col("win"))
+      .select(col(idCol), graft.expr.GraftFunctions.explode_windows(
+        TextOps.tokens(col(text)), lit(w)))
       .localCheckpoint() // reused 3×: df count, both join sides
     // df = 1 windows (the dominant mass of a real corpus — unique text)
     // can only pair a doc with itself, which a_id < b_id discards: keep

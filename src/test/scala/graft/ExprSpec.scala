@@ -86,6 +86,31 @@ class ExprSpec extends SparkSuite {
     assert(r.getDouble(3) === 0.0)
   }
 
+  test("explode_windows matches the transform+posexplode formulation") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // normal doc, doc of exactly w tokens, shorter-than-w doc, empty
+    // string (tokenizes to [""] → no 4-window), null text
+    val df = Seq((1L, Option("a b c d e f")), (2L, Option("a b c d")),
+        (3L, Option("a b")), (4L, Option("")), (5L, Option.empty[String]))
+      .toDF("id", "text")
+    val ws = split(col("text"), " ")
+    val gen = df.select(col("id"),
+        GraftFunctions.explode_windows(ws, lit(4)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    val hof = df.select(col("id"), posexplode(
+        when(size(ws) >= 4, transform(sequence(lit(1), size(ws) - 3),
+          i => concat_ws("_", slice(ws, i, lit(4)))))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("id"), (col("pos") + 1).cast("int").as("pos"), col("col"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(gen.sorted === hof.sorted)
+    assert(gen.count(_._1 == 1L) === 3) // 6 tokens → windows at 1, 2, 3
+    assert(gen.filter(_._1 == 2L) === Seq((2L, 1, "a_b_c_d")))
+    assert(!gen.exists(t => t._1 >= 3L)) // short/empty/null → no rows
+  }
+
   test("dot_ff rejects non-float arrays at analysis time") {
     GraftFunctions.register(spark)
     // getFloat reads 4 of 8 bytes on a double array — must be an analysis
