@@ -26,7 +26,8 @@ object SparkEntry {
     SyncQueries.queries ++ RelationalQueries.queries ++
       WindowQueries.queries ++ PipelineQueries.queries ++
       ExtraQueries.queries ++ Relational2Queries.queries ++
-      Pipeline2Queries.queries ++ Pipeline3Queries.queries
+      Pipeline2Queries.queries ++ Pipeline3Queries.queries ++
+      Pipeline4Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
     SyncQueries.oracles ++ RelationalQueries.oracles ++
       WindowQueries.oracles ++ PipelineQueries.oracles ++
       ExtraQueries.oracles ++ Relational2Queries.oracles ++
-      Pipeline2Queries.oracles ++ Pipeline3Queries.oracles
+      Pipeline2Queries.oracles ++ Pipeline3Queries.oracles ++
+      Pipeline4Queries.oracles
 }

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Frequent-item (heavy-hitter) detection at corpus scale.
+  *
+  * The reference materializes every resource row and lets postgres GROUP BY
+  * handle frequency questions (`/root/reference/src/lib/client.js:1139`
+  * style count queries). A full `groupBy(term)` over a 100 TB token stream
+  * shuffles every token once — the shuffle IS the job. Misra-Gries summaries
+  * cut that: each input partition keeps at most `k-1` counters (one pass,
+  * no shuffle), the tiny per-partition candidate sets union together, and a
+  * second pass re-counts ONLY rows matching a candidate (broadcast hash
+  * semi-join, so the shuffle carries just the heavy keys).
+  *
+  * Exactness: an item with global count > n/k must exceed the local n_p/k
+  * threshold in at least one partition (pigeonhole), so it survives that
+  * partition's Misra-Gries summary. The union of partition candidates is
+  * therefore a SUPERSET of the true heavy hitters; the exact re-count then
+  * filters it down with no false positives OR negatives. The final answer
+  * is deterministic and partition-layout-independent even though the
+  * intermediate candidate sets are not.
+  */
+object Freq {
+
+  /** Per-partition Misra-Gries candidate keys for capacity `k` (at most
+    * k-1 distinct keys per partition survive). Driver-visible size is
+    * O(partitions × k), independent of data volume.
+    */
+  private[graft] def mgCandidates(terms: DataFrame, term: String, k: Int): DataFrame = {
+    require(k >= 2, s"capacity k=$k must be >= 2")
+    val spark = terms.sparkSession
+    import spark.implicits._
+    val cand = terms.select(col(term).cast("string")).as[String]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          if (t != null) {
+            if (counters.contains(t)) counters(t) += 1L
+            else if (counters.size < k - 1) counters(t) = 1L
+            else {
+              // decrement-all step; drop zeroed counters
+              val dead = List.newBuilder[String]
+              counters.keysIterator.foreach { key =>
+                val v = counters(key) - 1L
+                if (v == 0L) dead += key else counters(key) = v
+              }
+              dead.result().foreach(counters.remove)
+            }
+          }
+        }
+        counters.keysIterator.toList.iterator
+      }
+    cand.toDF(term).distinct()
+  }
+
+  /** Exact heavy hitters: every `term` with COUNT(*) * k > n (strictly more
+    * than n/k occurrences), with its exact count. Two passes over the data,
+    * zero full-width shuffles: pass 1 builds Misra-Gries candidates per
+    * partition; pass 2 re-counts rows that match the broadcast candidate
+    * set. Output: (term, cnt) — equivalent to
+    * `GROUP BY term HAVING count(*) * k > (SELECT count(*) FROM t)`.
+    */
+  def heavyHitters(terms: DataFrame, term: String, k: Int): DataFrame = {
+    val n = terms.where(col(term).isNotNull).count()
+    val cand = mgCandidates(terms, term, k)
+    terms.join(broadcast(cand), Seq(term), "left_semi")
+      .groupBy(term).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * k > n)
+  }
+}

@@ -52,4 +52,42 @@ object RangeBin {
       .where(col(ptCol) >= col(sCol) && col(ptCol) < col(eCol))
       .drop("__bin")
   }
+
+  /** Interval×interval OVERLAP join (`aS < bE AND bS < aE`, both half-open
+    * [s, e)) as a bin equi-join. Unlike [[pointInterval]], BOTH sides
+    * explode to their covered bins, so a pair overlapping k shared bins
+    * would surface k times; instead of a dedup shuffle, keep each pair only
+    * in the FIRST bin both cover — `max(aBin₀, bBin₀)` — a pure residual
+    * predicate on columns already present. Two intervals that overlap share
+    * the bin containing the overlap start, so exactly one copy survives.
+    *
+    * Scale: shuffle volume is rows × ⌈len/width⌉ per side; pick `binWidth`
+    * near the typical SHORTER side's length. Degenerate inputs (e ≤ s)
+    * match nothing.
+    */
+  def intervalOverlap(a: DataFrame, aS: String, aE: String,
+                      b: DataFrame, bS: String, bE: String,
+                      equiKeys: Seq[String], binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val reserved = Set("__bin", "__a_bin0", "__b_bin0")
+    require((a.columns.toSet ++ b.columns.toSet).intersect(reserved).isEmpty,
+      "inputs must not carry __bin/__a_bin0/__b_bin0 columns")
+    val overlap = (a.columns.toSet & b.columns.toSet) -- equiKeys.toSet
+    require(overlap.isEmpty,
+      s"a/b share non-key columns: ${overlap.mkString(", ")}")
+    def fdiv(c: Column): Column =
+      call_function("div", c - pmod(c, lit(binWidth)), lit(binWidth))
+    def binned(df: DataFrame, s: String, e: String, first: String) = df
+      .withColumn(first, fdiv(col(s)))
+      .withColumn("__bin",
+        explode(when(col(e) > col(s),
+          sequence(fdiv(col(s)), fdiv(col(e) - 1)))
+          .otherwise(array().cast("array<long>"))))
+    val ab = binned(a, aS, aE, "__a_bin0")
+    val bb = binned(b, bS, bE, "__b_bin0")
+    ab.join(bb, equiKeys :+ "__bin")
+      .where(col(aS) < col(bE) && col(bS) < col(aE) &&
+        col("__bin") === greatest(col("__a_bin0"), col("__b_bin0")))
+      .drop("__bin", "__a_bin0", "__b_bin0")
+  }
 }

@@ -136,4 +136,28 @@ object Sampling {
         .otherwise(pmod(hu(key), col("__mix_m")) < col("__mix_k")))
       .drop("__mix_k", "__mix_m")
   }
+
+  /** Deterministic global shuffle into `nShards` training shards: shard =
+    * hash(salt ‖ key) mod n, position within the shard by ascending
+    * (hash, key) — a reproducible permutation computable on any engine,
+    * with no global sort and no driver-side index. Adds `shard` (long) and
+    * `pos` (1-based long within shard). Changing `salt` reshuffles.
+    *
+    * Scale: one shuffle, partitioned BY SHARD — exactly the layout the
+    * subsequent shard writer wants, so the sort amortizes into the write.
+    * The within-shard window is the only ordered region; shards are
+    * balanced by the hash, so no straggler partitions.
+    */
+  def shuffleShards(df: DataFrame, key: Column, salt: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards $nShards must be positive")
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    val h = hu(concat(lit(salt), key.cast("string")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+      .orderBy(col("__h").asc, key.asc)
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

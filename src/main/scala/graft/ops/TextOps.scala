@@ -13,6 +13,18 @@ object TextOps {
     * separated; for messier corpora swap the pattern for `\\s+`. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Adjacent word pairs joined with '_' (the repetition/index unit).
+    * Token array bound once ([[bind]]): per-position element_at must not
+    * re-split the document. Docs under 2 tokens yield an empty array (the
+    * descending-sequence guard). */
+  def bigrams(text: Column): Column =
+    bind(tokens(text)) { w =>
+      when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat_ws("_", element_at(w, i), element_at(w, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count estimate: words + extra tokens for long words
@@ -203,13 +215,7 @@ object TextOps {
     val nW = size(ws).cast("long")
     val sumLen = aggregate(ws, lit(0L), (a, w) => a + length(w))
     val nStop = langScore(t, "en").cast("long")
-    // bound once ([[bind]]): per-position element_at must not re-split
-    val bigrams = bind(ws) { w =>
-      when(size(w) >= 2,
-        transform(sequence(lit(1), size(w) - 1),
-          i => concat_ws("_", element_at(w, i), element_at(w, i + 1))))
-        .otherwise(array().cast("array<string>"))
-    }
+    val bigrams = TextOps.bigrams(t)
     val nBi = size(bigrams).cast("long")
     val nDup = nBi - size(array_distinct(bigrams)).cast("long")
     df.withColumn("n_words", nW)

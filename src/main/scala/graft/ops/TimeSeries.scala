@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap handling for event streams: forward-fill of missing observations and
+  * regularization onto a fixed-step grid ("resample"). The reference keeps
+  * every observed row and leaves gap semantics to consumers
+  * (`/root/reference/src/lib/client.js:1545` stores raw modified
+  * timestamps); a training pipeline needs the regular grid.
+  *
+  * Both operators are single-shuffle: one window partitioned by the series
+  * key. The spine explode is narrow (no shuffle) and its fan-out is bounded
+  * by the series' day span, not by data volume.
+  */
+object TimeSeries {
+
+  /** Replace nulls in `value` with the latest preceding non-null within the
+    * key's order. Leading nulls stay null. Deterministic iff `order` is a
+    * total order per key.
+    */
+  def fillForward(df: DataFrame, keys: Seq[String], order: Seq[Column],
+      value: String, out: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(out, last(col(value), ignoreNulls = true).over(w))
+  }
+
+  /** Regularize per-key events onto a contiguous integer grid (one row per
+    * `key` × step in [min(step), max(step)]), carrying the value of the
+    * LAST event at or before that step (ties broken by `tieCol` descending
+    * — pass a unique id). Steps with no event get the previous step's
+    * carried value. Output: keys :+ (stepOut, out, n_obs) where n_obs
+    * counts that step's own events (0 for filled rows).
+    *
+    * `step` must be an integral column (e.g. `ts_ms div 86400000` for
+    * days). The grid explode happens AFTER the per-(key, step) aggregate,
+    * so its input is already small.
+    */
+  def resampleSteps(df: DataFrame, keys: Seq[String], step: Column,
+      tieCol: Column, value: String, stepOut: String, out: String): DataFrame = {
+    val k = keys.map(col)
+    val perStep = df
+      .withColumn("__step", step)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy((k :+ col("__step")): _*).orderBy(tieCol.desc)))
+      .groupBy((k :+ col("__step")): _*)
+      .agg(max(when(col("__rn") === 1, col(value))).as("__v"),
+        count(lit(1)).as("n_obs"))
+    // per-key spine over the observed step range; left-join puts observed
+    // steps back, then forward-fill carries values across the gaps
+    val spine = perStep.groupBy(k: _*)
+      .agg(min(col("__step")).as("__lo"), max(col("__step")).as("__hi"))
+      .withColumn("__step", explode(sequence(col("__lo"), col("__hi"))))
+      .drop("__lo", "__hi")
+    val joined = spine.join(perStep, keys :+ "__step", "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+    fillForward(joined, keys, Seq(col("__step")), "__v", out)
+      .withColumnRenamed("__step", stepOut)
+      .drop("__v")
+  }
+}

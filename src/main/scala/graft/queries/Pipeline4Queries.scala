@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.ops._
+import Fixtures.Q
+
+/** Round-4 batch 2: corpus-frequency heavy hitters (Misra-Gries, exact by
+  * recount), sequence packing (concat-and-chunk and greedy no-split),
+  * deterministic training-shard shuffle, forward-fill / grid resample for
+  * event streams, interval-overlap join, equi-depth histograms, and an
+  * inverted index. Everything is integer math or pass-through selection of
+  * parquet values, so every query hash-matches its DuckDB oracle.
+  */
+object Pipeline4Queries {
+
+  import PipelineQueries.javaHashSql
+
+  /** Unsigned 32-bit Java hash in DuckDB (mirrors Sampling.hu). */
+  private def huSql(c: String): String =
+    s"""(CASE WHEN ${javaHashSql(c)} < 0
+       | THEN ${javaHashSql(c)} + 4294967296
+       | ELSE ${javaHashSql(c)} END)""".stripMargin
+
+  /** documents with an exact whitespace token count (long). */
+  private def docsWithLen(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir).select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+
+  private val docsWithLenSql =
+    """SELECT source, doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |FROM documents""".stripMargin
+
+  /** per-doc distinct bigrams (token array let-bound in TextOps.bigrams). */
+  private def bigramTok(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.bigrams(col("text")))).as("w"))
+
+  private val bigramTokSql =
+    """SELECT DISTINCT doc_id, unnest(
+      |    list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || '_' ||
+      |           string_split(text, ' ')[i + 1])) AS w
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+
+    "agg_heavy_hitters" -> ((s, dir) => {
+      // exact heavy hitters without a full-vocabulary shuffle: per-partition
+      // Misra-Gries candidates (superset guarantee) → broadcast semi-join →
+      // exact recount of candidates only. Result ≡ GROUP BY + HAVING.
+      val tok = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+      Freq.heavyHitters(tok, "w", k = 100).orderBy("w")
+    }),
+
+    "samp_pack_chunks" -> ((s, dir) => {
+      // concat-and-chunk sequence packing: documents laid end to end per
+      // source, cut every 512 tokens; straddling docs contribute one piece
+      // per bin. Closed-form window math — fully parallel at any scale.
+      Packing.packChunks(docsWithLen(s, dir), "source", "doc_id",
+          "n_tokens", budget = 512L)
+        .orderBy("source", "doc_id", "bin")
+    }),
+
+    "samp_pack_greedy" -> ((s, dir) => {
+      // no-split first-fit packing in doc order: one shuffle on source,
+      // then a sorted streaming pass with O(1) state per partition
+      Packing.greedyPack(docsWithLen(s, dir), "source", "doc_id",
+          "n_tokens", budget = 512L)
+        .orderBy("source", "doc_id")
+    }),
+
+    "samp_shuffle_shards" -> ((s, dir) => {
+      // deterministic global shuffle into 8 training shards: shard and
+      // in-shard position both derive from the salted hash — reproducible
+      // on any engine, no global sort, no driver-side index
+      Sampling.shuffleShards(Tables.orders(s, dir).select("o_orderkey"),
+          col("o_orderkey"), salt = "r4", nShards = 8)
+        .select("o_orderkey", "shard", "pos")
+        .orderBy("shard", "pos")
+    }),
+
+    "w4_fill_forward" -> ((s, dir) => {
+      // forward-fill nulls from the latest preceding observation per user
+      // (every 5th event's value is masked to create the gaps; leading
+      // nulls stay null). Pure pass-through of parquet doubles — bit-exact.
+      val e = Tables.events(s, dir)
+        .withColumn("v", when(col("event_id") % 5 === 0, lit(null))
+          .otherwise(col("value")))
+      TimeSeries.fillForward(e, Seq("user_id"),
+          Seq(col("ts_ms").asc, col("event_id").asc), "v", "v_filled")
+        .select("user_id", "event_id", "ts_ms", "v", "v_filled")
+        .orderBy("user_id", "ts_ms", "event_id")
+    }),
+
+    "ts_resample" -> ((s, dir) => {
+      // regularize each user's stream onto a daily grid over their observed
+      // span, carrying the last value at/before each day; n_obs counts the
+      // day's own events (0 on filled days)
+      val e = Tables.events(s, dir)
+      TimeSeries.resampleSteps(e, Seq("user_id"),
+          expr("ts_ms div 86400000"), struct(col("ts_ms"), col("event_id")),
+          "value", stepOut = "day", out = "v_last")
+        .select("user_id", "day", "v_last", "n_obs")
+        .orderBy("user_id", "day")
+    }),
+
+    "range_overlap_join" -> ((s, dir) => {
+      // interval×interval overlap join via shared-bin equi-join (6h bins),
+      // deduped by the first-shared-bin predicate — no dedup shuffle.
+      // A = per-(user, day) activity spans, B = per-(type, week) spans.
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ms"),
+          expr("ts_ms div 86400000").as("day"),
+          expr("ts_ms div 604800000").as("week"))
+      val a = e.groupBy("user_id", "day").agg(
+        min("ts_ms").as("a_s"), (max("ts_ms") + 1).as("a_e"))
+        .withColumnRenamed("day", "a_day")
+      val b = e.groupBy("event_type", "week").agg(
+        min("ts_ms").as("b_s"), (max("ts_ms") + 1).as("b_e"))
+        .withColumnRenamed("week", "b_week")
+      RangeBin.intervalOverlap(a, "a_s", "a_e", b, "b_s", "b_e",
+          equiKeys = Nil, binWidth = 21600000L)
+        .select(col("user_id"), col("a_day"), col("event_type"),
+          col("b_week"),
+          (least(col("a_e"), col("b_e")) -
+            greatest(col("a_s"), col("b_s"))).as("overlap_ms"))
+        .orderBy("user_id", "a_day", "event_type", "b_week")
+    }),
+
+    "agg_equidepth" -> ((s, dir) => {
+      // equi-depth histogram: NTILE(8) per returnflag over a total order
+      // (price, orderkey, linenumber), then per-bucket count/min/max.
+      // min/max are selections of parquet doubles — no FP arithmetic.
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .withColumn("bucket", ntile(8).over(w).cast("long"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(count(lit(1)).as("cnt"),
+          min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+        .orderBy("l_returnflag", "bucket")
+    }),
+
+    "txt_inverted" -> ((s, dir) => {
+      // inverted index over document bigrams: term → sorted posting list.
+      // The df band is decided BEFORE postings are assembled (count-agg →
+      // filter → broadcast semi-join back): head terms' posting lists —
+      // the ones that would dominate memory at corpus scale — are never
+      // materialized, only counted.
+      val tok = bigramTok(s, dir)
+      val band = tok.groupBy("w").agg(count(lit(1)).as("df"))
+        .where(col("df").between(9, 12))
+      tok.join(broadcast(band), "w")
+        .groupBy("w", "df")
+        .agg(array_join(transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("postings"))
+        .orderBy("w")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "agg_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents)
+        |SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w
+        |HAVING COUNT(*) * 100 > (SELECT COUNT(*) FROM tok)
+        |ORDER BY w""".stripMargin,
+
+    "samp_pack_chunks" ->
+      s"""WITH d AS ($docsWithLenSql),
+         |c AS (SELECT source, doc_id, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS aft
+         |  FROM d),
+         |e AS (SELECT *, aft - n_tokens AS bef FROM c WHERE n_tokens >= 1),
+         |x AS (SELECT source, doc_id, n_tokens, bef, aft,
+         |  unnest(range(bef // 512, (aft - 1) // 512 + 1)) AS bin FROM e)
+         |SELECT source, doc_id, n_tokens, bin,
+         |  GREATEST(bef, bin * 512) - bef AS piece_start,
+         |  LEAST(aft, bin * 512 + 512) - GREATEST(bef, bin * 512) AS piece_len,
+         |  GREATEST(bef, bin * 512) - bin * 512 AS bin_offset
+         |FROM x ORDER BY source, doc_id, bin""".stripMargin,
+
+    "samp_pack_greedy" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT source, doc_id, n_tokens,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM ($docsWithLenSql)),
+         |r AS (
+         |  SELECT source, doc_id, n_tokens, rn,
+         |    CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+         |    CASE WHEN r.fill + d.n_tokens > 512 THEN r.bin + 1
+         |         ELSE r.bin END,
+         |    CASE WHEN r.fill + d.n_tokens > 512 THEN d.n_tokens
+         |         ELSE r.fill + d.n_tokens END
+         |  FROM r JOIN d ON d.source = r.source AND d.rn = r.rn + 1)
+         |SELECT source, doc_id, n_tokens, bin FROM r
+         |ORDER BY source, doc_id""".stripMargin,
+
+    "samp_shuffle_shards" -> {
+      val hu = huSql("'r4' || CAST(o_orderkey AS VARCHAR)")
+      s"""WITH h AS (SELECT o_orderkey, $hu AS hu FROM orders)
+         |SELECT o_orderkey, hu % 8 AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY hu % 8
+         |    ORDER BY hu ASC, o_orderkey ASC) AS BIGINT) AS pos
+         |FROM h ORDER BY shard, pos""".stripMargin
+    },
+
+    "w4_fill_forward" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT user_id, event_id, ts_ms, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM e ORDER BY user_id, ts_ms, event_id""".stripMargin,
+
+    "ts_resample" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |  epoch_ms(ts) AS ts_ms, epoch_ms(ts) // 86400000 AS day
+        |  FROM events),
+        |per AS (
+        |  SELECT user_id, day,
+        |    MAX(CASE WHEN rn = 1 THEN value END) AS v,
+        |    COUNT(*) AS n_obs
+        |  FROM (SELECT user_id, day, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |        ORDER BY ts_ms DESC, event_id DESC) AS rn FROM e)
+        |  GROUP BY user_id, day),
+        |sp AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day
+        |  FROM (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+        |        FROM per GROUP BY user_id)),
+        |j AS (SELECT sp.user_id, sp.day, per.v,
+        |    COALESCE(per.n_obs, 0) AS n_obs
+        |  FROM sp LEFT JOIN per ON sp.user_id = per.user_id
+        |    AND sp.day = per.day)
+        |SELECT user_id, day,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS v_last,
+        |  n_obs
+        |FROM j ORDER BY user_id, day""".stripMargin,
+
+    "range_overlap_join" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+        |  epoch_ms(ts) // 86400000 AS day,
+        |  epoch_ms(ts) // 604800000 AS week FROM events),
+        |a AS (SELECT user_id, day AS a_day,
+        |  MIN(ts_ms) AS a_s, MAX(ts_ms) + 1 AS a_e
+        |  FROM e GROUP BY user_id, day),
+        |b AS (SELECT event_type, week AS b_week,
+        |  MIN(ts_ms) AS b_s, MAX(ts_ms) + 1 AS b_e
+        |  FROM e GROUP BY event_type, week)
+        |SELECT user_id, a_day, event_type, b_week,
+        |  LEAST(a_e, b_e) - GREATEST(a_s, b_s) AS overlap_ms
+        |FROM a JOIN b ON a_s < b_e AND b_s < a_e
+        |ORDER BY user_id, a_day, event_type, b_week""".stripMargin,
+
+    "agg_equidepth" ->
+      """WITH t AS (SELECT l_returnflag, l_extendedprice,
+        |  CAST(NTILE(8) OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |    AS BIGINT) AS bucket
+        |  FROM lineitem)
+        |SELECT l_returnflag, bucket, COUNT(*) AS cnt,
+        |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |FROM t GROUP BY l_returnflag, bucket
+        |ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "txt_inverted" ->
+      s"""WITH tok AS ($bigramTokSql)
+         |SELECT w, COUNT(*) AS df,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         |    AS postings
+         |FROM tok GROUP BY w
+         |HAVING COUNT(*) BETWEEN 9 AND 12
+         |ORDER BY w""".stripMargin
+  )
+}

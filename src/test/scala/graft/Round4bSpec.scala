@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Freq, Packing, RangeBin, Sampling, TimeSeries}
+
+/** Round-4 batch-2 operators: heavy hitters, sequence packing, interval
+  * overlap join, forward-fill/resample, shard shuffle. */
+class Round4bSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- Freq (Misra-Gries heavy hitters) ----
+
+  test("heavyHitters equals exact GROUP BY + HAVING on a skewed stream") {
+    // heavy: "a" (40%), "b" (30%); tail: 30 singletons — spread over many
+    // partitions so the per-partition summaries genuinely decrement
+    val terms = (Seq.fill(400)("a") ++ Seq.fill(300)("b") ++
+      (0 until 300).map(i => s"t$i")).toDF("w").repartition(8)
+    val got = Freq.heavyHitters(terms, "w", k = 5)
+      .as[(String, Long)].collect().toMap
+    val n = 1000L
+    val want = terms.groupBy("w").count().as[(String, Long)]
+      .collect().filter { case (_, c) => c * 5 > n }.toMap
+    assert(got === want)
+    assert(got.keySet === Set("a", "b"))
+  }
+
+  test("mgCandidates is a superset of true heavy hitters on any layout") {
+    // "hot" is 100/300 = 33% > 1/k = 25%, so MG must retain it: the
+    // undercount from decrement-alls is bounded by n/k = 75 < 100
+    val terms = (Seq.fill(100)("hot") ++ (0 until 200).map(i => s"x$i"))
+      .toDF("w")
+    for (p <- Seq(1, 3, 7)) {
+      val cand = Freq.mgCandidates(terms.repartition(p), "w", k = 4)
+        .as[String].collect().toSet
+      assert(cand.contains("hot"), s"lost the heavy hitter at $p partitions")
+    }
+  }
+
+  // ---- Packing ----
+
+  private val packDocs = Seq(
+    ("g1", 1L, 300L), ("g1", 2L, 300L), ("g1", 3L, 1200L), ("g1", 4L, 100L),
+    ("g2", 1L, 512L), ("g2", 2L, 1L)
+  ).toDF("g", "id", "len")
+
+  test("packChunks pieces tile every document exactly") {
+    val out = Packing.packChunks(packDocs, "g", "id", "len", 512L)
+    val perDoc = out.groupBy("g", "id")
+      .agg(sum("piece_len").as("tot"), min("piece_start").as("st"),
+        max(col("piece_start") + col("piece_len")).as("en"))
+      .join(packDocs, Seq("g", "id"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    perDoc.foreach { case (g, id, tot, st, en, len) =>
+      assert(tot === len, s"$g/$id piece lengths don't sum to len")
+      assert(st === 0L && en === len, s"$g/$id pieces don't span the doc")
+    }
+    // and every bin except a group's last is filled to exactly the budget
+    val binFill = out.groupBy("g", "bin").agg(sum("piece_len").as("fill"))
+    val lastBin = binFill.groupBy("g").agg(max("bin").as("bin"))
+    val inner = binFill.join(lastBin, Seq("g", "bin"), "left_anti")
+      .as[(String, Long, Long)].collect()
+    inner.foreach { case (g, b, f) =>
+      assert(f === 512L, s"non-final bin $g/$b holds $f tokens")
+    }
+  }
+
+  test("packChunks: a doc longer than the budget straddles several bins") {
+    val out = Packing.packChunks(packDocs, "g", "id", "len", 512L)
+      .where(col("g") === "g1" && col("id") === 3L)
+      .orderBy("bin")
+      .select("bin", "piece_start", "piece_len", "bin_offset")
+      .as[(Long, Long, Long, Long)].collect()
+    // g1 doc 3 (len 1200) starts at cum 600: fills bins 1..3
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(out.map(_._3).sum === 1200L)
+    assert(out.head._4 === 600L - 512L) // starts mid-bin-1
+  }
+
+  test("greedyPack matches a sequential first-fit fold and never splits") {
+    val out = Packing.greedyPack(packDocs, "g", "id", "len", 512L)
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._2, r._4)))
+    // reference fold per group
+    def ref(lens: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      var bin = 0L; var fill = 0L; var first = true
+      lens.map { case (id, l) =>
+        if (first) { first = false; fill = l }
+        else if (fill + l > 512L) { bin += 1; fill = l }
+        else fill += l
+        (id, bin)
+      }
+    }
+    val g1 = packDocs.where($"g" === "g1").orderBy("id")
+      .as[(String, Long, Long)].collect().map(r => (r._2, r._3)).toSeq
+    assert(out("g1").toSeq === ref(g1))
+    // g2: doc1 fills the budget exactly; doc2 (len 1) must open bin 1
+    assert(out("g2").toSeq === Seq((1L, 0L), (2L, 1L)))
+  }
+
+  test("greedyPack never exceeds the budget except for oversize singletons") {
+    val out = Packing.greedyPack(packDocs, "g", "id", "len", 512L)
+    val fills = out.groupBy("g", "bin")
+      .agg(sum("len").as("fill"), count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect()
+    fills.foreach { case (g, b, f, n) =>
+      assert(f <= 512L || n === 1L, s"bin $g/$b overfilled with $n docs")
+    }
+  }
+
+  // ---- RangeBin.intervalOverlap ----
+
+  test("intervalOverlap equals the theta join, each pair exactly once") {
+    val a = Seq((1L, 0L, 100L), (2L, 50L, 60L), (3L, 200L, 1000L),
+      (4L, 999L, 1000L), (5L, 5L, 5L)) // empty interval matches nothing
+      .toDF("a_id", "a_s", "a_e")
+    val b = Seq((10L, 90L, 210L), (11L, 55L, 58L), (12L, 0L, 2000L),
+      (13L, 100L, 200L)) // [100,200) touches neither [0,100) nor [200,...)
+      .toDF("b_id", "b_s", "b_e")
+    for (w <- Seq(7L, 64L, 10000L)) {
+      val got = RangeBin.intervalOverlap(a, "a_s", "a_e", b, "b_s", "b_e",
+          Nil, w)
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      // reference: theta join over NON-degenerate intervals — [5,5) is
+      // empty, so the op (documented: e ≤ s matches nothing) excludes it
+      // even though the raw predicate alone would accept it
+      val want = a.where(col("a_e") > col("a_s"))
+        .join(b.where(col("b_e") > col("b_s")),
+          col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(got === want, s"width $w")
+      assert(got.distinct === got, s"duplicate pairs at width $w")
+    }
+  }
+
+  // ---- TimeSeries ----
+
+  test("fillForward carries the last non-null; leading nulls stay null") {
+    val df = Seq((1L, 1L, Option.empty[Double]), (1L, 2L, Some(5.0)),
+      (1L, 3L, None), (1L, 4L, None), (1L, 5L, Some(7.0)), (1L, 6L, None))
+      .toDF("k", "t", "v")
+    val out = TimeSeries.fillForward(df, Seq("k"), Seq(col("t")), "v", "f")
+      .orderBy("t").select("f").as[Option[Double]].collect().toSeq
+    assert(out === Seq(None, Some(5.0), Some(5.0), Some(5.0), Some(7.0),
+      Some(7.0)))
+  }
+
+  test("resampleSteps emits a contiguous grid with carried values") {
+    val df = Seq((1L, 10L, 100L, 1.0), (1L, 10L, 101L, 2.0),
+      (1L, 13L, 130L, 9.0)).toDF("k", "step", "tie", "v")
+    val out = TimeSeries.resampleSteps(df, Seq("k"), col("step"),
+        col("tie"), "v", "s", "vl")
+      .orderBy("s").select("s", "vl", "n_obs")
+      .as[(Long, Double, Long)].collect().toSeq
+    // day 10 keeps the LATEST of its two events (tie 101 → 2.0); 11 and 12
+    // are filled with 2.0 and n_obs 0; 13 observes 9.0
+    assert(out === Seq((10L, 2.0, 2L), (11L, 2.0, 0L), (12L, 2.0, 0L),
+      (13L, 9.0, 1L)))
+  }
+
+  // ---- Sampling.shuffleShards ----
+
+  test("shuffleShards is a deterministic permutation, salt-sensitive") {
+    val df = spark.range(1000).toDF("id")
+    def run(salt: String) =
+      Sampling.shuffleShards(df, col("id"), salt, 8)
+        .select("id", "shard", "pos").as[(Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val one = run("s1")
+    assert(one === run("s1"), "not deterministic")
+    assert(one !== run("s2"), "salt has no effect")
+    // every shard's positions are exactly 1..count(shard)
+    one.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted === (1L to rows.size).toSeq,
+        s"shard $sh positions not contiguous")
+    }
+    assert(one.map(_._2).distinct.size === 8)
+  }
+}
