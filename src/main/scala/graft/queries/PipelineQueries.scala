@@ -399,7 +399,7 @@ object PipelineQueries {
 
   /** DuckDB cosine matching Spark's double-fold exactly (left-to-right
     * double accumulation; verified bit-equal on the fixtures). */
-  private def cosSql(a: String, b: String): String = {
+  private[queries] def cosSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(list_zip($x, $y), " +
         s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"

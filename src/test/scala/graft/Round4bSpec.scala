@@ -157,6 +157,26 @@ class Round4bSpec extends SparkSuite {
       (13L, 9.0, 1L)))
   }
 
+  // ---- Similarity.semanticDedup ----
+
+  test("semanticDedup clusters near-identical vectors within a cell") {
+    import graft.ops.Similarity
+    // two tight pairs along different axes + two loners; centroids are one
+    // member of each pair — near-dups land in the same cell and collapse
+    def v(x: Float, y: Float, z: Float) = Array(x, y, z)
+    val corpus = Seq(
+      (1L, v(1f, 0.01f, 0f)), (2L, v(1f, 0f, 0.01f)),   // pair A
+      (3L, v(0f, 1f, 0.01f)), (4L, v(0.01f, 1f, 0f)),   // pair B
+      (5L, v(0.6f, 0.6f, 0.6f)),                        // loner (mid-angle)
+      (6L, v(0f, 0.01f, 1f))                            // loner (z axis)
+    ).toDF("vec_id", "embedding")
+    val cents = corpus.where($"vec_id".isin(1L, 3L, 6L))
+    val out = Similarity.semanticDedup(corpus, cents, threshold = 0.99)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, 1L, true), (2L, 1L, false), (3L, 3L, true),
+      (4L, 3L, false), (5L, 5L, true), (6L, 6L, true)))
+  }
+
   // ---- Sampling.shuffleShards ----
 
   test("shuffleShards is a deterministic permutation, salt-sensitive") {
