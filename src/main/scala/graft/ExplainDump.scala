@@ -81,7 +81,35 @@ object ExplainDump {
         "index: anchors×k draws equi-join candidates on a hash bucket " +
         "(each draw scans ~N/buckets rows), then one windowed min per " +
         "(anchor, draw) — both shuffles are on small keys and the " +
-        "candidate side never materializes pairs beyond its bucket.")
+        "candidate side never materializes pairs beyond its bucket."),
+    "agg_heavy_hitters" ->
+      ("Exact heavy hitters with NO full-vocabulary shuffle: pass 1 is a " +
+        "per-partition Misra-Gries summary (mapPartitions, driver sees " +
+        "only candidates); pass 2 re-counts rows surviving a BROADCAST " +
+        "semi-join on the candidate set — the exchange carries heavy keys " +
+        "only. At 100 TB the token stream is read twice but never " +
+        "shuffled whole."),
+    "samp_pack_chunks" ->
+      ("Concat-and-chunk sequence packing as closed-form window math: one " +
+        "hash exchange on the group key feeds the cumulative sum; the " +
+        "bin explode is narrow (fan-out ≤ pieces per doc) and everything " +
+        "downstream is codegen'd integer arithmetic — no sequential " +
+        "state, so packing parallelizes like a scan."),
+    "dd_semantic" ->
+      ("Semantic dedup: the centroid set broadcasts into the cell " +
+        "assignment (corpus streams once), the pair search is an " +
+        "equi-join on cell id (pair space N²/k, never N²), and the " +
+        "component loop shuffles only (id, label) longs."),
+    "range_overlap_join" ->
+      ("Interval×interval overlap as a bin equi-join: both sides explode " +
+        "to covered bins and hash-exchange on the bin key; the " +
+        "first-shared-bin residual predicate dedups pairs with zero " +
+        "extra shuffles (no DISTINCT pass)."),
+    "ts_resample" ->
+      ("Grid resample: the per-(key, step) aggregate shrinks the data " +
+        "BEFORE the spine explode, the spine joins back on (key, step), " +
+        "and the forward-fill window reuses the same hash partitioning — " +
+        "gap length never multiplies the shuffled volume.")
   )
 
   def main(args: Array[String]): Unit = {
