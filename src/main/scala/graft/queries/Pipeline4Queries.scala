@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.ops._
-import Fixtures.Q
+import Fixtures.{Q, cents}
 
 /** Round-4 batch 2: corpus-frequency heavy hitters (Misra-Gries, exact by
   * recount), sequence packing (concat-and-chunk and greedy no-split),
@@ -144,6 +144,79 @@ object Pipeline4Queries {
         .agg(count(lit(1)).as("cnt"),
           min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
         .orderBy("l_returnflag", "bucket")
+    }),
+
+    "scd2_pit_lookup" -> ((s, dir) => {
+      // point-in-time lookup against SCD2 history: probes (each event's
+      // state one hour earlier) join closed runs via the binned
+      // point-in-interval join; OPEN runs (valid_to NULL, exactly one per
+      // key) go through a plain equi-join — no unbounded bin explode.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ms"),
+          col("event_id"))
+      val hist = Scd2.history(ev, "user_id", "event_type", "ts_ms",
+        "event_id")
+      val probes = Tables.events(s, dir)
+        .where(col("event_id") % 7 === 0)
+        .select(col("user_id"), col("event_id"),
+          (col("ts_ms") - 3600000L).as("p_ts"))
+      val closed = hist.where(col("valid_to").isNotNull)
+        .select("user_id", "event_type", "valid_from", "valid_to")
+      val open = hist.where(col("valid_to").isNull)
+        .select("user_id", "event_type", "valid_from")
+      val viaClosed = RangeBin.pointInterval(probes, "p_ts", closed,
+          "valid_from", "valid_to", Seq("user_id"), binWidth = 86400000L)
+        .select("user_id", "event_id", "p_ts", "event_type", "valid_from")
+      val viaOpen = probes.join(open, "user_id")
+        .where(col("p_ts") >= col("valid_from"))
+        .select("user_id", "event_id", "p_ts", "event_type", "valid_from")
+      viaClosed.unionByName(viaOpen)
+        .withColumnRenamed("event_type", "state")
+        .orderBy("user_id", "event_id")
+    }),
+
+    "agg_winsorize" -> ((s, dir) => {
+      // winsorized aggregation: clip each group's prices to its exact
+      // [p05, p95] (percentile_disc positions in pure integer DIV), then
+      // sum the clipped cents; n_lo/n_hi count the clipped tails
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), cents("l_extendedprice").as("pc"))
+        .createOrReplaceTempView("li_wins")
+      s.sql("""
+        WITH w AS (SELECT l_returnflag, pc,
+            ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY pc) AS rn,
+            COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM li_wins),
+        p AS (SELECT l_returnflag,
+            MIN(CASE WHEN rn >= (n + 19) DIV 20 THEN pc END) AS p05,
+            MIN(CASE WHEN rn >= (19 * n + 19) DIV 20 THEN pc END) AS p95
+          FROM w GROUP BY l_returnflag)
+        SELECT w.l_returnflag, p.p05 AS p05_cents, p.p95 AS p95_cents,
+          SUM(LEAST(GREATEST(w.pc, p.p05), p.p95)) AS sum_wins_cents,
+          SUM(CASE WHEN w.pc < p.p05 THEN 1 ELSE 0 END) AS n_lo,
+          SUM(CASE WHEN w.pc > p.p95 THEN 1 ELSE 0 END) AS n_hi
+        FROM w JOIN p ON w.l_returnflag = p.l_returnflag
+        GROUP BY w.l_returnflag, p.p05, p.p95
+        ORDER BY w.l_returnflag""")
+    }),
+
+    "samp_interleave" -> ((s, dir) => {
+      // deterministic source-balanced interleave (round-robin by in-source
+      // rank) WITHOUT a global sort: the global position is computed in
+      // closed form from the per-source count dim — gpos(r, s) =
+      // Σ_s' min(r-1, cnt_s') + #{s' < s : cnt_s' ≥ r} + 1 — so the plan
+      // is one window per source plus a broadcast of the tiny counts dim
+      val d = Tables.documents(s, dir).select("doc_id", "source")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val ranked = d.withColumn("rnk", row_number().over(w).cast("long"))
+      val counts = d.groupBy(col("source").as("src2"))
+        .agg(count(lit(1)).as("cnt"))
+      ranked.join(broadcast(counts))
+        .groupBy("doc_id", "source", "rnk")
+        .agg((sum(least(col("rnk") - 1, col("cnt"))) +
+          sum(when(col("src2") < col("source") &&
+            col("cnt") >= col("rnk"), 1L).otherwise(0L)) + 1L).as("gpos"))
+        .orderBy("gpos")
     }),
 
     "dd_semantic" -> ((s, dir) => {
@@ -289,6 +362,61 @@ object Pipeline4Queries {
         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         |FROM t GROUP BY l_returnflag, bucket
         |ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "scd2_pit_lookup" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+        |                  event_id FROM events),
+        |m AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev,
+        |      row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts_ms, event_id) AS rn
+        |      FROM e),
+        |c AS (SELECT user_id, event_type, ts_ms, event_id FROM m
+        |      WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |r AS (SELECT user_id, event_type, ts_ms AS valid_from,
+        |      lead(ts_ms) OVER (PARTITION BY user_id
+        |        ORDER BY ts_ms, event_id) AS valid_to FROM c),
+        |p AS (SELECT user_id, event_id, epoch_ms(ts) - 3600000 AS p_ts
+        |      FROM events WHERE event_id % 7 = 0)
+        |SELECT p.user_id, p.event_id, p.p_ts,
+        |  r.event_type AS state, r.valid_from
+        |FROM p JOIN r ON p.user_id = r.user_id
+        |  AND r.valid_from <= p.p_ts
+        |  AND (r.valid_to IS NULL OR p.p_ts < r.valid_to)
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "agg_winsorize" -> {
+      val pc = Fixtures.centsSql("l_extendedprice")
+      s"""WITH li AS (SELECT l_returnflag, $pc AS pc FROM lineitem),
+         |w AS (SELECT l_returnflag, pc,
+         |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY pc)
+         |      AS rn,
+         |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM li),
+         |p AS (SELECT l_returnflag,
+         |    MIN(CASE WHEN rn >= (n + 19) // 20 THEN pc END) AS p05,
+         |    MIN(CASE WHEN rn >= (19 * n + 19) // 20 THEN pc END) AS p95
+         |  FROM w GROUP BY l_returnflag)
+         |SELECT w.l_returnflag, p.p05 AS p05_cents, p.p95 AS p95_cents,
+         |  CAST(SUM(LEAST(GREATEST(w.pc, p.p05), p.p95)) AS BIGINT)
+         |    AS sum_wins_cents,
+         |  CAST(SUM(CASE WHEN w.pc < p.p05 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_lo,
+         |  CAST(SUM(CASE WHEN w.pc > p.p95 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hi
+         |FROM w JOIN p ON w.l_returnflag = p.l_returnflag
+         |GROUP BY w.l_returnflag, p.p05, p.p95
+         |ORDER BY w.l_returnflag""".stripMargin
+    },
+
+    "samp_interleave" ->
+      """WITH rk AS (SELECT doc_id, source,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+        |    AS BIGINT) AS rnk
+        |  FROM documents)
+        |SELECT doc_id, source, rnk,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY rnk, source) AS BIGINT) AS gpos
+        |FROM rk ORDER BY gpos""".stripMargin,
 
     "dd_semantic" -> {
       import PipelineQueries.cosSql
