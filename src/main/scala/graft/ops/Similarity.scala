@@ -160,15 +160,18 @@ object Similarity {
     * broadcast (it is k-means output at deployment; a deterministic corpus
     * subset in the graded fixture).
     */
-  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
-                    threshold: Double): DataFrame = {
+  /** Nearest-centroid (Voronoi) cell id per corpus vector — the blocking
+    * stage of [[semanticDedup]], exposed for reuse/plan inspection. The
+    * centroid set BROADCASTS; the corpus streams through once. Returns
+    * (vec_id, embedding, __n [precomputed norm], cell). */
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.expr.GraftFunctions.register(corpus.sparkSession)
     val cents = broadcast(centroids.select(col("vec_id").as("cent_id"),
       col("embedding").as("cent_emb")))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("__cos").desc, col("cent_id").asc)
-    val assigned = corpus
+    corpus
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("__n"))
       .join(cents)
       .withColumn("__cos", cosine(col("embedding"), col("cent_emb")))
@@ -176,6 +179,12 @@ object Similarity {
       .where(col("__cr") === 1)
       .select(col("vec_id"), col("embedding"), col("__n"),
         col("cent_id").as("cell"))
+  }
+
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+                    threshold: Double): DataFrame = {
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
+    val assigned = assignCells(corpus, centroids)
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("__n").as("a_n"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"),

@@ -89,4 +89,70 @@ class PlanSpec extends SparkSuite {
       s"keep-latest should shuffle on href once (+orderBy), got $exchanges:\n"
         + p.take(1500))
   }
+
+  test("heavy hitters: candidate set broadcasts, token stream never " +
+    "shuffles whole") {
+    val df = q("agg_heavy_hitters")
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "candidate recount must be a broadcast semi-join:\n" + p.take(1500))
+    // the only hash exchanges allowed: candidate distinct (tiny) and the
+    // post-filter recount groupBy (heavy keys only) — the raw token
+    // explode must not feed an exchange directly
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"token stream leaked into a full shuffle ($exchanges exchanges):\n" +
+        p.take(1500))
+  }
+
+  test("pack_chunks: one shuffle feeds the window; explode stays narrow") {
+    val p = plan(q("samp_pack_chunks"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx === 1,
+      s"concat-and-chunk needs exactly the group-window exchange, got " +
+        s"$hashEx:\n" + p.take(1500))
+    assert(p.contains("Generate explode"),
+      "bin fan-out must be a narrow Generate:\n" + p.take(1500))
+  }
+
+  test("dd_semantic: centroids broadcast into the cell assignment") {
+    // the final dd_semantic plan is dominated by the (eagerly pinned)
+    // component loop, so pin the assignment stage directly
+    val emb = Tables.embeddings(spark, sfDir)
+    val df = graft.ops.Similarity.assignCells(emb,
+      emb.where(col("vec_id") % 61 === 0))
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "centroid set must broadcast (corpus streams once):\n" + p.take(1500))
+  }
+
+  test("range_overlap_join dedups by predicate, not by a distinct pass") {
+    val df = q("range_overlap_join")
+    df.collect()
+    val p = plan(df)
+    // pairs must NOT be deduped via HashAggregate-distinct after the join:
+    // the first-shared-bin residual keeps exactly one copy
+    val aggAfterJoin = p.linesIterator
+      .dropWhile(l => !l.contains("SortMergeJoin") &&
+        !l.contains("ShuffledHashJoin"))
+      .count(_.contains("HashAggregate"))
+    assert(aggAfterJoin === 0,
+      "overlap dedup must be the residual predicate, not an aggregate:\n" +
+        p.take(1500))
+  }
+
+  test("ts_resample aggregates before the spine explode") {
+    val p = plan(q("ts_resample"))
+    // the Generate (spine explode) must sit ABOVE the per-(key, step)
+    // aggregate in the plan text (plans print top-down), i.e. explode
+    // consumes aggregated rows, never raw events
+    val genIdx = p.linesIterator.indexWhere(_.contains("Generate explode"))
+    val aggIdx = p.linesIterator.zipWithIndex
+      .filter(_._1.contains("HashAggregate")).map(_._2).toSeq
+    assert(genIdx >= 0 && aggIdx.exists(_ > genIdx),
+      "spine explode must read the per-step aggregate, not raw events:\n" +
+        p.take(1500))
+  }
 }
