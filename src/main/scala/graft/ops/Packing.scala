@@ -80,11 +80,14 @@ object Packing {
       .repartition(col(group))
       .sortWithinPartitions(col(group), col(id))
       .mapPartitions { it =>
+        // explicit started flag: a NULL group at the start of a partition
+        // must still reset state (null == null-sentinel would not)
+        var started = false
         var g: String = null
         var bin = 0L
         var fill = 0L
         it.map { case (gg, i, l) =>
-          if (gg != g) { g = gg; bin = 0L; fill = l }
+          if (!started || gg != g) { started = true; g = gg; bin = 0L; fill = l }
           else if (fill + l > budget) { bin += 1L; fill = l }
           else fill += l
           (gg, i, l, bin)

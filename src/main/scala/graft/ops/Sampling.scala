@@ -147,6 +147,10 @@ object Sampling {
     * subsequent shard writer wants, so the sort amortizes into the write.
     * The within-shard window is the only ordered region; shards are
     * balanced by the hash, so no straggler partitions.
+    *
+    * A NULL key hashes to NULL: such rows land in a NULL shard with
+    * hash-ordered positions of their own — they never silently join a
+    * real shard. Filter or key-coalesce upstream if nulls are invalid.
     */
   def shuffleShards(df: DataFrame, key: Column, salt: String,
       nShards: Int): DataFrame = {

@@ -97,6 +97,17 @@ class Round4bSpec extends SparkSuite {
     assert(out("g2").toSeq === Seq((1L, 0L), (2L, 1L)))
   }
 
+  test("greedyPack: a null group is its own group with fresh state") {
+    val docs = Seq((Option.empty[String], 1L, 400L),
+      (Option.empty[String], 2L, 400L), (Some("g"), 1L, 400L))
+      .toDF("g", "id", "len")
+    val out = Packing.greedyPack(docs, "g", "id", "len", 512L)
+      .select("g", "id", "bin").as[(Option[String], Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    // the two null-group docs don't fit one bin; the "g" doc restarts at 0
+    assert(out === Seq((None, 1L, 0L), (None, 2L, 1L), (Some("g"), 1L, 0L)))
+  }
+
   test("greedyPack never exceeds the budget except for oversize singletons") {
     val out = Packing.greedyPack(packDocs, "g", "id", "len", 512L)
     val fills = out.groupBy("g", "bin")
