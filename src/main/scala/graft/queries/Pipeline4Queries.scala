@@ -146,6 +146,26 @@ object Pipeline4Queries {
         .orderBy("l_returnflag", "bucket")
     }),
 
+    "agg_topk_group" -> ((s, dir) => {
+      // per-group top-k as a TRUE partial aggregate (typed heap buffer,
+      // map-side combine ships ≤ k pairs per partition-group) — the
+      // scale-correct alternative to the row_number window, same answer
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          cents("l_extendedprice").as("v"),
+          (col("l_orderkey") * 100 + col("l_linenumber")).as("id"))
+        .as[(String, Long, Long)]
+      li.groupByKey(_._1)
+        .mapValues { case (_, v, id) => (v, id) }
+        .agg(new graft.expr.TopKAggregator(3).toColumn.name("topk"))
+        .toDF("l_returnflag", "topk")
+        .select(col("l_returnflag"), posexplode(col("topk")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col._1").as("price_cents"), col("col._2").as("lid"))
+        .orderBy("l_returnflag", "rnk")
+    }),
+
     "scd2_pit_lookup" -> ((s, dir) => {
       // point-in-time lookup against SCD2 history: probes (each event's
       // state one hour earlier) join closed runs via the binned
@@ -362,6 +382,19 @@ object Pipeline4Queries {
         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         |FROM t GROUP BY l_returnflag, bucket
         |ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "agg_topk_group" -> {
+      val pc = Fixtures.centsSql("l_extendedprice")
+      s"""WITH li AS (SELECT l_returnflag, $pc AS v,
+         |  l_orderkey * 100 + l_linenumber AS id FROM lineitem),
+         |r AS (SELECT l_returnflag, v, id,
+         |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+         |    ORDER BY v DESC, id ASC) AS rnk FROM li)
+         |SELECT l_returnflag, CAST(rnk AS BIGINT) AS rnk,
+         |  v AS price_cents, id AS lid
+         |FROM r WHERE rnk <= 3
+         |ORDER BY l_returnflag, rnk""".stripMargin
+    },
 
     "scd2_pit_lookup" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,

@@ -168,6 +168,40 @@ class Round4bSpec extends SparkSuite {
       (13L, 9.0, 1L)))
   }
 
+  // ---- TopKAggregator ----
+
+  test("TopKAggregator matches the window row_number form exactly") {
+    import graft.expr.TopKAggregator
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 500L).map(i =>
+      (s"g${i % 3}", (i * 7919) % 100, i)) // many value ties, unique ids
+    val df = rows.toDF("g", "v", "id")
+    val typed = df.as[(String, Long, Long)]
+      .groupByKey(_._1).mapValues { case (_, v, id) => (v, id) }
+      .agg(new TopKAggregator(5).toColumn.name("topk"))
+      .toDF("g", "topk")
+      .select(col("g"), posexplode(col("topk")))
+      .select(col("g"), (col("pos") + 1).as("rnk"),
+        col("col._1").as("v"), col("col._2").as("id"))
+      .as[(String, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val win = df.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5).select("g", "rnk", "v", "id")
+      .as[(String, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(typed === win)
+  }
+
+  test("TopKAggregator buffer never exceeds k and stays best-first") {
+    import graft.expr.TopKAggregator
+    val agg = new TopKAggregator(3)
+    val buf = (1L to 20L).foldLeft(agg.zero)((b, i) =>
+      agg.reduce(b, ((i * 13) % 10, i)))
+    assert(buf.size === 3)
+    assert(buf === buf.sortBy { case (v, id) => (-v, id) })
+    // merge of two full buffers trims back to k
+    assert(agg.merge(buf, buf).size === 3)
+  }
+
   // ---- Similarity.semanticDedup ----
 
   test("semanticDedup clusters near-identical vectors within a cell") {
