@@ -18,6 +18,8 @@ object ScaleProbe {
     if (args.headOption.contains("cc")) { ccProbe(args); return }
     if (args.headOption.contains("skew")) { skewProbe(args); return }
     if (args.headOption.contains("longdoc")) { longdocProbe(args); return }
+    if (args.headOption.contains("pack")) { packProbe(args); return }
+    if (args.headOption.contains("hh")) { hhProbe(args); return }
     val targetRows = args.headOption.map(_.toLong).getOrElse(20000000L)
     val deltaRows = args.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -210,6 +212,94 @@ object ScaleProbe {
     timed("cc_loop")(
       ops.Cluster.connectedComponents(docs.select("doc_id"), "doc_id",
         pairs, "a_id", "b_id").count())
+    spark.stop()
+  }
+
+  /** Sequence packing over synthetic metadata far past the fixtures:
+    * `sbt "runMain graft.ScaleProbe pack 20000000 2000"` = 20M docs across
+    * 2000 sources. Chunked packing is pure window math (scales like a
+    * scan); greedy packing streams each sorted partition with O(1) state —
+    * neither materializes a group. */
+  private def packProbe(args: Array[String]): Unit = {
+    val nDocs = args.drop(1).headOption.map(_.toLong).getOrElse(20000000L)
+    val nGroups = args.drop(2).headOption.map(_.toLong).getOrElse(2000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[packprobe] $label%-12s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    timed("warmup")(spark.range(1000000).selectExpr("sum(id)").collect())
+    val docs = spark.range(nDocs).select(
+      concat(lit("src"), col("id") % nGroups).as("g"),
+      col("id").as("id"),
+      (lit(50L) + col("id") % 400L).as("len"))
+    val chunkRows = timed("pack_chunks")(
+      ops.Packing.packChunks(docs, "g", "id", "len", 2048L).count())
+    val greedyRows = timed("pack_greedy")(
+      ops.Packing.greedyPack(docs, "g", "id", "len", 2048L).count())
+    println(s"[packprobe] docs=$nDocs groups=$nGroups " +
+      s"chunk_rows=$chunkRows greedy_rows=$greedyRows")
+    spark.stop()
+  }
+
+  /** Heavy hitters over a synthetic skewed token stream:
+    * `sbt "runMain graft.ScaleProbe hh 100000000"`. Compares the
+    * Misra-Gries + broadcast-recount path against the full
+    * GROUP BY + HAVING in BOTH cardinality regimes:
+    *
+    *  - bounded tail vocabulary (10M distinct): map-side partial
+    *    aggregation already collapses the vocabulary, so the plain
+    *    groupBy wins — measured here so the trade-off is honest;
+    *  - unbounded tail (every row distinct — the n-gram/URL regime):
+    *    partial aggregation collapses nothing, the naive exchange
+    *    carries ~n rows, and Misra-Gries is the only shape whose shuffle
+    *    stays proportional to the candidate set. */
+  private def hhProbe(args: Array[String]): Unit = {
+    val n = args.drop(1).headOption.map(_.toLong).getOrElse(100000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[hhprobe] $label%-12s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    timed("warmup")(spark.range(1000000).selectExpr("sum(id)").collect())
+    // 5 hot terms carry 30% of the stream in both regimes
+    def stream(tail: org.apache.spark.sql.Column) = spark.range(n).select(
+      when(col("id") % 10 < 3, concat(lit("hot"), col("id") % 5))
+        .otherwise(tail).as("w"))
+    def naive(toks: org.apache.spark.sql.DataFrame) = {
+      val total = toks.count()
+      toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") * 25 > total)
+        .orderBy("w").collect().toSeq
+    }
+    for ((regime, tail) <- Seq(
+        "bounded10M" -> concat(lit("t"), col("id") % 10000000L),
+        "unbounded" -> concat(lit("t"), col("id")))) {
+      val toks = stream(tail)
+      val mg = timed(s"$regime/mg")(
+        ops.Freq.heavyHitters(toks, "w", k = 25).orderBy("w").collect().toSeq)
+      val gb = timed(s"$regime/groupby")(naive(toks))
+      require(mg == gb, s"MG answer diverged in $regime: $mg vs $gb")
+      println(s"[hhprobe] $regime n=$n heavy=${mg.size} (answers identical)")
+    }
     spark.stop()
   }
 }
