@@ -146,6 +146,63 @@ object Pipeline4Queries {
         .orderBy("l_returnflag", "bucket")
     }),
 
+    "ts_twa" -> ((s, dir) => {
+      // time-weighted average held-value per user, exact: each observation
+      // holds until the next one; emit the integer numerator (cents·ms)
+      // and denominator (ms) instead of the float quotient
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ms"), col("event_id"),
+          cents("value").as("vc"))
+        .withColumn("dt", lead(col("ts_ms"), 1).over(w) - col("ts_ms"))
+        .where(col("dt").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(col("vc") * col("dt")).as("twa_num"),
+          sum(col("dt")).as("twa_den"),
+          count(lit(1)).as("n_intervals"))
+        .orderBy("user_id")
+    }),
+
+    "win_cum_distinct" -> ((s, dir) => {
+      // running distinct-user count per day WITHOUT per-day distinct state:
+      // flag each user's first-ever event (row_number = 1), count flags per
+      // day, cumulative-sum over days — the scalable spelling of
+      // COUNT(DISTINCT) OVER (ORDER BY day)
+      val wUser = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms").asc, col("event_id").asc)
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          expr("ts_ms div 86400000").as("day"))
+        .withColumn("first_ever", row_number().over(wUser) === 1)
+      val perDay = e.groupBy("day")
+        .agg(sum(when(col("first_ever"), 1L).otherwise(0L)).as("new_users"),
+          count(lit(1)).as("n_events"))
+      val wDay = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDay.withColumn("cum_users", sum(col("new_users")).over(wDay))
+        .orderBy("day")
+    }),
+
+    "f16_parse_url" -> ((s, dir) => {
+      // URL parsing + canonicalization (dedup key construction): host,
+      // path, one tracked query param, and the canonical host+path form.
+      // URLs are synthesized deterministically from document columns so
+      // both engines parse the identical string.
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.org/"), col("lang"), lit("/doc/"), col("doc_id"),
+        lit("?utm_source=feed&id="), col("doc_id"), lit("#frag"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("id")).as("qid"),
+          concat(parse_url(col("url"), lit("HOST")),
+            parse_url(col("url"), lit("PATH"))).as("canonical"))
+        .orderBy("doc_id")
+    }),
+
     "agg_topk_group" -> ((s, dir) => {
       // per-group top-k as a TRUE partial aggregate (typed heap buffer,
       // map-side combine ships ≤ k pairs per partition-group) — the
@@ -382,6 +439,49 @@ object Pipeline4Queries {
         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         |FROM t GROUP BY l_returnflag, bucket
         |ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "ts_twa" -> {
+      val vc = Fixtures.centsSql("value")
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         |  $vc AS vc FROM events),
+         |d AS (SELECT user_id, vc,
+         |  lead(ts_ms) OVER (PARTITION BY user_id
+         |    ORDER BY ts_ms, event_id) - ts_ms AS dt
+         |  FROM e)
+         |SELECT user_id,
+         |  CAST(SUM(vc * dt) AS BIGINT) AS twa_num,
+         |  CAST(SUM(dt) AS BIGINT) AS twa_den,
+         |  COUNT(*) AS n_intervals
+         |FROM d WHERE dt IS NOT NULL
+         |GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+
+    "win_cum_distinct" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |  epoch_ms(ts) // 86400000 AS day FROM events),
+        |f AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms, event_id) = 1 AS first_ever FROM e),
+        |p AS (SELECT day,
+        |  CAST(SUM(CASE WHEN first_ever THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_users,
+        |  COUNT(*) AS n_events FROM f GROUP BY day)
+        |SELECT day, new_users, n_events,
+        |  CAST(SUM(new_users) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM p ORDER BY day""".stripMargin,
+
+    "f16_parse_url" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || source || '.example.org/' || lang || '/doc/' ||
+        |  doc_id || '?utm_source=feed&id=' || doc_id || '#frag' AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(url, 'https://([^/]+)', 1) AS host,
+        |  regexp_extract(url, 'https://[^/]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '[?&]id=([^&#]*)', 1) AS qid,
+        |  regexp_extract(url, 'https://([^/]+)', 1) ||
+        |    regexp_extract(url, 'https://[^/]+([^?#]*)', 1) AS canonical
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     "agg_topk_group" -> {
       val pc = Fixtures.centsSql("l_extendedprice")
