@@ -146,6 +146,33 @@ object Pipeline4Queries {
         .orderBy("l_returnflag", "bucket")
     }),
 
+    "q23_nation_volume" -> ((s, dir) => {
+      // TPC-H Q7 shape: shipping volume between nation PAIRS — two
+      // independent joins to the same broadcast dim under different roles
+      // (supplier nation vs customer nation), a disjunctive pair filter,
+      // per-year grouping, exact integer revenue (cents × (100 − disc))
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val pairOk =
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .where(pairOk)
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(cents("l_extendedprice") *
+          (lit(100) - cents("l_discount"))).as("volume_e4"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     "ts_twa" -> ((s, dir) => {
       // time-weighted average held-value per user, exact: each observation
       // holds until the next one; emit the integer numerator (cents·ms)
@@ -439,6 +466,25 @@ object Pipeline4Queries {
         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         |FROM t GROUP BY l_returnflag, bucket
         |ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "q23_nation_volume" -> {
+      val pc = Fixtures.centsSql("l_extendedprice")
+      val dc = Fixtures.centsSql("l_discount")
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  CAST(SUM($pc * (100 - $dc)) AS BIGINT) AS volume_e4,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin
+    },
 
     "ts_twa" -> {
       val vc = Fixtures.centsSql("value")
