@@ -152,6 +152,33 @@ object DedupText {
       .distinct()
   }
 
+  /** Incremental LSH index maintenance: the candidate pairs CONTRIBUTED by
+    * a delta batch against an existing signature store — every band
+    * collision with at least one endpoint in the delta (delta×base and
+    * delta×delta). Base-internal pairs are already in the index and are
+    * not recomputed; only the delta was hashed (the base side joins on its
+    * STORED signatures). Union with the existing pair set to maintain the
+    * full candidate index:
+    * `candidates(B ∪ D) = candidates(B) ∪ lshCandidatesDelta(B, D)`
+    * (spec-pinned). The join is (base ∪ delta) bands × delta bands on the
+    * 16-byte (band, signature-slice) key — at 100 TB the recurring cost is
+    * proportional to the DELTA, never the corpus.
+    */
+  def lshCandidatesDelta(baseSigned: DataFrame, deltaSigned: DataFrame,
+                         idCol: String, bands: Int, rows: Int): DataFrame = {
+    def banded(df: DataFrame) = df.select(col(idCol),
+        posexplode(array((0 until bands).map(b =>
+          slice(col("sig"), b * rows + 1, rows)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandsig")
+    val all = banded(baseSigned.unionByName(deltaSigned))
+    val d = banded(deltaSigned)
+    all.as("l").join(d.as("r"), Seq("band", "bandsig"))
+      .where(col(s"l.$idCol") =!= col(s"r.$idCol"))
+      .select(least(col(s"l.$idCol"), col(s"r.$idCol")).as("a_id"),
+        greatest(col(s"l.$idCol"), col(s"r.$idCol")).as("b_id"))
+      .distinct()
+  }
+
   /** LSH banding over a MinHash signature: emit (band, bandHash) buckets;
     * docs colliding in ≥1 band are near-dup candidates. bands×rows = k.
     * The candidate join is a self-equi-join on (band, hash) — a shuffle

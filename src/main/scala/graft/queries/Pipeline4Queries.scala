@@ -146,6 +146,22 @@ object Pipeline4Queries {
         .orderBy("l_returnflag", "bucket")
     }),
 
+    "inc_minhash_delta" -> ((s, dir) => {
+      // incremental LSH index maintenance: only the delta batch
+      // (doc_id % 7 = 0) is hashed; its bands join the stored base
+      // signatures — output = candidate pairs the delta contributes.
+      // candidates(B ∪ D) = candidates(B) ∪ this (spec-pinned).
+      val docs = PipelineQueries.docsWithDups(s, dir)
+      val isDelta = col("doc_id") % 7 === 0
+      val base = DedupText.minhashSignaturesExact(
+        docs.where(!isDelta), "doc_id", "text")
+      val delta = DedupText.minhashSignaturesExact(
+        docs.where(isDelta), "doc_id", "text")
+      DedupText.lshCandidatesDelta(base, delta, "doc_id",
+          bands = 8, rows = 4)
+        .orderBy("a_id", "b_id")
+    }),
+
     "q23_nation_volume" -> ((s, dir) => {
       // TPC-H Q7 shape: shipping volume between nation PAIRS — two
       // independent joins to the same broadcast dim under different roles
@@ -466,6 +482,14 @@ object Pipeline4Queries {
         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         |FROM t GROUP BY l_returnflag, bucket
         |ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "inc_minhash_delta" -> {
+      import PipelineQueries.minhashPairsCtes
+      s"""WITH $minhashPairsCtes
+         |SELECT a_id, b_id FROM pairs
+         |WHERE a_id % 7 = 0 OR b_id % 7 = 0
+         |ORDER BY a_id, b_id""".stripMargin
+    },
 
     "q23_nation_volume" -> {
       val pc = Fixtures.centsSql("l_extendedprice")

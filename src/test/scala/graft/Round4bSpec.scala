@@ -168,6 +168,30 @@ class Round4bSpec extends SparkSuite {
       (13L, 9.0, 1L)))
   }
 
+  // ---- DedupText.lshCandidatesDelta ----
+
+  test("incremental LSH: candidates(B ∪ D) = candidates(B) ∪ delta(B, D)") {
+    import graft.ops.DedupText
+    val docs = graft.queries.PipelineQueries
+      .docsWithDups(spark, "/root/testdata/sf0.001")
+    val isDelta = col("doc_id") % 7 === 0
+    val sigAll = DedupText.minhashSignaturesExact(docs, "doc_id", "text")
+    val sigBase = DedupText.minhashSignaturesExact(
+      docs.where(!isDelta), "doc_id", "text")
+    val sigDelta = DedupText.minhashSignaturesExact(
+      docs.where(isDelta), "doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val full = pairs(DedupText.lshCandidatesExact(sigAll, "doc_id", 8, 4))
+    val baseOnly = pairs(DedupText.lshCandidatesExact(sigBase, "doc_id", 8, 4))
+    val delta = pairs(DedupText.lshCandidatesDelta(sigBase, sigDelta,
+      "doc_id", 8, 4))
+    assert((baseOnly ++ delta) === full, "maintenance identity broken")
+    assert(delta.forall { case (a, b) => a % 7 == 0 || b % 7 == 0 },
+      "delta pairs must touch the delta batch")
+    assert(delta.nonEmpty)
+  }
+
   // ---- TopKAggregator ----
 
   test("TopKAggregator matches the window row_number form exactly") {
