@@ -52,4 +52,38 @@ object AsOf {
       .select(col(key), col(time), col("__lid").as(leftId),
         col("__match.id").as("asof_id"), col("__match.t").as("asof_time"))
   }
+
+  /** Forward as-of join (pandas `merge_asof(direction='forward')`): for
+    * each left row, the EARLIEST right row with `rightTime >= leftTime`
+    * in the key group. Same single-shuffle union shape as [[join]], with
+    * the window frame flipped to (current+1, +∞); left rows sort BEFORE
+    * right rows at equal time so an exactly-simultaneous right row is
+    * still matched (>= semantics). Ties at the match time break by
+    * smallest right id. */
+  def joinForward(left: DataFrame, right: DataFrame,
+                  key: String, time: String, leftId: String, rightId: String)
+  : DataFrame = {
+    val l = left.select(col(key), col(time), col(leftId).as("__lid"))
+      .withColumn("__is_left", lit(1))
+      .withColumn("__rid", lit(null: java.lang.Long))
+    val r = right.select(col(key), col(time), col(rightId).as("__rid"))
+      .withColumn("__is_left", lit(0))
+      .withColumn("__lid", lit(null: java.lang.Long))
+    val tagged = l.select(col(key), col(time), col("__is_left"),
+      col("__lid"), col("__rid"))
+      .unionByName(r.select(col(key), col(time), col("__is_left"),
+        col("__lid"), col("__rid")))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col("__is_left").desc,
+        coalesce(col("__rid"), col("__lid")).asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    tagged
+      .withColumn("__match",
+        first(when(col("__is_left") === 0,
+          struct(col(time).as("t"), col("__rid").as("id"))), ignoreNulls = true)
+          .over(w))
+      .where(col("__is_left") === 1)
+      .select(col(key), col(time), col("__lid").as(leftId),
+        col("__match.id").as("asof_id"), col("__match.t").as("asof_time"))
+  }
 }

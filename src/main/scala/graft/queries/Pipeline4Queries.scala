@@ -146,6 +146,21 @@ object Pipeline4Queries {
         .orderBy("l_returnflag", "bucket")
     }),
 
+    "asof_forward" -> ((s, dir) => {
+      // forward as-of: for each purchase, the user's FIRST click at or
+      // after the purchase (merge_asof direction='forward'), same
+      // single-shuffle union-window shape as the backward join
+      val ev = Tables.events(s, dir)
+      AsOf.joinForward(
+          left = ev.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts_ms"), col("event_id")),
+          right = ev.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts_ms"), col("event_id")),
+          key = "user_id", time = "ts_ms",
+          leftId = "event_id", rightId = "event_id")
+        .orderBy("user_id", "ts_ms", "event_id")
+    }),
+
     "inc_minhash_delta" -> ((s, dir) => {
       // incremental LSH index maintenance: only the delta batch
       // (doc_id % 7 = 0) is hashed; its bands join the stored base
@@ -482,6 +497,18 @@ object Pipeline4Queries {
         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         |FROM t GROUP BY l_returnflag, bucket
         |ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "asof_forward" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.ts_ms, p.event_id, m.asof_id, m.asof_time
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT c.event_id AS asof_id, c.ts_ms AS asof_time FROM c
+        |  WHERE c.user_id = p.user_id AND c.ts_ms >= p.ts_ms
+        |  ORDER BY c.ts_ms ASC, c.event_id ASC LIMIT 1) m ON true
+        |ORDER BY p.user_id, p.ts_ms, p.event_id""".stripMargin,
 
     "inc_minhash_delta" -> {
       import PipelineQueries.minhashPairsCtes
