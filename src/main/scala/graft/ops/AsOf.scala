@@ -86,4 +86,48 @@ object AsOf {
       .select(col(key), col(time), col("__lid").as(leftId),
         col("__match.id").as("asof_id"), col("__match.t").as("asof_time"))
   }
+
+  /** Nearest as-of join (pandas `merge_asof(direction='nearest')`): the
+    * right row minimizing |rightTime − leftTime| in the key group;
+    * equidistant candidates resolve to the backward (at-or-before) match.
+    *
+    * STILL one shuffle: both directions are window columns over the SAME
+    * partitioning/ordering — a (-∞, -1) frame carrying the last preceding
+    * right row and a (1, +∞) frame carrying the first following one. An
+    * exactly-simultaneous right row sorts before the left row, lands in
+    * the backward frame with distance 0, and wins — so the forward frame
+    * never needs the >= tie case. */
+  def joinNearest(left: DataFrame, right: DataFrame,
+                  key: String, time: String, leftId: String, rightId: String)
+  : DataFrame = {
+    val l = left.select(col(key), col(time), col(leftId).as("__lid"))
+      .withColumn("__is_left", lit(1))
+      .withColumn("__rid", lit(null: java.lang.Long))
+    val r = right.select(col(key), col(time), col(rightId).as("__rid"))
+      .withColumn("__is_left", lit(0))
+      .withColumn("__lid", lit(null: java.lang.Long))
+    val tagged = l.select(col(key), col(time), col("__is_left"),
+      col("__lid"), col("__rid"))
+      .unionByName(r.select(col(key), col(time), col("__is_left"),
+        col("__lid"), col("__rid")))
+    val ord = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col("__is_left").asc,
+        coalesce(col("__rid"), col("__lid")).asc)
+    val rightStruct = when(col("__is_left") === 0,
+      struct(col(time).as("t"), col("__rid").as("id")))
+    val before = last(rightStruct, ignoreNulls = true)
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val after = first(rightStruct, ignoreNulls = true)
+      .over(ord.rowsBetween(1, Window.unboundedFollowing))
+    val dtB = col(time) - col("__b.t")
+    val dtF = col("__f.t") - col(time)
+    val pickB = col("__f").isNull || (col("__b").isNotNull && dtB <= dtF)
+    tagged
+      .withColumn("__b", before)
+      .withColumn("__f", after)
+      .where(col("__is_left") === 1)
+      .withColumn("__m", when(pickB, col("__b")).otherwise(col("__f")))
+      .select(col(key), col(time), col("__lid").as(leftId),
+        col("__m.id").as("asof_id"), col("__m.t").as("asof_time"))
+  }
 }

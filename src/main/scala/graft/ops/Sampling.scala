@@ -137,6 +137,37 @@ object Sampling {
       .drop("__mix_k", "__mix_m")
   }
 
+  /** Weighted resampling with rates ABOVE 1 allowed — the missing half of
+    * [[mixtureByGroup]]'s story (epoch mixing often UPweights small
+    * high-quality sources). Each row appears `k div m` times, plus one
+    * more when hash(key) mod m < k mod m — exactly k/m expected copies,
+    * deterministic per key, downsampling as the k < m special case
+    * (copies 0 rows drop). Adds `copy` (1-based long). Missing rates fail
+    * loudly, same contract as mixtureByGroup. Pure map-side: broadcast
+    * dim + a bounded explode, no shuffle.
+    */
+  def resampleByGroup(df: DataFrame, groupCol: String, key: Column,
+                      rates: DataFrame): DataFrame = {
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    val r = rates.select(col(groupCol),
+      col("k").cast("long").as("__rs_k"), col("m").cast("long").as("__rs_m"))
+    df.join(org.apache.spark.sql.functions.broadcast(r), Seq(groupCol), "left")
+      .withColumn("__rs_m", when(col("__rs_m").isNull,
+          raise_error(concat(lit("resampleByGroup: no rate for group "),
+            coalesce(col(groupCol).cast("string"), lit("NULL"))))
+            .cast("long"))
+        .otherwise(col("__rs_m")))
+      .withColumn("__copies",
+        call_function("div", col("__rs_k"), col("__rs_m")) +
+          when(pmod(hu(key), col("__rs_m")) <
+            pmod(col("__rs_k"), col("__rs_m")), 1L).otherwise(0L))
+      // sequence() counts DOWN for copies = 0 (the usual trap) — guard
+      .withColumn("copy", explode(when(col("__copies") >= 1,
+        sequence(lit(1L), col("__copies")))
+        .otherwise(array().cast("array<long>"))))
+      .drop("__rs_k", "__rs_m", "__copies")
+  }
+
   /** Deterministic global shuffle into `nShards` training shards: shard =
     * hash(salt ‖ key) mod n, position within the shard by ascending
     * (hash, key) — a reproducible permutation computable on any engine,

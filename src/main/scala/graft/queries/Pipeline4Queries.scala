@@ -146,6 +146,35 @@ object Pipeline4Queries {
         .orderBy("l_returnflag", "bucket")
     }),
 
+    "samp_resample" -> ((s, dir) => {
+      // weighted resampling with upweighting: per-source rates k/100 where
+      // k = 50·(ascii(last char) mod 5) ∈ {0, 50, 100, 150, 200} — drop,
+      // half, keep, 1.5×, and 2× sources in one deterministic pass
+      val d = Tables.documents(s, dir).select("doc_id", "source")
+      val rates = d.select("source").distinct()
+        .withColumn("k", lit(50) * (ascii(substring(col("source"), -1, 1)) % 5))
+        .withColumn("m", lit(100))
+      Sampling.resampleByGroup(d, "source", col("doc_id").cast("string"),
+          rates)
+        .select("doc_id", "source", "copy")
+        .orderBy("doc_id", "copy")
+    }),
+
+    "asof_nearest" -> ((s, dir) => {
+      // nearest as-of: the click minimizing |Δt| from each purchase,
+      // equidistant ties to the backward match — both directions carried
+      // by two frames over ONE window ordering (single shuffle)
+      val ev = Tables.events(s, dir)
+      AsOf.joinNearest(
+          left = ev.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts_ms"), col("event_id")),
+          right = ev.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts_ms"), col("event_id")),
+          key = "user_id", time = "ts_ms",
+          leftId = "event_id", rightId = "event_id")
+        .orderBy("user_id", "ts_ms", "event_id")
+    }),
+
     "asof_forward" -> ((s, dir) => {
       // forward as-of: for each purchase, the user's FIRST click at or
       // after the purchase (merge_asof direction='forward'), same
@@ -497,6 +526,39 @@ object Pipeline4Queries {
         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         |FROM t GROUP BY l_returnflag, bucket
         |ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "samp_resample" -> {
+      val hu = huSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH r AS (SELECT source,
+         |    CAST(50 * (unicode(right(source, 1)) % 5) AS BIGINT) AS k,
+         |    CAST(100 AS BIGINT) AS m
+         |  FROM (SELECT DISTINCT source FROM documents)),
+         |j AS (SELECT d.doc_id, d.source, r.k, r.m, $hu AS hu
+         |  FROM documents d JOIN r USING (source)),
+         |c AS (SELECT doc_id, source,
+         |    k // m + CASE WHEN hu % m < k % m THEN 1 ELSE 0 END AS copies
+         |  FROM j)
+         |SELECT doc_id, source,
+         |  unnest(generate_series(1, copies)) AS copy
+         |FROM c WHERE copies >= 1
+         |ORDER BY doc_id, copy""".stripMargin
+    },
+
+    "asof_nearest" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.ts_ms, p.event_id, m.asof_id, m.asof_time
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT c.event_id AS asof_id, c.ts_ms AS asof_time FROM c
+        |  WHERE c.user_id = p.user_id
+        |  ORDER BY ABS(c.ts_ms - p.ts_ms) ASC,
+        |    (CASE WHEN c.ts_ms <= p.ts_ms THEN 0 ELSE 1 END) ASC,
+        |    (CASE WHEN c.ts_ms <= p.ts_ms THEN -c.event_id
+        |          ELSE c.event_id END) ASC
+        |  LIMIT 1) m ON true
+        |ORDER BY p.user_id, p.ts_ms, p.event_id""".stripMargin,
 
     "asof_forward" ->
       """WITH p AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id

@@ -168,6 +168,58 @@ class Round4bSpec extends SparkSuite {
       (13L, 9.0, 1L)))
   }
 
+  // ---- AsOf.joinNearest ----
+
+  test("joinNearest picks min |dt|; equidistant ties go backward") {
+    import graft.ops.AsOf
+    val left = Seq((1L, 100L, 10L), (1L, 205L, 11L), (1L, 400L, 12L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 90L, 1L), (1L, 210L, 2L), (1L, 200L, 3L),
+      (1L, 500L, 4L)).toDF("k", "t", "rid")
+    val out = AsOf.joinNearest(left, right, "k", "t", "lid", "rid")
+      .select("lid", "asof_id").as[(Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    // lid 10 (t=100): nearest is 90 (dt 10) vs 200 (dt 100) → 1
+    // lid 11 (t=205): 200 (dt 5 back) vs 210 (dt 5 fwd) → tie → backward 3
+    // lid 12 (t=400): 210 (dt 190) vs 500 (dt 100) → 4
+    assert(out === Seq((10L, Some(1L)), (11L, Some(3L)), (12L, Some(4L))))
+  }
+
+  test("joinNearest matches a simultaneous right row (dt = 0)") {
+    import graft.ops.AsOf
+    val left = Seq((1L, 100L, 10L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 100L, 1L), (1L, 101L, 2L)).toDF("k", "t", "rid")
+    val out = AsOf.joinNearest(left, right, "k", "t", "lid", "rid")
+      .select("asof_id").as[Long].collect().toSeq
+    assert(out === Seq(1L))
+  }
+
+  // ---- Sampling.resampleByGroup ----
+
+  test("resampleByGroup: exact copy counts per rate, including upsampling") {
+    val d = (1L to 400L).map(i => (i, s"g${i % 4}")).toDF("id", "g")
+    // rates 0x, 0.5x, 1x, 2x
+    val rates = Seq(("g0", 0, 100), ("g1", 50, 100), ("g2", 100, 100),
+      ("g3", 200, 100)).toDF("g", "k", "m")
+    val out = graft.ops.Sampling
+      .resampleByGroup(d, "g", col("id").cast("string"), rates)
+      .groupBy("g").agg(count(lit(1)).as("n"),
+        countDistinct(col("id")).as("nd"), max("copy").as("mx"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains("g0"), "rate-0 group must vanish")
+    val (_, n1, nd1, _) = out("g1")
+    assert(n1 === nd1 && n1 > 20 && n1 < 80, s"~50% of 100, got $n1")
+    assert(out("g2") === (("g2", 100L, 100L, 1L)), "rate 1 = identity")
+    val (_, n3, nd3, mx3) = out("g3")
+    assert(n3 === 200L && nd3 === 100L && mx3 === 2L, "rate 2 = 2 copies each")
+    // missing group fails loudly
+    val bad = Seq((1L, "gX")).toDF("id", "g")
+    intercept[Exception] {
+      graft.ops.Sampling.resampleByGroup(bad, "g",
+        col("id").cast("string"), rates).count()
+    }
+  }
+
   // ---- DedupText.lshCandidatesDelta ----
 
   test("incremental LSH: candidates(B ∪ D) = candidates(B) ∪ delta(B, D)") {
