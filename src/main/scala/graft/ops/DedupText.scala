@@ -73,12 +73,18 @@ object DedupText {
     * xxhash64 family above). h_j(s) = wrap32((2j+1)·javaHash(s) + j).
     */
   def minhashSignaturesExact(docs: DataFrame, idCol: String, text: String,
-                             k: Int = 32, n: Int = 3): DataFrame = {
-    graft.expr.GraftFunctions.register(docs.sparkSession)
+                             k: Int = 32, n: Int = 3): DataFrame =
+    signaturesFromShingles(Par.fanOut(docs, col(idCol)).select(col(idCol),
+      explode(TextOps.shingles(col(text), n)).as("s")), idCol, k)
+
+  /** [[minhashSignaturesExact]] over an already-exploded (id, s) shingle
+    * frame — lets a pipeline that needs the shingles AGAIN (exact-overlap
+    * verification) explode the corpus once and reuse it. */
+  def signaturesFromShingles(sh: DataFrame, idCol: String,
+                             k: Int = 32): DataFrame = {
+    graft.expr.GraftFunctions.register(sh.sparkSession)
     def wrap32(x: Column): Column =
       pmod(x + lit(2147483648L), lit(4294967296L)) - lit(2147483648L)
-    val sh = Par.fanOut(docs, col(idCol)).select(col(idCol),
-      explode(TextOps.shingles(col(text), n)).as("s"))
     val base = sh.withColumn("h",
       graft.expr.GraftFunctions.java_string_hash(col("s")).cast("long"))
     val mins = (0 until k).map(j =>
@@ -300,10 +306,17 @@ object DedupText {
     * over matched shingle rows, union = na + nb − i. Candidate pairs are
     * a vanishing fraction of the corpus, so both joins are dim-sized. */
   def pairShingleOverlap(docs: DataFrame, idCol: String, text: String,
-                         pairs: DataFrame, n: Int = 3): DataFrame = {
-    val shAll = Par.fanOut(docs, col(idCol)).select(col(idCol),
-        explode(TextOps.shingles(col(text), n)).as("s"))
-      .localCheckpoint() // reused: both probe sides + per-doc counts
+                         pairs: DataFrame, n: Int = 3): DataFrame =
+    pairShingleOverlapFrom(
+      Par.fanOut(docs, col(idCol)).select(col(idCol),
+          explode(TextOps.shingles(col(text), n)).as("s"))
+        .localCheckpoint(), // reused: both probe sides + per-doc counts
+      idCol, pairs)
+
+  /** [[pairShingleOverlap]] over an already-exploded — and, if reused,
+    * already-pinned — (id, s) shingle frame. */
+  def pairShingleOverlapFrom(shAll: DataFrame, idCol: String,
+                             pairs: DataFrame): DataFrame = {
     val counts = shAll.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val inter = pairs
       .join(shAll.select(col(idCol).as("a_id"), col("s")), Seq("a_id"))
@@ -327,9 +340,16 @@ object DedupText {
   def fuzzyDedup(docs: DataFrame, idCol: String, text: String,
                  bands: Int = 8, rows: Int = 4, n: Int = 3,
                  num: Int = 2, den: Int = 3): DataFrame = {
-    val signed = minhashSignaturesExact(docs, idCol, text, bands * rows, n)
+    // the corpus explodes into shingles exactly ONCE: the pinned frame
+    // feeds both the signature aggregation and the exact-overlap
+    // verification — at corpus scale that second explode was a full
+    // extra pass over every document
+    val shAll = Par.fanOut(docs, col(idCol)).select(col(idCol),
+        explode(TextOps.shingles(col(text), n)).as("s"))
+      .localCheckpoint()
+    val signed = signaturesFromShingles(shAll, idCol, bands * rows)
     val cand = lshCandidatesExact(signed, idCol, bands, rows)
-    val verified = pairShingleOverlap(docs, idCol, text, cand, n)
+    val verified = pairShingleOverlapFrom(shAll, idCol, cand)
       .where(col("i") * den >= col("u") * num)
       .select("a_id", "b_id")
     Cluster.connectedComponents(docs.select(idCol), idCol,

@@ -52,7 +52,12 @@ object Pipeline3Queries {
       // Jaccard numerator) next to the exact shingle overlap for every
       // LSH candidate pair — all integers, bit-reproducible
       val docs = docsWithDups(s, dir)
-      val signed = DedupText.minhashSignaturesExact(docs, "doc_id", "text")
+      // shingles exploded once (pinned) — signatures AND the exact-overlap
+      // verification read the same frame, like fuzzyDedup
+      val shAll = Par.fanOut(docs, col("doc_id")).select(col("doc_id"),
+          explode(TextOps.shingles(col("text"), 3)).as("s"))
+        .localCheckpoint()
+      val signed = DedupText.signaturesFromShingles(shAll, "doc_id")
       val pairs = DedupText.lshCandidatesExact(signed, "doc_id",
         bands = 8, rows = 4)
       val withEst = pairs
@@ -62,7 +67,7 @@ object Pipeline3Queries {
           "b_id")
         .select(col("a_id"), col("b_id"),
           DedupText.sigAgreement(col("asig"), col("bsig")).as("n_agree"))
-      DedupText.pairShingleOverlap(docs, "doc_id", "text", pairs, n = 3)
+      DedupText.pairShingleOverlapFrom(shAll, "doc_id", pairs)
         .join(withEst, Seq("a_id", "b_id"))
         .select("a_id", "b_id", "n_agree", "i", "u")
         .orderBy("a_id", "b_id")
