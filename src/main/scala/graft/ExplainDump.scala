@@ -109,7 +109,23 @@ object ExplainDump {
       ("Grid resample: the per-(key, step) aggregate shrinks the data " +
         "BEFORE the spine explode, the spine joins back on (key, step), " +
         "and the forward-fill window reuses the same hash partitioning — " +
-        "gap length never multiplies the shuffled volume.")
+        "gap length never multiplies the shuffled volume."),
+    "inc_minhash_delta" ->
+      ("Incremental LSH maintenance: only the DELTA batch explodes into " +
+        "shingles and aggregates signatures; the stored base joins on its " +
+        "banded signature slices — the recurring cost of keeping the " +
+        "near-dup index current is proportional to the delta, never the " +
+        "corpus."),
+    "asof_nearest" ->
+      ("Nearest as-of: both directions as two frames over ONE window " +
+        "ordering — a (-inf,-1) last-preceding and a (1,+inf) " +
+        "first-following — so nearest costs the same single shuffle as " +
+        "backward; no range join, no per-row subquery."),
+    "samp_resample" ->
+      ("Weighted up/down-sampling: the rates dim broadcasts, copies come " +
+        "from a bounded explode — a pure map-side pass with NO shuffle " +
+        "other than the output sort; epoch mixing at 100 TB is a scan, " +
+        "not a join.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -146,6 +146,22 @@ object Pipeline4Queries {
         .orderBy("l_returnflag", "bucket")
     }),
 
+    "mm_dedup_exact" -> ((s, dir) => {
+      // exact binary dedup — the first pass of every multimodal pipeline:
+      // content-hash the opaque payload, group, keep the min-id canonical.
+      // The planted duplicate docs give byte-identical payloads to find.
+      val media = PipelineQueries.docsWithDups(s, dir)
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.binaryMeta(media, "payload")
+        .groupBy("sha")
+        .agg(count(lit(1)).as("n_copies"),
+          min("media_id").as("canonical"),
+          max("n_bytes").as("n_bytes"))
+        .where(col("n_copies") > 1)
+        .orderBy("sha")
+    }),
+
     "samp_resample" -> ((s, dir) => {
       // weighted resampling with upweighting: per-source rates k/100 where
       // k = 50·(ascii(last char) mod 5) ∈ {0, 50, 100, 150, 200} — drop,
@@ -526,6 +542,16 @@ object Pipeline4Queries {
         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         |FROM t GROUP BY l_returnflag, bucket
         |ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "mm_dedup_exact" -> {
+      import PipelineQueries.docsWithDupsSql
+      s"""WITH dd AS ($docsWithDupsSql)
+         |SELECT sha256(text) AS sha, COUNT(*) AS n_copies,
+         |  MIN(doc_id) AS canonical,
+         |  CAST(MAX(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes
+         |FROM dd GROUP BY sha256(text) HAVING COUNT(*) > 1
+         |ORDER BY sha""".stripMargin
+    },
 
     "samp_resample" -> {
       val hu = huSql("CAST(doc_id AS VARCHAR)")
