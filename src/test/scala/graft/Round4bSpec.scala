@@ -244,6 +244,47 @@ class Round4bSpec extends SparkSuite {
     assert(delta.nonEmpty)
   }
 
+  // ---- streaming incremental LSH (foreachBatch + lshCandidatesDelta) ----
+
+  test("streaming near-dup index: per-batch delta maintenance converges " +
+    "to the batch recompute") {
+    import graft.ops.DedupText
+    val docs = graft.queries.PipelineQueries
+      .docsWithDups(spark, "/root/testdata/sf0.001").localCheckpoint()
+    val base = java.nio.file.Files.createTempDirectory("slsh").toString
+    // three micro-batches of documents arriving over time
+    docs.where(col("doc_id") % 3 === 0).write.parquet(s"$base/in/b0")
+    docs.where(col("doc_id") % 3 === 1).write.parquet(s"$base/in/b1")
+    docs.where(col("doc_id") % 3 === 2).write.parquet(s"$base/in/b2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in/*")
+    // signature store + candidate index maintained across micro-batches
+    var store: Option[org.apache.spark.sql.DataFrame] = None
+    var index = Set.empty[(Long, Long)]
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = DedupText
+          .minhashSignaturesExact(batch, "doc_id", "text").localCheckpoint()
+        val baseSig = store.getOrElse(delta.limit(0))
+        index ++= DedupText
+          .lshCandidatesDelta(baseSig, delta, "doc_id", 8, 4)
+          .as[(Long, Long)].collect()
+        store = Some(baseSig.unionByName(delta).localCheckpoint())
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val full = DedupText.lshCandidatesExact(
+        DedupText.minhashSignaturesExact(docs, "doc_id", "text"),
+        "doc_id", 8, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(index === full,
+      s"streamed index diverged: missing=${(full -- index).take(3)} " +
+        s"extra=${(index -- full).take(3)}")
+  }
+
   // ---- TopKAggregator ----
 
   test("TopKAggregator matches the window row_number form exactly") {
