@@ -41,6 +41,11 @@ object Packing {
   def packChunks(docs: DataFrame, group: String, id: String, len: String,
       budget: Long): DataFrame = {
     require(budget >= 1, s"budget $budget must be >= 1")
+    val reserved = Set("bin", "piece_start", "piece_len", "bin_offset",
+      "__after", "__before", "__bin_start", "__piece_from", "__piece_to")
+    val clash = docs.columns.toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"input carries reserved packing columns: ${clash.mkString(", ")}")
     val w = Window.partitionBy(group).orderBy(id)
     val b = lit(budget)
     val cumAfter = sum(col(len).cast("long")).over(w)
@@ -72,6 +77,8 @@ object Packing {
   def greedyPack(docs: DataFrame, group: String, id: String, len: String,
       budget: Long): DataFrame = {
     require(budget >= 1, s"budget $budget must be >= 1")
+    require(!Seq(group, id, len).contains("bin"),
+      "input key columns must not be named 'bin' (the output bin column)")
     val spark = docs.sparkSession
     import spark.implicits._
     val typed = docs.select(col(group).cast("string"), col(id).cast("long"),

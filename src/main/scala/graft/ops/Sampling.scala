@@ -148,6 +148,10 @@ object Sampling {
     */
   def resampleByGroup(df: DataFrame, groupCol: String, key: Column,
                       rates: DataFrame): DataFrame = {
+    val clash = df.columns.toSet
+      .intersect(Set("copy", "__rs_k", "__rs_m", "__copies"))
+    require(clash.isEmpty,
+      s"input carries reserved resample columns: ${clash.mkString(", ")}")
     graft.expr.GraftFunctions.register(df.sparkSession)
     val r = rates.select(col(groupCol),
       col("k").cast("long").as("__rs_k"), col("m").cast("long").as("__rs_m"))
@@ -186,6 +190,9 @@ object Sampling {
   def shuffleShards(df: DataFrame, key: Column, salt: String,
       nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards $nShards must be positive")
+    val clash = df.columns.toSet.intersect(Set("shard", "pos", "__h"))
+    require(clash.isEmpty,
+      s"input carries reserved shard columns: ${clash.mkString(", ")}")
     graft.expr.GraftFunctions.register(df.sparkSession)
     val h = hu(concat(lit(salt), key.cast("string")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("shard")

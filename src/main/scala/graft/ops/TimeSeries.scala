@@ -40,6 +40,10 @@ object TimeSeries {
     */
   def resampleSteps(df: DataFrame, keys: Seq[String], step: Column,
       tieCol: Column, value: String, stepOut: String, out: String): DataFrame = {
+    val clash = df.columns.toSet
+      .intersect(Set("__step", "__v", "__rn", "__lo", "__hi", "n_obs"))
+    require(clash.isEmpty,
+      s"input carries reserved resample columns: ${clash.mkString(", ")}")
     val k = keys.map(col)
     val perStep = df
       .withColumn("__step", step)

@@ -97,6 +97,24 @@ class Round4bSpec extends SparkSuite {
     assert(out("g2").toSeq === Seq((1L, 0L), (2L, 1L)))
   }
 
+  test("reserved output columns are rejected, never silently clobbered") {
+    val d = Seq((1L, "g", 5L)).toDF("id", "g", "len")
+    intercept[IllegalArgumentException] {
+      Packing.packChunks(d.withColumn("bin", lit(0)), "g", "id", "len", 8L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.shuffleShards(d.withColumn("pos", lit(0)), col("id"), "s", 2)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.resampleByGroup(d.withColumn("copy", lit(0)), "g",
+        col("id").cast("string"), Seq(("g", 1, 1)).toDF("g", "k", "m"))
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.resampleSteps(d.withColumn("n_obs", lit(0)), Seq("g"),
+        col("len"), col("id"), "len", "s", "v")
+    }
+  }
+
   test("greedyPack: a null group is its own group with fresh state") {
     val docs = Seq((Option.empty[String], 1L, 400L),
       (Option.empty[String], 2L, 400L), (Some("g"), 1L, 400L))
