@@ -146,6 +146,19 @@ object Pipeline4Queries {
         .orderBy("l_returnflag", "bucket")
     }),
 
+    "win_cohort" -> ((s, dir) => {
+      // cohort retention: users grouped by first-activity day, distinct
+      // actives counted at each day offset — two aggregations and one
+      // equi-join on the user key, no window over the fact table
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+      val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+      e.join(first, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     "mm_dedup_exact" -> ((s, dir) => {
       // exact binary dedup — the first pass of every multimodal pipeline:
       // content-hash the opaque payload, group, keep the min-id canonical.
@@ -542,6 +555,17 @@ object Pipeline4Queries {
         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         |FROM t GROUP BY l_returnflag, bucket
         |ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "win_cohort" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e
+        |  GROUP BY user_id)
+        |SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY f.cohort_day, e.day - f.cohort_day
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "mm_dedup_exact" -> {
       import PipelineQueries.docsWithDupsSql

@@ -262,6 +262,34 @@ class Round4bSpec extends SparkSuite {
     assert(delta.nonEmpty)
   }
 
+  // ---- ShardWriter ----
+
+  test("ShardWriter: reproducible shard files, partition-pruned reads") {
+    import graft.sink.ShardWriter
+    val df = spark.range(2000).toDF("id")
+    val base = java.nio.file.Files.createTempDirectory("shards").toString
+    ShardWriter.write(df, col("id"), "epoch1", 4, s"$base/a")
+    ShardWriter.write(df, col("id"), "epoch1", 4, s"$base/b")
+    // identical salt → byte-identical shard contents in training order
+    for (sh <- 0 until 4) {
+      val a = ShardWriter.readShard(spark, s"$base/a", sh)
+        .select("id").as[Long].collect().toSeq
+      val b = ShardWriter.readShard(spark, s"$base/b", sh)
+        .select("id").as[Long].collect().toSeq
+      assert(a === b, s"shard $sh not reproducible")
+      assert(a.nonEmpty)
+    }
+    // all rows present exactly once across shards
+    val all = spark.read.parquet(s"$base/a").select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(all === (0L until 2000L).toSeq)
+    // the shard filter prunes partitions at the scan
+    val plan = ShardWriter.readShard(spark, s"$base/a", 2)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("shard=2") || !plan.contains("shard=0"),
+      s"shard read must partition-prune:\n${plan.take(800)}")
+  }
+
   // ---- streaming incremental LSH (foreachBatch + lshCandidatesDelta) ----
 
   test("streaming near-dup index: per-batch delta maintenance converges " +
