@@ -136,6 +136,34 @@ class Round4bSpec extends SparkSuite {
     }
   }
 
+  test("packing invariants hold on randomized corpora (seeded)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val budget = 64L + rnd.nextInt(400)
+      val docs = (1 to 300).map { i =>
+        (s"g${rnd.nextInt(6)}", i.toLong, 1L + rnd.nextInt(200)) }
+        .toDF("g", "id", "len")
+      // chunked: pieces tile each doc exactly, offsets stay inside bins
+      val ch = Packing.packChunks(docs, "g", "id", "len", budget)
+      val tiled = ch.groupBy("g", "id").agg(sum("piece_len").as("tot"))
+        .join(docs, Seq("g", "id"))
+        .where(col("tot") =!= col("len")).count()
+      assert(tiled === 0L, s"trial $trial: pieces don't tile")
+      val outOfBin = ch.where(col("bin_offset") < 0 ||
+        col("bin_offset") + col("piece_len") > budget).count()
+      assert(outOfBin === 0L, s"trial $trial: piece escapes its bin")
+      // greedy: per-bin fill ≤ budget unless a single oversize doc
+      val gr = Packing.greedyPack(docs, "g", "id", "len", budget)
+      val over = gr.groupBy("g", "bin")
+        .agg(sum("len").as("fill"), count(lit(1)).as("n"))
+        .where(col("fill") > budget && col("n") > 1).count()
+      assert(over === 0L, s"trial $trial: greedy bin overfilled")
+      // both packings cover every doc exactly once (no loss, no dup)
+      assert(gr.count() === 300L)
+      assert(ch.select("g", "id").distinct().count() === 300L)
+    }
+  }
+
   // ---- RangeBin.intervalOverlap ----
 
   test("intervalOverlap equals the theta join, each pair exactly once") {
