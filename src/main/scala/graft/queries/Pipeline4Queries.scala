@@ -146,6 +146,40 @@ object Pipeline4Queries {
         .orderBy("l_returnflag", "bucket")
     }),
 
+    "dq_orphans" -> ((s, dir) => {
+      // referential-integrity gate: lineitem with planted orphan rows
+      // (every 100th orderkey shifted past the key space) — the gate must
+      // report exactly the planted set
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber")
+      val planted = li.where(col("l_orderkey") % 100 === 0)
+        .withColumn("l_orderkey", col("l_orderkey") + 1000000000L)
+      Quality.orphans(li.unionByName(planted), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "dq_dup_keys" -> ((s, dir) => {
+      // uniqueness gate: orders with a planted duplicate slice (every
+      // 200th key re-inserted) — report each violated key with its count
+      val o = Tables.orders(s, dir).select("o_orderkey")
+      val planted = o.where(col("o_orderkey") % 200 === 0)
+      Quality.duplicateKeys(o.unionByName(planted), Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    "dq_null_stats" -> ((s, dir) => {
+      // null-profile gate over a frame with planted nulls (every 5th
+      // value, every 7th event_type) — exact integer counts per column
+      val e = Tables.events(s, dir).select(
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value"))
+          .as("value"),
+        when(col("event_id") % 7 === 0, lit(null))
+          .otherwise(col("event_type")).as("event_type"),
+        col("user_id"))
+      Quality.nullStats(e, Seq("value", "event_type", "user_id"))
+        .orderBy("column_name")
+    }),
+
     "win_cohort" -> ((s, dir) => {
       // cohort retention: users grouped by first-activity day, distinct
       // actives counted at each day offset — two aggregations and one
@@ -555,6 +589,45 @@ object Pipeline4Queries {
         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         |FROM t GROUP BY l_returnflag, bucket
         |ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "dq_orphans" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey + 1000000000, l_linenumber FROM lineitem
+        |  WHERE l_orderkey % 100 = 0)
+        |SELECT l_orderkey, l_linenumber FROM li
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_orderkey = li.l_orderkey)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "dq_dup_keys" ->
+      """WITH o AS (
+        |  SELECT o_orderkey FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 200 = 0)
+        |SELECT o_orderkey, COUNT(*) AS n_rows FROM o
+        |GROUP BY o_orderkey HAVING COUNT(*) > 1
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "dq_null_stats" ->
+      """WITH e AS (SELECT
+        |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END
+        |    AS event_type,
+        |  user_id FROM events)
+        |SELECT c.column_name,
+        |  CASE c.column_name
+        |    WHEN 'value' THEN (SELECT CAST(SUM(CASE WHEN value IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM e)
+        |    WHEN 'event_type' THEN (SELECT CAST(SUM(CASE WHEN event_type
+        |      IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM e)
+        |    ELSE (SELECT CAST(SUM(CASE WHEN user_id IS NULL THEN 1
+        |      ELSE 0 END) AS BIGINT) FROM e) END AS n_null,
+        |  (SELECT COUNT(*) FROM e) AS n_total
+        |FROM (VALUES ('value'), ('event_type'), ('user_id'))
+        |  AS c(column_name)
+        |ORDER BY column_name""".stripMargin,
 
     "win_cohort" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day

@@ -290,6 +290,29 @@ class Round4bSpec extends SparkSuite {
     assert(delta.nonEmpty)
   }
 
+  // ---- Quality gates ----
+
+  test("Quality.orphans reports null foreign keys as violations") {
+    import graft.ops.Quality
+    val fact = Seq((Some(1L), "a"), (None, "b"), (Some(9L), "c"))
+      .toDF("fk", "payload")
+    val dim = Seq(1L, 2L).toDF("dk")
+    val got = Quality.orphans(fact, "fk", dim, "dk")
+      .select("payload").as[String].collect().sorted.toSeq
+    assert(got === Seq("b", "c")) // null fk AND unmatched fk, not just 9
+  }
+
+  test("Quality.duplicateKeys and nullStats count exactly") {
+    import graft.ops.Quality
+    val df = Seq((1L, Some("x")), (1L, None), (2L, Some("y")))
+      .toDF("k", "v")
+    assert(Quality.duplicateKeys(df, Seq("k"))
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 2L)))
+    val ns = Quality.nullStats(df, Seq("k", "v"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ns === Seq(("k", 0L, 3L), ("v", 1L, 3L)))
+  }
+
   // ---- ShardWriter ----
 
   test("ShardWriter: reproducible shard files, partition-pruned reads") {
