@@ -6,12 +6,17 @@ import graft.Tables
 import graft.ops._
 import Fixtures.{Q, cents}
 
-/** Round-4 batch 2: corpus-frequency heavy hitters (Misra-Gries, exact by
-  * recount), sequence packing (concat-and-chunk and greedy no-split),
-  * deterministic training-shard shuffle, forward-fill / grid resample for
-  * event streams, interval-overlap join, equi-depth histograms, and an
-  * inverted index. Everything is integer math or pass-through selection of
-  * parquet values, so every query hash-matches its DuckDB oracle.
+/** Round-4 batches 2–3: corpus-frequency heavy hitters (Misra-Gries,
+  * exact by recount), sequence packing (concat-and-chunk and greedy
+  * no-split), deterministic shard shuffle and weighted resampling,
+  * forward-fill / grid resample / time-weighted means for event streams,
+  * interval-overlap and SCD2 point-in-time joins, the full as-of family
+  * (forward / nearest), incremental LSH maintenance, semantic and binary
+  * multimodal dedup, equi-depth / winsorized / typed-top-k aggregation,
+  * inverted index, URL canonicalization, cohort retention, TPC-H Q7
+  * shape, and data-quality gates. Everything is integer math or
+  * pass-through selection of parquet values, so every query hash-matches
+  * its DuckDB oracle.
   */
 object Pipeline4Queries {
 
@@ -144,6 +149,21 @@ object Pipeline4Queries {
         .agg(count(lit(1)).as("cnt"),
           min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
         .orderBy("l_returnflag", "bucket")
+    }),
+
+    "f17_bitwise_fns" -> ((s, dir) => {
+      // bitwise scalar library: AND/OR/XOR, shifts, popcount — the bit
+      // bookkeeping sketch/fingerprint pipelines lean on, cross-engine
+      // exact on two's-complement longs
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          (col("o_orderkey").bitwiseAND(col("o_custkey"))).as("b_and"),
+          (col("o_orderkey").bitwiseOR(col("o_custkey"))).as("b_or"),
+          (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("b_xor"),
+          shiftleft(col("o_orderkey"), 3).as("b_shl"),
+          shiftright(col("o_orderkey"), 2).as("b_shr"),
+          bit_count(col("o_orderkey")).cast("long").as("b_pop"))
+        .orderBy("o_orderkey")
     }),
 
     "dq_orphans" -> ((s, dir) => {
@@ -589,6 +609,16 @@ object Pipeline4Queries {
         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         |FROM t GROUP BY l_returnflag, bucket
         |ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "f17_bitwise_fns" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & o_custkey AS b_and,
+        |  o_orderkey | o_custkey AS b_or,
+        |  xor(o_orderkey, o_custkey) AS b_xor,
+        |  o_orderkey << 3 AS b_shl,
+        |  o_orderkey >> 2 AS b_shr,
+        |  CAST(bit_count(o_orderkey) AS BIGINT) AS b_pop
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "dq_orphans" ->
       """WITH li AS (
