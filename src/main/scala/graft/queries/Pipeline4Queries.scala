@@ -151,6 +151,22 @@ object Pipeline4Queries {
         .orderBy("l_returnflag", "bucket")
     }),
 
+    "w5_debounce" -> ((s, dir) => {
+      // debounce: drop an event arriving within 60s of the PREVIOUS event
+      // of the same (user, type) — duplicate-burst suppression for event
+      // feeds; lag-based (compares to the previous event, kept or not),
+      // one window pass
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts_ms").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ms"),
+          col("event_id"))
+        .withColumn("prev_ts", lag(col("ts_ms"), 1).over(w))
+        .where(col("prev_ts").isNull || col("ts_ms") - col("prev_ts") > 60000L)
+        .drop("prev_ts")
+        .orderBy("user_id", "event_type", "ts_ms", "event_id")
+    }),
+
     "f17_bitwise_fns" -> ((s, dir) => {
       // bitwise scalar library: AND/OR/XOR, shifts, popcount — the bit
       // bookkeeping sketch/fingerprint pipelines lean on, cross-engine
@@ -609,6 +625,15 @@ object Pipeline4Queries {
         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         |FROM t GROUP BY l_returnflag, bucket
         |ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "w5_debounce" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+        |  event_id FROM events),
+        |l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id, event_type
+        |  ORDER BY ts_ms, event_id) AS prev_ts FROM e)
+        |SELECT user_id, event_type, ts_ms, event_id FROM l
+        |WHERE prev_ts IS NULL OR ts_ms - prev_ts > 60000
+        |ORDER BY user_id, event_type, ts_ms, event_id""".stripMargin,
 
     "f17_bitwise_fns" ->
       """SELECT o_orderkey,
