@@ -113,4 +113,60 @@ object Cluster {
         .select(col("id"), col("id").as("lbl")))
       .select(col("id"), col("lbl").as("cluster"))
   }
+
+  /** Incremental connected components: fold NEW edges (and vertices) into
+    * an existing labeling WITHOUT re-running the fixpoint over the full
+    * graph. The existing clusters contract to single nodes (their
+    * labels), new edges map through the labeling (intra-cluster edges
+    * drop as no-ops), the fixpoint runs on that contracted graph — whose
+    * size is bounded by the DELTA, not the corpus — and the result maps
+    * back over the base labeling with one join.
+    *
+    * Correct because a base cluster's label IS its minimum member: the
+    * min label over a merged set of clusters equals the global min vertex
+    * of the merged component, exactly what the full recompute converges
+    * to (spec-pinned identity: `applyEdges(cc(B), dE, dV) = cc(B ∪ dV,
+    * E ∪ dE)`).
+    *
+    * @param baseLabels (id, cluster) from a previous run — must cover
+    *                   every base vertex
+    * @param newEdges   delta edge list; endpoints may be base ids or new
+    * @param newVertices ids arriving with the delta (isolated ones become
+    *                   singletons; edge-touched ones may be omitted) */
+  def applyEdges(baseLabels: DataFrame, newEdges: DataFrame,
+                 aCol: String, bCol: String,
+                 newVertices: DataFrame, vCol: String): DataFrame = {
+    val lbl = baseLabels
+      .select(col("id").cast("long").as("id"),
+        col("cluster").cast("long").as("lbl"))
+      .localCheckpoint() // read three times below; pin once
+    val e = newEdges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+    // endpoints → current cluster labels (unknown ids label themselves)
+    val mapped = e
+      .join(lbl.select(col("id").as("u"), col("lbl").as("ul")), Seq("u"), "left")
+      .join(lbl.select(col("id").as("v"), col("lbl").as("vl")), Seq("v"), "left")
+      .select(coalesce(col("ul"), col("u")).as("cu"),
+        coalesce(col("vl"), col("v")).as("cv"))
+      .where(col("cu") =!= col("cv")) // intra-cluster edges are no-ops
+      .localCheckpoint()
+    // contracted fixpoint: nodes = touched labels (+ nothing else — the
+    // untouched corpus never enters the loop)
+    val touched = mapped.select(col("cu").as("id"))
+      .union(mapped.select(col("cv").as("id"))).distinct()
+    val contracted = connectedComponents(touched, "id", mapped, "cu", "cv",
+        edgesCovered = true)
+      .select(col("id").as("old_lbl"), col("cluster").as("new_lbl"))
+    // base vertices remap through their label; delta vertices either
+    // remap directly (edge-touched) or become singletons
+    val base = lbl.join(contracted, lbl("lbl") === contracted("old_lbl"),
+        "left")
+      .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("cluster"))
+    val dv = newVertices.select(col(vCol).cast("long").as("id")).distinct()
+      .join(lbl.select("id"), Seq("id"), "left_anti")
+    val delta = dv.join(contracted, dv("id") === contracted("old_lbl"), "left")
+      .select(dv("id"), coalesce(col("new_lbl"), dv("id")).as("cluster"))
+    base.unionByName(delta)
+  }
 }

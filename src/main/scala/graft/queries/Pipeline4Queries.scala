@@ -289,6 +289,33 @@ object Pipeline4Queries {
         .orderBy("user_id", "ts_ms", "event_id")
     }),
 
+    "inc_cc_delta" -> ((s, dir) => {
+      // incremental clustering, end to end: the delta batch's candidate
+      // pairs (delta-only hashing) fold into the EXISTING clustering via
+      // cluster contraction — the fixpoint runs on a graph bounded by the
+      // delta, never the corpus. Output ≡ full recompute (same oracle as
+      // dd_cluster_cc). NB the graded query rebuilds the base state
+      // (signatures + LSH + CC over 6/7 of the corpus) inside the timed
+      // region; in production that state is stored and the recurring cost
+      // is the delta fold alone.
+      val docs = PipelineQueries.docsWithDups(s, dir)
+      val isDelta = col("doc_id") % 7 === 0
+      val baseDocs = docs.where(!isDelta)
+      val baseSig = DedupText.minhashSignaturesExact(baseDocs, "doc_id", "text")
+      val basePairs = DedupText.lshCandidatesExact(baseSig, "doc_id", 8, 4)
+      val baseCC = Cluster.connectedComponents(baseDocs.select("doc_id"),
+        "doc_id", basePairs, "a_id", "b_id", edgesCovered = true)
+      val deltaDocs = docs.where(isDelta)
+      val deltaSig = DedupText.minhashSignaturesExact(deltaDocs, "doc_id", "text")
+      val deltaPairs = DedupText.lshCandidatesDelta(baseSig, deltaSig,
+        "doc_id", 8, 4)
+      Cluster.applyEdges(baseCC, deltaPairs, "a_id", "b_id",
+          deltaDocs.select("doc_id"), "doc_id")
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+          (col("cluster") === col("id")).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
     "inc_minhash_delta" -> ((s, dir) => {
       // incremental LSH index maintenance: only the delta batch
       // (doc_id % 7 = 0) is hashed; its bands join the stored base
@@ -749,6 +776,23 @@ object Pipeline4Queries {
         |  WHERE c.user_id = p.user_id AND c.ts_ms >= p.ts_ms
         |  ORDER BY c.ts_ms ASC, c.event_id ASC LIMIT 1) m ON true
         |ORDER BY p.user_id, p.ts_ms, p.event_id""".stripMargin,
+
+    "inc_cc_delta" -> {
+      // same oracle as dd_cluster_cc: the incremental fold must equal the
+      // full recompute over all pairs
+      import PipelineQueries.minhashPairsCtes
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |cedges AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |           UNION SELECT b_id, a_id FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM dd
+         |  UNION
+         |  SELECT e.v, r.lbl FROM reach r JOIN cedges e ON e.u = r.id)
+         |SELECT id AS doc_id, MIN(lbl) AS cluster_id,
+         |  MIN(lbl) = id AS is_canonical
+         |FROM reach GROUP BY id
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "inc_minhash_delta" -> {
       import PipelineQueries.minhashPairsCtes

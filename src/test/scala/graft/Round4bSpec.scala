@@ -266,6 +266,45 @@ class Round4bSpec extends SparkSuite {
     }
   }
 
+  // ---- Cluster.applyEdges (incremental CC) ----
+
+  test("applyEdges merges across clusters, seeds new vertices, ignores " +
+    "intra-cluster edges") {
+    import graft.ops.Cluster
+    // base: {1,2} {3} {4,5}; delta edges merge 2↔4 and link new 6↔7;
+    // (1,2) is intra-cluster noise; 8 arrives isolated
+    val baseLabels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 4L))
+      .toDF("id", "cluster")
+    val newEdges = Seq((2L, 4L), (6L, 7L), (1L, 2L)).toDF("a", "b")
+    val newVerts = Seq(6L, 7L, 8L).toDF("v")
+    val got = Cluster.applyEdges(baseLabels, newEdges, "a", "b",
+        newVerts, "v")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 1L), (5L, 1L),
+      (6L, 6L), (7L, 6L), (8L, 8L)))
+  }
+
+  test("applyEdges(cc(B), dE) equals cc(B ∪ dV, E ∪ dE) on random graphs") {
+    import graft.ops.Cluster
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 2) {
+      val baseV = (1L to 60L)
+      val baseE = Seq.fill(40)((1L + rnd.nextInt(60), 1L + rnd.nextInt(60)))
+      val dV = (61L to 80L)
+      val dE = Seq.fill(25)((1L + rnd.nextInt(80), 1L + rnd.nextInt(80)))
+      val baseCC = Cluster.connectedComponents(baseV.toDF("id"), "id",
+        baseE.toDF("a", "b"), "a", "b")
+      val inc = Cluster.applyEdges(baseCC, dE.toDF("a", "b"), "a", "b",
+          dV.toDF("v"), "v")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val full = Cluster.connectedComponents(
+          (baseV ++ dV).toDF("id"), "id",
+          (baseE ++ dE).toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(inc === full, s"trial $trial")
+    }
+  }
+
   // ---- DedupText.lshCandidatesDelta ----
 
   test("incremental LSH: candidates(B ∪ D) = candidates(B) ∪ delta(B, D)") {
