@@ -421,6 +421,48 @@ class Round4bSpec extends SparkSuite {
         s"extra=${(index -- full).take(3)}")
   }
 
+  test("streaming incremental clustering converges to the batch CC") {
+    import graft.ops.{Cluster, DedupText}
+    val docs = graft.queries.PipelineQueries
+      .docsWithDups(spark, "/root/testdata/sf0.001").localCheckpoint()
+    val base = java.nio.file.Files.createTempDirectory("scc").toString
+    docs.where(col("doc_id") % 3 === 0).write.parquet(s"$base/in/b0")
+    docs.where(col("doc_id") % 3 === 1).write.parquet(s"$base/in/b1")
+    docs.where(col("doc_id") % 3 === 2).write.parquet(s"$base/in/b2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in/*")
+    // state across micro-batches: signature store + current labeling
+    var store: Option[org.apache.spark.sql.DataFrame] = None
+    var labels: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = DedupText
+          .minhashSignaturesExact(batch, "doc_id", "text").localCheckpoint()
+        val baseSig = store.getOrElse(delta.limit(0))
+        val pairs = DedupText.lshCandidatesDelta(baseSig, delta,
+          "doc_id", 8, 4)
+        val baseLbl = labels.getOrElse(
+          spark.range(0).select(col("id"), col("id").as("cluster")))
+        labels = Some(Cluster.applyEdges(baseLbl, pairs, "a_id", "b_id",
+          batch.select("doc_id"), "doc_id").localCheckpoint())
+        store = Some(baseSig.unionByName(delta).localCheckpoint())
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = labels.get.as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val full = Cluster.connectedComponents(docs.select("doc_id"), "doc_id",
+        DedupText.lshCandidatesExact(
+          DedupText.minhashSignaturesExact(docs, "doc_id", "text"),
+          "doc_id", 8, 4),
+        "a_id", "b_id", edgesCovered = true)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed === full,
+      "streamed clustering diverged from the batch fixpoint")
+  }
+
   // ---- TopKAggregator ----
 
   test("TopKAggregator matches the window row_number form exactly") {
