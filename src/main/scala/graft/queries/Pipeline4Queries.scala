@@ -300,17 +300,23 @@ object Pipeline4Queries {
       // is the delta fold alone.
       val docs = PipelineQueries.docsWithDups(s, dir)
       val isDelta = col("doc_id") % 7 === 0
-      val baseDocs = docs.where(!isDelta)
-      val baseSig = DedupText.minhashSignaturesExact(baseDocs, "doc_id", "text")
+      // one corpus explode: the delta split happens on the exploded frame
+      // (doc_id is right there), so base and delta signatures share it
+      val shAll = Par.fanOut(docs, col("doc_id")).select(col("doc_id"),
+          explode(TextOps.shingles(col("text"), 3)).as("s"))
+        .localCheckpoint()
+      val baseSig = DedupText.signaturesFromShingles(
+        shAll.where(!isDelta), "doc_id").localCheckpoint()
       val basePairs = DedupText.lshCandidatesExact(baseSig, "doc_id", 8, 4)
-      val baseCC = Cluster.connectedComponents(baseDocs.select("doc_id"),
+      val baseCC = Cluster.connectedComponents(
+        docs.where(!isDelta).select("doc_id"),
         "doc_id", basePairs, "a_id", "b_id", edgesCovered = true)
-      val deltaDocs = docs.where(isDelta)
-      val deltaSig = DedupText.minhashSignaturesExact(deltaDocs, "doc_id", "text")
+      val deltaSig = DedupText.signaturesFromShingles(
+        shAll.where(isDelta), "doc_id")
       val deltaPairs = DedupText.lshCandidatesDelta(baseSig, deltaSig,
         "doc_id", 8, 4)
       Cluster.applyEdges(baseCC, deltaPairs, "a_id", "b_id",
-          deltaDocs.select("doc_id"), "doc_id")
+          docs.where(isDelta).select("doc_id"), "doc_id")
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
           (col("cluster") === col("id")).as("is_canonical"))
         .orderBy("doc_id")
