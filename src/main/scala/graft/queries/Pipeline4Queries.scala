@@ -515,6 +515,27 @@ object Pipeline4Queries {
         .orderBy("gpos")
     }),
 
+    "sim_recall" -> ((s, dir) => {
+      // ANN observability: per-probe overlap between the IVF index's
+      // top-5 and the exact top-5 — recall of the scale path as a graded,
+      // oracle-checked quantity (both rankings are deterministic)
+      graft.expr.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.where(col("vec_id") % 50 === 0)
+      val exact = Similarity.bruteForceTopK(emb, probes, 5)
+        .select("query_id", "neighbor_id")
+      val ivf = Similarity.ivfTopK(emb, probes,
+          emb.where(col("vec_id") % 61 === 0), k = 5, nprobe = 2)
+        .select("query_id", "neighbor_id")
+      val common = exact.join(ivf, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n"))
+      exact.select("query_id").distinct()
+        .join(common, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n"), lit(0L)).as("n_common"))
+        .orderBy("query_id")
+    }),
+
     "dd_semantic" -> ((s, dir) => {
       // SemDeDup-shaped semantic dedup: IVF-cell blocking → within-cell
       // cosine ≥ 0.999 pairs → connected components → min-id canonical.
@@ -937,6 +958,22 @@ object Pipeline4Queries {
         |SELECT doc_id, source, rnk,
         |  CAST(ROW_NUMBER() OVER (ORDER BY rnk, source) AS BIGINT) AS gpos
         |FROM rk ORDER BY gpos""".stripMargin,
+
+    "sim_recall" -> {
+      // composed from the two graded rankings' own oracles
+      val ex = PipelineQueries.oracles("sim_cosine_topk")
+      val iv = PipelineQueries.oracles("sim_ivf_topk")
+      s"""WITH ex AS ($ex),
+         |iv AS ($iv),
+         |p AS (SELECT DISTINCT query_id FROM ex),
+         |c AS (SELECT ex.query_id, COUNT(*) AS n FROM ex
+         |  JOIN iv ON ex.query_id = iv.query_id
+         |    AND ex.neighbor_id = iv.neighbor_id
+         |  GROUP BY ex.query_id)
+         |SELECT p.query_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_common
+         |FROM p LEFT JOIN c ON p.query_id = c.query_id
+         |ORDER BY p.query_id""".stripMargin
+    },
 
     "dd_semantic" -> {
       import PipelineQueries.cosSql
