@@ -515,6 +515,24 @@ object Pipeline4Queries {
         .orderBy("gpos")
     }),
 
+    "approx_hll_merge" -> ((s, dir) => {
+      // mergeable-sketch maintenance: per-day HLL sketches of the user
+      // set union into one weekly distinct estimate — the incremental
+      // path for distinct counts (store daily sketches, merge on read;
+      // no re-scan of history). Rows-only check: sketch bytes are
+      // engine-specific; the merge-vs-direct error bound is spec-pinned
+      // (the DataSketches union path is NOT bit-lossless).
+      val e = Tables.events(s, dir).select(
+        expr("ts_ms div 604800000").as("week"),
+        expr("ts_ms div 86400000").as("day"), col("user_id"))
+      val daily = e.groupBy("week", "day")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      daily.groupBy("week")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"),
+          count(lit(1)).as("n_days"))
+        .orderBy("week")
+    }),
+
     "sim_recall" -> ((s, dir) => {
       // ANN observability: per-probe overlap between the IVF index's
       // top-5 and the exact top-5 — recall of the scale path as a graded,

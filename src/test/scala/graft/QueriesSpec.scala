@@ -10,7 +10,7 @@ class QueriesSpec extends SparkSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // xxhash64/sketch-dependent ops are rows-only checked by design
     assert(noOracle === Set("dd_minhash_lsh_xx", "dd_simhash_xx", "sim_lsh_topk",
-      "approx_distinct", "approx_percentile"))
+      "approx_distinct", "approx_percentile", "approx_hll_merge"))
   }
 
   test("entry returns rows") {

@@ -329,6 +329,24 @@ class Round4bSpec extends SparkSuite {
     assert(delta.nonEmpty)
   }
 
+  // ---- HLL sketch merge ----
+
+  test("union of partial HLL sketches estimates like the direct sketch") {
+    // NOT bit-lossless: the DataSketches union path (HLL_8 gadget) can
+    // differ from direct aggregation by sketch error — pin the BOUND, not
+    // identity, and that both land within HLL error of the true count
+    val df = spark.range(10000).selectExpr("id % 16 as part", "id % 937 as v")
+    val merged = df.groupBy("part").agg(expr("hll_sketch_agg(v)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .as[Long].head()
+    val direct = df.agg(expr("hll_sketch_estimate(hll_sketch_agg(v))"))
+      .as[Long].head()
+    def closeTo(a: Long, b: Long) = math.abs(a - b) <= (b * 5) / 100
+    assert(closeTo(merged, 937L), s"merged=$merged far from 937")
+    assert(closeTo(direct, 937L), s"direct=$direct far from 937")
+    assert(closeTo(merged, direct), s"merged=$merged vs direct=$direct")
+  }
+
   // ---- Quality gates ----
 
   test("Quality.orphans reports null foreign keys as violations") {
