@@ -284,6 +284,34 @@ class Round4bSpec extends SparkSuite {
       (6L, 6L), (7L, 6L), (8L, 8L)))
   }
 
+  test("applyEdges with an empty delta is the identity") {
+    import graft.ops.Cluster
+    val baseLabels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("id", "cluster")
+    val out = Cluster.applyEdges(baseLabels,
+        Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b",
+        Seq.empty[Long].toDF("v"), "v")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, 1L), (2L, 1L), (3L, 3L)))
+  }
+
+  test("intervalOverlap equals theta join on random intervals") {
+    val rnd = new scala.util.Random(23)
+    val a = (1L to 80L).map { i =>
+      val s = rnd.nextInt(1000).toLong; (i, s, s + 1 + rnd.nextInt(300)) }
+      .toDF("a_id", "a_s", "a_e")
+    val b = (1L to 60L).map { i =>
+      val s = rnd.nextInt(1000).toLong; (i, s, s + 1 + rnd.nextInt(300)) }
+      .toDF("b_id", "b_s", "b_e")
+    val want = a.join(b, col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    for (w <- Seq(13L, 256L)) {
+      val got = RangeBin.intervalOverlap(a, "a_s", "a_e", b, "b_s", "b_e",
+          Nil, w)
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(got === want, s"width $w")
+    }
+  }
+
   test("applyEdges(cc(B), dE) equals cc(B ∪ dV, E ∪ dE) on random graphs") {
     import graft.ops.Cluster
     val rnd = new scala.util.Random(11)
