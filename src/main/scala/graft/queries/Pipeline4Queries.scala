@@ -182,6 +182,23 @@ object Pipeline4Queries {
         .orderBy("o_orderkey")
     }),
 
+    "j8_changelog" -> ((s, dir) => {
+      // CDC changelog generation: the merge algebra's three diffs emitted
+      // as one I/U/D feed instead of applied — what a downstream consumer
+      // subscribes to. Same dedup/null-safe-compare semantics as
+      // merge_delta, so the changelog and the merged state always agree.
+      val target = Fixtures.sriTarget(s, dir)
+      val live = Dedup.keepLatest(Fixtures.sriStaged(s, dir))
+      val tombs = Fixtures.sriTombstones(s, dir).select("href").distinct()
+      val ins = Diff.newRows(target, live, Seq("href"))
+        .select(col("href"), lit("I").as("action"))
+      val upd = Diff.changedRows(target, live, Seq("href"), "jsondata")
+        .select(col("href"), lit("U").as("action"))
+      val del = target.join(tombs, Seq("href"), "left_semi")
+        .select(col("href"), lit("D").as("action"))
+      ins.unionByName(upd).unionByName(del).orderBy("href", "action")
+    }),
+
     "dq_orphans" -> ((s, dir) => {
       // referential-integrity gate: lineitem with planted orphan rows
       // (every 100th orderkey shifted past the key space) — the gate must
@@ -716,6 +733,19 @@ object Pipeline4Queries {
         |  o_orderkey >> 2 AS b_shr,
         |  CAST(bit_count(o_orderkey) AS BIGINT) AS b_pop
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "j8_changelog" ->
+      s"""${Fixtures.sriCtes}SELECT href, action FROM (
+         |  SELECT d.href, 'I' AS action FROM sdedup d
+         |  WHERE NOT EXISTS (SELECT 1 FROM starget t WHERE t.href = d.href)
+         |  UNION ALL
+         |  SELECT d.href, 'U' AS action FROM sdedup d
+         |  JOIN starget t ON t.href = d.href
+         |  WHERE d.jsondata IS DISTINCT FROM t.jsondata
+         |  UNION ALL
+         |  SELECT t.href, 'D' AS action FROM starget t
+         |  WHERE EXISTS (SELECT 1 FROM stomb s WHERE s.href = t.href))
+         |ORDER BY href, action""".stripMargin,
 
     "dq_orphans" ->
       """WITH li AS (
