@@ -20,6 +20,7 @@ object ScaleProbe {
     if (args.headOption.contains("longdoc")) { longdocProbe(args); return }
     if (args.headOption.contains("pack")) { packProbe(args); return }
     if (args.headOption.contains("hh")) { hhProbe(args); return }
+    if (args.headOption.contains("asof")) { asofProbe(args); return }
     val targetRows = args.headOption.map(_.toLong).getOrElse(20000000L)
     val deltaRows = args.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -248,6 +249,44 @@ object ScaleProbe {
       ops.Packing.greedyPack(docs, "g", "id", "len", 2048L).count())
     println(s"[packprobe] docs=$nDocs groups=$nGroups " +
       s"chunk_rows=$chunkRows greedy_rows=$greedyRows")
+    spark.stop()
+  }
+
+  /** Nearest as-of join at volume:
+    * `sbt "runMain graft.ScaleProbe asof 50000000 5000000"` — right side
+    * 50M ticks, left side 5M probes over 100k keys. The union-window
+    * shape means ONE shuffle regardless of direction; wall time scales
+    * with the sort, not with any pairing. */
+  private def asofProbe(args: Array[String]): Unit = {
+    val nRight = args.drop(1).headOption.map(_.toLong).getOrElse(50000000L)
+    val nLeft = args.drop(2).headOption.map(_.toLong).getOrElse(5000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[asofprobe] $label%-10s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    timed("warmup")(spark.range(1000000).selectExpr("sum(id)").collect())
+    val keys = 100000L
+    val right = spark.range(nRight).select(
+      (col("id") % keys).as("k"), (col("id") * 7L % 1000000000L).as("t"),
+      col("id").as("rid"))
+    val left = spark.range(nLeft).select(
+      (col("id") % keys).as("k"), (col("id") * 131L % 1000000000L).as("t"),
+      col("id").as("lid"))
+    val n1 = timed("backward")(
+      ops.AsOf.join(left, right, "k", "t", "lid", "rid").count())
+    val n2 = timed("nearest")(
+      ops.AsOf.joinNearest(left, right, "k", "t", "lid", "rid").count())
+    println(s"[asofprobe] right=$nRight left=$nLeft rows=$n1/$n2")
     spark.stop()
   }
 
