@@ -550,6 +550,21 @@ object Pipeline4Queries {
         .orderBy("week")
     }),
 
+    "dd_cluster_sizes" -> ((s, dir) => {
+      // dedup observability: the duplicate-cluster size distribution —
+      // the first chart anyone asks for after a dedup run (how much mass
+      // sits in how-big groups). Composition: CC labels → per-cluster
+      // size → size histogram.
+      val docs = PipelineQueries.docsWithDups(s, dir)
+      val signed = DedupText.minhashSignaturesExact(docs, "doc_id", "text")
+      val pairs = DedupText.lshCandidatesExact(signed, "doc_id", 8, 4)
+      Cluster.connectedComponents(docs.select("doc_id"), "doc_id",
+          pairs, "a_id", "b_id", edgesCovered = true)
+        .groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz")
+    }),
+
     "sim_recall" -> ((s, dir) => {
       // ANN observability: per-probe overlap between the IVF index's
       // top-5 and the exact top-5 — recall of the scale path as a graded,
@@ -1006,6 +1021,21 @@ object Pipeline4Queries {
         |SELECT doc_id, source, rnk,
         |  CAST(ROW_NUMBER() OVER (ORDER BY rnk, source) AS BIGINT) AS gpos
         |FROM rk ORDER BY gpos""".stripMargin,
+
+    "dd_cluster_sizes" -> {
+      import PipelineQueries.minhashPairsCtes
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |cedges AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |           UNION SELECT b_id, a_id FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM dd
+         |  UNION
+         |  SELECT e.v, r.lbl FROM reach r JOIN cedges e ON e.u = r.id),
+         |cc AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+         |sz AS (SELECT cluster, COUNT(*) AS sz FROM cc GROUP BY cluster)
+         |SELECT sz, COUNT(*) AS n_clusters FROM sz GROUP BY sz
+         |ORDER BY sz""".stripMargin
+    },
 
     "sim_recall" -> {
       // composed from the two graded rankings' own oracles
