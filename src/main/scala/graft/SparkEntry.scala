@@ -27,7 +27,7 @@ object SparkEntry {
       WindowQueries.queries ++ PipelineQueries.queries ++
       ExtraQueries.queries ++ Relational2Queries.queries ++
       Pipeline2Queries.queries ++ Pipeline3Queries.queries ++
-      Pipeline4Queries.queries
+      Pipeline4Queries.queries ++ Pipeline5Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +36,5 @@ object SparkEntry {
       WindowQueries.oracles ++ PipelineQueries.oracles ++
       ExtraQueries.oracles ++ Relational2Queries.oracles ++
       Pipeline2Queries.oracles ++ Pipeline3Queries.oracles ++
-      Pipeline4Queries.oracles
+      Pipeline4Queries.oracles ++ Pipeline5Queries.oracles
 }

@@ -96,8 +96,10 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane component for (plane j, dim i): a 64-bit
     * integer mix computed at PLAN time — the plane matrix ships to
-    * executors as a literal array, zero per-row hashing. */
-  private def planeSign(j: Int, i: Int): Double = {
+    * executors as a literal array, zero per-row hashing. Exposed to the
+    * oracle generator: the same matrix embeds into the DuckDB SQL as
+    * literals, making sign-LSH fully cross-engine-checkable. */
+  private[graft] def planeSign(j: Int, i: Int): Double = {
     var h = j.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
     h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
     if ((h & 1L) == 0L) 1.0 else -1.0

@@ -536,17 +536,25 @@ object Pipeline4Queries {
       // mergeable-sketch maintenance: per-day HLL sketches of the user
       // set union into one weekly distinct estimate — the incremental
       // path for distinct counts (store daily sketches, merge on read;
-      // no re-scan of history). Rows-only check: sketch bytes are
-      // engine-specific; the merge-vs-direct error bound is spec-pinned
-      // (the DataSketches union path is NOT bit-lossless).
+      // no re-scan of history). The sketch bytes are engine-specific, so
+      // the graded output is the deterministic INVARIANT: the merged
+      // estimate lands within 5% of the exact weekly distinct (lgK=12
+      // gives ~1.6% rsd — 3× headroom; the union path is NOT bit-
+      // lossless, which is exactly why only the bound is graded).
       val e = Tables.events(s, dir).select(
         expr("ts_ms div 604800000").as("week"),
         expr("ts_ms div 86400000").as("day"), col("user_id"))
       val daily = e.groupBy("week", "day")
         .agg(expr("hll_sketch_agg(user_id)").as("sk"))
-      daily.groupBy("week")
+      val merged = daily.groupBy("week")
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"),
           count(lit(1)).as("n_days"))
+      val exact = e.groupBy("week")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      merged.join(exact, Seq("week"))
+        .select(col("week"), col("n_days"), col("exact_users"),
+          (abs(col("est_users") - col("exact_users")) * 20
+            <= col("exact_users")).as("merge_ok"))
         .orderBy("week")
     }),
 
@@ -1036,6 +1044,13 @@ object Pipeline4Queries {
          |SELECT sz, COUNT(*) AS n_clusters FROM sz GROUP BY sz
          |ORDER BY sz""".stripMargin
     },
+
+    "approx_hll_merge" ->
+      """SELECT epoch_ms(ts) // 604800000 AS week,
+        |  COUNT(DISTINCT epoch_ms(ts) // 86400000) AS n_days,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS merge_ok
+        |FROM events GROUP BY week ORDER BY week""".stripMargin,
 
     "sim_recall" -> {
       // composed from the two graded rankings' own oracles

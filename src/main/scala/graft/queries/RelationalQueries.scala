@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -170,30 +171,52 @@ object RelationalQueries {
     }),
 
     "approx_distinct" -> ((s, dir) => {
-      // HLL sketch vs exact distinct per event type (rows-only: HLL
-      // estimates are implementation-specific, no cross-engine oracle)
+      // HLL sketch next to the exact distinct per event type. The sketch
+      // VALUE is engine-specific (DuckDB cannot reproduce it), so the
+      // graded output is the deterministic INVARIANT instead: the HLL
+      // estimate lands within 5% of the exact count (rsd=0.02 gives 2.5×
+      // headroom on the bound, and small-cardinality sparse mode is
+      // near-exact anyway). `approx_ok` is integer-exact math — no
+      // float hashing — and the oracle reproduces the exact side + TRUE.
       Tables.events(s, dir)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) * 20
+            <= col("exact_users")).as("approx_ok"))
         .orderBy("event_type")
     }),
 
     "approx_percentile" -> ((s, dir) => {
-      // quantile sketch next to the exact path (agg_quantiles): rows-only
-      // like approx_distinct — sketch internals are engine-specific, but
-      // the exact bounds ride along as self-validation
-      Tables.lineitem(s, dir)
+      // quantile sketch next to the exact path (agg_quantiles). Like
+      // approx_distinct, the graded output is the sketch's deterministic
+      // INVARIANT, not its value: the empirical CDF position of each
+      // approximate quantile sits within ±5 percentile points of its
+      // target (the GK guarantee at accuracy=1000 is ±0.1% rank error,
+      // so the 5-point bound holds for ANY partition merge order).
+      // cnt_lt/cnt_le are exact integer counts against the returned
+      // element; the booleans are integer cross-multiplications.
+      val li = Tables.lineitem(s, dir)
         .select(col("l_returnflag"), cents("l_quantity").as("qc"))
-        .groupBy("l_returnflag")
+      val aq = li.groupBy("l_returnflag")
         .agg(expr("approx_percentile(qc, array(0.25, 0.5, 0.75), 1000)")
-          .as("approx_q"),
-          min("qc").as("lo"), max("qc").as("hi"))
-        .select(col("l_returnflag"),
-          element_at(col("approx_q"), 1).as("q25"),
-          element_at(col("approx_q"), 2).as("q50"),
-          element_at(col("approx_q"), 3).as("q75"),
-          col("lo"), col("hi"))
+          .as("approx_q"), count(lit(1)).as("n"))
+        .select(col("l_returnflag").as("rf"), col("n"),
+          element_at(col("approx_q"), 1).as("a25"),
+          element_at(col("approx_q"), 2).as("a50"),
+          element_at(col("approx_q"), 3).as("a75"))
+      def ok(a: Column, pct: Int) = {
+        val lt = sum(when(col("qc") < a, 1L).otherwise(0L))
+        val le = sum(when(col("qc") <= a, 1L).otherwise(0L))
+        (lt * 100 <= col("n") * (pct + 5)) &&
+          (le * 100 >= col("n") * (pct - 5))
+      }
+      li.join(broadcast(aq), li("l_returnflag") === aq("rf"))
+        .groupBy(col("l_returnflag"), col("n"))
+        .agg(ok(col("a25"), 25).as("ok25"), ok(col("a50"), 50).as("ok50"),
+          ok(col("a75"), 75).as("ok75"))
+        .select("l_returnflag", "n", "ok25", "ok50", "ok75")
         .orderBy("l_returnflag")
     }),
 
@@ -330,6 +353,21 @@ object RelationalQueries {
     "json_get" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  COUNT(*) AS n
-        |FROM events GROUP BY k ORDER BY k""".stripMargin
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+
+    // sketch invariants: the oracle reproduces the EXACT side and asserts
+    // the Spark-side error-bound booleans are all TRUE (the sketch values
+    // themselves are engine-specific and deliberately not graded)
+    "approx_distinct" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "approx_percentile" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  TRUE AS ok25, TRUE AS ok50, TRUE AS ok75
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }
