@@ -16,6 +16,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("minhash")) { minhashProbe(args); return }
     if (args.headOption.contains("cc")) { ccProbe(args); return }
+    if (args.headOption.contains("ccstar")) { ccStarProbe(args); return }
     if (args.headOption.contains("skew")) { skewProbe(args); return }
     if (args.headOption.contains("longdoc")) { longdocProbe(args); return }
     if (args.headOption.contains("pack")) { packProbe(args); return }
@@ -213,6 +214,41 @@ object ScaleProbe {
     timed("cc_loop")(
       ops.Cluster.connectedComponents(docs.select("doc_id"), "doc_id",
         pairs, "a_id", "b_id").count())
+    spark.stop()
+  }
+
+  /** Adversarial-topology CC probe: a sorted PATH graph — the worst case
+    * for per-hop label propagation (diameter = n) and the shape the
+    * two-phase star fallback exists for. `sbt "runMain graft.ScaleProbe
+    * ccstar 1000000"`: builds an n-vertex path, runs the hybrid
+    * connectedComponents, and asserts (a) one component labeled by the
+    * min id, (b) the star phase converged in O(log n) rounds — NOT
+    * O(n/5) propagation rounds. */
+  private def ccStarProbe(args: Array[String]): Unit = {
+    val n = args.drop(1).headOption.map(_.toLong).getOrElse(1000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val verts = spark.range(1, n + 1).select(col("id"))
+    val edges = spark.range(1, n)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val t0 = System.nanoTime()
+    val labels = ops.Cluster.connectedComponents(verts, "id", edges, "a", "b",
+      edgesCovered = true)
+    val distinctLabels = labels.select("cluster").distinct().count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rounds = ops.Cluster.lastStarRounds
+    val lg = (math.log(n.toDouble) / math.log(2)).ceil.toInt
+    println(f"[ccstar] n=$n%d components=$distinctLabels%d " +
+      f"starRounds=$rounds%d (log2=$lg) wall=$secs%.1fs")
+    require(distinctLabels == 1L, s"path graph split into $distinctLabels")
+    require(rounds > 0 && rounds <= 2 * lg,
+      s"star rounds $rounds not O(log n) for n=$n")
     spark.stop()
   }
 

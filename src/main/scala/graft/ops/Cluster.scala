@@ -10,23 +10,39 @@ import org.apache.spark.sql.functions._
   * `/root/reference/src/lib/client.js:1033` delete/upsert keying; grouping
   * transitively-linked near-dups is the training-data extension of that.)
   *
-  * Algorithm: min-label propagation to fixpoint. Every vertex starts
-  * labelled with its own id; each round, every vertex takes the min of its
-  * own label and its neighbours' labels; stop when no label changed.
+  * Algorithm: min-label propagation for the common case, with an
+  * automatic switch to alternating large-star/small-star (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC'14) when
+  * propagation has not converged after a few rounds.
   *
-  * Scale design (100 TB): one round = one shuffle (groupBy vertex id) over
-  * (id, label) longs — no vertex payloads travel. Rounds are bounded by
-  * component diameter, and near-dup graphs are unions of small cliques /
-  * stars (diameter ≤ 3 in practice), so the loop is 2–4 shuffles total.
-  * For adversarial long-chain graphs swap the per-round rule for
-  * alternating large-star/small-star (Kiveris et al., "Connected
-  * Components in MapReduce and Beyond", SoCC'14) — same join/agg building
-  * blocks, O(log n) rounds. `localCheckpoint` truncates lineage each round
-  * so the plan does not grow with the iteration count, and the `changed`
-  * count is computed from the same checkpointed frame that seeds the next
-  * round (no recomputation).
+  * Scale design (100 TB): one propagation round = one shuffle (groupBy
+  * vertex id) over (id, label) longs — no vertex payloads travel.
+  * Propagation rounds are bounded by component diameter, and near-dup
+  * graphs are unions of small cliques / stars (diameter ≤ 3 in
+  * practice), so the loop is 2–4 shuffles total AND each round merges
+  * everything within one hop — the cheapest possible plan for the shape
+  * the data actually takes. A long-chain component would need O(diameter)
+  * serialized rounds, so after [[propRounds]] un-converged rounds the
+  * remaining work contracts through the current labels (all ≤k-hop
+  * structure is already merged, so the contracted graph only keeps the
+  * unresolved long-range edges) and finishes with the two-phase star
+  * algorithm — O(log n) rounds on ANY topology. `localCheckpoint`
+  * truncates lineage each round so the plan does not grow with the
+  * iteration count, and the `changed` count is computed from the same
+  * checkpointed frame that seeds the next round (no recomputation).
   */
 object Cluster {
+
+  /** Propagation rounds before switching to the star algorithm: near-dup
+    * graphs converge at the fused seed + 1 verification round; anything
+    * still moving after 4 rounds has diameter ≥ 5 and is better served by
+    * the O(log n) path. */
+  private val propRounds = 4
+
+  /** Diagnostic: rounds the last [[alternatingStar]] run took (including
+    * the fixpoint-detection round); -1 if it never ran. Read by the scale
+    * probe / specs to pin the O(log n) bound — not part of the API. */
+  @volatile private[graft] var lastStarRounds: Int = -1
 
   /** @param vertices one row per vertex (must cover every id in `edges`;
     *                 isolated vertices become singleton clusters)
@@ -88,7 +104,7 @@ object Cluster {
       .localCheckpoint()
     var changed = 1L
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    while (changed > 0 && it < propRounds) {
       // carry the previous label through the same aggregation (flag 1) so
       // fixpoint detection needs no second join against the old frame
       val msgs = sym.join(labels, sym("u") === labels("id"))
@@ -103,7 +119,25 @@ object Cluster {
       labels = next.select("id", "lbl")
       it += 1
     }
-    require(changed == 0, s"connectedComponents: no fixpoint in $maxIter rounds")
+    if (changed > 0) {
+      // high-diameter remainder: contract through the current labels
+      // (vertices sharing a label are proven connected, so the contracted
+      // graph preserves components; every ≤propRounds-hop edge is already
+      // a self-loop and drops) and finish in O(log n) star rounds. The
+      // final label of a contracted root is the min over its member
+      // labels' components — composed back with one join.
+      val mapped = sym
+        .join(labels.select(col("id").as("u"), col("lbl").as("lu")), Seq("u"))
+        .join(labels.select(col("id").as("v"), col("lbl").as("lv")), Seq("v"))
+        .select(col("lu"), col("lv"))
+        .where(col("lu") =!= col("lv"))
+      val star = alternatingStar(mapped, "lu", "lv", maxIter)
+      labels = labels.as("l")
+        .join(star.as("s"), col("l.lbl") === col("s.id"), "left")
+        .select(col("l.id").as("id"),
+          coalesce(col("s.lbl"), col("l.lbl")).as("lbl"))
+        .localCheckpoint()
+    }
     // `labels` holds exactly the edge-touched vertices (the seed groups
     // u∪v), already distinct — reuse it as the touched set instead of
     // re-distinct-ing the edge list (one less shuffle)
@@ -112,6 +146,87 @@ object Cluster {
         .join(labels.select("id"), Seq("id"), "left_anti")
         .select(col("id"), col("id").as("lbl")))
       .select(col("id"), col("lbl").as("cluster"))
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * O(log n)-round path for high-diameter graphs, where per-hop label
+    * propagation would need O(diameter) serialized shuffles.
+    *
+    * Large-star: every node connects its strictly-LARGER neighbours to
+    * min(N(u) ∪ {u}) — long chains halve, and the edge set stays acyclic
+    * with every edge (hi, lo), hi > lo. Small-star: every node folds its
+    * smaller-side neighbours (and itself) onto their minimum. Alternating
+    * the two contracts any component to a depth-1 star rooted at its
+    * minimum id in O(log n) rounds (the paper's bound; a sorted path —
+    * the worst case for propagation — halves every round).
+    *
+    * Each round is two groupBy shuffles + one join over (long, long)
+    * pairs; no vertex payloads, no driver materialization. Convergence is
+    * detected from a per-round aggregate signature (count + two bounded
+    * hash sums — one action over the frame that seeds the next round),
+    * not an edge-set diff, so the fixpoint check adds no extra shuffle.
+    *
+    * @param edges undirected pairs (self-loops and duplicates tolerated)
+    * @return (id, lbl): one row per edge endpoint, lbl = component min */
+  private[graft] def alternatingStar(edges: DataFrame, aCol: String,
+                                     bCol: String,
+                                     maxIter: Int = 25): DataFrame = {
+    var e = edges
+      .select(greatest(col(aCol), col(bCol)).as("hi"),
+        least(col(aCol), col(bCol)).as("lo"))
+      .where(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint()
+    var prev = (-1L, -1L, -1L)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val sym = e.select(explode(array(
+          struct(col("hi").as("u"), col("lo").as("v")),
+          struct(col("lo").as("u"), col("hi").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+      // large-star: (v, min(N(u) ∪ {u})) for every neighbour v > u
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(mins, Seq("u")).where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // small-star: every hi-node folds its smaller-side neighbours (and
+      // itself) onto their minimum; (hi, lo) stays strictly descending
+      val mins2 = ls.groupBy("hi").agg(min("lo").as("m"))
+      val ss = ls.join(mins2, Seq("hi"))
+        .select(explode(array(
+          struct(col("hi").as("x"), col("m").as("y")),
+          struct(col("lo").as("x"), col("m").as("y")))).as("p"))
+        .select(col("p.x").as("hi"), col("p.y").as("lo"))
+        .where(col("hi") =!= col("lo"))
+        .distinct()
+        .localCheckpoint()
+      // signature of the new edge set from the frame that seeds the next
+      // round: sum of bounded hashes can't overflow below ~9e9 edges
+      val sig = ss.agg(count(lit(1)),
+        sum(pmod(xxhash64(col("hi"), col("lo")), lit(1000000007L))),
+        sum(pmod(xxhash64(col("lo"), col("hi"), lit(7L)), lit(999999937L))))
+        .head()
+      val cur = (sig.getLong(0),
+        if (sig.isNullAt(1)) 0L else sig.getLong(1),
+        if (sig.isNullAt(2)) 0L else sig.getLong(2))
+      converged = cur == prev
+      prev = cur
+      e = ss
+      it += 1
+    }
+    lastStarRounds = it
+    require(converged || prev._1 == 0L,
+      s"alternatingStar: no fixpoint in $maxIter rounds")
+    // fixpoint = depth-1 stars: every non-root points at its component
+    // min; roots (never on the hi side) label themselves
+    val roots = e.select(col("lo").as("id")).distinct()
+      .join(e.select(col("hi").as("id")), Seq("id"), "left_anti")
+    e.groupBy("hi").agg(min("lo").as("lbl"))
+      .select(col("hi").as("id"), col("lbl"))
+      .unionByName(roots.select(col("id"), col("id").as("lbl")))
   }
 
   /** Incremental connected components: fold NEW edges (and vertices) into

@@ -42,10 +42,52 @@ class ClusterSpec extends SparkSuite {
   }
 
   test("maxIter too small fails loudly instead of returning wrong labels") {
-    val vs = (1L to 6L).toDF("id")
-    val es = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+    // a 40-chain survives the 4 propagation rounds, and the star phase
+    // cannot finish its contracted remainder in 1 round — must throw,
+    // never return partial labels
+    val vs = (1L to 40L).toDF("id")
+    val es = (1L to 39L).map(i => (i, i + 1)).toDF("a", "b")
     intercept[IllegalArgumentException] {
       Cluster.connectedComponents(vs, "id", es, "a", "b", maxIter = 1).collect()
+    }
+  }
+
+  test("high-diameter chain converges through the star phase in O(log n)") {
+    // 300-chain: propagation alone would need ~299 rounds; the hybrid
+    // contracts after 4 and the star phase finishes logarithmically
+    val n = 300L
+    val got = cc(1L to n, (1L until n).map(i => (i, i + 1)))
+    assert(got.size === n.toInt && got.values.toSet === Set(1L))
+    val lg = (math.log(n.toDouble) / math.log(2)).ceil.toInt
+    assert(Cluster.lastStarRounds > 0 && Cluster.lastStarRounds <= 2 * lg,
+      s"star rounds ${Cluster.lastStarRounds} not O(log n) (n=$n, log2=$lg)")
+  }
+
+  test("alternating star directly: mixed components, any edge orientation") {
+    import graft.ops.Cluster
+    val es = Seq((7L, 3L), (3L, 9L), (9L, 11L), // chain {3,7,9,11}
+      (20L, 21L), (21L, 20L),                   // pair + reversed dup
+      (30L, 30L))                               // self-loop only
+      .toDF("x", "y")
+    val got = Cluster.alternatingStar(es, "x", "y")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(3L -> 3L, 7L -> 3L, 9L -> 3L, 11L -> 3L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("star phase agrees with pure propagation on a random graph") {
+    // same edges through both paths: default (propagation converges at
+    // low diameter) vs star-only — labelings must be identical
+    val rnd = new scala.util.Random(42)
+    val vs = (1L to 200L)
+    val es = Seq.fill(150)((rnd.nextInt(200) + 1).toLong ->
+      (rnd.nextInt(200) + 1).toLong).filter(p => p._1 != p._2)
+    val viaProp = cc(vs, es)
+    val star = Cluster.alternatingStar(es.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    // star covers edge endpoints only; isolated vertices are the caller's
+    viaProp.foreach { case (id, lbl) =>
+      assert(star.getOrElse(id, id) === lbl, s"vertex $id: $lbl vs star")
     }
   }
 
