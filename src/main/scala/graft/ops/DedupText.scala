@@ -331,21 +331,36 @@ object DedupText {
         (col("na") + col("nb") - coalesce(col("i"), lit(0L))).as("u"))
   }
 
-  /** Full fuzzy-dedup pipeline, verified: MinHash signatures → LSH
-    * candidate pairs → exact-Jaccard verification (keep pairs with
-    * J ≥ num/den, integer cross-multiplied — no floats) → connected
-    * components → (id, cluster, is_canonical). This is the production
-    * composition: LSH bounds the pair space, verification removes its
-    * false positives, clustering makes keep/drop decisions transitive. */
+  /** Full fuzzy-dedup pipeline, verified: boilerplate fence → MinHash
+    * signatures → LSH candidate pairs → exact-Jaccard verification (keep
+    * pairs with J ≥ num/den, integer cross-multiplied — no floats) →
+    * connected components → (id, cluster, is_canonical). This is the
+    * production composition: the fence keeps corpus-wide shared blocks
+    * out of the sketch (without it a shared header/footer drives
+    * unrelated docs into the same LSH buckets and the (band, sig)
+    * self-join degenerates quadratically — pinned by the
+    * `fuzzyDedup boilerplate fence` spec), LSH bounds the pair space,
+    * verification removes its false positives, clustering makes
+    * keep/drop decisions transitive.
+    *
+    * @param maxDocFrac boilerplate threshold ([[shinglesFiltered]]):
+    *                   shingles in more than this fraction of documents
+    *                   are dropped from BOTH the sketch and the Jaccard
+    *                   verification (similarity should measure the
+    *                   informative content, not the shared template).
+    *                   ≥ 1.0 disables the fence. */
   def fuzzyDedup(docs: DataFrame, idCol: String, text: String,
                  bands: Int = 8, rows: Int = 4, n: Int = 3,
-                 num: Int = 2, den: Int = 3): DataFrame = {
-    // the corpus explodes into shingles exactly ONCE: the pinned frame
-    // feeds both the signature aggregation and the exact-overlap
-    // verification — at corpus scale that second explode was a full
-    // extra pass over every document
-    val shAll = Par.fanOut(docs, col(idCol)).select(col(idCol),
-        explode(TextOps.shingles(col(text), n)).as("s"))
+                 num: Int = 2, den: Int = 3,
+                 maxDocFrac: Double = 0.5): DataFrame = {
+    // the corpus explodes into shingles exactly ONCE (inside the fence):
+    // the pinned frame feeds both the signature aggregation and the
+    // exact-overlap verification — at corpus scale a second explode was
+    // a full extra pass over every document
+    val shAll = (if (maxDocFrac < 1.0)
+        shinglesFiltered(docs, idCol, text, n, maxDocFrac)
+      else Par.fanOut(docs, col(idCol)).select(col(idCol),
+        explode(TextOps.shingles(col(text), n)).as("s")))
       .localCheckpoint()
     val signed = signaturesFromShingles(shAll, idCol, bands * rows)
     val cand = lshCandidatesExact(signed, idCol, bands, rows)

@@ -17,7 +17,7 @@ import Fixtures.Q
 object Pipeline3Queries {
 
   import PipelineQueries.{docsWithDups, docsWithDupsSql, minhashPairsCtes,
-    javaHashSql}
+    minhashPairsFencedCtes, javaHashSql}
 
   /** Unsigned 32-bit Java hash in DuckDB (mirrors Sampling.hu). */
   private def huSql(c: String): String =
@@ -74,8 +74,10 @@ object Pipeline3Queries {
     }),
 
     "dd_fuzzy_verified" -> ((s, dir) => {
-      // the production fuzzy-dedup composition: LSH candidates → exact
-      // Jaccard ≥ 2/3 verification → connected components → canonical map
+      // the production fuzzy-dedup composition: boilerplate fence (default
+      // maxDocFrac 0.5, mirrored in the fenced oracle CTEs) → LSH
+      // candidates → exact Jaccard ≥ 2/3 verification → connected
+      // components → canonical map
       DedupText.fuzzyDedup(docsWithDups(s, dir), "doc_id", "text",
           bands = 8, rows = 4, n = 3, num = 2, den = 3)
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
@@ -294,7 +296,10 @@ object Pipeline3Queries {
          |ORDER BY g.a_id, g.b_id""".stripMargin,
 
     "dd_fuzzy_verified" ->
-      s"""WITH RECURSIVE $minhashPairsCtes,
+      // fenced CTEs: the oracle's final `sh` is the boilerplate-filtered
+      // shingle set, so signatures AND the Jaccard verifier below mirror
+      // fuzzyDedup's default maxDocFrac = 0.5 configuration
+      s"""WITH RECURSIVE $minhashPairsFencedCtes,
          |$overlapCtes,
          |ver AS (
          |  SELECT i.a_id, i.b_id FROM inter i

@@ -370,8 +370,13 @@ object PipelineQueries {
 
   /** CTE chain ending in `pairs(a_id, b_id)` — the MinHash(32)+LSH(8×4)
     * candidate pairs on the cross-engine Java-hash affine family, spelled
-    * in DuckDB SQL. Shared by dd_minhash_lsh and dd_cluster_cc. */
-  private[queries] val minhashPairsCtes: String = {
+    * in DuckDB SQL. `fenced = true` inserts the boilerplate fence between
+    * the shingle explode and the signatures, mirroring
+    * DedupText.shinglesFiltered (drop shingles in > half the docs; an
+    * all-boilerplate doc gets the '__bp__'‖text sentinel) — the final CTE
+    * is still named `sh`, so downstream CTEs (signatures AND the overlap
+    * verifier) see the fenced set exactly like the Spark pipeline does. */
+  private[queries] def minhashPairsCtesWith(fenced: Boolean): String = {
     val javaHash =
       """list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(string_split_regex(s, ''),
@@ -386,14 +391,35 @@ object PipelineQueries {
     val bandArms = (0 until 8).map(b =>
       s"WHEN $b THEN [${(0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")}]")
       .mkString("\n      ")
+    val shingleList =
+      """unnest(list_distinct(CASE WHEN len(ws) >= 3
+        |    THEN list_transform(range(1, len(ws) - 1),
+        |         i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2])
+        |    ELSE [list_aggregate(ws, 'string_agg', ' ')] END)) AS s""".stripMargin
+    val shCtes = if (!fenced)
+      s"""sh AS (SELECT doc_id,
+         |  $shingleList
+         |  FROM t),""".stripMargin
+    else
+      // shinglesFiltered mirror: df counts per-doc-distinct occurrences;
+      // hot = df > nDocs * 0.5 spelled integer-exact as 2·df > nDocs
+      s"""sh0 AS (SELECT doc_id,
+         |  $shingleList
+         |  FROM t),
+         |hot AS (SELECT s FROM sh0 GROUP BY s
+         |        HAVING 2 * COUNT(*) >
+         |          (SELECT COUNT(DISTINCT doc_id) FROM sh0)),
+         |kept AS (SELECT * FROM sh0
+         |         WHERE s NOT IN (SELECT s FROM hot)),
+         |lost AS (SELECT DISTINCT doc_id FROM sh0
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM kept)),
+         |sh AS (SELECT * FROM kept
+         |       UNION ALL
+         |       SELECT d.doc_id, '__bp__' || d.text AS s
+         |       FROM dd d JOIN lost l ON d.doc_id = l.doc_id),""".stripMargin
     s"""dd AS ($docsWithDupsSql),
        |t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM dd),
-       |sh AS (SELECT doc_id,
-       |  unnest(list_distinct(CASE WHEN len(ws) >= 3
-       |    THEN list_transform(range(1, len(ws) - 1),
-       |         i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2])
-       |    ELSE [list_aggregate(ws, 'string_agg', ' ')] END)) AS s
-       |  FROM t),
+       |$shCtes
        |based AS (SELECT doc_id, $javaHash AS h FROM sh),
        |sig AS (SELECT doc_id,
        |    $minCols
@@ -410,6 +436,10 @@ object PipelineQueries {
        |    ON l.band = r.band AND l.bandsig = r.bandsig
        |    AND l.doc_id < r.doc_id)""".stripMargin
   }
+
+  private[queries] val minhashPairsCtes: String = minhashPairsCtesWith(false)
+  private[queries] val minhashPairsFencedCtes: String =
+    minhashPairsCtesWith(fenced = true)
 
   /** The 32-bit Java string hash of an arbitrary DuckDB expression —
     * same formula the minhash CTEs inline (proven exact by

@@ -5,12 +5,12 @@ package graft
   * the driver's t2 gate. */
 class QueriesSpec extends SparkSuite {
 
-  test("every oracle has a query; only hash-dependent queries lack oracles") {
+  test("every oracle has a query and every query has an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // xxhash64/sketch-dependent ops are rows-only checked by design
-    assert(noOracle === Set("dd_minhash_lsh_xx", "dd_simhash_xx", "sim_lsh_topk",
-      "approx_distinct", "approx_percentile", "approx_hll_merge"))
+    // since r5 the sketch/hash-family queries grade deterministic
+    // invariants (error-bound booleans, planted-pair membership, literal
+    // plane matrices), so the oracle map covers EVERY query
+    assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) === Set.empty)
   }
 
   test("entry returns rows") {

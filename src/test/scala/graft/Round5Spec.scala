@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.DedupText
+
+/** Round-5 pins: the boilerplate fence is wired into the flagship
+  * fuzzyDedup pipeline (not just available beside it). */
+class Round5Spec extends SparkSuite {
+  import spark.implicits._
+
+  test("fuzzyDedup routes through the boilerplate fence by default") {
+    // 40 docs sharing a dominant license header (J over RAW shingles
+    // ≈ 0.8 between any two docs — all of them look like near-dups), two
+    // planted exact duplicates. Without the fence the candidate join is
+    // quadratic AND verification wrongly merges unrelated docs.
+    val header = (0 until 40).map(k => s"lic$k").mkString(" ")
+    val docs = (Seq.tabulate(40) { i =>
+      val body = (0 until 5).map(k => s"w${(i * 131 + k * 7) % 9973}")
+        .mkString(" ")
+      (i.toLong, s"$header $body")
+    } ++ Seq((1000L, header + " w131 w138 w145 w152 w159"), // dup of doc 1
+             (1003L, header + " w524 w531 w538 w545 w552")) // dup of doc 4
+    ).toDF("doc_id", "text")
+
+    // unfenced signatures: the shared header floods the sketch and the
+    // banded self-join degenerates toward all-pairs
+    val rawSh = docs.select(col("doc_id"),
+      explode(graft.ops.TextOps.shingles(col("text"), 3)).as("s"))
+    val rawCand = DedupText.lshCandidatesExact(
+      DedupText.signaturesFromShingles(rawSh, "doc_id"), "doc_id", 8, 4)
+      .count()
+    val fencedCand = DedupText.lshCandidatesExact(
+      DedupText.signaturesFromShingles(
+        DedupText.shinglesFiltered(docs, "doc_id", "text", 3, 0.5),
+        "doc_id"), "doc_id", 8, 4)
+      .count()
+    assert(rawCand > 100 && fencedCand <= 10,
+      s"fence must kill the quadratic inflation: raw=$rawCand fenced=$fencedCand")
+
+    // the flagship pipeline (default maxDocFrac): exact dups cluster with
+    // their originals, every other doc stays a singleton — the shared
+    // header neither merges unrelated docs nor survives into Jaccard
+    val got = DedupText.fuzzyDedup(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got(1000L) === 1L && got(1003L) === 4L)
+    (0L until 40L).foreach(i => assert(got(i) === i, s"doc $i not singleton"))
+
+    // maxDocFrac >= 1 restores the unfenced behavior: the header is
+    // boilerplate-similar enough that raw Jaccard merges everything
+    val unfenced = DedupText.fuzzyDedup(docs, "doc_id", "text",
+      maxDocFrac = 1.0).as[(Long, Long)].collect().toMap
+    assert(unfenced.values.toSet.size < 5,
+      s"unfenced raw-Jaccard should wrongly merge the corpus")
+  }
+
+  test("fence is a no-op on a clean corpus (fenced == unfenced labels)") {
+    // the graded fixture has no corpus-wide shingle, so the wired fence
+    // must not change dd_fuzzy_verified's answer vs maxDocFrac = 1
+    val docs = graft.queries.PipelineQueries.docsWithDups(spark, sfDir)
+    val fenced = DedupText.fuzzyDedup(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val unfenced = DedupText.fuzzyDedup(docs, "doc_id", "text",
+      maxDocFrac = 1.0).as[(Long, Long)].collect().toMap
+    assert(fenced === unfenced)
+  }
+}
