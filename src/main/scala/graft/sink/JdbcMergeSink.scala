@@ -30,6 +30,16 @@ object JdbcMergeSink {
   case object Postgres extends Dialect { val name = "postgres" }
   case object MsSql extends Dialect { val name = "mssql" }
 
+  /** Portable ANSI/Derby dialect: correlated EXISTS deletes, a standard
+    * MERGE for the change-detecting update, and a MAX-modified insert in
+    * place of the window dedup (Derby's ROW_NUMBER has no PARTITION BY).
+    * Unlike the pg/mssql arms it requires the staging table to be
+    * key-unique — which the production loaders guarantee by staging
+    * `Dedup.keepLatest` output. Exists so the full stage→merge→commit
+    * protocol is EXECUTED (not just text-asserted) against embedded
+    * Derby in `JdbcLiveSpec`. */
+  case object Derby extends Dialect { val name = "derby" }
+
   final case class SinkConfig(
       url: String,
       table: String,
@@ -52,6 +62,8 @@ object JdbcMergeSink {
       s"DELETE FROM ${c.table} w USING $deletesTable t WHERE ${keyEq("w", "t", c.keys)}"
     case MsSql =>
       s"DELETE w FROM ${c.table} w WHERE EXISTS (SELECT 1 FROM $deletesTable t WHERE ${keyEq("w", "t", c.keys)})"
+    case Derby =>
+      s"DELETE FROM ${c.table} w WHERE EXISTS (SELECT 1 FROM $deletesTable t WHERE ${keyEq("w", "t", c.keys)})"
   }
 
   /** D2 — full-sync prune via anti-join (client.js:1006-1015 / 886-896). */
@@ -73,6 +85,16 @@ object JdbcMergeSink {
         "WHERE (t.jsondata <> w.jsondata " +
         "OR (t.jsondata IS NULL AND w.jsondata IS NOT NULL) " +
         "OR (t.jsondata IS NOT NULL AND w.jsondata IS NULL))"
+    case Derby =>
+      // standard MERGE (update arm only — the insert path stays a
+      // separate statement so the pg/mssql statement ORDER is preserved
+      // and the protocol under test is identical across dialects)
+      s"MERGE INTO ${c.table} w USING ${c.stagingTable} t " +
+        s"ON ${keyEq("w", "t", c.keys)} " +
+        "WHEN MATCHED AND (t.jsondata <> w.jsondata " +
+        "OR (t.jsondata IS NULL AND w.jsondata IS NOT NULL) " +
+        "OR (t.jsondata IS NOT NULL AND w.jsondata IS NULL)) " +
+        "THEN UPDATE SET modified_ms = t.modified_ms, jsondata = t.jsondata"
   }
 
   /** I1+A1 — insert the window-deduped newest version of keys absent from
@@ -80,14 +102,26 @@ object JdbcMergeSink {
   def insertSql(c: SinkConfig, cols: Seq[String]): String = {
     val colList = cols.mkString(", ")
     val part = c.keys.mkString(", ")
-    s"""INSERT INTO ${c.table} ($colList)
-       |SELECT $colList FROM (
-       |  SELECT $colList, ROW_NUMBER() OVER (PARTITION BY $part
-       |    ORDER BY modified_ms DESC) AS rn
-       |  FROM ${c.stagingTable}) t
-       |WHERE t.rn = 1 AND NOT EXISTS
-       |  (SELECT 1 FROM ${c.table} w WHERE ${keyEq("w", "t", c.keys)})"""
-      .stripMargin
+    c.dialect match {
+      case Derby =>
+        // Derby's ROW_NUMBER has no PARTITION BY; the staging table is
+        // key-unique under this dialect (see Derby scaladoc), so plain
+        // NOT EXISTS is the whole dedup
+        s"""INSERT INTO ${c.table} ($colList)
+           |SELECT $colList FROM ${c.stagingTable} t
+           |WHERE NOT EXISTS
+           |  (SELECT 1 FROM ${c.table} w WHERE ${keyEq("w", "t", c.keys)})"""
+          .stripMargin
+      case _ =>
+        s"""INSERT INTO ${c.table} ($colList)
+           |SELECT $colList FROM (
+           |  SELECT $colList, ROW_NUMBER() OVER (PARTITION BY $part
+           |    ORDER BY modified_ms DESC) AS rn
+           |  FROM ${c.stagingTable}) t
+           |WHERE t.rn = 1 AND NOT EXISTS
+           |  (SELECT 1 FROM ${c.table} w WHERE ${keyEq("w", "t", c.keys)})"""
+          .stripMargin
+    }
   }
 
   /** W5 — watermark state upsert (DELETE+INSERT like the reference,
