@@ -1,0 +1,142 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.functions._
+import graft.runner.{ParquetTarget, SyncConfig, SyncRunner}
+import graft.streaming.{EventSource, PushEvent, PushListener, QueueEventSource, SpoolDirEventSource}
+
+/** Live push-trigger transport (T3): event loop semantics mirroring the
+  * reference's socket.io listener — reconnect cadence, room-per-path
+  * routing, failed-sync retry until success, burst coalescing — plus the
+  * end-to-end scenario: a published event drives a REAL delta merge into
+  * a parquet target. */
+class PushListenerSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def await(deadlineMs: Long = 15000L)(cond: => Boolean): Unit = {
+    val end = System.currentTimeMillis() + deadlineMs
+    while (!cond && System.currentTimeMillis() < end) Thread.sleep(10)
+    assert(cond, "condition not met before deadline")
+  }
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix)
+
+  test("published event fires a real delta merge into the target") {
+    val dir = tmp("push-target")
+    val target = new ParquetTarget(spark, s"$dir/apptable")
+    val runner = new SyncRunner(spark,
+      SyncConfig("apptable", s"$dir/state"))
+    target.overwrite(Seq(("/things/1", 100L, "a"))
+      .toDF("href", "modified_ms", "jsondata"))
+    val delta = Seq(("/things/1", 200L, "b"), ("/things/2", 200L, "c"))
+      .toDF("href", "modified_ms", "jsondata")
+    val none = Seq.empty[String].toDF("href")
+
+    val src = new QueueEventSource
+    val listener = new PushListener(src,
+      rooms = Map("/things" -> (_ => { runner.deltaSync(delta, none, target); () })),
+      reconnectMs = 10L, retryMs = 10L, sleep = _ => ())
+    listener.start()
+    try {
+      src.publish(PushEvent("/things"))
+      await()(listener.syncsRun.get() == 1)
+      val got = target.read(spark).as[(String, Long, String)].collect().toSet
+      assert(got === Set(("/things/1", 200L, "b"), ("/things/2", 200L, "c")))
+    } finally listener.stop()
+  }
+
+  test("failed sync retries on the cadence until it succeeds") {
+    val attempts = new AtomicInteger(0)
+    val src = new QueueEventSource
+    val listener = new PushListener(src,
+      rooms = Map("/flaky" -> (_ =>
+        if (attempts.incrementAndGet() < 3) sys.error("db down") else ())),
+      reconnectMs = 5L, retryMs = 5L, sleep = _ => ())
+    listener.start()
+    try {
+      src.publish(PushEvent("/flaky"))
+      await()(listener.syncsRun.get() == 1)
+      assert(attempts.get() === 3, "two failures then one success")
+      assert(listener.syncFailures.get() === 2)
+    } finally listener.stop()
+  }
+
+  test("transport drop reconnects and keeps consuming") {
+    val src = new QueueEventSource
+    val hits = new AtomicInteger(0)
+    val listener = new PushListener(src,
+      rooms = Map("/r" -> (_ => { hits.incrementAndGet(); () })),
+      reconnectMs = 5L, retryMs = 5L, sleep = _ => ())
+    listener.start()
+    try {
+      src.publish(PushEvent("/r"))
+      await()(hits.get() == 1)
+      src.failNextPoll = true // drop mid-stream → close + reconnect path
+      src.publish(PushEvent("/r"))
+      await()(hits.get() == 2)
+      assert(listener.reconnects.get() >= 1)
+      assert(src.connects.get() >= 2)
+    } finally listener.stop()
+  }
+
+  test("refused connects retry until the source comes up") {
+    val src = new QueueEventSource
+    src.failConnects = 3
+    val hits = new AtomicInteger(0)
+    val listener = new PushListener(src,
+      rooms = Map("/r" -> (_ => { hits.incrementAndGet(); () })),
+      reconnectMs = 5L, retryMs = 5L, sleep = _ => ())
+    listener.start()
+    try {
+      src.publish(PushEvent("/r"))
+      await()(hits.get() == 1)
+      assert(listener.reconnects.get() === 3)
+    } finally listener.stop()
+  }
+
+  test("a burst of events for one path coalesces into one sync") {
+    val src = new QueueEventSource
+    // pre-fill the queue BEFORE starting so the drain sees the burst
+    (1 to 5).foreach(_ => src.publish(PushEvent("/bulk")))
+    src.publish(PushEvent("/other"))
+    val bulk = new AtomicInteger(0); val other = new AtomicInteger(0)
+    val listener = new PushListener(src,
+      rooms = Map("/bulk" -> (_ => { bulk.incrementAndGet(); () }),
+        "/other" -> (_ => { other.incrementAndGet(); () })),
+      reconnectMs = 5L, retryMs = 5L, sleep = _ => ())
+    listener.start()
+    try {
+      await()(other.get() == 1)
+      assert(bulk.get() === 1, "5 pending events for one path = one sync")
+      assert(listener.eventsSeen.get() === 6)
+    } finally listener.stop()
+  }
+
+  test("unrouted events are counted, not fatal") {
+    val src = new QueueEventSource
+    val listener = new PushListener(src, rooms = Map.empty,
+      reconnectMs = 5L, retryMs = 5L, sleep = _ => ())
+    listener.start()
+    try {
+      src.publish(PushEvent("/nowhere"))
+      await()(listener.unroutedEvents.get() == 1)
+    } finally listener.stop()
+  }
+
+  test("spool-directory source delivers dropped files as events") {
+    val spool = tmp("push-spool")
+    val src = new SpoolDirEventSource(spool)
+    val hits = new AtomicInteger(0)
+    val listener = new PushListener(src,
+      rooms = Map("/spooled" -> (_ => { hits.incrementAndGet(); () })),
+      reconnectMs = 5L, retryMs = 20L, sleep = _ => ())
+    listener.start()
+    try {
+      java.nio.file.Files.writeString(spool.resolve("e1"), "/spooled\n")
+      await()(hits.get() == 1)
+      assert(!java.nio.file.Files.exists(spool.resolve("e1")),
+        "consumed spool file is deleted")
+    } finally listener.stop()
+  }
+}
