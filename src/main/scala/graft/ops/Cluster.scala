@@ -247,17 +247,39 @@ object Cluster {
     *                   every base vertex
     * @param newEdges   delta edge list; endpoints may be base ids or new
     * @param newVertices ids arriving with the delta (isolated ones become
-    *                   singletons; edge-touched ones may be omitted) */
+    *                   singletons; edge-touched ones may be omitted)
+    * @param edgesCovered caller guarantees every delta-edge endpoint is in
+    *                   baseLabels ∪ newVertices (true whenever the edges
+    *                   were derived FROM those very vertex sets, e.g. an
+    *                   incremental LSH join) — skips the defensive fence,
+    *                   saving two delta-sized semi-joins. Left false, a
+    *                   stray endpoint is fenced out exactly like
+    *                   [[connectedComponents]] does: it must not win the
+    *                   min-label race and leave a cluster whose canonical
+    *                   label has no output row. */
   def applyEdges(baseLabels: DataFrame, newEdges: DataFrame,
                  aCol: String, bCol: String,
-                 newVertices: DataFrame, vCol: String): DataFrame = {
+                 newVertices: DataFrame, vCol: String,
+                 edgesCovered: Boolean = false): DataFrame = {
     val lbl = baseLabels
       .select(col("id").cast("long").as("id"),
         col("cluster").cast("long").as("lbl"))
       .localCheckpoint() // read three times below; pin once
-    val e = newEdges
+    val eRaw = newEdges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull)
+    val e = if (edgesCovered) eRaw else {
+      // fence against known ids (base ∪ delta); both semi-joins shuffle
+      // only the DELTA edge list — the base side contributes ids already
+      // pinned in `lbl`
+      val known = lbl.select(col("id"))
+        .unionByName(newVertices.select(col(vCol).cast("long").as("id")))
+        .distinct()
+      eRaw
+        .join(known.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(known.select(col("id").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+    }
     // endpoints → current cluster labels (unknown ids label themselves)
     val mapped = e
       .join(lbl.select(col("id").as("u"), col("lbl").as("ul")), Seq("u"), "left")

@@ -63,12 +63,17 @@ object Freq {
   }
 
   /** Exact heavy hitters: every `term` with COUNT(*) * k > n (strictly more
-    * than n/k occurrences), with its exact count. Two passes over the data,
-    * zero full-width shuffles: pass 1 builds Misra-Gries candidates per
-    * partition; pass 2 re-counts rows that match the broadcast candidate
-    * set. Output: (term, cnt) — equivalent to
+    * than n/k occurrences), with its exact count. Three actions over the
+    * data, zero full-width shuffles: the total count, the per-partition
+    * Misra-Gries candidate pass, and the re-count of rows matching the
+    * broadcast candidate set. Output: (term, cnt) — equivalent to
     * `GROUP BY term HAVING count(*) * k > (SELECT count(*) FROM t)`.
-    */
+    *
+    * The exactness argument assumes all three actions observe the SAME
+    * rows, so `terms` must be deterministic under recomputation (parquet
+    * scans and pure transformations are; `df.sample`, a live source, or
+    * anything rand()-derived is not — `localCheckpoint()` such an input
+    * first, which pins one materialization for all three actions). */
   def heavyHitters(terms: DataFrame, term: String, k: Int): DataFrame = {
     val n = terms.where(col(term).isNotNull).count()
     val cand = mgCandidates(terms, term, k)

@@ -73,7 +73,12 @@ object Packing {
     * (repartition by group), then a sorted streaming pass with constant
     * state — no per-group materialization, so a skewed group degrades to
     * one busy core, never to an OOM.
-    */
+    *
+    * Output schema is the typed KEY projection, not the input schema:
+    * (group: string, id: long, len: long, bin: long) — group/id/len are
+    * CAST to those types and every other input column is dropped (the
+    * streaming pass runs on a fixed-width tuple encoder). Join the result
+    * back on (group, id) to re-attach payload columns. */
   def greedyPack(docs: DataFrame, group: String, id: String, len: String,
       budget: Long): DataFrame = {
     require(budget >= 1, s"budget $budget must be >= 1")

@@ -53,7 +53,12 @@ object Sampling {
     * its key — stable across runs, partitionings, and engines — which is
     * the property a training pipeline needs so no example ever migrates
     * between train and eval. Adds a `split` column; zero shuffles (pure
-    * projection). */
+    * projection).
+    *
+    * A NULL key gets a NULL split (every bucket comparison is null) —
+    * such rows belong to NO slab, mirroring shuffleShards' NULL-key
+    * contract: they never silently join a real split. Filter or
+    * key-coalesce upstream if nulls are invalid input. */
   def hashSplit(df: DataFrame, key: Column,
                 slabs: Seq[(String, Int)]): DataFrame = {
     val m = slabs.map(_._2).sum

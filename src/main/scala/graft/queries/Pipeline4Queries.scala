@@ -332,8 +332,11 @@ object Pipeline4Queries {
         shAll.where(isDelta), "doc_id")
       val deltaPairs = DedupText.lshCandidatesDelta(baseSig, deltaSig,
         "doc_id", 8, 4)
+      // deltaPairs come from signatures of these very base ∪ delta docs,
+      // so every endpoint is covered — skip the defensive fence
       Cluster.applyEdges(baseCC, deltaPairs, "a_id", "b_id",
-          docs.where(isDelta).select("doc_id"), "doc_id")
+          docs.where(isDelta).select("doc_id"), "doc_id",
+          edgesCovered = true)
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
           (col("cluster") === col("id")).as("is_canonical"))
         .orderBy("doc_id")

@@ -53,6 +53,25 @@ class Round5Spec extends SparkSuite {
       s"unfenced raw-Jaccard should wrongly merge the corpus")
   }
 
+  test("applyEdges fences stray delta-edge endpoints by default") {
+    import graft.ops.Cluster
+    val base = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster")
+    // endpoint 0 exists in NEITHER baseLabels nor newVertices and is
+    // SMALLER than every real id: unfenced it would win the min-label
+    // race and label the cluster 0 — a canonical id with no output row
+    val stray = Seq((2L, 0L)).toDF("a", "b")
+    val dv = Seq(5L).toDF("v")
+    val got = Cluster.applyEdges(base, stray, "a", "b", dv, "v")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+    // the covered fast path keeps the documented caller contract
+    val covered = Cluster.applyEdges(base,
+        Seq((2L, 5L)).toDF("a", "b"), "a", "b", dv, "v",
+        edgesCovered = true)
+      .as[(Long, Long)].collect().toMap
+    assert(covered === Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
+  }
+
   test("fence is a no-op on a clean corpus (fenced == unfenced labels)") {
     // the graded fixture has no corpus-wide shingle, so the wired fence
     // must not change dd_fuzzy_verified's answer vs maxDocFrac = 1
