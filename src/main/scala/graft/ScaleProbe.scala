@@ -17,6 +17,7 @@ object ScaleProbe {
     if (args.headOption.contains("minhash")) { minhashProbe(args); return }
     if (args.headOption.contains("cc")) { ccProbe(args); return }
     if (args.headOption.contains("ccstar")) { ccStarProbe(args); return }
+    if (args.headOption.contains("synth")) { synthScale(args); return }
     if (args.headOption.contains("skew")) { skewProbe(args); return }
     if (args.headOption.contains("longdoc")) { longdocProbe(args); return }
     if (args.headOption.contains("pack")) { packProbe(args); return }
@@ -214,6 +215,84 @@ object ScaleProbe {
     timed("cc_loop")(
       ops.Cluster.connectedComponents(docs.select("doc_id"), "doc_id",
         pairs, "a_id", "b_id").count())
+    spark.stop()
+  }
+
+  /** Synthesize a larger scale point from an existing sf dir by unioning
+    * `copies` key-shifted replicas: `sbt "runMain graft.ScaleProbe synth
+    * /root/testdata/sf0.1 /tmp/sf1 10"`. Referential integrity is
+    * preserved (every foreign key shifts by the same per-copy offset);
+    * nation/region stay fixed (they are bounded in TPC-H too, so
+    * per-nation group sizes scale with the data — the realistic shape).
+    * Document text is Caesar-ciphered per copy and embeddings are
+    * dimension-rotated per copy, so replicas are NOT near-duplicates of
+    * each other: dedup/ANN workloads keep their organic duplicate
+    * density instead of degenerating into 10-way clone clusters, and
+    * per-copy cluster structure matches the source. Embedding labels
+    * shift per copy so cell-blocked pair queries keep constant cell
+    * density (more cells, not denser ones — how a real corpus grows). */
+  private def synthScale(args: Array[String]): Unit = {
+    val src = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.drop(2).headOption.getOrElse("/tmp/sf1")
+    val copies = args.drop(3).headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.DataFrame
+    def caesar(c: org.apache.spark.sql.Column, k: Int) = {
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      val dig = "0123456789"
+      val rot = alpha.drop(k % 26) + alpha.take(k % 26) +
+        dig.drop(k % 10) + dig.take(k % 10)
+      translate(c, alpha + dig, rot)
+    }
+    def write(t: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[synth] $t written")
+    }
+    def scaled(t: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      write(t, (0 until copies).map(k => f(base, k)).reduce(_ unionByName _))
+    }
+    Seq("region", "nation").foreach(t =>
+      write(t, spark.read.parquet(s"$src/$t.parquet")))
+    scaled("customer")((d, k) =>
+      d.withColumn("c_custkey", col("c_custkey") + k * 100000L))
+    scaled("supplier")((d, k) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + k * 10000L))
+    scaled("part")((d, k) =>
+      d.withColumn("p_partkey", col("p_partkey") + k * 100000L))
+    scaled("orders")((d, k) => d
+      .withColumn("o_orderkey", col("o_orderkey") + k * 10000000L)
+      .withColumn("o_custkey", col("o_custkey") + k * 100000L))
+    scaled("lineitem")((d, k) => d
+      .withColumn("l_orderkey", col("l_orderkey") + k * 10000000L)
+      .withColumn("l_partkey", col("l_partkey") + k * 100000L)
+      .withColumn("l_suppkey", col("l_suppkey") + k * 10000L))
+    // events: ts is TIMESTAMP(NANOS) — read as raw long nanos (same knob
+    // Tables.eventsRaw sets); the scaled table stores plain INT64, which
+    // every consumer already treats as nanos
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scaled("events")((d, k) => d
+      .withColumn("event_id", col("event_id") + k * 10000000L)
+      .withColumn("user_id", col("user_id") + k * 1000000L))
+    scaled("documents")((d, k) => d
+      .withColumn("doc_id", col("doc_id") + k * 100000L)
+      .withColumn("text", caesar(col("text"), k)))
+    scaled("embeddings")((d, k) => {
+      val rot = (k * 7) % 64
+      val emb = if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, 64 - rot),
+          slice(col("embedding"), 1, rot))
+      d.withColumn("vec_id", col("vec_id") + k * 10000L)
+        .withColumn("embedding", emb)
+        .withColumn("label", col("label") + k * 1000)
+    })
     spark.stop()
   }
 

@@ -109,7 +109,11 @@ object DedupText {
     val sh = Par.fanOut(docs, col(idCol))
       .select(col(idCol), explode(TextOps.shingles(col(text), n)).as("s"))
       .localCheckpoint()
-    val nDocs = sh.select(idCol).distinct().count()
+    // doc count for the threshold: every non-null-text doc yields ≥ 1
+    // shingle (short docs get the sentinel), so counting the INPUT under
+    // a pushed-down IS NOT NULL equals the exploded frame's distinct doc
+    // count — without a distinct-shuffle over the exploded pairs
+    val nDocs = docs.where(col(text).isNotNull).count()
     // hot-set size is bounded by avgDistinctShinglesPerDoc / maxDocFrac
     // (sum of doc-frequencies ÷ threshold) — usually small, but not tiny
     // on degenerate corpora, so the join strategy is left to the planner
@@ -117,6 +121,11 @@ object DedupText {
       .agg(count(lit(1)).as("df")) // shingles() is per-doc distinct
       .where(col("df") > (lit(nDocs) * maxDocFrac))
       .select("s")
+      .localCheckpoint() // small by the bound above; read 2-3 times below
+    // clean corpus (no shingle above the threshold) — the overwhelmingly
+    // common case: the fence is a no-op, so skip the anti-join and the
+    // lost-doc repair entirely and hand back the pinned raw explode
+    if (hot.isEmpty) return sh
     val kept = sh.join(hot, Seq("s"), "left_anti")
     // a doc whose every shingle was boilerplate must not vanish from the
     // dedup pipeline (all-boilerplate docs are precisely the duplicate-
@@ -126,8 +135,12 @@ object DedupText {
     val lost = sh.select(idCol).distinct()
       .join(kept.select(idCol).distinct(), Seq(idCol), "left_anti")
     kept.unionByName(
-      lost.join(docs.select(col(idCol), col(text)), Seq(idCol))
-        .select(col(idCol), concat(lit("__bp__"), col(text)).as("s")))
+        lost.join(docs.select(col(idCol), col(text)), Seq(idCol))
+          .select(col(idCol), concat(lit("__bp__"), col(text)).as("s")))
+      // contract: the returned frame is ALWAYS pinned (both branches), so
+      // multi-pass consumers (fuzzyDedup reads it for signatures AND
+      // verification) never re-run the explode or the fence
+      .localCheckpoint()
   }
 
   /** MinHash over boilerplate-filtered shingles ([[shinglesFiltered]]):
@@ -353,15 +366,15 @@ object DedupText {
                  bands: Int = 8, rows: Int = 4, n: Int = 3,
                  num: Int = 2, den: Int = 3,
                  maxDocFrac: Double = 0.5): DataFrame = {
-    // the corpus explodes into shingles exactly ONCE (inside the fence):
-    // the pinned frame feeds both the signature aggregation and the
-    // exact-overlap verification — at corpus scale a second explode was
-    // a full extra pass over every document
-    val shAll = (if (maxDocFrac < 1.0)
+    // the corpus explodes into shingles exactly ONCE (inside the fence,
+    // which returns a pinned frame — re-checkpointing it here would pay a
+    // full duplicate materialization pass): the pinned frame feeds both
+    // the signature aggregation and the exact-overlap verification
+    val shAll = if (maxDocFrac < 1.0)
         shinglesFiltered(docs, idCol, text, n, maxDocFrac)
       else Par.fanOut(docs, col(idCol)).select(col(idCol),
-        explode(TextOps.shingles(col(text), n)).as("s")))
-      .localCheckpoint()
+        explode(TextOps.shingles(col(text), n)).as("s"))
+        .localCheckpoint()
     val signed = signaturesFromShingles(shAll, idCol, bands * rows)
     val cand = lshCandidatesExact(signed, idCol, bands, rows)
     val verified = pairShingleOverlapFrom(shAll, idCol, cand)
