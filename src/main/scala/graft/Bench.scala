@@ -72,6 +72,15 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
         }
+        finally {
+          // localCheckpoint blocks (CC loops, pinned shingle frames)
+          // otherwise accumulate across all 150+ queries in this one JVM
+          // and bleed memory pressure into later timings. Safe here: each
+          // run's action has completed and the next run builds a fresh
+          // plan, so no live lineage points at the dropped blocks.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
       }
       val a = once()
       val b = if (a < 0) a else once()
