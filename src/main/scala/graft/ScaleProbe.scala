@@ -259,6 +259,21 @@ object ScaleProbe {
       val base = spark.read.parquet(s"$src/$t.parquet")
       write(t, (0 until copies).map(k => f(base, k)).reduce(_ unionByName _))
     }
+    // fail fast if a per-copy offset could collide (e.g. scaling a dir
+    // that was itself synthesized): colliding keys would silently break
+    // referential integrity. Parquet footer stats make these max() scans
+    // metadata-only.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq(("customer", "c_custkey", 100000L), ("supplier", "s_suppkey", 10000L),
+      ("part", "p_partkey", 100000L), ("orders", "o_orderkey", 10000000L),
+      ("documents", "doc_id", 100000L), ("embeddings", "vec_id", 10000L),
+      ("events", "event_id", 10000000L), ("events", "user_id", 1000000L))
+      .foreach { case (t, key, off) =>
+        val mx = spark.read.parquet(s"$src/$t.parquet")
+          .agg(max(col(key))).head.getLong(0)
+        require(mx < off, s"[synth] $t.$key max $mx >= per-copy offset " +
+          s"$off — keys would collide; scale from an ORIGINAL sf dir")
+      }
     Seq("region", "nation").foreach(t =>
       write(t, spark.read.parquet(s"$src/$t.parquet")))
     scaled("customer")((d, k) =>
@@ -276,7 +291,10 @@ object ScaleProbe {
       .withColumn("l_suppkey", col("l_suppkey") + k * 10000L))
     // events: ts is TIMESTAMP(NANOS) — read as raw long nanos (same knob
     // Tables.eventsRaw sets); the scaled table stores plain INT64, which
-    // every consumer already treats as nanos
+    // every SPARK consumer already treats as nanos. The synthesized dir
+    // is a BENCH fixture only: DuckDB oracle SQL uses epoch_ms(ts) and
+    // does not apply to it (the driver's oracle gate runs on the
+    // original /root/testdata dirs, never on synth output)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scaled("events")((d, k) => d
       .withColumn("event_id", col("event_id") + k * 10000000L)

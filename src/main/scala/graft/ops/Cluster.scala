@@ -220,6 +220,23 @@ object Cluster {
     lastStarRounds = it
     require(converged || prev._1 == 0L,
       s"alternatingStar: no fixpoint in $maxIter rounds")
+    // The convergence test above is a hash-sum signature — astronomically
+    // unlikely to collide, but a collision would silently return non-star
+    // edges and therefore wrong labels. Validate the claimed fixpoint
+    // STRUCTURALLY: a true fixpoint is a disjoint union of depth-1 stars,
+    // i.e. (a) no lo endpoint ever appears as a hi (no chains) and
+    // (b) every hi points at exactly one lo (no node in two stars).
+    // Both are (provably) preserved by large-star∘small-star only at the
+    // fixpoint, so flat ⇔ converged. Two cheap aggregations over the
+    // final pinned edge set — loud failure instead of wrong clusters.
+    val chained = e.select(col("lo").as("id"))
+      .join(e.select(col("hi").as("id")), Seq("id"), "left_semi")
+      .limit(1).count()
+    val multiRoot = e.groupBy("hi").agg(countDistinct("lo").as("d"))
+      .where(col("d") > 1).limit(1).count()
+    require(chained == 0L && multiRoot == 0L,
+      "alternatingStar: convergence signature collided with a non-star " +
+        s"edge set (chained=$chained multiRoot=$multiRoot) — rerun")
     // fixpoint = depth-1 stars: every non-root points at its component
     // min; roots (never on the hi side) label themselves
     val roots = e.select(col("lo").as("id")).distinct()

@@ -109,11 +109,14 @@ object DedupText {
     val sh = Par.fanOut(docs, col(idCol))
       .select(col(idCol), explode(TextOps.shingles(col(text), n)).as("s"))
       .localCheckpoint()
-    // doc count for the threshold: every non-null-text doc yields ≥ 1
-    // shingle (short docs get the sentinel), so counting the INPUT under
-    // a pushed-down IS NOT NULL equals the exploded frame's distinct doc
-    // count — without a distinct-shuffle over the exploded pairs
-    val nDocs = docs.where(col(text).isNotNull).count()
+    // doc count for the threshold: EVERY doc yields ≥ 1 shingle — short
+    // docs get the whole-text sentinel, and even a null text maps to the
+    // "" sentinel (concat_ws over a null token array), mirrored by
+    // DuckDB's [NULL] unnest — so a plain input count equals the exploded
+    // frame's distinct doc count without a distinct-shuffle over the
+    // exploded pairs. Requires idCol-unique input, which every dedup
+    // entry point in this file already assumes.
+    val nDocs = docs.count()
     // hot-set size is bounded by avgDistinctShinglesPerDoc / maxDocFrac
     // (sum of doc-frequencies ÷ threshold) — usually small, but not tiny
     // on degenerate corpora, so the join strategy is left to the planner

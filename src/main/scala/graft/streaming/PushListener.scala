@@ -66,7 +66,13 @@ final class QueueEventSource extends EventSource {
   * whose first line is the resource path (the shape a webhook receiver or
   * cron writer produces). Files are deleted after the read, so the spool
   * is the at-least-once buffer — exactly-once comes from the idempotent
-  * merge downstream (T6), same as every other entry into the engine. */
+  * merge downstream (T6), same as every other entry into the engine.
+  *
+  * Writer contract: create the file COMPLETE (write to a dot-prefixed or
+  * out-of-dir temp name, then rename into the spool — rename is atomic on
+  * POSIX). The reader enforces its half: dot-prefixed and empty files are
+  * skipped, never deleted, so a writer mid-flight cannot lose an event to
+  * a racing read. */
 final class SpoolDirEventSource(dir: java.nio.file.Path) extends EventSource {
   import java.nio.file.Files
   override def connect(): Unit = {
@@ -78,17 +84,23 @@ final class SpoolDirEventSource(dir: java.nio.file.Path) extends EventSource {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     var out = Option.empty[PushEvent]
     while (out.isEmpty && System.nanoTime() < deadline) {
-      val next = Using.resource(Files.list(dir)) { s =>
-        s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
-          .sortBy(_.getFileName.toString).headOption
+      val candidates = Using.resource(Files.list(dir)) { s =>
+        s.iterator().asScala
+          .filter(f => Files.isRegularFile(f) &&
+            !f.getFileName.toString.startsWith(".") && // writer temp names
+            Files.size(f) > 0)                         // mid-write / empty
+          .toSeq
+          .sortBy(_.getFileName.toString)
       }
-      next match {
-        case Some(f) =>
-          val path = Files.readString(f).linesIterator.nextOption().getOrElse("")
-          Files.deleteIfExists(f)
-          if (path.nonEmpty) out = Some(PushEvent(path))
-        case None => Thread.sleep(math.min(20L, timeoutMs))
-      }
+      // first candidate with a readable path wins; one whose first line
+      // is not ready yet is left alone WITHOUT blocking the ones behind
+      // it (no head-of-line wedge on a torn write)
+      out = candidates.iterator.flatMap { f =>
+        val path = Files.readString(f).linesIterator.nextOption().getOrElse("")
+        if (path.nonEmpty) { Files.deleteIfExists(f); Some(PushEvent(path)) }
+        else None
+      }.nextOption()
+      if (out.isEmpty) Thread.sleep(math.min(20L, timeoutMs))
     }
     out
   }
@@ -110,7 +122,8 @@ final class PushListener(source: EventSource,
                          reconnectMs: Long = 5000L,
                          retryMs: Long = 5000L,
                          sleep: Long => Unit = Thread.sleep,
-                         nowMs: () => Long = System.currentTimeMillis) {
+                         nowMs: () => Long = System.currentTimeMillis,
+                         maxBatch: Int = 1024) {
   private val running = new AtomicBoolean(false)
   private val pendingRetry = new ConcurrentLinkedQueue[(String, Long)]()
   val eventsSeen = new AtomicLong(0)
@@ -130,7 +143,13 @@ final class PushListener(source: EventSource,
   def stop(): Unit = {
     running.set(false)
     val t = thread
-    if (t != null) t.join(10000L)
+    if (t != null) {
+      // a loop parked in sleep(reconnectMs) or a blocking poll must not
+      // pin shutdown for a full cadence: the InterruptedException lands
+      // in the loop's catch, which clears `running` and exits
+      t.interrupt()
+      t.join(10000L)
+    }
     source.close()
   }
 
@@ -156,19 +175,27 @@ final class PushListener(source: EventSource,
       val wait = dueInMs().fold(retryMs)(d => math.max(1L, math.min(d, retryMs)))
       source.poll(wait) match {
         case Some(first) =>
-          // coalesce the burst: drain everything immediately available,
-          // then run each distinct path once (arrival order preserved).
-          // A transport drop DURING the drain must not lose the events
-          // already dequeued (at-least-once): handle the partial batch
-          // first, then rethrow so the reconnect path runs.
+          // coalesce the burst: drain what is immediately available —
+          // BOUNDED, so a publisher that outpaces the drain cannot starve
+          // handler execution or grow the batch without limit (the
+          // overflow just lands in the next batch) — then run each
+          // distinct path once with ITS latest event (a handler must
+          // never see another path's kind). A transport drop DURING the
+          // drain must not lose the events already dequeued
+          // (at-least-once): handle the partial batch first, then
+          // rethrow so the reconnect path runs.
           var batch = Vector(first)
           var dropped = Option.empty[Throwable]
           try {
             var more = source.poll(0L)
-            while (more.isDefined) { batch :+= more.get; more = source.poll(0L) }
+            while (more.isDefined && batch.size < maxBatch) {
+              batch :+= more.get; more = source.poll(0L)
+            }
           } catch { case e: Throwable => dropped = Some(e) }
           eventsSeen.addAndGet(batch.size)
-          batch.map(_.path).distinct.foreach(p => runRoom(p, batch.last))
+          val latestPerPath = batch.groupBy(_.path).view.mapValues(_.last)
+          batch.map(_.path).distinct
+            .foreach(p => runRoom(p, latestPerPath(p)))
           dropped.foreach(e => throw e)
         case None => ()
       }

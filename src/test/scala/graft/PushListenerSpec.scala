@@ -75,8 +75,11 @@ class PushListenerSpec extends SparkSuite {
       src.failNextPoll = true // drop mid-stream → close + reconnect path
       src.publish(PushEvent("/r"))
       await()(hits.get() == 2)
-      assert(listener.reconnects.get() >= 1)
-      assert(src.connects.get() >= 2)
+      // the drop may be rescued by the drain path (event handled FIRST,
+      // then the reconnect runs) — await the counters rather than assert
+      // the instant hits flips
+      await()(listener.reconnects.get() >= 1)
+      await()(src.connects.get() >= 2)
     } finally listener.stop()
   }
 
