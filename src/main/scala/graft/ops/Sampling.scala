@@ -177,6 +177,62 @@ object Sampling {
       .drop("__rs_k", "__rs_m", "__copies")
   }
 
+  /** Budgeted corpus selection: keep the best-scoring rows whose
+    * cumulative `cost` stays within `budget` — "take the highest-quality
+    * documents until the token budget is spent", the final step of a
+    * curation funnel. Selection order is (score DESC, id ASC), so the
+    * result is a pure function of the data; a row is kept iff the
+    * running cost through it (inclusive) is ≤ budget.
+    *
+    * Scale design: NO global single-partition window (the naive
+    * `Window.orderBy(score)` pulls 100 TB through one task). Instead:
+    * per-score totals aggregate first (quality scores are COARSE integers
+    * by contract — the aggregate is dim-sized and collected like a
+    * watermark scalar), the driver prefix-sums them to find the marginal
+    * score class, whole classes above it pass with zero further work,
+    * and only the marginal class — bounded by one score's population —
+    * runs a windowed cumsum (partitioned BY the class, ordered by id).
+    *
+    * Rows with a NULL score or cost are excluded up front (they cannot
+    * be ranked); require the caller to coalesce if they belong in.
+    *
+    * @param scoreCol coarse integer quality score (higher = better)
+    * @param costCol  per-row cost (e.g. token count), non-negative */
+  def tokenBudget(df: DataFrame, scoreCol: String, costCol: String,
+                  idCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget $budget must be >= 0")
+    val rows = df.where(col(scoreCol).isNotNull && col(costCol).isNotNull)
+    val totals = rows
+      .groupBy(col(scoreCol).cast("long").as("__s"))
+      .agg(sum(col(costCol).cast("long")).as("__c"))
+      .orderBy(col("__s").desc)
+      .collect()
+    // driver prefix over the (small) score histogram: find the first
+    // class that does not fit whole
+    var acc = 0L
+    var marginal = Option.empty[(Long, Long)] // (score, cost already spent)
+    val it = totals.iterator
+    while (marginal.isEmpty && it.hasNext) {
+      val r = it.next()
+      val (s, c) = (r.getLong(0), r.getLong(1))
+      if (acc + c <= budget) acc += c
+      else marginal = Some((s, acc))
+    }
+    marginal match {
+      case None => rows // everything fits
+      case Some((s, spent)) =>
+        val kept = rows.where(col(scoreCol).cast("long") > s)
+        val w = Window.partitionBy(col(scoreCol))
+          .orderBy(col(idCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val margin = rows.where(col(scoreCol).cast("long") === s)
+          .withColumn("__cum", sum(col(costCol).cast("long")).over(w))
+          .where(col("__cum") + spent <= budget)
+          .drop("__cum")
+        kept.unionByName(margin)
+    }
+  }
+
   /** Deterministic global shuffle into `nShards` training shards: shard =
     * hash(salt ‖ key) mod n, position within the shard by ascending
     * (hash, key) — a reproducible permutation computable on any engine,

@@ -14,6 +14,24 @@ object Pipeline5Queries {
 
   val queries: Map[String, Q] = Map(
 
+    "samp_token_budget" -> ((s, dir) => {
+      // budgeted corpus selection: best-scoring docs (tokens-per-char
+      // per-mille — a coarse integer quality proxy) until 20k tokens are
+      // spent. The scale path is the bucket pre-pass + marginal-class
+      // window in Sampling.tokenBudget — no global one-task sort; the
+      // oracle IS the naive global cumsum, which pins the equivalence.
+      val d = Tables.documents(s, dir).where(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"),
+          graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+        .select(col("doc_id"),
+          call_function("div", col("n_tok") * 1000, col("n_chars"))
+            .as("score"),
+          col("n_tok"))
+      Sampling.tokenBudget(d, "score", "n_tok", "doc_id", budget = 20000L)
+        .select("doc_id", "score", "n_tok")
+        .orderBy("doc_id")
+    }),
+
     "sim_recall_lsh" -> ((s, dir) => {
       // ANN observability: per-probe overlap between the sign-LSH index's
       // top-5 and the exact top-5. Both rankings are deterministic (the
@@ -37,6 +55,17 @@ object Pipeline5Queries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "samp_token_budget" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) * 1000 // n_chars
+        |    AS score
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT *, SUM(n_tok) OVER (ORDER BY score DESC, doc_id ASC
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM s)
+        |SELECT doc_id, score, n_tok FROM r WHERE cum <= 20000
+        |ORDER BY doc_id""".stripMargin,
 
     "sim_recall_lsh" -> {
       // composed from the two graded rankings' own oracles

@@ -72,6 +72,32 @@ class Round5Spec extends SparkSuite {
     assert(covered === Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
   }
 
+  test("tokenBudget selects the global-cumsum prefix without a global sort") {
+    import graft.ops.Sampling
+    // scores: class 3 = ids 1,2 (cost 5 each); class 2 = ids 3,4,5
+    // (cost 4 each); class 1 = id 6 (cost 1). budget 19:
+    // class 3 fits whole (10), class 2 is marginal: ids 3 (14), 4 (18)
+    // fit, 5 would hit 22 > 19 — and class 1 is past the cutoff even
+    // though its cost alone would fit (cumsum is monotone)
+    val d = Seq((1L, 3L, 5L), (2L, 3L, 5L), (3L, 2L, 4L), (4L, 2L, 4L),
+      (5L, 2L, 4L), (6L, 1L, 1L)).toDF("id", "score", "cost")
+    val got = Sampling.tokenBudget(d, "score", "cost", "id", 19L)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 3L, 4L))
+    // budget covers everything -> identity (no marginal class at all)
+    assert(Sampling.tokenBudget(d, "score", "cost", "id", 100L)
+      .count() === 6L)
+    // zero budget -> empty
+    assert(Sampling.tokenBudget(d, "score", "cost", "id", 0L)
+      .count() === 0L)
+    // null scores are excluded up front, not silently ranked
+    val withNull = d.unionByName(
+      Seq((7L, Option.empty[Long], Option(2L)))
+        .toDF("id", "score", "cost"))
+    assert(!Sampling.tokenBudget(withNull, "score", "cost", "id", 100L)
+      .select("id").as[Long].collect().contains(7L))
+  }
+
   test("fence is a no-op on a clean corpus (fenced == unfenced labels)") {
     // the graded fixture has no corpus-wide shingle, so the wired fence
     // must not change dd_fuzzy_verified's answer vs maxDocFrac = 1
