@@ -100,6 +100,13 @@ object ExplainDump {
         "assignment (corpus streams once), the pair search is an " +
         "equi-join on cell id (pair space N²/k, never N²), and the " +
         "component loop shuffles only (id, label) longs."),
+    "samp_token_budget" ->
+      ("Budgeted selection without a one-task global sort: the coarse " +
+        "score histogram aggregates (partial → final, dim-sized) and is " +
+        "read like a watermark scalar; whole score classes above the " +
+        "marginal one pass through as a plain filter, and ONLY the " +
+        "marginal class runs a windowed cumsum — its exchange carries " +
+        "one score's population, not the corpus."),
     "range_overlap_join" ->
       ("Interval×interval overlap as a bin equi-join: both sides explode " +
         "to covered bins and hash-exchange on the bin key; the " +
