@@ -18,6 +18,7 @@ object ScaleProbe {
     if (args.headOption.contains("cc")) { ccProbe(args); return }
     if (args.headOption.contains("ccstar")) { ccStarProbe(args); return }
     if (args.headOption.contains("synth")) { synthScale(args); return }
+    if (args.headOption.contains("budget")) { budgetProbe(args); return }
     if (args.headOption.contains("skew")) { skewProbe(args); return }
     if (args.headOption.contains("longdoc")) { longdocProbe(args); return }
     if (args.headOption.contains("pack")) { packProbe(args); return }
@@ -346,6 +347,53 @@ object ScaleProbe {
     require(distinctLabels == 1L, s"path graph split into $distinctLabels")
     require(rounds > 0 && rounds <= 2 * lg,
       s"star rounds $rounds not O(log n) for n=$n")
+    spark.stop()
+  }
+
+  /** Budgeted-selection probe: `sbt "runMain graft.ScaleProbe budget
+    * 20000000"` — 20M rows, coarse integer scores (0..999), budget = half
+    * the total cost. Compares Sampling.tokenBudget (histogram pre-pass +
+    * marginal-class window) against the naive global-window cumsum (ONE
+    * task sorts everything) on wall clock, and asserts identical
+    * selections. */
+  private def budgetProbe(args: Array[String]): Unit = {
+    val n = args.drop(1).headOption.map(_.toLong).getOrElse(20000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[budgetprobe] $label%-10s ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+    val rows = spark.range(n).select(col("id"),
+        pmod(xxhash64(col("id")), lit(1000L)).as("score"),
+        (pmod(xxhash64(col("id"), lit(1L)), lit(900L)) + 100L).as("cost"))
+      .localCheckpoint()
+    val budget = rows.agg(sum("cost")).head.getLong(0) / 2
+    val fast = timed("histogram")(
+      graft.ops.Sampling.tokenBudget(rows, "score", "cost", "id", budget)
+        .agg(count(lit(1)), sum("cost")).head())
+    val naive = timed("global_win")(rows
+      .withColumn("__cum", sum(col("cost")).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("id").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .where(col("__cum") <= budget)
+      .agg(count(lit(1)), sum("cost")).head())
+    println(s"[budgetprobe] n=$n budget=$budget " +
+      s"fast=(${fast.getLong(0)}, ${fast.getLong(1)}) " +
+      s"naive=(${naive.getLong(0)}, ${naive.getLong(1)})")
+    require(fast.getLong(0) == naive.getLong(0) &&
+      fast.getLong(1) == naive.getLong(1),
+      "histogram path must select exactly the global-cumsum prefix")
     spark.stop()
   }
 

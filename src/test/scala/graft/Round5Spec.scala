@@ -98,6 +98,24 @@ class Round5Spec extends SparkSuite {
       .select("id").as[Long].collect().contains(7L))
   }
 
+  test("tokenBudget equals the in-memory cumsum reference on random data") {
+    import graft.ops.Sampling
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val data = Seq.tabulate(200)(i =>
+        (i.toLong, rnd.nextInt(8).toLong, (rnd.nextInt(9) + 1).toLong))
+      val budget = rnd.nextInt(800) + 50L
+      val expected = data.sortBy { case (id, s, _) => (-s, id) }
+        .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (id, s, c)) =>
+          (id, s, c, cum + c)
+        }.tail.takeWhile(_._4 <= budget).map(_._1).toSet
+      val got = Sampling.tokenBudget(
+          data.toDF("id", "score", "cost"), "score", "cost", "id", budget)
+        .select("id").as[Long].collect().toSet
+      assert(got === expected, s"trial $trial budget $budget")
+    }
+  }
+
   test("fence is a no-op on a clean corpus (fenced == unfenced labels)") {
     // the graded fixture has no corpus-wide shingle, so the wired fence
     // must not change dd_fuzzy_verified's answer vs maxDocFrac = 1
