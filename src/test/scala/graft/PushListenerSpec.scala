@@ -127,6 +127,58 @@ class PushListenerSpec extends SparkSuite {
     } finally listener.stop()
   }
 
+  test("event-driven streaming merge: each event drains new files " +
+      "exactly-once through the checkpoint") {
+    // the reference's production mode end-to-end: an update event fires
+    // one AvailableNow streaming merge; the SAME checkpoint is reused
+    // across handler invocations, so each event processes only files the
+    // previous drain has not seen (exactly-once via source tracking +
+    // the idempotent merge)
+    import org.apache.spark.sql.types._
+    val dir = tmp("push-stream")
+    val srcDir = s"$dir/in"; java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(srcDir))
+    val target = new ParquetTarget(spark, s"$dir/apptable")
+    val schema = StructType(Seq(StructField("href", StringType),
+      StructField("modified_ms", LongType),
+      StructField("jsondata", StringType),
+      StructField("deleted", BooleanType)))
+    def runOneDrain(): Unit = {
+      val stream = spark.readStream.schema(schema).json(srcDir)
+      val q = graft.streaming.StreamingSync.deltaMergeStream(spark, stream,
+        isTombstone = col("deleted") === true, target,
+        checkpoint = s"$dir/ckpt")
+      q.awaitTermination()
+    }
+    val src = new QueueEventSource
+    val listener = new PushListener(src,
+      rooms = Map("/stream" -> (_ => runOneDrain())),
+      reconnectMs = 10L, retryMs = 10L, sleep = _ => ())
+    listener.start()
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$srcDir/b1.json"),
+        """{"href":"/r/1","modified_ms":100,"jsondata":"a","deleted":false}
+          |{"href":"/r/2","modified_ms":100,"jsondata":"b","deleted":false}
+          |""".stripMargin)
+      src.publish(PushEvent("/stream"))
+      await(30000L)(listener.syncsRun.get() == 1)
+      assert(target.read(spark).select("href", "jsondata")
+        .as[(String, String)].collect().toSet ===
+        Set(("/r/1", "a"), ("/r/2", "b")))
+      // second event: an update + a tombstone, new file only
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$srcDir/b2.json"),
+        """{"href":"/r/1","modified_ms":200,"jsondata":"a2","deleted":false}
+          |{"href":"/r/2","modified_ms":200,"jsondata":null,"deleted":true}
+          |""".stripMargin)
+      src.publish(PushEvent("/stream"))
+      await(30000L)(listener.syncsRun.get() == 2)
+      assert(target.read(spark).select("href", "jsondata")
+        .as[(String, String)].collect().toSet === Set(("/r/1", "a2")))
+    } finally listener.stop()
+  }
+
   test("spool-directory source delivers dropped files as events") {
     val spool = tmp("push-spool")
     val src = new SpoolDirEventSource(spool)
