@@ -377,23 +377,27 @@ object ScaleProbe {
         (pmod(xxhash64(col("id"), lit(1L)), lit(900L)) + 100L).as("cost"))
       .localCheckpoint()
     val budget = rows.agg(sum("cost")).head.getLong(0) / 2
-    val fast = timed("histogram")(
+    val fastIds = timed("histogram")(
       graft.ops.Sampling.tokenBudget(rows, "score", "cost", "id", budget)
-        .agg(count(lit(1)), sum("cost")).head())
-    val naive = timed("global_win")(rows
+        .select("id").localCheckpoint())
+    val nFast = fastIds.count()
+    val naiveIds = timed("global_win")(rows
       .withColumn("__cum", sum(col("cost")).over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col("id").asc)
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, 0)))
       .where(col("__cum") <= budget)
-      .agg(count(lit(1)), sum("cost")).head())
+      .select("id").localCheckpoint())
+    val nNaive = naiveIds.count()
+    // identical SELECTIONS, not just identical counts: a same-cost row
+    // swapped across the cutoff must fail this, so compare id sets
+    val diff = fastIds.join(naiveIds, Seq("id"), "left_anti").count() +
+      naiveIds.join(fastIds, Seq("id"), "left_anti").count()
     println(s"[budgetprobe] n=$n budget=$budget " +
-      s"fast=(${fast.getLong(0)}, ${fast.getLong(1)}) " +
-      s"naive=(${naive.getLong(0)}, ${naive.getLong(1)})")
-    require(fast.getLong(0) == naive.getLong(0) &&
-      fast.getLong(1) == naive.getLong(1),
-      "histogram path must select exactly the global-cumsum prefix")
+      s"fast=$nFast naive=$nNaive idDiff=$diff")
+    require(nFast == nNaive && diff == 0L,
+      "histogram path must select exactly the global-cumsum id set")
     spark.stop()
   }
 

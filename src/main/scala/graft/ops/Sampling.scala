@@ -201,9 +201,27 @@ object Sampling {
   def tokenBudget(df: DataFrame, scoreCol: String, costCol: String,
                   idCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget $budget must be >= 0")
-    val rows = df.where(col(scoreCol).isNotNull && col(costCol).isNotNull)
+    // the long view of the score IS the class key everywhere below —
+    // histogram, branch filters, AND the window partition — so a
+    // fractional score type cannot split one class across window
+    // partitions (each restarting its cumsum and overspending the
+    // budget). A score whose long cast is null (non-numeric string) is
+    // excluded with the null scores; a negative cost fails loudly (the
+    // whole-class-drop optimization assumes the cumsum is monotone,
+    // which negative costs would silently break).
+    val sCls = col(scoreCol).cast("long")
+    val rows = df
+      .where(sCls.isNotNull && col(costCol).isNotNull)
+      .where(when(col(costCol) < 0,
+          raise_error(concat(lit("tokenBudget: negative cost "),
+            col(costCol).cast("string"))).cast("boolean"))
+        .otherwise(lit(true)))
+      // the histogram collect + both output branches would otherwise
+      // re-execute the (typically expensive — end of a curation funnel)
+      // upstream lineage three times
+      .localCheckpoint()
     val totals = rows
-      .groupBy(col(scoreCol).cast("long").as("__s"))
+      .groupBy(sCls.as("__s"))
       .agg(sum(col(costCol).cast("long")).as("__c"))
       .orderBy(col("__s").desc)
       .collect()
@@ -221,11 +239,11 @@ object Sampling {
     marginal match {
       case None => rows // everything fits
       case Some((s, spent)) =>
-        val kept = rows.where(col(scoreCol).cast("long") > s)
-        val w = Window.partitionBy(col(scoreCol))
+        val kept = rows.where(sCls > s)
+        val w = Window.partitionBy(sCls)
           .orderBy(col(idCol).asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val margin = rows.where(col(scoreCol).cast("long") === s)
+        val margin = rows.where(sCls === s)
           .withColumn("__cum", sum(col(costCol).cast("long")).over(w))
           .where(col("__cum") + spent <= budget)
           .drop("__cum")

@@ -96,6 +96,19 @@ class Round5Spec extends SparkSuite {
         .toDF("id", "score", "cost"))
     assert(!Sampling.tokenBudget(withNull, "score", "cost", "id", 100L)
       .select("id").as[Long].collect().contains(7L))
+    // fractional scores: class membership AND the window partition both
+    // use the long view — 2.7 and 2.3 are ONE marginal class with one
+    // cumsum (a raw-score partition would restart it per value and
+    // overspend the budget)
+    val frac = Seq((1L, 5.0, 10L), (2L, 2.7, 60L), (3L, 2.3, 60L))
+      .toDF("id", "score", "cost")
+    assert(Sampling.tokenBudget(frac, "score", "cost", "id", 100L)
+      .select("id").as[Long].collect().toSet === Set(1L, 2L))
+    // negative costs break the monotone-cumsum contract — loud failure
+    val neg = Seq((1L, 3L, 100L), (2L, 2L, -60L)).toDF("id", "score", "cost")
+    intercept[Exception] {
+      Sampling.tokenBudget(neg, "score", "cost", "id", 50L).collect()
+    }
   }
 
   test("tokenBudget equals the in-memory cumsum reference on random data") {
