@@ -56,16 +56,19 @@ object Bench {
     SparkEntry.queries.get("q1_agg").foreach(q => q(spark, sfDir).count())
 
     // a failed query reports -1, never its time-to-throw (a regression
-    // must not masquerade as a speedup in the totals). Two timed runs,
-    // min reported: the first run pays codegen compilation (janino) and
-    // JIT warmup that a steady-state deployment amortizes; min-of-2 is
-    // the standard steady-state estimate and halves run-to-run variance.
-    // SPARK_GRAFT_BENCH_ONLY=<regex> restricts the run for local iteration
-    // on one operator family; the driver never sets it.
+    // must not masquerade as a speedup in the totals). Three timed runs,
+    // median reported: the first run pays codegen compilation (janino)
+    // and JIT warmup that a steady-state deployment amortizes; the median
+    // of three is robust to a single outlier in either direction (min-of-2
+    // hid regressions behind one lucky run, max-of-anything charges GC
+    // pauses), which is what round-5's machine-variance adjudication
+    // asked for. SPARK_GRAFT_BENCH_RUNS overrides N for local iteration;
+    // SPARK_GRAFT_BENCH_ONLY=<regex> restricts the query set.
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3).max(1)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
-    val results = selected.map { case (name, fn) =>
+    val resultsFull = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -82,11 +85,20 @@ object Bench {
             .foreach(_.unpersist(blocking = false))
         }
       }
-      val a = once()
-      val b = if (a < 0) a else once()
-      // a transient second-run failure must not discard a real timing
-      name -> (if (a < 0) a else if (b < 0) a else math.min(a, b))
+      // a first-run failure aborts the query (its plan is broken, repeating
+      // it wastes the budget); a transient later-run failure is dropped and
+      // the median is taken over the successful runs only
+      val first = once()
+      val times =
+        if (first < 0) Vector(first)
+        else first +: Vector.fill(runs - 1)(once())
+      val ok = times.filter(_ >= 0)
+      val median =
+        if (ok.isEmpty) -1.0
+        else { val s = ok.sorted; s(s.size / 2) }
+      (name, median, times)
     }
+    val results = resultsFull.map { case (n, m, _) => (n, m) }
     // The driver captures a bounded tail (~2.4KB) of stdout and parses the
     // last line. Per-query detail grew past that window in r2 (96 queries
     // ≈ 2.4KB) and the line never parsed, so the stdout line now carries
@@ -99,8 +111,18 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val full = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // per-run detail + relative spread ((max-min)/median over successful
+    // runs) so a noisy query is visible in the artifact, not re-derived
+    val runsJson = resultsFull.map { case (k, m, ts) =>
+      val ok = ts.filter(_ >= 0)
+      val spread =
+        if (ok.size < 2 || m <= 0) 0.0 else (ok.max - ok.min) / m
+      "\"" + k + "\":{\"median\":" + r3(m) +
+        ",\"spread\":" + r3(spread) +
+        ",\"runs\":[" + ts.map(r3).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","nruns":$runs,"queries":$full,"detailed":$runsJson,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (fullLine + "\n").getBytes("UTF-8"))

@@ -41,11 +41,19 @@ object Cluster {
 
   /** Diagnostic: rounds the last [[alternatingStar]] run took (including
     * the fixpoint-detection round); -1 if it never ran. Read by the scale
-    * probe / specs to pin the O(log n) bound — not part of the API. */
+    * probe / specs to pin the O(log n) bound — not part of the API, and
+    * NOT reliable when two CC jobs run concurrently in one JVM (last
+    * writer wins; the probe and the specs run their CC calls serially). */
   @volatile private[graft] var lastStarRounds: Int = -1
 
   /** @param vertices one row per vertex (must cover every id in `edges`;
     *                 isolated vertices become singleton clusters)
+    * @param maxIter  bounds the alternating-star PHASE only (its O(log n)
+    *                 contraction loop), not the initial min-label
+    *                 propagation — that is hardcoded to [[propRounds]]
+    *                 rounds, after which the remainder contracts and the
+    *                 star phase finishes it. A graph that converges in
+    *                 propagation never consults maxIter.
     * @param edgesCovered caller guarantees every edge endpoint appears in
     *                 `vertices` (true whenever edges were derived FROM the
     *                 vertex set, e.g. LSH candidate pairs over signatures

@@ -115,14 +115,19 @@ object DedupText {
     // DuckDB's [NULL] unnest — so a plain input count equals the exploded
     // frame's distinct doc count without a distinct-shuffle over the
     // exploded pairs. Requires idCol-unique input, which every dedup
-    // entry point in this file already assumes.
-    val nDocs = docs.count()
+    // entry point in this file already assumes (see [[fuzzyDedup]]).
+    // The count rides INSIDE the hot-detection job as a broadcast 1-row
+    // cross join (column-pruned scan of `docs`, zero columns read from
+    // parquet) instead of a separate driver action — the fence costs
+    // exactly one aggregation over the pinned shingles.
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // hot-set size is bounded by avgDistinctShinglesPerDoc / maxDocFrac
     // (sum of doc-frequencies ÷ threshold) — usually small, but not tiny
     // on degenerate corpora, so the join strategy is left to the planner
     val hot = sh.groupBy("s")
       .agg(count(lit(1)).as("df")) // shingles() is per-doc distinct
-      .where(col("df") > (lit(nDocs) * maxDocFrac))
+      .crossJoin(broadcast(nDocs))
+      .where(col("df") > (col("n_docs") * maxDocFrac))
       .select("s")
       .localCheckpoint() // small by the bound above; read 2-3 times below
     // clean corpus (no shingle above the threshold) — the overwhelmingly
@@ -358,6 +363,12 @@ object DedupText {
     * `fuzzyDedup boilerplate fence` spec), LSH bounds the pair space,
     * verification removes its false positives, clustering makes
     * keep/drop decisions transitive.
+    *
+    * `idCol` MUST be unique per row (every dedup entry point in this file
+    * assumes it): the boilerplate fence derives its document count from a
+    * plain input count, so duplicate ids silently raise the hot-shingle
+    * threshold (and every downstream pair/cluster key would be ambiguous
+    * anyway).
     *
     * @param maxDocFrac boilerplate threshold ([[shinglesFiltered]]):
     *                   shingles in more than this fraction of documents

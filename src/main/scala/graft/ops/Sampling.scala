@@ -194,13 +194,27 @@ object Sampling {
     * runs a windowed cumsum (partitioned BY the class, ordered by id).
     *
     * Rows with a NULL score or cost are excluded up front (they cannot
-    * be ranked); require the caller to coalesce if they belong in.
+    * be ranked); require the caller to coalesce if they belong in. A
+    * cost whose LONG CAST is null (non-numeric string) is excluded too —
+    * it would otherwise ride along contributing zero to every sum, i.e.
+    * be kept for free.
+    *
+    * The "coarse integer scores" contract is ENFORCED, not assumed: the
+    * per-class histogram lands on the driver, so a score column that is
+    * numeric but high-cardinality (unique long ids) would silently
+    * materialize one driver row per distinct value. The collect is
+    * capped at `maxClasses` rows and the call fails loudly beyond it —
+    * re-bucket the score (e.g. `floor(score * 100)`) and retry.
     *
     * @param scoreCol coarse integer quality score (higher = better)
-    * @param costCol  per-row cost (e.g. token count), non-negative */
+    * @param costCol  per-row cost (e.g. token count), non-negative
+    * @param maxClasses driver-histogram guard: max distinct score
+    *                   classes (cap on driver memory, NOT a sample) */
   def tokenBudget(df: DataFrame, scoreCol: String, costCol: String,
-                  idCol: String, budget: Long): DataFrame = {
+                  idCol: String, budget: Long,
+                  maxClasses: Int = 100000): DataFrame = {
     require(budget >= 0, s"budget $budget must be >= 0")
+    require(maxClasses > 0, s"maxClasses $maxClasses must be positive")
     // the long view of the score IS the class key everywhere below —
     // histogram, branch filters, AND the window partition — so a
     // fractional score type cannot split one class across window
@@ -209,10 +223,17 @@ object Sampling {
     // excluded with the null scores; a negative cost fails loudly (the
     // whole-class-drop optimization assumes the cumsum is monotone,
     // which negative costs would silently break).
-    val sCls = col(scoreCol).cast("long")
+    // try_cast, not cast: under ANSI (Spark 4 default) a malformed
+    // string would THROW mid-scan instead of landing in the documented
+    // excluded-rows class
+    val sCls = expr(s"try_cast(`$scoreCol` AS BIGINT)")
+    val cLong = expr(s"try_cast(`$costCol` AS BIGINT)")
     val rows = df
-      .where(sCls.isNotNull && col(costCol).isNotNull)
-      .where(when(col(costCol) < 0,
+      .where(sCls.isNotNull && cLong.isNotNull)
+      // the negative check reads the SAME try_cast view (Catalyst may
+      // reorder conjunctive filters, so a raw-column comparison could
+      // still hit a malformed string first)
+      .where(when(cLong < 0,
           raise_error(concat(lit("tokenBudget: negative cost "),
             col(costCol).cast("string"))).cast("boolean"))
         .otherwise(lit(true)))
@@ -220,11 +241,19 @@ object Sampling {
       // re-execute the (typically expensive — end of a curation funnel)
       // upstream lineage three times
       .localCheckpoint()
+    // the guard rides inside the same job: limit(maxClasses + 1) bounds
+    // what can ever reach the driver (no separate countDistinct pass),
+    // and one extra row is proof of overflow
     val totals = rows
       .groupBy(sCls.as("__s"))
-      .agg(sum(col(costCol).cast("long")).as("__c"))
+      .agg(sum(cLong).as("__c"))
       .orderBy(col("__s").desc)
+      .limit(maxClasses + 1)
       .collect()
+    require(totals.length <= maxClasses,
+      s"tokenBudget: more than $maxClasses distinct score classes — " +
+        s"'$scoreCol' is not a coarse score; re-bucket it (e.g. " +
+        "floor(score * K)) or raise maxClasses")
     // driver prefix over the (small) score histogram: find the first
     // class that does not fit whole
     var acc = 0L
@@ -244,7 +273,7 @@ object Sampling {
           .orderBy(col(idCol).asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val margin = rows.where(sCls === s)
-          .withColumn("__cum", sum(col(costCol).cast("long")).over(w))
+          .withColumn("__cum", sum(cLong).over(w))
           .where(col("__cum") + spent <= budget)
           .drop("__cum")
         kept.unionByName(margin)

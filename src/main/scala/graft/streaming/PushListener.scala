@@ -83,7 +83,13 @@ final class SpoolDirEventSource(dir: java.nio.file.Path) extends EventSource {
     import scala.util.Using
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     var out = Option.empty[PushEvent]
-    while (out.isEmpty && System.nanoTime() < deadline) {
+    // do/while, not while: poll(0) must still do ONE non-blocking sweep
+    // (the pump's coalescing drain calls poll(0) — computing the deadline
+    // before the first scan made that drain always-empty for this
+    // transport, so spooled bursts never coalesced)
+    var first = true
+    while (out.isEmpty && (first || System.nanoTime() < deadline)) {
+      first = false
       val candidates = Using.resource(Files.list(dir)) { s =>
         s.iterator().asScala
           .filter(f => Files.isRegularFile(f) &&
@@ -125,7 +131,10 @@ final class PushListener(source: EventSource,
                          nowMs: () => Long = System.currentTimeMillis,
                          maxBatch: Int = 1024) {
   private val running = new AtomicBoolean(false)
-  private val pendingRetry = new ConcurrentLinkedQueue[(String, Long)]()
+  // the FULL failed event is queued, not just its path: a handler that
+  // branches on kind (delete vs update) must retry with the semantics of
+  // the event that actually failed
+  private val pendingRetry = new ConcurrentLinkedQueue[(PushEvent, Long)]()
   val eventsSeen = new AtomicLong(0)
   val syncsRun = new AtomicLong(0)
   val syncFailures = new AtomicLong(0)
@@ -210,7 +219,7 @@ final class PushListener(source: EventSource,
         catch {
           case e: Throwable =>
             syncFailures.incrementAndGet()
-            pendingRetry.add(path -> (nowMs() + retryMs)); ()
+            pendingRetry.add(event.copy(path = path) -> (nowMs() + retryMs)); ()
         }
     }
 
@@ -228,7 +237,11 @@ final class PushListener(source: EventSource,
     if (due.nonEmpty) {
       pendingRetry.clear()
       later.foreach(pendingRetry.add)
-      due.map(_._1).distinct.foreach(p => runRoom(p, PushEvent(p, "retry")))
+      // one retry per path (coalesced like the live pump), replaying the
+      // LATEST failed event for that path verbatim — kind included
+      val latestPerPath = due.map(_._1).groupBy(_.path).view.mapValues(_.last)
+      due.map(_._1.path).distinct
+        .foreach(p => runRoom(p, latestPerPath(p)))
     }
   }
 }

@@ -179,6 +179,39 @@ class PushListenerSpec extends SparkSuite {
     } finally listener.stop()
   }
 
+  test("failed-sync retry replays the original event's kind verbatim") {
+    // a handler that branches on kind (delete vs update) must see the
+    // SAME kind on retry as on the run that failed
+    val kinds = scala.collection.mutable.ArrayBuffer.empty[String]
+    val attempts = new AtomicInteger(0)
+    val src = new QueueEventSource
+    val listener = new PushListener(src,
+      rooms = Map("/k" -> (e => {
+        kinds.synchronized { kinds += e.kind }
+        if (attempts.incrementAndGet() < 2) sys.error("db down")
+      })),
+      reconnectMs = 5L, retryMs = 5L, sleep = _ => ())
+    listener.start()
+    try {
+      src.publish(PushEvent("/k", kind = "delete"))
+      await()(listener.syncsRun.get() == 1)
+      assert(kinds.synchronized(kinds.toSeq) === Seq("delete", "delete"))
+    } finally listener.stop()
+  }
+
+  test("spool burst coalesces: poll(0) sweeps the directory once") {
+    // the pump's coalescing drain uses poll(0); the spool transport must
+    // do one non-blocking sweep, not return None before the first scan
+    val spool = tmp("push-spool-burst")
+    val src = new SpoolDirEventSource(spool)
+    src.connect()
+    java.nio.file.Files.writeString(spool.resolve("e1"), "/a\n")
+    java.nio.file.Files.writeString(spool.resolve("e2"), "/b\n")
+    assert(src.poll(0L) === Some(PushEvent("/a")))
+    assert(src.poll(0L) === Some(PushEvent("/b")))
+    assert(src.poll(0L) === None)
+  }
+
   test("spool-directory source delivers dropped files as events") {
     val spool = tmp("push-spool")
     val src = new SpoolDirEventSource(spool)

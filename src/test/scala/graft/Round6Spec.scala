@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Par, Sampling}
+
+/** Round-6 hardening: tokenBudget's driver-histogram guard and null-cast
+  * cost exclusion, and the fused boilerplate-fence aggregation. */
+class Round6Spec extends SparkSuite {
+  import spark.implicits._
+
+  test("tokenBudget fails loudly on a high-cardinality score column") {
+    // a numeric-but-not-coarse score (unique ids) must not silently
+    // materialize one driver row per distinct value
+    val d = spark.range(0, 50)
+      .select(col("id"), col("id").as("score"), lit(1L).as("cost"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.tokenBudget(d, "score", "cost", "id", 10L, maxClasses = 10)
+    }
+    assert(e.getMessage.contains("distinct score classes"))
+    // the same data under a sufficient cap still works
+    assert(Sampling.tokenBudget(d, "score", "cost", "id", 10L,
+      maxClasses = 50).count() === 10L)
+  }
+
+  test("tokenBudget excludes rows whose cost does not cast to long") {
+    // a string cost that casts to null used to pass the isNotNull filter
+    // and ride along for free (contributing zero to every sum)
+    val d = Seq((1L, 2L, "5"), (2L, 2L, "oops"), (3L, 1L, "3"))
+      .toDF("id", "score", "cost")
+    val got = Sampling.tokenBudget(d, "score", "cost", "id", 100L)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 3L), "non-castable cost row is excluded")
+  }
+
+  test("fused fence: hot detection carries the doc count in one job " +
+      "and still fences the hot shingle") {
+    import graft.ops.DedupText
+    // 4 docs share one corpus-wide trigram ("a b c"); threshold 0.5 →
+    // that shingle is hot and must be dropped from the exploded pairs
+    val docs = Seq(
+      (1L, "a b c x1 y1 z1"), (2L, "a b c x2 y2 z2"),
+      (3L, "a b c x3 y3 z3"), (4L, "a b c x4 y4 z4"))
+      .toDF("doc_id", "text")
+    val sh = DedupText.shinglesFiltered(docs, "doc_id", "text", n = 3,
+      maxDocFrac = 0.5)
+    val shingles = sh.select("s").as[String].collect().toSet
+    assert(!shingles.contains("a b c"), "corpus-wide shingle fenced out")
+    assert(sh.select("doc_id").distinct().count() === 4L,
+      "no document lost to the fence")
+    // clean corpus: the fence is a no-op and returns the raw explode
+    val clean = Seq((1L, "p q r s"), (2L, "t u v w")).toDF("doc_id", "text")
+    val rawCount = Par.fanOut(clean, col("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.ops.TextOps.shingles(col("text"), 3)).as("s"))
+      .count()
+    assert(DedupText.shinglesFiltered(clean, "doc_id", "text").count()
+      === rawCount)
+  }
+}
