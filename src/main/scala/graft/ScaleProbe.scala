@@ -20,6 +20,8 @@ object ScaleProbe {
     if (args.headOption.contains("synth")) { synthScale(args); return }
     if (args.headOption.contains("budget")) { budgetProbe(args); return }
     if (args.headOption.contains("skew")) { skewProbe(args); return }
+    if (args.headOption.contains("skewaqe")) { skewAqeProbe(args); return }
+    if (args.headOption.contains("substr")) { substrProbe(args); return }
     if (args.headOption.contains("longdoc")) { longdocProbe(args); return }
     if (args.headOption.contains("pack")) { packProbe(args); return }
     if (args.headOption.contains("hh")) { hhProbe(args); return }
@@ -181,6 +183,136 @@ object ScaleProbe {
       graft.ops.Skew.saltedJoin(big, small, "key", salts = cpus.toInt)
         .select(col("v") + col("w")).count())
     require(plain == salted, s"salted join changed cardinality: $plain vs $salted")
+    spark.stop()
+  }
+
+  /** Decade probe for the exact-substring span pipeline (the worst sf1
+    * scaler, 5.5× for 10× data): three corpus volumes (1×/3×/10×) with a
+    * KNOWN planted duplicate structure, so candidate-pair mass is
+    * predictable and the maxDf fence's effect is checkable, not argued.
+    *
+    * Corpus shape per doc: a 24-token preamble IDENTICAL across the whole
+    * corpus (boilerplate — every window inside it has df = nDocs and must
+    * be fenced, else the self-join is quadratic), unique filler, and a
+    * 15-token run shared by its group of 3 docs (df = 3: survives the
+    * fence; 8 shared windows × 3 pairs = 24 hit rows per group). So the
+    * TRUE candidate mass is exactly linear in the duplicated volume, and
+    * the probe asserts the pipeline tracks it: span rows scale exactly
+    * with docs, and wall time stays sub-quadratic.
+    *
+    *   sbt "runMain graft.ScaleProbe substr 30000"   # 30k/90k/300k docs
+    */
+  private def substrProbe(args: Array[String]): Unit = {
+    val base = args.drop(1).headOption.map(_.toLong).getOrElse(30000L)
+    require(base % 3 == 0, "base doc count must be divisible by 3 (groups)")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // warmup
+    val results = Seq(1L, 3L, 10L).map { scale =>
+      val n = base * scale
+      // text synthesized then MATERIALIZED (live generator expressions
+      // re-inline the builder under the window transform — same pitfall
+      // minhashProbe documents)
+      val preamble = (0 until 24).map(i => s"bp$i").mkString(" ")
+      val docs = spark.range(n).select(
+          col("id").as("doc_id"),
+          concat_ws(" ",
+            lit(preamble),
+            concat_ws(" ", (0 until 30).map(j =>
+              concat(lit(s"u${j}_"), col("id"))): _*),
+            concat_ws(" ", (0 until 15).map(k =>
+              concat(lit(s"p${k}_"), expr("id div 3"))): _*),
+            concat_ws(" ", (30 until 60).map(j =>
+              concat(lit(s"u${j}_"), col("id"))): _*)).as("text"))
+        .repartition(cpus.toInt * 2)
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val spans = ops.DedupText.substringSpans(docs, "doc_id", "text",
+        w = 8, minWindows = 1, maxDf = 64)
+      val rows = spans.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // every group of 3 contributes 3 unordered pairs × 1 maximal span
+      val expected = (n / 3) * 3
+      println(f"[substrprobe] docs=$n%d span_rows=$rows%d " +
+        f"expected=$expected%d wall=$secs%.1fs " +
+        f"per_doc_ms=${secs * 1000 / n}%.3f")
+      require(rows == expected,
+        s"span rows $rows != $expected — fence or island agg broke")
+      (n, secs)
+    }
+    val (n1, t1) = results.head
+    val (n10, t10) = results.last
+    val blowup = (t10 / t1) / (n10.toDouble / n1)
+    println(f"[substrprobe] 10x data -> ${t10 / t1}%.1fx wall " +
+      f"(normalized ${blowup}%.2f; > 1.5 would mean super-linear)")
+    require(blowup < 1.5,
+      f"substring pipeline went super-linear: ${blowup}%.2f")
+    spark.stop()
+  }
+
+  /** AQE-vs-salting honesty check: the SAME hot-key fixture as
+    * [[skewProbe]], but with AQE's skew-join handling ENABLED (thresholds
+    * lowered so the local-mode partition sizes trip it, as they would at
+    * production scale) — measuring when Spark's native runtime re-plan
+    * makes manual salting unnecessary. Prints plain-under-AQE vs salted
+    * wall; see Skew.scala's scaladoc for the recorded crossover.
+    *
+    *   sbt "runMain graft.ScaleProbe skewaqe 20000000"
+    */
+  private def skewAqeProbe(args: Array[String]): Unit = {
+    val n = args.drop(1).headOption.map(_.toLong).getOrElse(20000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // local-mode partitions are far under the 256MB default; scale the
+      // trigger down so the probe exercises the same code path a 100 TB
+      // run trips at the default
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val nKeys = 100000L
+    val big = spark.range(n).select(
+      when(col("id") % 5 < 2, 0L).otherwise(col("id") % nKeys).as("key"),
+      (col("id") * 17 % 1000).as("v")).localCheckpoint()
+    val small = spark.range(nKeys)
+      .select(col("id").as("key"), (col("id") % 97).as("w")).localCheckpoint()
+    def timed(label: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val r = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[skewaqe] $label%-10s $secs%.1fs ($r%d rows)")
+      secs
+    }
+    // collect on the aggregated frame so ITS queryExecution is the one
+    // that ran — the post-AQE plan then shows whether the skew split
+    // actually fired (honesty requirement: "AQE didn't help" is only a
+    // finding if the skew handler demonstrably triggered)
+    val aggAqe = big.join(small, Seq("key"))
+      .agg(sum(col("v") + col("w")).as("s"), count(lit(1)).as("n"))
+    val tAqe = timed("plain+aqe") { aggAqe.collect().head.getLong(1) }
+    val planMarks = aggAqe.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.toLowerCase.contains("skew")).take(4).toSeq
+    println(s"[skewaqe] skew-split markers in executed plan: " +
+      (if (planMarks.isEmpty) "NONE (skew handler did not fire)"
+       else planMarks.mkString(" | ").trim))
+    val tSalt = timed("salted")(
+      graft.ops.Skew.saltedJoin(big, small, "key", salts = cpus.toInt)
+        .select(col("v") + col("w")).count())
+    println(f"[skewaqe] n=$n aqe=${tAqe}%.1fs salted=${tSalt}%.1fs " +
+      f"ratio=${tSalt / tAqe}%.2f (see Skew.scala scaladoc)")
     spark.stop()
   }
 

@@ -27,7 +27,8 @@ object SparkEntry {
       WindowQueries.queries ++ PipelineQueries.queries ++
       ExtraQueries.queries ++ Relational2Queries.queries ++
       Pipeline2Queries.queries ++ Pipeline3Queries.queries ++
-      Pipeline4Queries.queries ++ Pipeline5Queries.queries
+      Pipeline4Queries.queries ++ Pipeline5Queries.queries ++
+      Pipeline6Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       WindowQueries.oracles ++ PipelineQueries.oracles ++
       ExtraQueries.oracles ++ Relational2Queries.oracles ++
       Pipeline2Queries.oracles ++ Pipeline3Queries.oracles ++
-      Pipeline4Queries.oracles ++ Pipeline5Queries.oracles
+      Pipeline4Queries.oracles ++ Pipeline5Queries.oracles ++
+      Pipeline6Queries.oracles
 }

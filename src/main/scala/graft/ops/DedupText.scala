@@ -291,7 +291,13 @@ object DedupText {
     val rare = wins.groupBy("win")
       .agg(countDistinct(col(idCol)).as("df"))
       .where(col("df").between(2, maxDf)).select("win")
-    val kept = wins.join(rare, Seq("win"))
+    // the rare-window set scales with the DUPLICATED VOLUME, not with a
+    // dimension: at decade scale it is tens of millions of long strings,
+    // and letting the planner broadcast it (its post-agg size estimate
+    // runs low) builds that table on the driver — measured OOM at the
+    // 300k-doc probe point. shuffle_hash pins the scale-correct plan:
+    // rare is the per-partition build side, wins streams.
+    val kept = wins.join(rare.hint("shuffle_hash"), Seq("win"))
     val hits = kept.select(col(idCol).as("a_id"), col("pos").as("a_pos"), col("win"))
       .join(kept.select(col(idCol).as("b_id"), col("pos").as("b_pos"), col("win")),
         Seq("win"))

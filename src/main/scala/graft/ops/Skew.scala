@@ -7,9 +7,25 @@ import org.apache.spark.sql.functions._
   *
   * First line of defense is AQE (`spark.sql.adaptive.skewJoin.enabled`,
   * on by default) — it splits oversized post-shuffle partitions at
-  * runtime. Salting is for the cases AQE can't fix: a broadcast-too-big
-  * dimension joined on a key where one value dominates (e.g. a tenant
-  * with 40% of all rows at 100 TB).
+  * runtime. MEASURED crossover (`ScaleProbe skew` / `skewaqe`, 20M rows,
+  * one key owning 40%, local[8], median of repeats):
+  *
+  *   - AQE off, plain SMJ: 6.3–7.0 s (hot key serializes one reducer);
+  *     [[saltedJoin]]: 4.8–4.9 s → salting wins ~1.35×.
+  *   - AQE on and its skew handler demonstrably firing
+  *     (`SortMergeJoin(skew=true)` + `AQEShuffleRead skewed` in the
+  *     executed plan): plain 4.2–4.4 s vs salted 4.6–4.8 s → NATIVE AQE
+  *     MATCHES OR BEATS manual salting, at zero code cost (salting pays
+  *     a constant small-side ×salts replication).
+  *
+  * So: when the skewed stage is a sort-merge join and AQE is on (the
+  * 100 TB default), do NOT salt — let the runtime re-plan split the
+  * partition. Salting remains for what AQE cannot fix: a hot GROUP in
+  * an aggregation (AQE splits join partitions, not a single group's
+  * state — [[saltedSumCount]]), skew under a disabled/streaming AQE
+  * (Structured Streaming plans are static), and joins whose skewed side
+  * falls below the split thresholds yet still straggles (CPU-heavy
+  * rows; lower `spark.sql.adaptive.skewJoin.*` thresholds first).
   */
 object Skew {
 

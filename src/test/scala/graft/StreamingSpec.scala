@@ -167,6 +167,45 @@ class StreamingSpec extends SparkSuite {
       "no run-2 emission used state carried across the restart")
   }
 
+  test("dedupWithinWatermark drops out-of-order replays across a " +
+      "checkpointed restart") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("stream8").toString
+    def phase(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("event_id", "ts_ms")
+        .select(col("event_id"), timestamp_millis(col("ts_ms")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    def run(): Seq[Long] = {
+      val stream = spark.readStream.schema(
+        spark.read.parquet(s"$base/in").schema).parquet(s"$base/in")
+      val q = StreamingSync
+        .dedupWithinWatermark(stream, Seq("event_id"), "ts", "1 hour")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.read.parquet(s"$base/out")
+        .select("event_id").as[Long].collect().toSeq
+    }
+    val t0 = 1700000000000L
+    // drain 1: out-of-order arrivals (2 before 1) and an in-batch
+    // duplicate of 1 — each id emits exactly once, on first sight
+    phase(Seq((2L, t0 + 120000L), (1L, t0 + 60000L),
+      (1L, t0 + 60000L), (3L, t0 + 180000L)))
+    val p1 = run()
+    assert(p1.sorted === Seq(1L, 2L, 3L), s"drain 1 emitted $p1")
+    // drain 2: late replays of 1 and 2 (an at-least-once source re-read;
+    // still inside the 1h watermark horizon, so their state survived the
+    // restart via the checkpoint) + one genuinely new event
+    phase(Seq((4L, t0 + 300000L), (2L, t0 + 120000L), (1L, t0 + 60000L)))
+    val p2 = run()
+    assert(p2.sorted === Seq(1L, 2L, 3L, 4L),
+      s"replays crossed the checkpointed restart: $p2")
+  }
+
   test("native session_window streaming aggregation emits final sessions") {
     val base = java.nio.file.Files.createTempDirectory("stream5").toString
     val ev = Tables.events(spark, sfDir)
