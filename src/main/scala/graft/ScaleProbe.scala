@@ -22,6 +22,7 @@ object ScaleProbe {
     if (args.headOption.contains("skew")) { skewProbe(args); return }
     if (args.headOption.contains("skewaqe")) { skewAqeProbe(args); return }
     if (args.headOption.contains("substr")) { substrProbe(args); return }
+    if (args.headOption.contains("fuzzy")) { fuzzyProbe(args); return }
     if (args.headOption.contains("longdoc")) { longdocProbe(args); return }
     if (args.headOption.contains("pack")) { packProbe(args); return }
     if (args.headOption.contains("hh")) { hhProbe(args); return }
@@ -253,6 +254,53 @@ object ScaleProbe {
       f"(normalized ${blowup}%.2f; > 1.5 would mean super-linear)")
     require(blowup < 1.5,
       f"substring pipeline went super-linear: ${blowup}%.2f")
+    spark.stop()
+  }
+
+  /** Stage timing for the dd_fuzzy_verified pipeline (fence → signatures
+    * → LSH → verify → CC), each stage materialized separately so wall
+    * time attributes to the right stage.
+    *   sbt "runMain graft.ScaleProbe fuzzy /root/testdata/sf0.1"  */
+  private def fuzzyProbe(args: Array[String]): Unit = {
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[fuzzyprobe] $label%-12s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    timed("warmup")(spark.range(1000000).selectExpr("sum(id)").collect())
+    val docs = timed("docs")(graft.queries.PipelineQueries
+      .docsWithDups(spark, sfDir).localCheckpoint())
+    // the explode+pin is the fence's floor: time it alone so the fence
+    // line attributes (hot detection + isEmpty) separately
+    timed("explode_pin")(
+      ops.Par.fanOut(docs, col("doc_id")).select(col("doc_id"),
+          explode(ops.TextOps.shingles(col("text"), 3)).as("s"))
+        .localCheckpoint().unpersist(blocking = false))
+    val shAll = timed("fence")(
+      ops.DedupText.shinglesFiltered(docs, "doc_id", "text", 3, 0.5))
+    val signed = timed("signatures")(
+      ops.DedupText.signaturesFromShingles(shAll, "doc_id", 32)
+        .localCheckpoint())
+    val cand = timed("lsh_pairs")(
+      ops.DedupText.lshCandidatesExact(signed, "doc_id", 8, 4)
+        .localCheckpoint())
+    val verified = timed("verify")(
+      ops.DedupText.pairShingleOverlapFrom(shAll, "doc_id", cand)
+        .where(col("i") * 3 >= col("u") * 2).select("a_id", "b_id")
+        .localCheckpoint())
+    timed("cc")(
+      ops.Cluster.connectedComponents(docs.select("doc_id"), "doc_id",
+        verified, "a_id", "b_id", edgesCovered = true).count())
     spark.stop()
   }
 

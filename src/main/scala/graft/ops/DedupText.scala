@@ -123,7 +123,16 @@ object DedupText {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // hot-set size is bounded by avgDistinctShinglesPerDoc / maxDocFrac
     // (sum of doc-frequencies ÷ threshold) — usually small, but not tiny
-    // on degenerate corpora, so the join strategy is left to the planner
+    // on degenerate corpora, so the join strategy is left to the planner.
+    // (A Misra-Gries + exact-recount variant — hot shingles are extreme
+    // heavy hitters, so Freq.mgCandidates could find them with two
+    // shuffle-free scans — was measured SLOWER here: 4.5 s vs 3.6 s
+    // median for dd_fuzzy_verified at sf0.1, because the typed
+    // mapPartitions pass deserializes every pinned row while the groupBy
+    // stays in Tungsten with map-side combine. Same regime analysis as
+    // Freq.heavyHitters: MG pays off only when partial aggregation
+    // collapses nothing AND the exchange dominates — revisit if a real
+    // cluster profile shows this exchange as the bottleneck.)
     val hot = sh.groupBy("s")
       .agg(count(lit(1)).as("df")) // shingles() is per-doc distinct
       .crossJoin(broadcast(nDocs))
