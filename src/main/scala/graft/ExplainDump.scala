@@ -75,7 +75,10 @@ object ExplainDump {
         "(localCheckpoint) and reused for the doc-frequency fence and " +
         "both self-join sides; windows in only one doc (the dominant " +
         "mass) never enter the join; maximal runs come from one window " +
-        "pass per diagonal plus a partial-aggregated groupBy."),
+        "pass per diagonal plus a partial-aggregated groupBy. The " +
+        "rare-window join is PINNED to shuffle_hash: the rare set " +
+        "scales with duplicated volume, and letting the planner " +
+        "broadcast it OOMed the driver at the 300k-doc decade probe."),
     "samp_negatives" ->
       ("Deterministic negative draws without a cross join or global " +
         "index: anchors×k draws equi-join candidates on a hash bucket " +

@@ -307,8 +307,13 @@ object DedupText {
     // 300k-doc probe point. shuffle_hash pins the scale-correct plan:
     // rare is the per-partition build side, wins streams.
     val kept = wins.join(rare.hint("shuffle_hash"), Seq("win"))
+    // the self-join's BOTH sides are the kept windows — they scale with
+    // duplicated volume exactly like `rare`, so the same no-broadcast
+    // rule applies (at sf0.001 the planner happily broadcasts one side;
+    // at the decade point that build is the OOM again)
     val hits = kept.select(col(idCol).as("a_id"), col("pos").as("a_pos"), col("win"))
-      .join(kept.select(col(idCol).as("b_id"), col("pos").as("b_pos"), col("win")),
+      .join(kept.select(col(idCol).as("b_id"), col("pos").as("b_pos"), col("win"))
+          .hint("shuffle_hash"),
         Seq("win"))
       .where(col("a_id") < col("b_id"))
     // island id: within a diagonal, consecutive a_pos values share

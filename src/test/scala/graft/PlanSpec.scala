@@ -143,6 +143,20 @@ class PlanSpec extends SparkSuite {
         p.take(1500))
   }
 
+  test("dd_substring: rare-window join is shuffle_hash, never broadcast") {
+    // the rare-window set scales with duplicated volume (NOT dim-sized);
+    // the planner's post-agg size estimate runs low and a broadcast
+    // build OOMed the driver at the 300k-doc decade probe — the hint in
+    // substringSpans pins the scale-correct plan
+    val p = plan(q("dd_substring"))
+    assert(p.contains("ShuffledHashJoin"),
+      s"rare-window join must be shuffle_hash:\n${p.take(1200)}")
+    val bad = p.linesIterator
+      .filter(_.contains("BroadcastHashJoin")).mkString("\n")
+    assert(bad.isEmpty,
+      s"no broadcast may appear in the substring pipeline:\n$bad")
+  }
+
   test("ts_resample aggregates before the spine explode") {
     val p = plan(q("ts_resample"))
     // the Generate (spine explode) must sit ABOVE the per-(key, step)
