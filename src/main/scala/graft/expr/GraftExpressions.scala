@@ -206,6 +206,67 @@ case class DotProductFF(left: Expression, right: Expression)
   override def prettyName: String = "dot_ff"
 }
 
+/** Exact integer dot product of two array<bigint> columns — the hot loop
+  * of the int8-quantized similarity path ([[graft.ops.Similarity]]
+  * quantized variants): products and the accumulator are 64-bit integers,
+  * so the result is EXACT and cross-engine reproducible (DuckDB:
+  * `list_sum(list_transform(list_zip(a, b), p -> p[1] * p[2]))`), unlike
+  * any float formulation. Codegen'd like [[DotProductFF]]. Overflow is
+  * out of contract: int8-quantized elements bound |Σ a_i·b_i| ≤
+  * n·127² — a 569-billion-element vector before a long overflows. */
+case class DotProductLL(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) | ArrayType(NullType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; }
+         |else {
+         |  long acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+  : DotProductLL = copy(left = l, right = r)
+  override def prettyName: String = "dot_ll"
+}
+
 /** Z-order (Morton) interleave of the low 16 bits of two non-negative
   * longs into one clustering key: bit b of `left` lands at bit 2b, bit b
   * of `right` at bit 2b+1. Range-partitioning / sorting parquet by the key
@@ -301,6 +362,7 @@ object GraftFunctions {
     "json_merge_patch" -> (es => JsonMergePatch(es.head, es(1))),
     "java_string_hash" -> (es => JavaStringHash(es.head)),
     "dot_ff" -> (es => DotProductFF(es.head, es(1))),
+    "dot_ll" -> (es => DotProductLL(es.head, es(1))),
     "zorder16" -> (es => ZOrder16(es.head, es(1))),
     // runtime bloom-join filtering — Spark ships these expressions for its
     // InjectRuntimeFilter rule but does not expose them; registering the
@@ -335,6 +397,8 @@ object GraftFunctions {
       .bitwiseAND(org.apache.spark.sql.functions.lit(0xFFFFFFFFL))
   def dot_ff(a: Column, b: Column): Column =
     call_function("dot_ff", a, b)
+  def dot_ll(a: Column, b: Column): Column =
+    call_function("dot_ll", a, b)
   def zorder16(x: Column, y: Column): Column =
     call_function("zorder16", x, y)
   def bloom_agg(key: Column, expectedItems: Column): Column =

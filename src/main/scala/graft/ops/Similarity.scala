@@ -201,6 +201,73 @@ object Similarity {
         (col("cluster") === col("id")).as("is_canonical"))
   }
 
+  /** Symmetric int8 quantization of a float embedding column — the
+    * standard memory/bandwidth trade for similarity search at corpus
+    * scale (4× smaller vectors, integer SIMD dot products; FAISS's SQ8).
+    * Per vector: scale = max|x_i| (as double), q_i = floor(x_i·127 /
+    * scale) in [-128, 127]. floor, NOT round: floor is IEEE-identical
+    * across engines while round's half-case convention differs between
+    * Spark (HALF_UP) and DuckDB — with floor every quantized value is
+    * bit-reproducible in the oracle. Zero vectors (scale = 0) are
+    * EXCLUDED: they have no direction, and their all-zero sketch would
+    * otherwise rank by NaN, whose sort position is engine-dependent.
+    *
+    * Returns (vec_id, q_emb: array<bigint>, q_norm: bigint) — q_norm =
+    * Σ q_i² exact, precomputed once per vector like [[cosinePre]]'s
+    * norms. The max-abs element always quantizes to ±126/127, so
+    * q_norm > 0 for every emitted row. */
+  def quantizeInt8(df: DataFrame): DataFrame = {
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    val ll = graft.expr.GraftFunctions.dot_ll _
+    // bind the max-abs scale: inlined, project collapsing re-evaluates
+    // the array_max fold per ELEMENT of the transform below (the O(m²)
+    // trap TextOps.bind exists for)
+    val maCol = array_max(transform(col("embedding"), x => abs(x)))
+      .cast("double")
+    val qEmb = TextOps.bind(maCol) { ma =>
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(127.0d) / ma))
+    }
+    // the zero-vector fence must run BEFORE floor: floor(0·127/0) is
+    // floor(NaN), whose long conversion is 0 in Spark but an error in
+    // DuckDB — the excluded class has to be decided on ma, not after
+    df.where(maCol > 0)
+      .select(col("vec_id"), qEmb.as("q_emb"))
+      .withColumn("q_norm", ll(col("q_emb"), col("q_emb")))
+      .select("vec_id", "q_emb", "q_norm")
+  }
+
+  /** Top-k by QUANTIZED cosine: [[bruteForceTopK]]'s shape (probes
+    * broadcast, corpus streams, per-query window) over int8 sketches —
+    * the dot product is the exact-integer [[graft.expr.DotProductLL]],
+    * and the ranking score qdot/(√q_norm_a·√q_norm_b) is a pure function
+    * of integers, so the whole result (ids, ranks, and the integer qdot)
+    * is oracle-reproducible — unlike float-sum ANN scores. Returns
+    * (query_id, rnk, neighbor_id, qdot). */
+  def quantizedTopK(corpus: DataFrame, probes: DataFrame, k: Int)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
+    val ll = graft.expr.GraftFunctions.dot_ll _
+    val q = quantizeInt8(probes).select(col("vec_id").as("query_id"),
+      col("q_emb").as("q_q"), col("q_norm").as("q_n"))
+    val c = Par.fanOut(quantizeInt8(corpus))
+      .select(col("vec_id").as("neighbor_id"),
+        col("q_emb").as("c_q"), col("q_norm").as("c_n"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        ll(col("q_q"), col("c_q")).as("qdot"),
+        (col("q_n")).as("qna"), col("c_n").as("qnb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy((col("qdot").cast("double") /
+        (sqrt(col("qna").cast("double")) * sqrt(col("qnb").cast("double"))))
+        .desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("qdot"))
+  }
+
   /** Sign-bit bucket: bit p = (dot(emb, plane_{seed+p}) > 0), planes
     * packed into a long. `dims` is the embedding width (fixtures: 64).
     * The dot runs through the codegen'd [[graft.expr.DotProductFF]]

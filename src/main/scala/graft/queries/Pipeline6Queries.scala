@@ -51,6 +51,37 @@ object Pipeline6Queries {
         .start()
       q.awaitTermination()
       s.table(name).orderBy("event_id")
+    }),
+
+    "sim_quantized_topk" -> ((s, dir) => {
+      // int8-quantized ANN (FAISS SQ8 shape): 4× smaller vectors, exact
+      // integer dot products (codegen'd DotProductLL). floor-based
+      // quantization + integer scores make the WHOLE result — ids,
+      // ranks, and qdot — bit-reproducible in DuckDB, unlike float-sum
+      // ANN scores.
+      val emb = graft.Tables.embeddings(s, dir)
+      graft.ops.Similarity.quantizedTopK(
+          emb, emb.where(col("vec_id") % 50 === 0), 5)
+        .orderBy("query_id", "rnk")
+    }),
+
+    "sim_recall_quantized" -> ((s, dir) => {
+      // observability for the quantization trade: per-probe overlap of
+      // the int8 top-5 with the exact float top-5 (mirrors
+      // sim_recall_lsh) — an exact integer the oracle reproduces
+      val emb = graft.Tables.embeddings(s, dir)
+      val probes = emb.where(col("vec_id") % 50 === 0)
+      val exact = graft.ops.Similarity.bruteForceTopK(emb, probes, 5)
+        .select("query_id", "neighbor_id")
+      val quant = graft.ops.Similarity.quantizedTopK(emb, probes, 5)
+        .select("query_id", "neighbor_id")
+      val common = exact.join(quant, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n"))
+      exact.select("query_id").distinct()
+        .join(common, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n"), lit(0L)).as("n_common"))
+        .orderBy("query_id")
     })
   )
 
@@ -60,6 +91,56 @@ object Pipeline6Queries {
       // event_id is unique in `events`, so the doubled stream deduped by
       // event_id is exactly the source projection
       """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "sim_quantized_topk" -> quantizedTopkOracle,
+
+    "sim_recall_quantized" -> {
+      // composed from the two graded rankings' own oracles (the same
+      // pattern as sim_recall_lsh)
+      val ex = PipelineQueries.oracles("sim_cosine_topk")
+      s"""WITH ex AS ($ex),
+         |qz AS ($quantizedTopkOracle),
+         |p AS (SELECT DISTINCT query_id FROM ex),
+         |c AS (SELECT ex.query_id, COUNT(*) AS n FROM ex
+         |  JOIN qz ON ex.query_id = qz.query_id
+         |    AND ex.neighbor_id = qz.neighbor_id
+         |  GROUP BY ex.query_id)
+         |SELECT p.query_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_common
+         |FROM p LEFT JOIN c ON p.query_id = c.query_id
+         |ORDER BY p.query_id""".stripMargin
+    }
   )
+
+  /** The int8 quantizer + integer-dot ranking, mirrored exactly:
+    * floor-based quantization (floor is IEEE-identical across engines;
+    * round's half-case convention is not), zero vectors fenced on the
+    * max-abs BEFORE floor (floor(NaN) casts differently), ranking by
+    * qdot/(√qna·√qnb) with id tiebreak. (lazy: referenced from the
+    * `oracles` val above — a plain val here would still be null during
+    * that map's initialization.) */
+  private lazy val quantizedTopkOracle: String =
+    """WITH mx AS (SELECT vec_id, embedding,
+      |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+      |    AS ma FROM embeddings),
+      |qq AS (SELECT vec_id,
+      |  list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 127 / ma) AS BIGINT)) AS qv
+      |  FROM mx WHERE ma > 0),
+      |qn AS (SELECT vec_id, qv,
+      |  list_sum(list_transform(qv, v -> v * v)) AS q_norm FROM qq),
+      |scored AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(list_zip(p.qv, c.qv),
+      |      z -> z[1] * z[2])) AS BIGINT) AS qdot,
+      |    p.q_norm AS qna, c.q_norm AS qnb
+      |  FROM qn p, qn c
+      |  WHERE p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, qdot,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+      |      CAST(qdot AS DOUBLE) /
+      |        (sqrt(CAST(qna AS DOUBLE)) * sqrt(CAST(qnb AS DOUBLE))) DESC,
+      |      neighbor_id ASC) AS rnk
+      |  FROM scored)
+      |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, qdot
+      |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 }

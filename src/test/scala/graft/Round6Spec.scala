@@ -32,6 +32,39 @@ class Round6Spec extends SparkSuite {
     assert(got === Set(1L, 3L), "non-castable cost row is excluded")
   }
 
+  test("quantizeInt8: floor semantics, max element at ±126/127, zero " +
+      "vectors excluded") {
+    import graft.ops.Similarity
+    val emb = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: no direction
+      (3L, Array(-2.0f, 1.0f, 0.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(emb)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(!q.contains(2L), "zero vector must be excluded, not NaN-ranked")
+    // vec 1: ma=1.0 → q = floor(127·x): [127, -64, 31, 0]
+    assert(q(1L)._1 === Seq(127L, -64L, 31L, 0L))
+    assert(q(1L)._2 === 127L * 127 + 64 * 64 + 31 * 31)
+    // vec 3: ma=2.0 → [-127, 63, 0, 31]
+    assert(q(3L)._1 === Seq(-127L, 63L, 0L, 31L))
+  }
+
+  test("quantizedTopK ranks by exact integer dot over quantized vectors") {
+    import graft.ops.Similarity
+    // corpus on axes: probe along (1,0) must rank x-aligned first, the
+    // diagonal second, y-aligned last
+    val emb = Seq(
+      (10L, Array(1.0f, 0.0f)), (20L, Array(0.9f, 0.9f)),
+      (30L, Array(0.0f, 1.0f)), (100L, Array(2.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizedTopK(
+        emb, emb.where(col("vec_id") === 100), 3)
+      .select("rnk", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
   test("fused fence: hot detection carries the doc count in one job " +
       "and still fences the hot shingle") {
     import graft.ops.DedupText
