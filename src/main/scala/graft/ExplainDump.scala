@@ -79,6 +79,12 @@ object ExplainDump {
         "rare-window join is PINNED to shuffle_hash: the rare set " +
         "scales with duplicated volume, and letting the planner " +
         "broadcast it OOMed the driver at the 300k-doc decade probe."),
+    "sim_quantized_topk" ->
+      ("Int8-quantized ANN: both sides quantize in-scan (projection only, " +
+        "no shuffle), the probe side BROADCASTS, and the corpus streams " +
+        "once through the codegen'd integer dot (dot_ll) — the only " +
+        "shuffle is the per-query top-k window. 4× less data moves than " +
+        "the float path for the same plan shape."),
     "samp_negatives" ->
       ("Deterministic negative draws without a cross join or global " +
         "index: anchors×k draws equi-join candidates on a hash bucket " +
