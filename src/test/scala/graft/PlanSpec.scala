@@ -157,6 +157,21 @@ class PlanSpec extends SparkSuite {
       s"no broadcast may appear in the substring pipeline:\n$bad")
   }
 
+  test("sim_quantized_topk: probe side broadcasts, corpus never shuffles " +
+      "before the top-k window") {
+    val p = plan(q("sim_quantized_topk"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"probe side must broadcast:\n${p.take(1200)}")
+    // the only Exchange hash partitioning allowed is the per-query
+    // window's — the corpus scan must feed the join directly
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size <= 1,
+      s"corpus must stream into the broadcast join (one window exchange " +
+        s"max):\n${exchanges.mkString("\n")}")
+  }
+
   test("ts_resample aggregates before the spine explode") {
     val p = plan(q("ts_resample"))
     // the Generate (spine explode) must sit ABOVE the per-(key, step)
