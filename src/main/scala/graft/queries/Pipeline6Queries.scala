@@ -53,6 +53,36 @@ object Pipeline6Queries {
       s.table(name).orderBy("event_id")
     }),
 
+    "stream_win_final" -> ((s, dir) => {
+      // watermark-FINALIZED tumbling windows: append mode emits a window
+      // only once the watermark passes its end, so every emitted row is
+      // final (no retraction needed downstream — the property that makes
+      // streaming aggregates mergeable into a warehouse). The oracle is
+      // the batch aggregation restricted to windows the final watermark
+      // (max event time − 1h delay) closed: exact same rows.
+      val schema = Tables.eventsRaw(s, dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(timestamp_millis(expr("ts div 1000000")).as("ts"),
+          col("event_type"))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("window.start")).as("ws"),
+          col("event_type"), col("n"))
+      val name = "swf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("swf_ckpt").toString
+      val q = agg.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("ws", "event_type")
+    }),
+
     "sim_quantized_topk" -> ((s, dir) => {
       // int8-quantized ANN (FAISS SQ8 shape): 4× smaller vectors, exact
       // integer dot products (codegen'd DotProductLL). floor-based
@@ -92,6 +122,17 @@ object Pipeline6Queries {
       // event_id is exactly the source projection
       """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "stream_win_final" ->
+      // the final watermark is max(ts) − 1h; append emitted exactly the
+      // windows whose END the watermark passed (window.end <= watermark)
+      """WITH e AS (SELECT epoch_ms(ts) AS ts_ms, event_type FROM events),
+        |w AS (SELECT ts_ms // 3600000 * 3600000 AS ws, event_type,
+        |         COUNT(*) AS n
+        |       FROM e GROUP BY 1, 2)
+        |SELECT ws, event_type, n FROM w
+        |WHERE ws + 3600000 <= (SELECT MAX(ts_ms) - 3600000 FROM e)
+        |ORDER BY ws, event_type""".stripMargin,
 
     "sim_quantized_topk" -> quantizedTopkOracle,
 
