@@ -24,6 +24,7 @@ object ScaleProbe {
     if (args.headOption.contains("substr")) { substrProbe(args); return }
     if (args.headOption.contains("fuzzy")) { fuzzyProbe(args); return }
     if (args.headOption.contains("quant")) { quantProbe(args); return }
+    if (args.headOption.contains("stream")) { streamProbe(args); return }
     if (args.headOption.contains("longdoc")) { longdocProbe(args); return }
     if (args.headOption.contains("pack")) { packProbe(args); return }
     if (args.headOption.contains("hh")) { hhProbe(args); return }
@@ -302,6 +303,78 @@ object ScaleProbe {
     timed("cc")(
       ops.Cluster.connectedComponents(docs.select("doc_id"), "doc_id",
         verified, "a_id", "b_id", edgesCovered = true).count())
+    spark.stop()
+  }
+
+  /** Streaming delta-merge throughput: a pre-seeded parquet target and a
+    * multi-file delta (updates + inserts + tombstones + in-batch
+    * duplicates) drained through `StreamingSync.deltaMergeStream` under
+    * AvailableNow — the production push-trigger path end to end
+    * (checkpoint, source tracking, keep-latest merge, atomic target
+    * swap). Reports drain wall and rows/s, then replays the SAME delta
+    * through a fresh stream against the drained checkpoint to verify the
+    * exactly-once path costs only the no-new-files probe.
+    *
+    *   sbt "runMain graft.ScaleProbe stream 5000000 1000000"
+    */
+  private def streamProbe(args: Array[String]): Unit = {
+    val targetRows = args.drop(1).headOption.map(_.toLong).getOrElse(5000000L)
+    val deltaRows = args.drop(2).headOption.map(_.toLong).getOrElse(1000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("streamprobe").toString
+    def synth(n: Long, offset: Long, modBase: Long) =
+      spark.range(n).select(
+        concat(lit("/r/"), (col("id") + offset) % targetRows).as("href"),
+        (lit(modBase) + col("id") % 1000000).as("modified_ms"),
+        concat(lit("{\"v\": "), col("id"), lit("}")).as("jsondata"),
+        lit(false).as("deleted"))
+    // the merge unions target with the staged batch by position, so the
+    // seeded target carries the same 4-column shape the stream delivers
+    val target = new graft.runner.ParquetTarget(spark, s"$base/table")
+    target.overwrite(synth(targetRows, 0, 1700000000000L))
+    // delta: 50% update overlap, 10% in-batch duplicate keys (newer
+    // modified_ms wins), 5% tombstones
+    synth(deltaRows, targetRows / 2, 1800000000000L)
+      .unionByName(synth(deltaRows / 10, targetRows / 2, 1800000500000L))
+      .unionByName(spark.range(deltaRows / 20)
+        .select(concat(lit("/r/"), col("id") * 7 % (targetRows / 4)).as("href"),
+          lit(1900000000000L).as("modified_ms"),
+          lit(null).cast("string").as("jsondata"),
+          lit(true).as("deleted")))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$base/in")
+    def drain(): Double = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$base/in").schema)
+        .parquet(s"$base/in")
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamingSync.deltaMergeStream(spark, stream,
+        isTombstone = col("deleted") === true, target,
+        checkpoint = s"$base/ckpt")
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val inRows = targetRows + deltaRows + deltaRows / 10 + deltaRows / 20
+    val t1 = drain()
+    val n1 = target.read(spark).count()
+    println(f"[streamprobe] drain1 wall=$t1%.1fs merged=$n1%d " +
+      f"throughput=${inRows / t1}%.0f rows/s (target=$targetRows delta=$deltaRows)")
+    // replay: same files, same checkpoint — source tracking must skip
+    // them (exactly-once), so the second drain is the empty-batch floor
+    val t2 = drain()
+    val n2 = target.read(spark).count()
+    println(f"[streamprobe] drain2 (replay) wall=$t2%.1fs merged=$n2%d")
+    require(n1 == n2, s"replayed drain changed the target: $n1 -> $n2")
+    require(t2 < t1 / 2,
+      f"replay should be the no-new-files floor, got $t2%.1fs vs $t1%.1fs")
     spark.stop()
   }
 
