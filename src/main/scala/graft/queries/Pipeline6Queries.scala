@@ -83,6 +83,37 @@ object Pipeline6Queries {
       s.table(name).orderBy("ws", "event_type")
     }),
 
+    "dd_containment" -> ((s, dir) => {
+      // asymmetric near-duplication (Broder's containment C = i/min(na,
+      // nb)): finds SUB-document duplication — a short doc quoted or
+      // templated inside a longer one scores low symmetric Jaccard
+      // (i/u shrinks with the big doc) but high containment. Same LSH
+      // candidate bound and single pinned shingle explode as the fuzzy
+      // pipeline; exact integer output, threshold 4i >= 3·min (C >= 3/4)
+      // cross-multiplied so no floats enter the result.
+      import graft.ops.{DedupText, Par, TextOps}
+      val docs = PipelineQueries.docsWithDups(s, dir)
+      val shAll = Par.fanOut(docs, col("doc_id")).select(col("doc_id"),
+          explode(TextOps.shingles(col("text"), 3)).as("s"))
+        .localCheckpoint()
+      val signed = DedupText.signaturesFromShingles(shAll, "doc_id")
+      val pairs = DedupText.lshCandidatesExact(signed, "doc_id", 8, 4)
+      val counts = shAll.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = pairs
+        .join(shAll.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
+        .join(shAll.select(col("doc_id").as("b_id"), col("s")),
+          Seq("b_id", "s"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+      pairs.join(inter, Seq("a_id", "b_id")) // zero-overlap pairs can't pass
+        .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("na")),
+          "a_id")
+        .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("nb")),
+          "b_id")
+        .where(col("i") * 4 >= least(col("na"), col("nb")) * 3)
+        .select("a_id", "b_id", "i", "na", "nb")
+        .orderBy("a_id", "b_id")
+    }),
+
     "sim_quantized_topk" -> ((s, dir) => {
       // int8-quantized ANN (FAISS SQ8 shape): 4× smaller vectors, exact
       // integer dot products (codegen'd DotProductLL). floor-based
@@ -133,6 +164,28 @@ object Pipeline6Queries {
         |SELECT ws, event_type, n FROM w
         |WHERE ws + 3600000 <= (SELECT MAX(ts_ms) - 3600000 FROM e)
         |ORDER BY ws, event_type""".stripMargin,
+
+    "dd_containment" -> {
+      // same unfenced minhash pipeline CTEs as dd_minhash_est (dd → sh →
+      // sigs → pairs), then exact per-pair overlap + per-doc counts and
+      // the cross-multiplied containment threshold
+      import PipelineQueries.minhashPairsCtes
+      s"""WITH $minhashPairsCtes,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.a_id, p.b_id, COUNT(*) AS i
+         |  FROM pairs p
+         |  JOIN sh a ON a.doc_id = p.a_id
+         |  JOIN sh b ON b.doc_id = p.b_id AND b.s = a.s
+         |  GROUP BY p.a_id, p.b_id)
+         |SELECT p.a_id, p.b_id, i.i, ca.n_sh AS na, cb.n_sh AS nb
+         |FROM pairs p
+         |JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+         |JOIN cnt ca ON ca.doc_id = p.a_id
+         |JOIN cnt cb ON cb.doc_id = p.b_id
+         |WHERE i.i * 4 >= LEAST(ca.n_sh, cb.n_sh) * 3
+         |ORDER BY p.a_id, p.b_id""".stripMargin
+    },
 
     "sim_quantized_topk" -> quantizedTopkOracle,
 
