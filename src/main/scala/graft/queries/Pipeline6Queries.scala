@@ -83,6 +83,30 @@ object Pipeline6Queries {
       s.table(name).orderBy("ws", "event_type")
     }),
 
+    "samp_alpha_mix" -> ((s, dir) => {
+      // temperature / alpha source mixing (the mC4 / XLM-R multilingual
+      // scheme): per-source keep rate derived FROM the measured source
+      // sizes — here alpha = 0.5, rate ∝ 1/√n_s, so small sources
+      // upweight relative to big ones. Deterministic end to end: the
+      // size aggregation is exact, IEEE sqrt is correctly rounded in
+      // both engines, floor pins the rate to an integer, and the
+      // per-row draw is the engine's standard hash replay
+      // (mixtureByGroup). The rates side is dim-sized and broadcast;
+      // the corpus never shuffles.
+      import graft.ops.Sampling
+      val m = 1000000L
+      val docs = Tables.documents(s, dir).select("doc_id", "source")
+      val rates = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+        .select(col("source"),
+          least(floor(lit(m.toDouble) / sqrt(col("n_s").cast("double")))
+            .cast("long"), lit(m)).as("k"),
+          lit(m).as("m"))
+      Sampling.mixtureByGroup(docs, "source",
+          col("doc_id").cast("string"), rates)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     "dd_containment" -> ((s, dir) => {
       // asymmetric near-duplication (Broder's containment C = i/min(na,
       // nb)): finds SUB-document duplication — a short doc quoted or
@@ -164,6 +188,27 @@ object Pipeline6Queries {
         |SELECT ws, event_type, n FROM w
         |WHERE ws + 3600000 <= (SELECT MAX(ts_ms) - 3600000 FROM e)
         |ORDER BY ws, event_type""".stripMargin,
+
+    "samp_alpha_mix" ->
+      // mirrors mixtureByGroup's draw: 32-bit Java string hash of the
+      // doc_id, unsigned view, mod m < k with k = floor(m/√n_s)
+      """WITH n AS (SELECT source, COUNT(*) AS n_s FROM documents
+        |  GROUP BY source),
+        |r AS (SELECT source,
+        |  LEAST(CAST(floor(1000000 / sqrt(CAST(n_s AS DOUBLE)))
+        |    AS BIGINT), 1000000) AS k FROM n),
+        |h AS (SELECT doc_id, source,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split_regex(CAST(doc_id AS VARCHAR), ''),
+        |      ch -> CAST(unicode(ch) AS BIGINT))),
+        |    (h, ch) -> ((((h * 31 + ch + 2147483648) % 4294967296)
+        |      + 4294967296) % 4294967296) - 2147483648) AS hh
+        |  FROM documents),
+        |u AS (SELECT doc_id, source,
+        |  CASE WHEN hh < 0 THEN hh + 4294967296 ELSE hh END AS hu FROM h)
+        |SELECT u.doc_id, u.source FROM u JOIN r ON u.source = r.source
+        |WHERE hu % 1000000 < r.k
+        |ORDER BY u.doc_id""".stripMargin,
 
     "dd_containment" -> {
       // same unfenced minhash pipeline CTEs as dd_minhash_est (dd → sh →
