@@ -13,6 +13,24 @@ import Fixtures._
   */
 object Pipeline6Queries {
 
+  /** Streaming reader for the events table under BOTH fixture layouts.
+    * The file-stream source requires a DIRECTORY basePath: the original
+    * sf dirs store events as a single FILE (scope the parent-directory
+    * scan with a glob filter), while synthesized dirs (ScaleProbe synth)
+    * store it as a parquet DIRECTORY (point the stream at it). The glob
+    * filter matches file NAMES — against a directory layout it matches
+    * nothing and the stream silently drains empty, which is exactly the
+    * bug this helper exists to prevent (caught by the sf1 bench's
+    * 0.3 s stream family). */
+  private def eventsStream(s: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val path = new java.io.File(s"$dir/events.parquet")
+    if (path.isDirectory) s.readStream.schema(schema).parquet(path.toString)
+    else s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
   val queries: Map[String, Q] = Map(
 
     "stream_dedup_watermark" -> ((s, dir) => {
@@ -25,12 +43,7 @@ object Pipeline6Queries {
       // Batch read first: supplies the schema AND sets the nanosAsLong
       // conf the TIMESTAMP(NANOS) scan needs.
       val schema = Tables.eventsRaw(s, dir).schema
-      // the file-stream source requires a DIRECTORY basePath; the sf dirs
-      // store events as a single file, so scope the directory scan with a
-      // glob filter instead of pointing at the file
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val stream = eventsStream(s, schema, dir)
       val doubled = stream
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("ts div 1000000").as("ts_ms"))
@@ -61,9 +74,7 @@ object Pipeline6Queries {
       // the batch aggregation restricted to windows the final watermark
       // (max event time − 1h delay) closed: exact same rows.
       val schema = Tables.eventsRaw(s, dir).schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val stream = eventsStream(s, schema, dir)
         .select(timestamp_millis(expr("ts div 1000000")).as("ts"),
           col("event_type"))
       val agg = stream
