@@ -141,6 +141,13 @@ object Pipeline4Queries {
       // equi-depth histogram: NTILE(8) per returnflag over a total order
       // (price, orderkey, linenumber), then per-bucket count/min/max.
       // min/max are selections of parquet doubles — no FP arithmetic.
+      // Scale note: the window partitions by a 3-value key, so each
+      // group's sort is ONE task however many executors exist — the
+      // inherent cost of EXACT rank statistics on a low-cardinality key
+      // (measured 7.3× at the sf1 decade; it spills, it does not OOM).
+      // At 100 TB use the GK-sketch variant (`agg_quantiles` /
+      // `approx_percentile`) for boundaries and keep this as the exact
+      // oracle anchor.
       val w = Window.partitionBy("l_returnflag")
         .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
       Tables.lineitem(s, dir)
@@ -494,7 +501,11 @@ object Pipeline4Queries {
     "agg_winsorize" -> ((s, dir) => {
       // winsorized aggregation: clip each group's prices to its exact
       // [p05, p95] (percentile_disc positions in pure integer DIV), then
-      // sum the clipped cents; n_lo/n_hi count the clipped tails
+      // sum the clipped cents; n_lo/n_hi count the clipped tails.
+      // Scale note: same one-task-per-group sort bound as agg_equidepth
+      // (3-value partition key; 7.0× at the sf1 decade) — exact rank
+      // stats serialize per group by construction; the sketch family is
+      // the 100 TB path and this stays the exact oracle anchor.
       Tables.lineitem(s, dir)
         .select(col("l_returnflag"), cents("l_extendedprice").as("pc"))
         .createOrReplaceTempView("li_wins")
