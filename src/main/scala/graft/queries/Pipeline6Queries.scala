@@ -94,6 +94,31 @@ object Pipeline6Queries {
       s.table(name).orderBy("ws", "event_type")
     }),
 
+    "curate_funnel" -> ((s, dir) => {
+      // the whole curation funnel as ONE composed call — the shape a
+      // user actually runs: quality gate (exact integer predicates) →
+      // exact dedup (hash-groupBy, min-id canonical; Dedup.exactByPayload
+      // shuffles 8-byte fingerprints, not text) → budgeted selection
+      // (tokenBudget's histogram pre-pass, no one-task global sort).
+      // Every stage is the already-graded operator; this pins their
+      // COMPOSITION against one end-to-end oracle.
+      import graft.ops.{Dedup, Sampling, TextOps}
+      val gated = Tables.documents(s, dir)
+        .where(col("n_chars").between(100L, 10000L))
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+        .where(col("n_tok").between(20L, 2000L))
+      val deduped = Dedup.exactByPayload(gated, "text", "doc_id")
+        .select(col("doc_id"),
+          call_function("div", col("n_tok") * 1000, col("n_chars"))
+            .as("score"),
+          col("n_tok"))
+      Sampling.tokenBudget(deduped, "score", "n_tok", "doc_id",
+          budget = 10000L)
+        .select("doc_id", "score", "n_tok")
+        .orderBy("doc_id")
+    }),
+
     "samp_alpha_mix" -> ((s, dir) => {
       // temperature / alpha source mixing (the mC4 / XLM-R multilingual
       // scheme): per-source keep rate derived FROM the measured source
@@ -199,6 +224,23 @@ object Pipeline6Queries {
         |SELECT ws, event_type, n FROM w
         |WHERE ws + 3600000 <= (SELECT MAX(ts_ms) - 3600000 FROM e)
         |ORDER BY ws, event_type""".stripMargin,
+
+    "curate_funnel" ->
+      // gate → min-id-per-text dedup → global-cumsum budget, each CTE
+      // mirroring the Spark stage it grades
+      """WITH g AS (SELECT doc_id, text, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |  WHERE n_chars BETWEEN 100 AND 10000),
+        |g2 AS (SELECT * FROM g WHERE n_tok BETWEEN 20 AND 2000),
+        |d AS (SELECT doc_id, n_tok * 1000 // n_chars AS score, n_tok
+        |  FROM g2 x
+        |  WHERE doc_id = (SELECT MIN(doc_id) FROM g2 y
+        |    WHERE y.text = x.text)),
+        |r AS (SELECT *, SUM(n_tok) OVER (ORDER BY score DESC, doc_id ASC
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT doc_id, score, n_tok FROM r WHERE cum <= 10000
+        |ORDER BY doc_id""".stripMargin,
 
     "samp_alpha_mix" ->
       // mirrors mixtureByGroup's draw: 32-bit Java string hash of the
