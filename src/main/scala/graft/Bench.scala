@@ -93,9 +93,16 @@ object Bench {
         if (first < 0) Vector(first)
         else first +: Vector.fill(runs - 1)(once())
       val ok = times.filter(_ >= 0)
+      // true median: for even run counts average the two middle values —
+      // s(size/2) alone picks the UPPER middle, so RUNS=2 would report
+      // the slower (usually JIT-warmup) run, strictly worse than min-of-2
       val median =
         if (ok.isEmpty) -1.0
-        else { val s = ok.sorted; s(s.size / 2) }
+        else {
+          val s = ok.sorted
+          if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+        }
       (name, median, times)
     }
     val results = resultsFull.map { case (n, m, _) => (n, m) }

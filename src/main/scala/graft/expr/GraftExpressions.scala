@@ -213,7 +213,8 @@ case class DotProductFF(left: Expression, right: Expression)
   * `list_sum(list_transform(list_zip(a, b), p -> p[1] * p[2]))`), unlike
   * any float formulation. Codegen'd like [[DotProductFF]]. Overflow is
   * out of contract: int8-quantized elements bound |Σ a_i·b_i| ≤
-  * n·127² — a 569-billion-element vector before a long overflows. */
+  * n·127², so a long holds n up to Long.MaxValue/127² ≈ 5.7e14 —
+  * hundreds of trillions of elements before overflow. */
 case class DotProductLL(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType

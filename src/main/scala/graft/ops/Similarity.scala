@@ -215,7 +215,8 @@ object Similarity {
     * Returns (vec_id, q_emb: array<bigint>, q_norm: bigint) — q_norm =
     * Σ q_i² exact, precomputed once per vector like [[cosinePre]]'s
     * norms. The max-abs element always quantizes to ±126/127, so
-    * q_norm > 0 for every emitted row. */
+    * q_norm > 0 for every emitted row. Vectors containing NaN are
+    * excluded with the zero vectors (NaN max-abs has no scale). */
   def quantizeInt8(df: DataFrame): DataFrame = {
     graft.expr.GraftFunctions.register(df.sparkSession)
     val ll = graft.expr.GraftFunctions.dot_ll _
@@ -230,8 +231,12 @@ object Similarity {
     }
     // the zero-vector fence must run BEFORE floor: floor(0·127/0) is
     // floor(NaN), whose long conversion is 0 in Spark but an error in
-    // DuckDB — the excluded class has to be decided on ma, not after
-    df.where(maCol > 0)
+    // DuckDB — the excluded class has to be decided on ma, not after.
+    // NaN must be fenced WITH the zero vectors: Spark sorts NaN above
+    // every number, so a NaN element makes ma = NaN, `ma > 0` alone
+    // passes it, and floor(x·127/NaN) emits the all-zero sketch the
+    // fence exists to exclude (q_norm = 0 → 0/0 ranking)
+    df.where(maCol > 0 && !isnan(maCol))
       .select(col("vec_id"), qEmb.as("q_emb"))
       .withColumn("q_norm", ll(col("q_emb"), col("q_emb")))
       .select("vec_id", "q_emb", "q_norm")

@@ -31,6 +31,27 @@ object Pipeline6Queries {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
   }
 
+  /** Drain-then-clean for the memory-sink graded queries: materialize
+    * the sink table off the catalog (localCheckpoint pins the rows to
+    * block storage, so the returned plan no longer references the temp
+    * view), then drop the view and delete the checkpoint directory.
+    * Without this every invocation leaked one temp dir + one
+    * session-global memory table (bench's median-of-3 × runs, each
+    * holding the full result in driver memory). The checkpointed blocks
+    * themselves are freed by bench's between-run unpersist sweep. */
+  private def drainAndClean(s: org.apache.spark.sql.SparkSession,
+      name: String, ckpt: String): org.apache.spark.sql.DataFrame = {
+    val out = s.table(name).localCheckpoint()
+    s.catalog.dropTempView(name)
+    def del(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(del)
+      f.delete(); ()
+    }
+    del(new java.io.File(ckpt))
+    out
+  }
+
   val queries: Map[String, Q] = Map(
 
     "stream_dedup_watermark" -> ((s, dir) => {
@@ -54,7 +75,13 @@ object Pipeline6Queries {
         .dedupWithinWatermark(doubled, Seq("event_id"), "__evt", "1 hour")
         .drop("__evt")
       // memory sink table names are session-global: make each invocation
-      // unique so bench reruns and verify don't collide
+      // unique so bench reruns and verify don't collide (dropped again in
+      // drainAndClean). Oracle equality assumes the fixture drains in ONE
+      // microbatch (AvailableNow over a single parquet file, no
+      // maxFilesPerTrigger): a split drain could advance batch-1's
+      // watermark past batch-2 rows >1h older and drop them, where the
+      // batch oracle counts every row. The 1h horizon is generous for
+      // the fixtures, but multi-batch drains are out of contract.
       val name = "sdw_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("sdw_ckpt").toString
       val q = deduped.writeStream.format("memory").queryName(name)
@@ -63,7 +90,7 @@ object Pipeline6Queries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(name).orderBy("event_id")
+      drainAndClean(s, name, ckpt).orderBy("event_id")
     }),
 
     "stream_win_final" -> ((s, dir) => {
@@ -83,6 +110,9 @@ object Pipeline6Queries {
         .agg(count(lit(1)).as("n"))
         .select(unix_millis(col("window.start")).as("ws"),
           col("event_type"), col("n"))
+      // single-microbatch drain assumption: same note as
+      // stream_dedup_watermark above — a split drain could finalize
+      // fewer windows than the batch oracle's final-watermark cut
       val name = "swf_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("swf_ckpt").toString
       val q = agg.writeStream.format("memory").queryName(name)
@@ -91,7 +121,37 @@ object Pipeline6Queries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(name).orderBy("ws", "event_type")
+      drainAndClean(s, name, ckpt).orderBy("ws", "event_type")
+    }),
+
+    "stream_latest_per_key" -> ((s, dir) => {
+      // the state-store analog of A1 keep-latest, graded: latestPerKey
+      // (mapGroupsWithState, StreamingSync.scala) over the events stream
+      // projected into the sync row shape (href = user_id, modified_ms =
+      // event ms, jsondata = event_type). The stream is DOUBLED (the same
+      // at-least-once replay as stream_dedup_watermark) and event-time
+      // out of order within the drain; the stateful reduce must still
+      // converge to the batch keep-latest winner — max modified_ms, ties
+      // to the SMALLEST payload (Dedup.keepLatest's rule). Update-mode
+      // emission over the single-microbatch drain (same assumption as
+      // above) = exactly one row per key.
+      val schema = Tables.eventsRaw(s, dir).schema
+      val stream = eventsStream(s, schema, dir)
+        .select(col("user_id").cast("string").as("href"),
+          expr("ts div 1000000").as("modified_ms"),
+          col("event_type").as("jsondata"))
+        .withColumn("__copy", explode(array(lit(0), lit(1))))
+        .drop("__copy")
+      val latest = graft.streaming.StreamingSync.latestPerKey(s, stream)
+      val name = "slk_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("slk_ckpt").toString
+      val q = latest.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      drainAndClean(s, name, ckpt).orderBy("href")
     }),
 
     "curate_funnel" -> ((s, dir) => {
@@ -225,6 +285,18 @@ object Pipeline6Queries {
         |WHERE ws + 3600000 <= (SELECT MAX(ts_ms) - 3600000 FROM e)
         |ORDER BY ws, event_type""".stripMargin,
 
+    "stream_latest_per_key" ->
+      // batch keep-latest over the same projection: max modified_ms per
+      // key, ties to the smallest payload (duplicated arrivals collapse)
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS href,
+        |    epoch_ms(ts) AS modified_ms, event_type AS jsondata
+        |  FROM events),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY href
+        |    ORDER BY modified_ms DESC, jsondata ASC NULLS FIRST) AS rn
+        |  FROM e)
+        |SELECT href, modified_ms, jsondata FROM r WHERE rn = 1
+        |ORDER BY href""".stripMargin,
+
     "curate_funnel" ->
       // gate → min-id-per-text dedup → global-cumsum budget, each CTE
       // mirroring the Spark stage it grades
@@ -318,7 +390,7 @@ object Pipeline6Queries {
       |qq AS (SELECT vec_id,
       |  list_transform(embedding,
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 127 / ma) AS BIGINT)) AS qv
-      |  FROM mx WHERE ma > 0),
+      |  FROM mx WHERE ma > 0 AND NOT isnan(ma)),
       |qn AS (SELECT vec_id, qv,
       |  list_sum(list_transform(qv, v -> v * v)) AS q_norm FROM qq),
       |scored AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,

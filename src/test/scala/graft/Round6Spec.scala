@@ -33,17 +33,23 @@ class Round6Spec extends SparkSuite {
   }
 
   test("quantizeInt8: floor semantics, max element at ±126/127, zero " +
-      "vectors excluded") {
+      "and NaN vectors excluded") {
     import graft.ops.Similarity
     val emb = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
       (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: no direction
-      (3L, Array(-2.0f, 1.0f, 0.0f, 0.5f)))
+      (3L, Array(-2.0f, 1.0f, 0.0f, 0.5f)),
+      // NaN element: Spark sorts NaN above every number, so max-abs is
+      // NaN and `ma > 0` ALONE would pass it through to an all-zero
+      // sketch (q_norm = 0 → 0/0 ranking) — the fence must drop it
+      (4L, Array(0.5f, Float.NaN, 0.25f, 0.0f)))
       .toDF("vec_id", "embedding")
     val q = Similarity.quantizeInt8(emb)
       .collect().map(r => r.getLong(0) ->
         (r.getSeq[Long](1), r.getLong(2))).toMap
     assert(!q.contains(2L), "zero vector must be excluded, not NaN-ranked")
+    assert(!q.contains(4L), "NaN vector must be excluded with the zeros")
+    assert(q.values.forall(_._2 > 0L), "q_norm > 0 for every emitted row")
     // vec 1: ma=1.0 → q = floor(127·x): [127, -64, 31, 0]
     assert(q(1L)._1 === Seq(127L, -64L, 31L, 0L))
     assert(q(1L)._2 === 127L * 127 + 64 * 64 + 31 * 31)
