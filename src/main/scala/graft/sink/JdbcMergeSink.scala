@@ -124,6 +124,58 @@ object JdbcMergeSink {
     }
   }
 
+  /** Safe-sync membership delete — remove target rows whose key tuple is
+    * absent from the authoritative member list staged in `membersTable`
+    * (client.js:1186-1198 pg multi-column NOT IN; :1128-1141 mssql
+    * NOT EXISTS). The pg arm keeps the reference's row-value NOT IN shape
+    * verbatim (safe here: key columns are NOT NULL, so NOT IN's
+    * null-poisoning cannot fire); Derby has no row-value IN, so it takes
+    * the mssql NOT EXISTS form. */
+  def safeDeleteSql(c: SinkConfig, membersTable: String): String =
+    c.dialect match {
+      case Postgres =>
+        val tuple = c.keys.mkString("(", ", ", ")")
+        s"DELETE FROM ${c.table} WHERE $tuple NOT IN " +
+          s"(SELECT ${c.keys.mkString(", ")} FROM $membersTable)"
+      case MsSql =>
+        s"DELETE w FROM ${c.table} w WHERE NOT EXISTS " +
+          s"(SELECT 1 FROM $membersTable i WHERE ${keyEq("i", "w", c.keys)})"
+      case Derby =>
+        s"DELETE FROM ${c.table} w WHERE NOT EXISTS " +
+          s"(SELECT 1 FROM $membersTable i WHERE ${keyEq("i", "w", c.keys)})"
+    }
+
+  /** Safe-sync insert of fetched missing members — window-dedup the
+    * re-fetched rows (the result set can shift between pages, so a key
+    * can appear in several versions; newest modified wins,
+    * client.js:1203-1232 "remove doubles before inserting") and insert
+    * only keys still absent from the target. Same dialect split as
+    * [[insertSql]]: Derby has no partitioned ROW_NUMBER, so its arm
+    * requires a key-unique inserts table (stage `Dedup.keepLatest`
+    * output, as the production loaders do). */
+  def safeInsertSql(c: SinkConfig, cols: Seq[String],
+                    insertsTable: String): String = {
+    val colList = cols.mkString(", ")
+    val part = c.keys.mkString(", ")
+    c.dialect match {
+      case Derby =>
+        s"""INSERT INTO ${c.table} ($colList)
+           |SELECT $colList FROM $insertsTable t
+           |WHERE NOT EXISTS
+           |  (SELECT 1 FROM ${c.table} w WHERE ${keyEq("w", "t", c.keys)})"""
+          .stripMargin
+      case _ =>
+        s"""INSERT INTO ${c.table} ($colList)
+           |SELECT $colList FROM (
+           |  SELECT $colList, ROW_NUMBER() OVER (PARTITION BY $part
+           |    ORDER BY modified_ms DESC) AS rn
+           |  FROM $insertsTable) t
+           |WHERE t.rn = 1 AND NOT EXISTS
+           |  (SELECT 1 FROM ${c.table} w WHERE ${keyEq("w", "t", c.keys)})"""
+          .stripMargin
+    }
+  }
+
   /** W5 — watermark state upsert (DELETE+INSERT like the reference,
     * client.js:709-760). */
   def stateSql(c: SinkConfig, tablename: String, synctype: String,
@@ -180,6 +232,34 @@ object JdbcMergeSink {
       if (!c.fullSync || c.preferUpdatesOverInserts)
         st.executeUpdate(updateSql(c))
       st.executeUpdate(insertSql(c, cols))
+      state.foreach { case (t, s, lm, ss) =>
+        stateSql(c, t, s, lm, ss).foreach(st.executeUpdate)
+      }
+      conn.commit()
+    } catch {
+      case e: Throwable => conn.rollback(); throw e
+    } finally conn.close()
+  }
+
+  /** W4/T6 — safe-sync (membership reconciliation) transaction: delete
+    * rows not in the member list, insert the deduped newest version of
+    * fetched missing members, write the state row — commit or rollback
+    * as one unit (copySafeSyncTempTablesDataToWriteTable,
+    * client.js:1124-1239; statement order delete :1186 before insert
+    * :1203, same as the reference). The DataFrame-level equivalent is
+    * [[graft.ops.Merge.safe]]; `JdbcLiveSpec` pins this arm to that
+    * answer on shared fixtures. */
+  def safeSyncAndCommit(c: SinkConfig, cols: Seq[String],
+                        membersTable: String, insertsTable: String,
+                        state: Option[(String, String, Long, Long)],
+                        connFactory: () => Connection =
+                          () => DriverManager.getConnection(null: String)): Unit = {
+    val conn = connFactory()
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      st.executeUpdate(safeDeleteSql(c, membersTable))
+      st.executeUpdate(safeInsertSql(c, cols, insertsTable))
       state.foreach { case (t, s, lm, ss) =>
         stateSql(c, t, s, lm, ss).foreach(st.executeUpdate)
       }

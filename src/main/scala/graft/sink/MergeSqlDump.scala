@@ -32,6 +32,10 @@ object MergeSqlDump {
         "prune" -> q(pruneSql(c)),
         "update" -> q(updateSql(c)),
         "insert" -> q(insertSql(c, cols)),
+        // safe-sync arm (safeSyncAndCommit order: delete → insert);
+        // members table `members`, fetched-missing table `missing`
+        "safe_delete" -> q(safeDeleteSql(c, "members")),
+        "safe_insert" -> q(safeInsertSql(c, cols, "missing")),
         "state" -> stateSql(c, "apptable", "delta", 200L, 1000L)
           .map(q).mkString("[", ",", "]"))
       q(d.name) + ":" +

@@ -132,11 +132,96 @@ class JdbcLiveSpec extends SparkSuite {
       "state upsert is DELETE+INSERT — one row after replay")
   }
 
+  /** Safe-sync fixtures: member list (authoritative hrefs from the
+    * filtered list resource) — /r/3 is no longer a member → must be
+    * deleted; /r/5 is a member the target lacks → its fetched rows are
+    * staged for insert. The fetch can return several versions of one key
+    * (result set shifts between pages), so the raw feed carries /r/5
+    * twice; Derby's arm stages the key-unique Dedup.keepLatest of it,
+    * exactly like the production loaders (see safeInsertSql scaladoc). */
+  private def fetchedMissing = Seq(
+    ("/r/5", 150L, "{\"v\": 5}"),
+    ("/r/5", 250L, "{\"v\": 55}")) // newer version mid-fetch — wins
+    .toDF("href", "modified_ms", "jsondata")
+
+  private def safeFixtures(): Unit = {
+    freshSchema()
+    Seq("DROP TABLE members", "DROP TABLE missing").foreach { s =>
+      try exec(s) catch { case _: java.sql.SQLException => }
+    }
+    exec(
+      "CREATE TABLE members (href VARCHAR(128) NOT NULL)",
+      "CREATE TABLE missing (href VARCHAR(128) NOT NULL, " +
+        "modified_ms BIGINT, jsondata VARCHAR(512))",
+      "INSERT INTO members VALUES ('/r/1')",
+      "INSERT INTO members VALUES ('/r/2')",
+      "INSERT INTO members VALUES ('/r/5')")
+    JdbcMergeSink.stageBatch(
+      graft.ops.Dedup.keepLatest(fetchedMissing, Seq("href"), "modified_ms"),
+      cfg.copy(stagingTable = "missing"))
+  }
+
+  test("safe-sync reconcile converges Derby to Merge.safe's DataFrame " +
+      "answer on the same fixtures") {
+    safeFixtures()
+    JdbcMergeSink.safeSyncAndCommit(cfg, cols, "members", "missing",
+      state = Some(("apptable", "safe", 250L, 1000L)), connFactory = conn)
+
+    // the DataFrame-level answer over the SAME fixtures
+    val target = Seq(("/r/1", 100L, "{\"v\": 1}"),
+      ("/r/2", 100L, "{\"v\": 2}"), ("/r/3", 100L, "{\"v\": 3}"))
+      .toDF("href", "modified_ms", "jsondata")
+    val members = Seq("/r/1", "/r/2", "/r/5").toDF("href")
+    val expected = graft.ops.Merge.safe(target, members, fetchedMissing)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(queryTarget() === expected,
+      "JDBC safe-sync and Merge.safe must reach the same state")
+    assert(queryTarget() === Map(
+      "/r/1" -> (100L, "{\"v\": 1}"),
+      "/r/2" -> (100L, "{\"v\": 2}"),
+      "/r/5" -> (250L, "{\"v\": 55}")))
+    assert(stateRows() === Seq(("apptable", "safe", 250L)))
+  }
+
+  test("safe-sync replay is idempotent and a mid-tx failure rolls back") {
+    safeFixtures()
+    // replay: re-running the same reconcile converges (delete removes
+    // nothing, NOT EXISTS skips the present key); then a forced state
+    // failure must leave the target untouched
+    JdbcMergeSink.safeSyncAndCommit(cfg, cols, "members", "missing",
+      state = Some(("apptable", "safe", 250L, 1000L)), connFactory = conn)
+    JdbcMergeSink.safeSyncAndCommit(cfg, cols, "members", "missing",
+      state = Some(("apptable", "safe", 250L, 1001L)), connFactory = conn)
+    val after = queryTarget()
+    assert(after === Map(
+      "/r/1" -> (100L, "{\"v\": 1}"),
+      "/r/2" -> (100L, "{\"v\": 2}"),
+      "/r/5" -> (250L, "{\"v\": 55}")))
+    assert(stateRows() === Seq(("apptable", "safe", 250L)))
+    exec("DROP TABLE sri2db_synctimes")
+    intercept[java.sql.SQLException] {
+      JdbcMergeSink.safeSyncAndCommit(cfg, cols, "members", "missing",
+        state = Some(("apptable", "safe", 250L, 1002L)), connFactory = conn)
+    }
+    assert(queryTarget() === after,
+      "rollback must leave the target exactly as it was")
+  }
+
   test("derby dialect SQL text is well-formed for every statement") {
     assert(JdbcMergeSink.deleteSql(cfg, "deletes").contains("EXISTS"))
     assert(JdbcMergeSink.updateSql(cfg).startsWith("MERGE INTO apptable"))
     assert(JdbcMergeSink.insertSql(cfg, cols).contains("NOT EXISTS"))
     assert(!JdbcMergeSink.insertSql(cfg, cols).contains("ROW_NUMBER"),
       "derby arm must not use partitioned ROW_NUMBER")
+    assert(JdbcMergeSink.safeDeleteSql(cfg, "members").contains("NOT EXISTS"))
+    assert(!JdbcMergeSink.safeInsertSql(cfg, cols, "missing")
+      .contains("ROW_NUMBER"))
+    // the pg arm keeps the reference's row-value NOT IN delete shape
+    val pgCfg = cfg.copy(dialect = JdbcMergeSink.Postgres)
+    assert(JdbcMergeSink.safeDeleteSql(pgCfg, "members")
+      .contains("(href) NOT IN"))
+    assert(JdbcMergeSink.safeInsertSql(pgCfg, cols, "missing")
+      .contains("ROW_NUMBER"))
   }
 }

@@ -118,12 +118,44 @@ def main(path):
     if rows != [(300, "new")]:
         failures.append(f"window dedup insert wrong: {rows}")
 
+    # scenario 5: safe-sync reconcile (delete-not-in-members + dedup
+    # insert of fetched missing rows) converges to the state JdbcLiveSpec
+    # pins against Merge.safe: /r/3 left the member list -> deleted;
+    # /r/5 is a missing member fetched in two versions -> newest inserted
+    fresh(con)
+    con.execute("CREATE TABLE members (href VARCHAR NOT NULL)")
+    con.execute("CREATE TABLE missing (href VARCHAR NOT NULL, "
+                "modified_ms BIGINT, jsondata VARCHAR)")
+    con.execute("INSERT INTO members VALUES ('/r/1'), ('/r/2'), ('/r/5')")
+    con.execute("INSERT INTO missing VALUES "
+                "('/r/5', 150, '{\"v\": 5}'), ('/r/5', 250, '{\"v\": 55}')")
+    con.execute("BEGIN")
+    con.execute(pg["safe_delete"])
+    con.execute(pg["safe_insert"])
+    con.execute("COMMIT")
+    expected_safe = {
+        "/r/1": (100, '{"v": 1}'),
+        "/r/2": (100, '{"v": 2}'),
+        "/r/5": (250, '{"v": 55}'),  # windowed dedup keeps the newest
+    }
+    if target(con) != expected_safe:
+        failures.append(f"safe-sync state mismatch: {target(con)}")
+
+    # scenario 6: safe-sync replay is idempotent (delete removes nothing,
+    # NOT EXISTS skips the now-present key -- no duplicate /r/5)
+    con.execute(pg["safe_delete"])
+    con.execute(pg["safe_insert"])
+    if target(con) != expected_safe:
+        failures.append(f"safe-sync replay not idempotent: {target(con)}")
+    con.execute("DROP TABLE members")
+    con.execute("DROP TABLE missing")
+
     if failures:
         print("PG-DIALECT CHECK FAILED")
         for f in failures:
             print(" -", f)
         return 1
-    print("pg dialect: 4/4 scenarios converge to the Derby-verified state")
+    print("pg dialect: 6/6 scenarios converge to the Derby-verified state")
     return 0
 
 
