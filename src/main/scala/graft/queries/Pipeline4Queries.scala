@@ -504,8 +504,11 @@ object Pipeline4Queries {
       // sum the clipped cents; n_lo/n_hi count the clipped tails.
       // Scale note: same one-task-per-group sort bound as agg_equidepth
       // (3-value partition key; 7.0× at the sf1 decade) — exact rank
-      // stats serialize per group by construction; the sketch family is
-      // the 100 TB path and this stays the exact oracle anchor.
+      // stats serialize per group by construction. Graduate to the
+      // graded GK twin `agg_winsorize_approx` (Pipeline7Queries) once a
+      // group's rows exceed one executor's sort budget (~10M rows/task):
+      // the sketch is a mergeable partial agg, rank error ±0.1% at
+      // accuracy=1000. This stays the exact oracle anchor.
       Tables.lineitem(s, dir)
         .select(col("l_returnflag"), cents("l_extendedprice").as("pc"))
         .createOrReplaceTempView("li_wins")
