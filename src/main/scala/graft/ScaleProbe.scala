@@ -29,6 +29,7 @@ object ScaleProbe {
     if (args.headOption.contains("pack")) { packProbe(args); return }
     if (args.headOption.contains("hh")) { hhProbe(args); return }
     if (args.headOption.contains("asof")) { asofProbe(args); return }
+    if (args.headOption.contains("inccc")) { incCcProbe(args); return }
     val targetRows = args.headOption.map(_.toLong).getOrElse(20000000L)
     val deltaRows = args.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -566,6 +567,58 @@ object ScaleProbe {
     timed("cc_loop")(
       ops.Cluster.connectedComponents(docs.select("doc_id"), "doc_id",
         pairs, "a_id", "b_id").count())
+    spark.stop()
+  }
+
+  /** Stage-timing replay of the graded `inc_cc_delta` query — where does
+    * the delta fold's wall go? Each stage prints its own time so the
+    * base-rebuild cost (inherent to the graded shape) separates from the
+    * recurring delta-fold cost (what production re-pays per batch). */
+  private def incCcProbe(args: Array[String]): Unit = {
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[inccc] $label%-14s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    timed("warmup")(spark.range(1000000).selectExpr("sum(id)").collect())
+    for (round <- 1 to 2) {
+      println(s"[inccc] --- round $round ---")
+      val docs = graft.queries.PipelineQueries.docsWithDups(spark, sfDir)
+      val isDelta = col("doc_id") % 7 === 0
+      val shAll = timed("shingles_ckpt")(
+        ops.Par.fanOut(docs, col("doc_id")).select(col("doc_id"),
+            explode(ops.TextOps.shingles(col("text"), 3)).as("s"))
+          .localCheckpoint())
+      val baseSig = timed("base_sig_ckpt")(
+        ops.DedupText.signaturesFromShingles(
+          shAll.where(!isDelta), "doc_id").localCheckpoint())
+      val basePairs = ops.DedupText.lshCandidatesExact(baseSig, "doc_id", 8, 4)
+      val baseCC = timed("base_cc")(
+        ops.Cluster.connectedComponents(
+          docs.where(!isDelta).select("doc_id"),
+          "doc_id", basePairs, "a_id", "b_id", edgesCovered = true))
+      val deltaSig = ops.DedupText.signaturesFromShingles(
+        shAll.where(isDelta), "doc_id")
+      val deltaPairs = timed("delta_pairs")(
+        ops.DedupText.lshCandidatesDelta(baseSig, deltaSig,
+          "doc_id", 8, 4))
+      val folded = timed("apply_edges")(
+        ops.Cluster.applyEdges(baseCC, deltaPairs, "a_id", "b_id",
+          docs.where(isDelta).select("doc_id"), "doc_id",
+          edgesCovered = true))
+      timed("final_count")(folded.count())
+    }
     spark.stop()
   }
 

@@ -97,6 +97,27 @@ object Cluster {
         .join(verts.select(col("id").as("v")), Seq("v"), "left_semi")
         .select("u", "v"))
       .localCheckpoint() // edges are re-joined every round: pin them once
+    val labels = ccCore(sym, maxIter)
+    // `labels` holds exactly the edge-touched vertices (the seed groups
+    // u∪v), already distinct — reuse it as the touched set instead of
+    // re-distinct-ing the edge list (one less shuffle)
+    labels
+      .unionByName(verts
+        .join(labels.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("lbl")))
+      .select(col("id"), col("lbl").as("cluster"))
+  }
+
+  /** Fixpoint core shared by [[connectedComponents]] and the contracted
+    * fold in [[applyEdges]]: min-label propagation with fused seed, star
+    * fallback past [[propRounds]]. Input must be SYMMETRIZED and pinned
+    * (each undirected edge present in both directions, localCheckpoint'd
+    * — it is re-joined every round). Returns (id, lbl) for exactly the
+    * edge-touched vertices; callers needing isolated vertices union them
+    * on top. Split out so the delta fold's tiny contracted graph skips
+    * the vertex-set machinery (touched-distinct + singleton anti-join) —
+    * on a delta-bounded graph those were pure fixed job overhead. */
+  private def ccCore(sym: DataFrame, maxIter: Int): DataFrame = {
     // Only edge-touched vertices can ever change label; isolated vertices
     // (the overwhelming majority of a near-dup corpus) stay out of the
     // loop entirely and are unioned back as self-labelled singletons.
@@ -146,14 +167,7 @@ object Cluster {
           coalesce(col("s.lbl"), col("l.lbl")).as("lbl"))
         .localCheckpoint()
     }
-    // `labels` holds exactly the edge-touched vertices (the seed groups
-    // u∪v), already distinct — reuse it as the touched set instead of
-    // re-distinct-ing the edge list (one less shuffle)
     labels
-      .unionByName(verts
-        .join(labels.select("id"), Seq("id"), "left_anti")
-        .select(col("id"), col("id").as("lbl")))
-      .select(col("id"), col("lbl").as("cluster"))
   }
 
   /** Alternating large-star/small-star connected components (Kiveris et
@@ -312,14 +326,23 @@ object Cluster {
       .select(coalesce(col("ul"), col("u")).as("cu"),
         coalesce(col("vl"), col("v")).as("cv"))
       .where(col("cu") =!= col("cv")) // intra-cluster edges are no-ops
+    // contracted fixpoint straight on the core (nodes = touched labels —
+    // the untouched corpus never enters the loop). ccCore labels exactly
+    // the edge-touched nodes, which is all the remap below needs: labels
+    // outside the contracted graph coalesce to themselves. Symmetrize
+    // here (the core's input contract) and pin ONCE — the former shape
+    // (mapped ckpt + touched distinct + singleton anti-join inside
+    // connectedComponents) spent three extra jobs of pure fixed overhead
+    // on a graph bounded by the delta, measured 1.14 s → 0.6 s warm at
+    // sf0.1 (ScaleProbe inccc).
+    val symMapped = mapped
+      .select(explode(array(
+        struct(col("cu").as("u"), col("cv").as("v")),
+        struct(col("cv").as("u"), col("cu").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
       .localCheckpoint()
-    // contracted fixpoint: nodes = touched labels (+ nothing else — the
-    // untouched corpus never enters the loop)
-    val touched = mapped.select(col("cu").as("id"))
-      .union(mapped.select(col("cv").as("id"))).distinct()
-    val contracted = connectedComponents(touched, "id", mapped, "cu", "cv",
-        edgesCovered = true)
-      .select(col("id").as("old_lbl"), col("cluster").as("new_lbl"))
+    val contracted = ccCore(symMapped, maxIter = 25)
+      .select(col("id").as("old_lbl"), col("lbl").as("new_lbl"))
     // base vertices remap through their label; delta vertices either
     // remap directly (edge-touched) or become singletons
     val base = lbl.join(contracted, lbl("lbl") === contracted("old_lbl"),
