@@ -144,7 +144,15 @@ object ExplainDump {
       ("Weighted up/down-sampling: the rates dim broadcasts, copies come " +
         "from a bounded explode — a pure map-side pass with NO shuffle " +
         "other than the output sort; epoch mixing at 100 TB is a scan, " +
-        "not a join.")
+        "not a join."),
+    "curate_funnel" ->
+      ("The full CCNet-shaped funnel as ONE composed plan: gate (codegen " +
+        "filters on the scan) → exact dedup (fingerprint shuffle, text " +
+        "never re-shuffles) → fuzzy near-dup (fence → banded LSH → exact " +
+        "Jaccard verify → CC; pair space bounded by banding) → budgeted " +
+        "selection (histogram pre-pass, only the marginal score class " +
+        "windows). Stages hand off as DataFrames — shuffle-partitioned " +
+        "end to end, no driver materialization between them.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -27,7 +27,7 @@ object Pipeline3Queries {
 
   /** Shared verification CTEs over the minhash pipeline's `dd`/`sh`:
     * per-doc shingle counts and per-candidate-pair intersection sizes. */
-  private val overlapCtes: String =
+  private[queries] val overlapCtes: String =
     """cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT p.a_id, p.b_id, COUNT(*) AS i
@@ -35,6 +35,27 @@ object Pipeline3Queries {
       |  JOIN sh a ON a.doc_id = p.a_id
       |  JOIN sh b ON b.doc_id = p.b_id AND b.s = a.s
       |  GROUP BY p.a_id, p.b_id)""".stripMargin
+
+  /** The fuzzy-dedup tail over the minhash CTEs: exact-Jaccard ≥ 2/3
+    * verification of the LSH candidates, then connected components via
+    * a recursive reach (must sit under WITH RECURSIVE). `reach` labels
+    * every `dd` doc with its component minimum — the same canonical rule
+    * as Cluster.connectedComponents. Shared by `dd_fuzzy_verified` and
+    * the `curate_funnel` composition (which swaps the `dd` base for its
+    * gate→exact-dedup prefix via [[PipelineQueries.minhashPairsCtesWith]]). */
+  private[queries] val fuzzyVerifyClusterCtes: String =
+    s"""$overlapCtes,
+       |ver AS (
+       |  SELECT i.a_id, i.b_id FROM inter i
+       |  JOIN cnt ca ON ca.doc_id = i.a_id
+       |  JOIN cnt cb ON cb.doc_id = i.b_id
+       |  WHERE i.i * 3 >= (ca.n_sh + cb.n_sh - i.i) * 2),
+       |cedges AS (SELECT a_id AS u, b_id AS v FROM ver
+       |           UNION SELECT b_id, a_id FROM ver),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM dd
+       |  UNION
+       |  SELECT e.v, r.lbl FROM reach r JOIN cedges e ON e.u = r.id)""".stripMargin
 
   val queries: Map[String, Q] = Map(
 
@@ -300,18 +321,7 @@ object Pipeline3Queries {
       // shingle set, so signatures AND the Jaccard verifier below mirror
       // fuzzyDedup's default maxDocFrac = 0.5 configuration
       s"""WITH RECURSIVE $minhashPairsFencedCtes,
-         |$overlapCtes,
-         |ver AS (
-         |  SELECT i.a_id, i.b_id FROM inter i
-         |  JOIN cnt ca ON ca.doc_id = i.a_id
-         |  JOIN cnt cb ON cb.doc_id = i.b_id
-         |  WHERE i.i * 3 >= (ca.n_sh + cb.n_sh - i.i) * 2),
-         |cedges AS (SELECT a_id AS u, b_id AS v FROM ver
-         |           UNION SELECT b_id, a_id FROM ver),
-         |reach(id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM dd
-         |  UNION
-         |  SELECT e.v, r.lbl FROM reach r JOIN cedges e ON e.u = r.id)
+         |$fuzzyVerifyClusterCtes
          |SELECT id AS doc_id, MIN(lbl) AS cluster_id,
          |  MIN(lbl) = id AS is_canonical
          |FROM reach GROUP BY id

@@ -155,25 +155,37 @@ object Pipeline6Queries {
     }),
 
     "curate_funnel" -> ((s, dir) => {
-      // the whole curation funnel as ONE composed call — the shape a
-      // user actually runs: quality gate (exact integer predicates) →
-      // exact dedup (hash-groupBy, min-id canonical; Dedup.exactByPayload
-      // shuffles 8-byte fingerprints, not text) → budgeted selection
+      // the whole CCNet-shaped curation funnel as ONE composed plan —
+      // the shape a user actually runs: quality gate (exact integer
+      // predicates) → exact dedup (hash-groupBy, min-id canonical;
+      // Dedup.exactByPayload shuffles 8-byte fingerprints, not text) →
+      // fuzzy near-dup (boilerplate fence → LSH candidates → exact
+      // Jaccard ≥ 2/3 verify → connected components; only each
+      // cluster's canonical doc survives) → budgeted selection
       // (tokenBudget's histogram pre-pass, no one-task global sort).
       // Every stage is the already-graded operator; this pins their
-      // COMPOSITION against one end-to-end oracle.
-      import graft.ops.{Dedup, Sampling, TextOps}
+      // COMPOSITION against one end-to-end oracle (the fuzzy layer
+      // reuses dd_fuzzy_verified's recursive-CTE oracle over the
+      // gate→exact-dedup base). The composition stays shuffle-
+      // partitioned end to end: each stage's output feeds the next as
+      // a DataFrame — no driver materialization between stages.
+      import graft.ops.{Dedup, DedupText, Sampling, TextOps}
       val gated = Tables.documents(s, dir)
         .where(col("n_chars").between(100L, 10000L))
         .select(col("doc_id"), col("text"), col("n_chars"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
         .where(col("n_tok").between(20L, 2000L))
-      val deduped = Dedup.exactByPayload(gated, "text", "doc_id")
+      val exact = Dedup.exactByPayload(gated, "text", "doc_id")
+      val canonIds = DedupText.fuzzyDedup(exact, "doc_id", "text",
+          bands = 8, rows = 4, n = 3, num = 2, den = 3)
+        .where(col("cluster") === col("id"))
+        .select(col("id").as("doc_id"))
+      val scored = exact.join(canonIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
           call_function("div", col("n_tok") * 1000, col("n_chars"))
             .as("score"),
           col("n_tok"))
-      Sampling.tokenBudget(deduped, "score", "n_tok", "doc_id",
+      Sampling.tokenBudget(scored, "score", "n_tok", "doc_id",
           budget = 10000L)
         .select("doc_id", "score", "n_tok")
         .orderBy("doc_id")
@@ -316,17 +328,25 @@ object Pipeline6Queries {
         |ORDER BY href""".stripMargin,
 
     "curate_funnel" ->
-      // gate → min-id-per-text dedup → global-cumsum budget, each CTE
-      // mirroring the Spark stage it grades
-      """WITH g AS (SELECT doc_id, text, n_chars,
+      // gate → min-id-per-text dedup → fuzzy near-dup canonical (the
+      // dd_fuzzy_verified CTE layer over the gated+deduped base) →
+      // global-cumsum budget, each CTE mirroring the Spark stage
+      s"""WITH RECURSIVE g AS (SELECT doc_id, text, n_chars,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         |  FROM documents
         |  WHERE n_chars BETWEEN 100 AND 10000),
         |g2 AS (SELECT * FROM g WHERE n_tok BETWEEN 20 AND 2000),
-        |d AS (SELECT doc_id, n_tok * 1000 // n_chars AS score, n_tok
-        |  FROM g2 x
+        |ex AS (SELECT * FROM g2 x
         |  WHERE doc_id = (SELECT MIN(doc_id) FROM g2 y
         |    WHERE y.text = x.text)),
+        |${PipelineQueries.minhashPairsCtesWith(fenced = true,
+             baseSql = "SELECT doc_id, text FROM ex")},
+        |${Pipeline3Queries.fuzzyVerifyClusterCtes},
+        |canon AS (SELECT id AS doc_id FROM reach
+        |  GROUP BY id HAVING MIN(lbl) = id),
+        |d AS (SELECT e.doc_id, e.n_tok * 1000 // e.n_chars AS score,
+        |    e.n_tok
+        |  FROM ex e JOIN canon c ON c.doc_id = e.doc_id),
         |r AS (SELECT *, SUM(n_tok) OVER (ORDER BY score DESC, doc_id ASC
         |        ROWS UNBOUNDED PRECEDING) AS cum FROM d)
         |SELECT doc_id, score, n_tok FROM r WHERE cum <= 10000

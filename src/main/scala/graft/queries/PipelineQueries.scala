@@ -376,7 +376,13 @@ object PipelineQueries {
     * all-boilerplate doc gets the '__bp__'‖text sentinel) — the final CTE
     * is still named `sh`, so downstream CTEs (signatures AND the overlap
     * verifier) see the fenced set exactly like the Spark pipeline does. */
-  private[queries] def minhashPairsCtesWith(fenced: Boolean): String = {
+  /** @param baseSql SQL for the doc set the pipeline runs over — the
+    *   `dd` CTE every downstream CTE references (doc_id, text, …).
+    *   Defaults to the duplicated-documents fixture; `curate_funnel`
+    *   passes its gate→exact-dedup prefix instead, so the SAME fenced
+    *   LSH/verify/CC oracle layers grade the composed funnel. */
+  private[queries] def minhashPairsCtesWith(fenced: Boolean,
+      baseSql: String = docsWithDupsSql): String = {
     val javaHash =
       """list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(string_split_regex(s, ''),
@@ -417,7 +423,7 @@ object PipelineQueries {
          |       UNION ALL
          |       SELECT d.doc_id, '__bp__' || d.text AS s
          |       FROM dd d JOIN lost l ON d.doc_id = l.doc_id),""".stripMargin
-    s"""dd AS ($docsWithDupsSql),
+    s"""dd AS ($baseSql),
        |t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM dd),
        |$shCtes
        |based AS (SELECT doc_id, $javaHash AS h FROM sh),
