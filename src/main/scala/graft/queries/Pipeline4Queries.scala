@@ -145,9 +145,10 @@ object Pipeline4Queries {
       // group's sort is ONE task however many executors exist — the
       // inherent cost of EXACT rank statistics on a low-cardinality key
       // (measured 7.3× at the sf1 decade; it spills, it does not OOM).
-      // At 100 TB use the GK-sketch variant (`agg_quantiles` /
-      // `approx_percentile`) for boundaries and keep this as the exact
-      // oracle anchor.
+      // At 100 TB graduate to the graded GK twin `agg_equidepth_approx`
+      // (Pipeline7Queries): sketch boundaries + broadcast bucketing,
+      // no per-group total-order task; keep this as the exact oracle
+      // anchor.
       val w = Window.partitionBy("l_returnflag")
         .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
       Tables.lineitem(s, dir)

@@ -56,6 +56,37 @@ object Pipeline7Queries {
           (col("lo") <= col("hi") && col("n") * col("lo") <= col("sum_wins")
             && col("sum_wins") <= col("n") * col("hi")).as("ok_sum"))
         .orderBy("l_returnflag")
+    }),
+
+    "agg_equidepth_approx" -> ((s, dir) => {
+      // GK-sketch equi-depth twin of agg_equidepth (the other one-task
+      // exact rank stat): bucket boundaries from approx_percentile at
+      // the 1/8..7/8 ranks — a mergeable partial aggregate — then each
+      // row buckets by counting boundaries ≤ its price against the
+      // broadcast 7-element array; no per-group total-order task
+      // anywhere. Graded invariant (GK rank error ±0.1% at
+      // accuracy=1000, graded at ±5 percentile points): every bucket
+      // holds 12.5% ± 5pts of its group — cnt·1000 ∈ [n·75, n·175],
+      // exact integer cross-multiplication. All 8 buckets of all 3
+      // groups must be present and TRUE, so an empty or overfull bucket
+      // fails rows/hash, not just a flag.
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), cents("l_extendedprice").as("pc"))
+      val qs = (1 to 7).map(_ / 8.0).mkString(", ")
+      val bounds = li.groupBy("l_returnflag")
+        .agg(expr(s"approx_percentile(pc, array($qs), 1000)").as("b"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag").as("rf"), col("b"), col("n"))
+      li.join(broadcast(bounds), li("l_returnflag") === bounds("rf"))
+        .select(col("l_returnflag"), col("n"),
+          (size(filter(col("b"), x => x <= col("pc"))) + 1)
+            .cast("long").as("bucket"))
+        .groupBy("l_returnflag", "bucket", "n")
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("bucket"),
+          (col("cnt") * 1000 >= col("n") * 75 &&
+            col("cnt") * 1000 <= col("n") * 175).as("ok_frac"))
+        .orderBy("l_returnflag", "bucket")
     })
   )
 
@@ -67,6 +98,15 @@ object Pipeline7Queries {
       """SELECT l_returnflag, COUNT(*) AS n,
         |  TRUE AS ok_lo, TRUE AS ok_hi, TRUE AS ok_sum
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_equidepth_approx" ->
+      // every (group, bucket 1..8) row must exist with its invariant
+      // green — the oracle enumerates the full grid
+      """SELECT g.l_returnflag, CAST(b.b AS BIGINT) AS bucket,
+        |  TRUE AS ok_frac
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem) g,
+        |  unnest(range(1, 9)) AS b(b)
+        |ORDER BY l_returnflag, bucket""".stripMargin
   )
 }
