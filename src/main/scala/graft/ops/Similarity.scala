@@ -295,6 +295,44 @@ object Similarity {
         col("neighbor_id"), col("qdot"))
   }
 
+  /** Exact integer Gram matrix of an int8 sketch — the accumulation
+    * stage of embedding whitening / PCA prep (covariance and principal
+    * axes derive from these sums plus the per-dimension totals of
+    * [[dimStatsInt8]]; the eigen-solve on the d×d result is a driver-side
+    * O(d³) afterthought). Emits the upper triangle, 1-based:
+    * (i, j, gram = Σ_v q_i·q_j, n) with i ≤ j — d(d+1)/2 rows total.
+    *
+    * Scale: each vector explodes into d(d+1)/2 integer products, but
+    * hash partial aggregation collapses them MAP-SIDE, so the shuffle is
+    * O(partitions · d²) — independent of corpus size — and nothing ever
+    * accumulates on the driver. At d = 64 that is 2 080 longs per
+    * partition. Overflow: |Σ q_i·q_j| ≤ N·127², so a long holds
+    * N ≈ 5.7e14 vectors (same bound as [[graft.expr.DotProductLL]]). */
+  def gramInt8(sketch: DataFrame): DataFrame = {
+    val d = size(col("q_emb"))
+    val tri = flatten(transform(col("q_emb"), (qi, i) =>
+      transform(slice(col("q_emb"), i + 1, d - i),
+        (qj, jo) => struct((i + 1).cast("long").as("i"),
+          (i + jo + 1).cast("long").as("j"),
+          (qi * qj).as("p")))))
+    sketch.select(explode(tri).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p")).as("gram"), count(lit(1)).as("n"))
+  }
+
+  /** Per-dimension profile of an int8 sketch (1-based dim index):
+    * (i, n, s = Σ_v q_i, q_min, q_max) — the mean-vector side of the
+    * covariance computation and the standard feature-scaling probe.
+    * Same shape as [[gramInt8]] without the pair blow-up: explode d rows
+    * per vector, partial-aggregate to d rows per partition. */
+  def dimStatsInt8(sketch: DataFrame): DataFrame =
+    sketch.select(posexplode(col("q_emb")).as(Seq("i0", "q")))
+      .select((col("i0") + 1).cast("long").as("i"), col("q"))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        min(col("q")).as("q_min"), max(col("q")).as("q_max"))
+
   /** Sign-bit bucket: bit p = (dot(emb, plane_{seed+p}) > 0), planes
     * packed into a long. `dims` is the embedding width (fixtures: 64).
     * The dot runs through the codegen'd [[graft.expr.DotProductFF]]

@@ -22,7 +22,7 @@ object Pipeline6Queries {
     * nothing and the stream silently drains empty, which is exactly the
     * bug this helper exists to prevent (caught by the sf1 bench's
     * 0.3 s stream family). */
-  private def eventsStream(s: org.apache.spark.sql.SparkSession,
+  private[queries] def eventsStream(s: org.apache.spark.sql.SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       dir: String): org.apache.spark.sql.DataFrame = {
     val path = new java.io.File(s"$dir/events.parquet")
@@ -39,7 +39,7 @@ object Pipeline6Queries {
     * session-global memory table (bench's median-of-3 × runs, each
     * holding the full result in driver memory). The checkpointed blocks
     * themselves are freed by bench's between-run unpersist sweep. */
-  private def drainAndClean(s: org.apache.spark.sql.SparkSession,
+  private[queries] def drainAndClean(s: org.apache.spark.sql.SparkSession,
       name: String, ckpt: String): org.apache.spark.sql.DataFrame = {
     val out = s.table(name).localCheckpoint()
     s.catalog.dropTempView(name)

@@ -182,6 +182,40 @@ class PlanSpec extends SparkSuite {
         s"max):\n${exchanges.mkString("\n")}")
   }
 
+  test("emb_gram_int8: pair blow-up collapses map-side — partial then " +
+      "final HashAggregate, one d²-row exchange") {
+    val df = q("emb_gram_int8")
+    df.collect()
+    val p = plan(df)
+    // the d(d+1)/2-per-vector product explosion must hit a PARTIAL hash
+    // aggregate before any exchange: the shuffle then carries
+    // O(partitions·d²) rows regardless of corpus size
+    val n = "HashAggregate".r.findAllIn(p).size
+    assert(n >= 2, s"expected partial+final HashAggregate, got $n:\n" +
+      p.take(1500))
+    val genIdx = p.linesIterator.indexWhere(_.contains("Generate explode"))
+    val exIdx = p.linesIterator.indexWhere(
+      _.contains("Exchange hashpartitioning"))
+    val aggBelowExchange = p.linesIterator.zipWithIndex
+      .filter(_._1.contains("HashAggregate")).map(_._2).exists(_ > exIdx)
+    assert(genIdx > exIdx && aggBelowExchange,
+      "partial agg must sit between the explode and the exchange " +
+        "(plans print top-down):\n" + p.take(1500))
+  }
+
+  test("txt_lm_coverage: top-500 model is TakeOrdered (no global sort) " +
+      "and broadcasts into the coverage semi-join") {
+    val df = q("txt_lm_coverage")
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      "model cut must be per-partition top-k, not a global sort:\n" +
+        p.take(1500))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "model table must broadcast into the coverage semi-join:\n" +
+        p.take(1500))
+  }
+
   test("ts_resample aggregates before the spine explode") {
     val p = plan(q("ts_resample"))
     // the Generate (spine explode) must sit ABOVE the per-(key, step)

@@ -16,22 +16,80 @@ class Round7Spec extends SparkSuite {
       val ls = tmp.list()
       if (ls == null) Set.empty
       else ls.filter(n => n.startsWith("sdw_ckpt") ||
-        n.startsWith("swf_ckpt") || n.startsWith("slk_ckpt")).toSet
+        n.startsWith("swf_ckpt") || n.startsWith("slk_ckpt") ||
+        n.startsWith("ssf_ckpt")).toSet
     }
     def sinkViews: Seq[String] =
       spark.catalog.listTables().collect().map(_.name)
         .filter(n => n.startsWith("sdw_") || n.startsWith("swf_") ||
-          n.startsWith("slk_")).toSeq
+          n.startsWith("slk_") || n.startsWith("ssf_")).toSeq
     val dirsBefore = ckptDirs
     val qs = Seq("stream_dedup_watermark", "stream_win_final",
-      "stream_latest_per_key")
+      "stream_latest_per_key", "stream_session_final")
     for (_ <- 1 to 2; name <- qs) {
-      val n = graft.queries.Pipeline6Queries.queries(name)(spark, sfDir).count()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
       assert(n > 0, s"$name drained zero rows")
     }
     assert(sinkViews.isEmpty,
       s"memory-sink temp views leaked: $sinkViews")
     assert(ckptDirs === dirsBefore,
       s"checkpoint temp dirs leaked: ${ckptDirs -- dirsBefore}")
+  }
+
+  test("gramInt8: diagonal equals per-vector q_norm totals, full " +
+      "triangle present, every cell saw every vector") {
+    val sk = graft.ops.Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))
+      .localCheckpoint()
+    val nVec = sk.count()
+    val qnormSum = sk.agg(sum("q_norm")).as[Long].head()
+    val g = graft.ops.Similarity.gramInt8(sk).localCheckpoint()
+    val d = 64L
+    assert(g.count() === d * (d + 1) / 2)
+    // Σ_i G[i][i] = Σ_v Σ_i q_i² = Σ_v q_norm — ties the Gram matrix to
+    // the independently computed per-vector norms
+    val diagSum = g.where($"i" === $"j").agg(sum("gram")).as[Long].head()
+    assert(diagSum === qnormSum)
+    assert(g.where($"n" =!= nVec).count() === 0,
+      "some (i,j) cell missed vectors")
+    // Cauchy–Schwarz on the integer sums: G[i][j]² ≤ G[i][i]·G[j][j]
+    val diag = g.where($"i" === $"j")
+      .select($"i".as("k"), $"gram".as("gkk"))
+    val viol = g
+      .join(diag.withColumnRenamed("k", "i").withColumnRenamed("gkk", "gii"), "i")
+      .join(diag.withColumnRenamed("k", "j").withColumnRenamed("gkk", "gjj"), "j")
+      .where($"gram" * $"gram" > $"gii" * $"gjj")
+      .count()
+    assert(viol === 0L)
+  }
+
+  test("dimStatsInt8: int8 range respected, counts complete, sums " +
+      "bounded by count·127") {
+    val sk = graft.ops.Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))
+      .localCheckpoint()
+    val nVec = sk.count()
+    val st = graft.ops.Similarity.dimStatsInt8(sk).localCheckpoint()
+    assert(st.count() === 64L)
+    assert(st.where($"n" =!= nVec).count() === 0)
+    assert(st.where($"q_min" < -128 || $"q_max" > 127).count() === 0)
+    assert(st.where(abs($"s") > $"n" * 127).count() === 0)
+  }
+
+  test("stream_session_final matches batch session_window restricted " +
+      "to watermark-finalized sessions") {
+    val streamed = graft.queries.Pipeline7Queries
+      .queries("stream_session_final")(spark, sfDir).localCheckpoint()
+    val ev = Tables.events(spark, sfDir)
+    val batch = ev
+      .groupBy(session_window(timestamp_millis($"ts_ms"), "30 minutes"),
+        $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        unix_millis($"session_window.start").as("session_start_ms"),
+        unix_millis($"session_window.end").as("send"), $"n_events")
+    val wm = ev.agg(max($"ts_ms")).as[Long].head() - 3600000L
+    val expected = batch.where($"send" <= wm)
+      .select("user_id", "session_start_ms", "n_events")
+    assert(streamed.exceptAll(expected).count() === 0L)
+    assert(expected.exceptAll(streamed).count() === 0L)
   }
 }
