@@ -24,21 +24,47 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos
-    * (LongType) via the legacy conf and let callers derive epoch-millis.
-    * The conf is dynamic (read at scan planning), so setting it on the
-    * passed-in session is safe even when the driver built the session.
-    */
-  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+  /** Canonicalize `events.ts` to TIMESTAMP_NTZ whatever the file stores.
+    * The driver-generated data has stored `ts` three ways across rounds:
+    * TIMESTAMP(NANOS) (no Spark type — the legacy conf reads it as raw
+    * nanos LongType), TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as
+    * TIMESTAMP_NTZ natively), and ScaleProbe synth dirs store plain
+    * INT64 nanos. One canonical type downstream means cut filters stay
+    * pushdown-friendly binary comparisons on the scan column.
+    * All sessions in this project pin spark.sql.session.timeZone=UTC, so
+    * the NTZ↔LTZ casts below are epoch-exact. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // raw nanos
+        df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case org.apache.spark.sql.types.TimestampType =>
+        df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      case _ => df // already TIMESTAMP_NTZ
+    }
+
+  /** Raw FILE schema of `events.parquet` (pre-normalization) — what a
+    * streaming read must declare before [[normalizeTs]] runs on top. */
+  private[graft] def eventsFileSchema(spark: SparkSession, dir: String)
+  : org.apache.spark.sql.types.StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
+    read(spark, dir, "events").schema
   }
 
-  /** events with `ts_ms` (epoch millis, floor(ns/1e6)) — the engine's
-    * canonical event-time column. Matches DuckDB `epoch_ms(ts)`. */
+  /** events with `ts` canonicalized to TIMESTAMP_NTZ. The legacy conf is
+    * dynamic (read at scan planning), so setting it on the passed-in
+    * session is safe even when the driver built the session. */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(read(spark, dir, "events"))
+  }
+
+  /** events with `ts_ms` (epoch millis) — the engine's canonical
+    * event-time integer. Matches DuckDB `epoch_ms(ts)` (both treat the
+    * naive wall-clock as UTC). */
   def events(spark: SparkSession, dir: String): DataFrame =
-    eventsRaw(spark, dir).withColumn("ts_ms", expr("ts div 1000000"))
+    eventsRaw(spark, dir)
+      .withColumn("ts_ms", unix_millis(col("ts").cast("timestamp")))
 
   /** Projection of an `events`-shaped frame onto the SRI row vocabulary
     * (SURVEY §1.1): event_id → href/key, ts → $$meta.modified,

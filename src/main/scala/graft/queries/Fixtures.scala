@@ -24,21 +24,30 @@ object Fixtures {
   /** DuckDB spelling of [[cents]]. */
   def centsSql(c: String): String = s"CAST(ROUND($c * 100) AS BIGINT)"
 
+  /** TIMESTAMP_NTZ literal at epoch-ms `ms` (UTC wall clock). Comparing
+    * the native `events.ts` column against this is a plain binary
+    * predicate on the scan column, so it PUSHES DOWN into the parquet
+    * scan — a `ts_ms < c` post-conversion filter would not. */
+  def tsNtz(ms: Long): Column =
+    lit(java.time.LocalDateTime.ofEpochSecond(
+      java.lang.Math.floorDiv(ms, 1000L),
+      (java.lang.Math.floorMod(ms, 1000L) * 1000000L).toInt,
+      java.time.ZoneOffset.UTC))
+
   // ---- sync-algebra fixtures over `events` (FIXTURES.md §B mapping) ----
   def sri(s: SparkSession, dir: String): DataFrame = Tables.sriEvents(s, dir)
 
   /** target state: everything modified before Cut2. Filter applied on the
-    * raw nanos `ts` pre-projection so it reaches the parquet scan
-    * (ts < c*1e6 ⟺ floor(ts/1e6) < c for the fixture's positive range). */
+    * native `ts` pre-projection so it reaches the parquet scan. */
   def sriTarget(s: SparkSession, dir: String): DataFrame =
     Tables.sriProject(
-      Tables.events(s, dir).where(col("ts") < lit(Cut2Ms * 1000000L)))
+      Tables.events(s, dir).where(col("ts") < tsNtz(Cut2Ms)))
 
   /** staged delta pages: everything from Cut on, minus tombstones, with
     * purchase payloads patched so the overlap produces real updates. */
   def sriStaged(s: SparkSession, dir: String): DataFrame =
     Tables.sriProject(
-      Tables.events(s, dir).where(col("ts") >= lit(CutMs * 1000000L) &&
+      Tables.events(s, dir).where(col("ts") >= tsNtz(CutMs) &&
         col("event_type") =!= "error"))
       .withColumn("jsondata",
         when(col("resourcetype") === "purchase",
@@ -48,7 +57,7 @@ object Fixtures {
   /** tombstone rows: `error` events from Cut on, delete-row shape (P3). */
   def sriTombstones(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .where(col("ts") >= lit(CutMs * 1000000L) && col("event_type") === "error")
+      .where(col("ts") >= tsNtz(CutMs) && col("event_type") === "error")
       .select(concat(lit("/events/"), col("event_id")).as("href"))
 
   /** DuckDB CTE prefix mirroring the fixtures above. */

@@ -23,12 +23,18 @@ object Pipeline6Queries {
     * bug this helper exists to prevent (caught by the sf1 bench's
     * 0.3 s stream family). */
   private[queries] def eventsStream(s: org.apache.spark.sql.SparkSession,
-      schema: org.apache.spark.sql.types.StructType,
       dir: String): org.apache.spark.sql.DataFrame = {
+    // declare the RAW file schema (a stream cannot infer), then
+    // canonicalize ts to TIMESTAMP_NTZ with the same projection the
+    // batch reader applies — so the stream works over every vintage of
+    // the events data (nanos-long, micros, synth INT64) identically.
+    val schema = Tables.eventsFileSchema(s, dir)
     val path = new java.io.File(s"$dir/events.parquet")
-    if (path.isDirectory) s.readStream.schema(schema).parquet(path.toString)
-    else s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val raw =
+      if (path.isDirectory) s.readStream.schema(schema).parquet(path.toString)
+      else s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+    Tables.normalizeTs(raw)
   }
 
   /** Drain-then-clean for the memory-sink graded queries: materialize
@@ -61,13 +67,10 @@ object Pipeline6Queries {
       // emit each event_id exactly once. The oracle is the exact distinct
       // of the same projection — so state-store semantics (first-arrival
       // emit, watermark-bounded state) are pinned against DuckDB.
-      // Batch read first: supplies the schema AND sets the nanosAsLong
-      // conf the TIMESTAMP(NANOS) scan needs.
-      val schema = Tables.eventsRaw(s, dir).schema
-      val stream = eventsStream(s, schema, dir)
+      val stream = eventsStream(s, dir)
       val doubled = stream
         .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts div 1000000").as("ts_ms"))
+          unix_millis(col("ts").cast("timestamp")).as("ts_ms"))
         .withColumn("__copy", explode(array(lit(0), lit(1))))
         .drop("__copy")
         .withColumn("__evt", timestamp_millis(col("ts_ms")))
@@ -100,9 +103,8 @@ object Pipeline6Queries {
       // streaming aggregates mergeable into a warehouse). The oracle is
       // the batch aggregation restricted to windows the final watermark
       // (max event time − 1h delay) closed: exact same rows.
-      val schema = Tables.eventsRaw(s, dir).schema
-      val stream = eventsStream(s, schema, dir)
-        .select(timestamp_millis(expr("ts div 1000000")).as("ts"),
+      val stream = eventsStream(s, dir)
+        .select(col("ts").cast("timestamp").as("ts"),
           col("event_type"))
       val agg = stream
         .withWatermark("ts", "1 hour")
@@ -135,10 +137,9 @@ object Pipeline6Queries {
       // to the SMALLEST payload (Dedup.keepLatest's rule). Update-mode
       // emission over the single-microbatch drain (same assumption as
       // above) = exactly one row per key.
-      val schema = Tables.eventsRaw(s, dir).schema
-      val stream = eventsStream(s, schema, dir)
+      val stream = eventsStream(s, dir)
         .select(col("user_id").cast("string").as("href"),
-          expr("ts div 1000000").as("modified_ms"),
+          unix_millis(col("ts").cast("timestamp")).as("modified_ms"),
           col("event_type").as("jsondata"))
         .withColumn("__copy", explode(array(lit(0), lit(1))))
         .drop("__copy")

@@ -53,9 +53,8 @@ object Pipeline7Queries {
       // sessionization (win_session's exact SQL) restricted to sessions
       // the final watermark (max event time − 1h) closed. Same
       // single-microbatch drain assumption as stream_dedup_watermark.
-      val schema = Tables.eventsRaw(s, dir).schema
-      val stream = Pipeline6Queries.eventsStream(s, schema, dir)
-        .select(timestamp_millis(expr("ts div 1000000")).as("ts"),
+      val stream = Pipeline6Queries.eventsStream(s, dir)
+        .select(col("ts").cast("timestamp").as("ts"),
           col("user_id"))
       val agg = stream
         .withWatermark("ts", "1 hour")

@@ -246,8 +246,8 @@ object SyncQueries {
       // aggregation directly, proving the incremental path exact
       val ev = graft.Tables.events(s, dir)
         .withColumn("v_cents", Fixtures.cents("value"))
-      val base = ev.where(col("ts") < lit(CutMs * 1000000L))
-      val delta = ev.where(col("ts") >= lit(CutMs * 1000000L))
+      val base = ev.where(col("ts") < Fixtures.tsNtz(CutMs))
+      val delta = ev.where(col("ts") >= Fixtures.tsNtz(CutMs))
       IncrementalAgg.merge(
           IncrementalAgg.partial(base, Seq("event_type"), "v_cents"),
           IncrementalAgg.partial(delta, Seq("event_type"), "v_cents"),
