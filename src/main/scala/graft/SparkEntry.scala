@@ -28,7 +28,8 @@ object SparkEntry {
       ExtraQueries.queries ++ Relational2Queries.queries ++
       Pipeline2Queries.queries ++ Pipeline3Queries.queries ++
       Pipeline4Queries.queries ++ Pipeline5Queries.queries ++
-      Pipeline6Queries.queries ++ Pipeline7Queries.queries
+      Pipeline6Queries.queries ++ Pipeline7Queries.queries ++
+      Pipeline8Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
       ExtraQueries.oracles ++ Relational2Queries.oracles ++
       Pipeline2Queries.oracles ++ Pipeline3Queries.oracles ++
       Pipeline4Queries.oracles ++ Pipeline5Queries.oracles ++
-      Pipeline6Queries.oracles ++ Pipeline7Queries.oracles
+      Pipeline6Queries.oracles ++ Pipeline7Queries.oracles ++
+      Pipeline8Queries.oracles
 }

@@ -333,6 +333,87 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
         min(col("q")).as("q_min"), max(col("q")).as("q_max"))
 
+  /** Candidate carried into [[mmrRerank]]'s per-probe greedy fold. */
+  private[graft] case class MmrCand(neighbor_id: Long, rel: Long,
+                                    q: Array[Long])
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) — the diversity-aware selection a RAG retriever or a
+    * training-data sampler runs AFTER similarity search: from each
+    * probe's `cands` nearest neighbors, greedily pick `k`, each step
+    * taking the candidate maximizing
+    *
+    *   wRel · rel(probe, c)  −  wDiv · max_{s ∈ selected} sim(c, s)
+    *
+    * (the max over an empty selection is 0, so step 1 is the most
+    * relevant candidate; λ = wRel/(wRel+wDiv), default 2/3). Everything
+    * runs on the int8 sketch: rel and sim are exact integer dot
+    * products, so scores, ties (broken by smaller neighbor_id), and
+    * therefore the whole greedy trajectory are bit-reproducible in a SQL
+    * oracle — the same determinism contract as [[quantizedTopK]]. The
+    * integer dots are UNNORMALIZED: max-abs scaling puts every sketch's
+    * norm in a narrow band, which is the standard "quantized MMR"
+    * approximation (exact-cosine MMR would need cross-multiplied
+    * rational comparisons that no sort order can express).
+    *
+    * Scale: candidate generation is [[quantizedTopKOnSketch]] (probes
+    * broadcast, corpus streams, never shuffles). The greedy fold then
+    * touches ONLY |probes|·cands rows: they are broadcast back over the
+    * sketch once to fetch candidate vectors, and the per-probe
+    * groupByKey state is `cands` sketches — explicitly bounded by the
+    * caller, independent of corpus size. The O(k·cands²) greedy runs
+    * per probe inside flatMapGroups; at cands ≤ a few hundred that is
+    * microseconds, and no driver-side loop or collect exists anywhere.
+    *
+    * @return (query_id, rnk 1..k, neighbor_id, mmr_score) — mmr_score
+    *         is the integer selection score at pick time
+    */
+  def mmrRerank(corpus: DataFrame, probes: DataFrame, cands: Int, k: Int,
+                wRel: Long = 2L, wDiv: Long = 1L): DataFrame = {
+    require(k >= 1 && cands >= k, "need cands >= k >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sketch = quantizeInt8(corpus)
+    val top = quantizedTopKOnSketch(sketch, probes, cands)
+      .select(col("query_id"), col("neighbor_id"), col("qdot").as("rel"))
+    val withVec = sketch
+      .select(col("vec_id").as("neighbor_id"), col("q_emb"))
+      .join(broadcast(top), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rel"),
+        col("q_emb"))
+      .as[(Long, Long, Long, Array[Long])]
+    withVec.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      // id-sorted + strict > keeps the first (smallest id) on ties —
+      // the same order the oracle's (score DESC, cid ASC) row_number picks
+      val cs = it.map(t => MmrCand(t._2, t._3, t._4)).toArray
+        .sortBy(_.neighbor_id)
+      def dot(a: Array[Long], b: Array[Long]): Long = {
+        var s = 0L; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }
+        s
+      }
+      val selected = new scala.collection.mutable.ArrayBuffer[MmrCand](k)
+      val out = new scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Long, Long)](k)
+      var r = 1
+      while (r <= k && selected.length < cs.length) {
+        var best: MmrCand = null
+        var bestScore = Long.MinValue
+        for (c <- cs if !selected.exists(_.neighbor_id == c.neighbor_id)) {
+          val maxDot =
+            if (selected.isEmpty) 0L
+            else selected.iterator.map(s0 => dot(c.q, s0.q)).max
+          val score = wRel * c.rel - wDiv * maxDot
+          if (score > bestScore) { best = c; bestScore = score }
+        }
+        selected += best
+        out += ((qid, r.toLong, best.neighbor_id, bestScore))
+        r += 1
+      }
+      out
+    }.toDF("query_id", "rnk", "neighbor_id", "mmr_score")
+  }
+
   /** Sign-bit bucket: bit p = (dot(emb, plane_{seed+p}) > 0), planes
     * packed into a long. `dims` is the embedding width (fixtures: 64).
     * The dot runs through the codegen'd [[graft.expr.DotProductFF]]

@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Fixtures._
+
+/** Round-7 batch 2: selection & association operators a curation
+  * pipeline runs downstream of similarity search and counting —
+  * MMR diversified re-ranking (the RAG/selection step after ANN),
+  * fixed-iteration integer PageRank (importance as a quality prior over
+  * the entity graph), co-occurrence top-k (the association/recommender
+  * primitive), PMI collocation mining (phrase extraction for tokenizer /
+  * stopword curation), and a k-anonymity audit (the privacy gate on
+  * quasi-identifiers before a dataset ships).
+  */
+object Pipeline8Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** MMR parameters shared by the query and its oracle. */
+  private val MmrCands = 20
+  private val MmrK = 8
+
+  /** PageRank iterations shared by the query and its oracle. */
+  private val PrIters = 4
+  private val PrScale = 1000000000000L
+
+  val queries: Map[String, Q] = Map(
+
+    "sim_mmr_rerank" -> ((s, dir) => {
+      // diversity-aware re-ranking over the int8 sketch: top-20
+      // candidates per probe (same probe set as sim_quantized_topk),
+      // greedy MMR picks 8 with λ = 2/3. Every score is an integer dot,
+      // so the full greedy trajectory hash-matches the unrolled-greedy
+      // SQL oracle — selection order, ids, and scores.
+      val emb = Tables.embeddings(s, dir)
+      graft.ops.Similarity.mmrRerank(emb,
+          emb.where(col("vec_id") % 50 === 0), cands = MmrCands, k = MmrK)
+        .orderBy("query_id", "rnk")
+    }),
+
+    "graph_pagerank" -> ((s, dir) => {
+      // fixed-iteration integer PageRank over the customer–supplier
+      // bipartite graph (an edge per distinct who-bought-from-whom
+      // pair, symmetrized so the bipartite sides exchange mass and no
+      // vertex dangles). Scaled-integer arithmetic makes all 4 rounds
+      // bit-exact vs the unrolled SQL — the graded contract is the
+      // ITERATION, not convergence (production runs more rounds of the
+      // same plan).
+      val e0 = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.Graph.pageRankInt(edges, "src", "dst",
+          iters = PrIters, scale = PrScale)
+        .orderBy("node")
+    }),
+
+    "graph_cooccur" -> ((s, dir) => {
+      // association top-k: for each supplier, the 5 suppliers it most
+      // often shares an order with — the co-occurrence primitive behind
+      // recommenders and entity-linking. Pair space is Σ_order |order|²,
+      // bounded by basket size, never corpus².
+      graft.ops.Graph.cooccurTopK(Tables.lineitem(s, dir),
+          "l_orderkey", "l_suppkey", k = 5)
+        .orderBy("item", "rnk")
+    }),
+
+    "txt_pmi" -> ((s, dir) => {
+      // PMI collocations over the corpus: adjacent-token pairs whose
+      // joint count beats 3× the independence expectation (PMI ≥ log₂3
+      // ≈ 1.6 bits) with support ≥ 3 — at these cuts the fixtures'
+      // word-salad background dies (max background ratio ~1.6) and the
+      // planted "<size> dup" near-dup markers survive. The ratio test
+      // is exact integer cross-multiplication — c_xy·N_uni² ≥
+      // 3·N_bi·c_x·c_y — run in decimal(38) on the Spark side and
+      // HUGEINT in DuckDB, so no float ever decides a row. Tokenization
+      // is the corpus convention (split on single space,
+      // txt_lm_coverage's bigram shape).
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val toks = docs.select(explode(col("ws")).as("w"))
+      val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      val nu = uni.agg(sum(col("c")).as("n_uni"))
+      val pairs = docs.select(explode(expr(
+        """CASE WHEN size(ws) >= 2
+          |THEN transform(slice(ws, 1, size(ws) - 1),
+          |              (w, i) -> struct(w AS w1, ws[i + 1] AS w2))
+          |ELSE array() END""".stripMargin)).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val cb = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      val nb = cb.agg(sum(col("c_xy")).as("n_bi"))
+      // scalar totals ride in as 1-row broadcasts (the TextOps.scala:134
+      // pattern); unigram counts join by token — dim-sized next to the
+      // pair table, Catalyst broadcasts them when stats allow
+      cb.join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .where(col("c_xy") >= 3 &&
+          col("c_xy").cast("decimal(38,0)") * col("n_uni") * col("n_uni")
+            >= lit(3L).cast("decimal(38,0)") * col("n_bi") * col("c_x")
+               * col("c_y"))
+        .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"))
+        .orderBy("w1", "w2")
+    }),
+
+    "dq_k_anonymity" -> ((s, dir) => {
+      // privacy gate: quasi-identifier combinations (nation, segment,
+      // $1000 balance bucket) carried by FEWER than k=5 customers —
+      // the groups a release must generalize or suppress. The bucket
+      // shifts cents positive before integer division so truncation ==
+      // floor on both engines regardless of negative balances.
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          cents("c_acctbal").as("pc"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("(pc + 100000000) div 100000").as("bal_bucket"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") < 5)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_bucket")
+    })
+  )
+
+  /** The int8 quantizer + norm CTEs (quantizedTopkOracle's convention). */
+  private val quantCtes: String =
+    """mx AS (SELECT vec_id, embedding,
+      |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+      |    AS ma FROM embeddings),
+      |qq AS (SELECT vec_id,
+      |  list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 127 / ma) AS BIGINT)) AS qv
+      |  FROM mx WHERE ma > 0 AND NOT isnan(ma)),
+      |qn AS (SELECT vec_id, qv,
+      |  list_sum(list_transform(qv, v -> v * v)) AS q_norm FROM qq)""".stripMargin
+
+  /** Unrolled-greedy MMR oracle: candidate top-[[MmrCands]] per probe by
+    * quantized cosine (the quantizedTopkOracle ranking), pairwise integer
+    * dots among candidates, then [[MmrK]] greedy steps as explicit CTE
+    * layers — each picks row_number()=1 by (2·rel − max-dot-to-selected)
+    * DESC, id ASC over the not-yet-selected, exactly the Spark fold. */
+  private lazy val mmrOracle: String = {
+    val steps = (2 to MmrK).map { r =>
+      s"""sel$r AS MATERIALIZED (
+         |  SELECT query_id, cid, mmr_score, CAST($r AS BIGINT) AS rnk
+         |  FROM (
+         |    SELECT c.query_id, c.cid,
+         |      2 * c.rel - md.maxdot AS mmr_score,
+         |      ROW_NUMBER() OVER (PARTITION BY c.query_id
+         |        ORDER BY (2 * c.rel - md.maxdot) DESC, c.cid ASC) AS rn
+         |    FROM cand c
+         |    JOIN (SELECT d.query_id, d.ca AS cid, MAX(d.d) AS maxdot
+         |          FROM pd d JOIN acc${r - 1} sp
+         |            ON d.query_id = sp.query_id AND d.cb = sp.cid
+         |          GROUP BY d.query_id, d.ca) md
+         |      ON md.query_id = c.query_id AND md.cid = c.cid
+         |    WHERE NOT EXISTS (SELECT 1 FROM acc${r - 1} sp
+         |      WHERE sp.query_id = c.query_id AND sp.cid = c.cid))
+         |  WHERE rn = 1),
+         |acc$r AS MATERIALIZED (SELECT * FROM acc${r - 1}
+         |  UNION ALL SELECT query_id, cid, mmr_score, rnk FROM sel$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $quantCtes,
+       |scored AS MATERIALIZED (SELECT p.vec_id AS query_id, c.vec_id AS cid,
+       |    CAST(list_sum(list_transform(list_zip(p.qv, c.qv),
+       |      z -> z[1] * z[2])) AS BIGINT) AS rel,
+       |    p.q_norm AS qna, c.q_norm AS qnb
+       |  FROM qn p, qn c
+       |  WHERE p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id),
+       |cand AS MATERIALIZED (SELECT query_id, cid, rel FROM (
+       |  SELECT query_id, cid, rel,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+       |      CAST(rel AS DOUBLE) /
+       |        (sqrt(CAST(qna AS DOUBLE)) * sqrt(CAST(qnb AS DOUBLE))) DESC,
+       |      cid ASC) AS rnk
+       |  FROM scored) WHERE rnk <= $MmrCands),
+       |cqv AS MATERIALIZED (SELECT c.query_id, c.cid, q.qv
+       |  FROM cand c JOIN qn q ON q.vec_id = c.cid),
+       |pd AS MATERIALIZED (SELECT a.query_id, a.cid AS ca, b.cid AS cb,
+       |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+       |      z -> z[1] * z[2])) AS BIGINT) AS d
+       |  FROM cqv a JOIN cqv b
+       |    ON a.query_id = b.query_id AND a.cid <> b.cid),
+       |sel1 AS MATERIALIZED (SELECT query_id, cid, mmr_score, CAST(1 AS BIGINT) AS rnk
+       |  FROM (
+       |    SELECT query_id, cid, 2 * rel AS mmr_score,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY (2 * rel) DESC, cid ASC) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |acc1 AS MATERIALIZED (SELECT * FROM sel1),
+       |$steps
+       |SELECT query_id, rnk, cid AS neighbor_id, mmr_score
+       |FROM acc$MmrK ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Unrolled PageRank oracle: [[PrIters]] CTE layers of the identical
+    * integer recurrence (BIGINT // is truncation, same as Spark's `div`
+    * on the all-positive ranks). */
+  private lazy val pagerankOracle: String = {
+    val base = 15L * PrScale / 100L
+    val iters = (1 to PrIters).map { t =>
+      s"""r$t AS MATERIALIZED (SELECT n.node,
+         |  CAST($base + (85 * COALESCE(m.m, 0)) // 100 AS BIGINT) AS pr
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r${t - 1}.pr // d.deg) AS m
+         |    FROM e JOIN r${t - 1} ON r${t - 1}.node = e.src
+         |           JOIN d ON d.src = e.src
+         |    GROUP BY e.dst) m ON m.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+       |    l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst, src FROM e0),
+       |d AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |n AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+       |r0 AS MATERIALIZED (SELECT node, CAST($PrScale AS BIGINT) AS pr FROM n),
+       |$iters
+       |SELECT node, pr FROM r$PrIters ORDER BY node""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+
+    "sim_mmr_rerank" -> mmrOracle,
+
+    "graph_pagerank" -> pagerankOracle,
+
+    "graph_cooccur" ->
+      """WITH base AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS it
+        |  FROM lineitem),
+        |pr AS (SELECT a.it AS ia, b.it AS ib, COUNT(*) AS n_co
+        |  FROM base a JOIN base b ON a.g = b.g AND a.it < b.it
+        |  GROUP BY a.it, b.it),
+        |sym AS (SELECT ia AS item, ib AS co_item, n_co FROM pr
+        |  UNION ALL SELECT ib, ia, n_co FROM pr),
+        |rk AS (SELECT item, co_item, n_co,
+        |    ROW_NUMBER() OVER (PARTITION BY item
+        |      ORDER BY n_co DESC, co_item ASC) AS rnk
+        |  FROM sym)
+        |SELECT item, co_item, n_co, CAST(rnk AS BIGINT) AS rnk
+        |FROM rk WHERE rnk <= 5
+        |ORDER BY item, rnk""".stripMargin,
+
+    "txt_pmi" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |tok AS (SELECT unnest(ws) AS w FROM t),
+        |uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+        |nu AS (SELECT COUNT(*) AS n_uni FROM tok),
+        |bi AS (SELECT unnest(CASE WHEN len(ws) >= 2
+        |    THEN list_transform(range(1, len(ws)),
+        |         i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))
+        |    ELSE CAST([] AS STRUCT(w1 VARCHAR, w2 VARCHAR)[]) END) AS p
+        |  FROM t),
+        |pb AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM bi),
+        |cb AS (SELECT w1, w2, COUNT(*) AS c_xy FROM pb GROUP BY w1, w2),
+        |nb AS (SELECT COUNT(*) AS n_bi FROM pb)
+        |SELECT cb.w1, cb.w2, cb.c_xy, a.c AS c_x, b.c AS c_y
+        |FROM cb JOIN uni a ON a.w = cb.w1
+        |        JOIN uni b ON b.w = cb.w2, nu, nb
+        |WHERE cb.c_xy >= 3
+        |  AND CAST(cb.c_xy AS HUGEINT) * nu.n_uni * nu.n_uni
+        |      >= CAST(3 AS HUGEINT) * nb.n_bi * a.c * b.c
+        |ORDER BY cb.w1, cb.w2""".stripMargin,
+
+    "dq_k_anonymity" ->
+      s"""SELECT c_nationkey, c_mktsegment,
+         |  (${centsSql("c_acctbal")} + 100000000) // 100000 AS bal_bucket,
+         |  COUNT(*) AS n
+         |FROM customer
+         |GROUP BY 1, 2, 3
+         |HAVING COUNT(*) < 5
+         |ORDER BY 1, 2, 3""".stripMargin
+  )
+}

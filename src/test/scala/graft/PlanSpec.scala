@@ -228,4 +228,21 @@ class PlanSpec extends SparkSuite {
       "spine explode must read the per-step aggregate, not raw events:\n" +
         p.take(1500))
   }
+
+  test("sim_mmr_rerank: the probe-bounded candidate set broadcasts " +
+      "back over the sketch; the corpus side never shuffles before it") {
+    val df = q("sim_mmr_rerank")
+    df.collect() // settle AQE so the final physical plan is inspectable
+    val p = plan(df)
+    // candidate-vector fetch: sketch ⋈ broadcast(topk) — a sort-merge
+    // or shuffled-hash join here would shuffle the whole corpus to
+    // serve |probes|·cands rows
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate set must broadcast over the sketch:\n" + p.take(1500))
+    // the greedy fold keys on query_id only — the corpus-sized side
+    // reaches it exclusively through the broadcast join above, so no
+    // SortMergeJoin may appear anywhere in the plan
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-side shuffle join leaked into the MMR plan:\n" + p.take(1500))
+  }
 }

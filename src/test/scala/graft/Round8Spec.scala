@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 batch-2 operators: greedy MMR re-ranking, integer PageRank,
+  * co-occurrence top-k — behavioral properties the parquet oracle can't
+  * see (diversity demotion, mass conservation, partitioning invariance).
+  */
+class Round8Spec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- mmrRerank -----------------------------------------------------
+
+  /** Hand-built embedding frame: probe 0 plus two near-identical vectors
+    * (1, 2) and one diverse vector (3). Max-abs int8 quantization maps
+    * every candidate's lead component to 127, so all three tie on
+    * integer relevance (16129) and the DIVERSITY term alone must decide
+    * ranks 2-3: sim(2,1) = 16779 > sim(3,1) = 16129 ⇒ 3 outranks 2. */
+  private def mmrFixture = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // probe
+    (1L, Array(1.0f, 0.20f, 0.0f, 0.0f)),  // q = [127, 25, 0, 0]
+    (2L, Array(1.0f, 0.21f, 0.0f, 0.0f)),  // q = [127, 26, 0, 0] near-dup
+    (3L, Array(0.9f, 0.0f, 0.9f, 0.0f))    // q = [127, 0, 127, 0] diverse
+  ).toDF("vec_id", "embedding")
+
+  test("mmrRerank demotes the near-duplicate below the diverse candidate") {
+    val emb = mmrFixture
+    val out = graft.ops.Similarity
+      .mmrRerank(emb, emb.where($"vec_id" === 0L), cands = 3, k = 3)
+      .orderBy("rnk")
+      .select($"neighbor_id")
+      .as[Long].collect().toSeq
+    // step 1: three-way relevance tie → smallest id 1; step 2: the
+    // diversity penalty against 1 is lower for 3 than for 1's near-copy
+    // 2 (16129 < 16779) → 3; step 3: 2 last
+    assert(out === Seq(1L, 3L, 2L), s"greedy order was $out")
+  }
+
+  test("mmrRerank with wDiv=0 degenerates to relevance order and " +
+      "emits exactly k rows per probe") {
+    val emb = mmrFixture
+    val out = graft.ops.Similarity
+      .mmrRerank(emb, emb.where($"vec_id" === 0L), cands = 3, k = 3,
+        wRel = 1L, wDiv = 0L)
+      .orderBy("rnk").select($"neighbor_id").as[Long].collect().toSeq
+    // all three tie on integer relevance → pure id order, no demotion
+    assert(out === Seq(1L, 2L, 3L), s"relevance-only order was $out")
+    val full = graft.ops.Similarity.mmrRerank(
+      Tables.embeddings(spark, sfDir),
+      Tables.embeddings(spark, sfDir).where($"vec_id" % 50 === 0),
+      cands = 20, k = 8)
+    val counts = full.groupBy("query_id").count()
+      .select($"count").distinct().as[Long].collect().toSeq
+    assert(counts === Seq(8L), s"per-probe row counts: $counts")
+  }
+
+  // ---- pageRankInt ---------------------------------------------------
+
+  test("pageRankInt conserves mass on a symmetric graph up to integer " +
+      "truncation and ranks the star center above its leaves") {
+    // star: center 0 — leaves 1..10, symmetrized
+    // odd iteration count: a bipartite star oscillates, and odd rounds
+    // are the ones where the hub holds the mass
+    val e0 = (1 to 10).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val edges = e0.union(e0.select($"dst", $"src"))
+    val scale = 1000000000000L
+    val pr = graft.ops.Graph.pageRankInt(edges, "src", "dst",
+      iters = 5, scale = scale).localCheckpoint()
+    val n = 11L
+    val total = pr.agg(sum("pr")).as[Long].head()
+    // deficit recurrence δ_t < 0.85·δ_{t-1} + E + N (contribution
+    // truncation < 1/edge, damp truncation < 1/vertex) — geometric sum
+    // bounded by iters·(E+N)
+    val leakBound = 5L * (20L + n + 1L)
+    assert(total <= n * scale, s"mass created: $total > ${n * scale}")
+    assert(total >= n * scale - leakBound,
+      s"mass lost beyond truncation bound: ${n * scale - total}")
+    val center = pr.where($"node" === 0L).select($"pr").as[Long].head()
+    val leafMax = pr.where($"node" =!= 0L).agg(max("pr")).as[Long].head()
+    assert(center > leafMax * 5,
+      s"star center $center not dominant over leaves $leafMax")
+  }
+
+  test("pageRankInt is invariant to input partitioning (integer sums " +
+      "commute across any merge order)") {
+    val e0 = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Graph.pageRankInt(df, "src", "dst", iters = 2)
+        .orderBy("node").collect().toSeq
+    assert(run(edges) === run(edges.repartition(13)),
+      "result depends on partitioning")
+  }
+
+  test("pageRankInt drops dangling mass but still pays base rank to " +
+      "every vertex") {
+    // 1 -> 2 (2 dangles): 2 keeps receiving, emits nothing
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val pr = graft.ops.Graph.pageRankInt(edges, "src", "dst", iters = 3)
+    val rows = pr.orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(rows.map(_._1) === Seq(1L, 2L))
+    val base = 15L * 1000000000000L / 100L
+    assert(rows.forall(_._2 >= base), s"vertex below base rank: $rows")
+    assert(rows(1)._2 > rows(0)._2, "receiver not above pure-base emitter")
+  }
+
+  // ---- cooccurTopK ---------------------------------------------------
+
+  test("cooccurTopK counts shared groups once per group, ranks by " +
+      "(count desc, id asc), and respects k") {
+    // baskets: {1,2,3}, {1,2}, {1,2}, {2,3} — with a duplicate (g1,1)
+    // row that must NOT inflate the (1,2) count
+    val rows = Seq(
+      (10L, 1L), (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 2L),
+      (40L, 2L), (40L, 3L)).toDF("g", "it")
+    val out = graft.ops.Graph.cooccurTopK(rows, "g", "it", k = 1)
+      .orderBy("item")
+      .select($"item", $"co_item", $"n_co").as[(Long, Long, Long)]
+      .collect().toSeq
+    // item 1: top co-item 2 (3 shared baskets); item 2: co-item 1 wins
+    // the (count 3 vs count 2) over 3, and id-tie never arises; item 3:
+    // co-items 1 (1) and 2 (2) — 2 wins
+    assert(out === Seq((1L, 2L, 3L), (2L, 1L, 3L), (3L, 2L, 2L)),
+      s"got $out")
+    val k2 = graft.ops.Graph.cooccurTopK(rows, "g", "it", k = 2)
+    assert(k2.groupBy("item").count().agg(max("count")).as[Long].head() <= 2L)
+  }
+}
