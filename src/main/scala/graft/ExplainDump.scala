@@ -152,7 +152,21 @@ object ExplainDump {
         "Jaccard verify → CC; pair space bounded by banding) → budgeted " +
         "selection (histogram pre-pass, only the marginal score class " +
         "windows). Stages hand off as DataFrames — shuffle-partitioned " +
-        "end to end, no driver materialization between them.")
+        "end to end, no driver materialization between them."),
+    "sim_mmr_rerank" ->
+      ("MMR diversified re-ranking: candidate generation is the quantized " +
+        "top-k (probes broadcast, corpus streams), then the probe-bounded " +
+        "candidate set — |probes|·cands rows — BROADCASTS back over the " +
+        "sketch to fetch vectors; the greedy fold shuffles only those " +
+        "rows on query_id. No SortMergeJoin anywhere: the corpus never " +
+        "shuffles."),
+    "graph_pagerank" ->
+      ("Fixed-iteration PageRank as a statically unrolled DAG: edges and " +
+        "degrees pin once (localCheckpoint), each round is edge⋈rank on " +
+        "src + a map-side-partial groupBy(dst) — (long, long) pairs on " +
+        "every exchange, no vertex payloads, no driver loop state. On a " +
+        "cluster, pre-partitioning edges by src makes each round's " +
+        "exchange rank-side only.")
   )
 
   def main(args: Array[String]): Unit = {
