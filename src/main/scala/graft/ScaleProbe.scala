@@ -30,6 +30,7 @@ object ScaleProbe {
     if (args.headOption.contains("hh")) { hhProbe(args); return }
     if (args.headOption.contains("asof")) { asofProbe(args); return }
     if (args.headOption.contains("inccc")) { incCcProbe(args); return }
+    if (args.headOption.contains("pagerank")) { pagerankProbe(args); return }
     val targetRows = args.headOption.map(_.toLong).getOrElse(20000000L)
     val deltaRows = args.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -739,6 +740,64 @@ object ScaleProbe {
     * connectedComponents, and asserts (a) one component labeled by the
     * min id, (b) the star phase converged in O(log n) rounds — NOT
     * O(n/5) propagation rounds. */
+  /** PageRank decade probe: synthesize a deterministic power-law-ish
+    * graph (each vertex v links to v/2 and to 7 pseudo-random targets,
+    * so in-degree concentrates on low ids like real link graphs), run
+    * the fixed-iteration integer PageRank, and check (a) wall time
+    * scales ~linearly in edges across a 4× decade step, (b) the integer
+    * mass-conservation deficit stays inside the truncation bound that
+    * Round8Spec pins at toy size — at ANY size, because the bound is
+    * per-edge/per-vertex, not per-graph.
+    *
+    *   sbt "runMain graft.ScaleProbe pagerank 1000000"   # vertices
+    */
+  private def pagerankProbe(args: Array[String]): Unit = {
+    val n = args.drop(1).headOption.map(_.toLong).getOrElse(1000000L)
+    val iters = 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def run(sz: Long): (Long, Long, Double) = {
+      val v = spark.range(2, sz).select(col("id"))
+      // clamp the halving edge to >= 2 so every dst is also a src —
+      // no dangling vertices, which keeps the truncation-only deficit
+      // bound applicable (dangling mass is DROPPED by design and would
+      // dominate the deficit otherwise)
+      val edges = v.select(col("id").as("src"),
+          explode(array(greatest((col("id") / 2).cast("long"), lit(2L)) +:
+            (1 to 7).map(k => pmod(col("id") * (2 * k + 1) + k * 7919,
+              lit(sz - 2)) + 2): _*)).as("dst"))
+        .where(col("dst") =!= col("src"))
+      val t0 = System.nanoTime()
+      val pr = ops.Graph.pageRankInt(edges, "src", "dst", iters = iters)
+        .localCheckpoint()
+      val total = pr.agg(sum("pr")).head.getLong(0)
+      val nodes = pr.count()
+      (nodes, total, (System.nanoTime() - t0) / 1e9)
+    }
+    val (n1, t1, w1) = run(n)
+    val (n4, t4, w4) = run(n * 4)
+    val scale = 1000000000000L
+    println(f"[pagerank] n=$n1%d wall=$w1%.1fs | 4x n=$n4%d wall=$w4%.1fs " +
+      f"ratio=${w4 / w1}%.1fx")
+    // deficit bound: iters · (E + N) units of 1/scale (Round8Spec's
+    // recurrence) — E ≈ 8·N here
+    Seq((n1, t1), (n4, t4)).foreach { case (nn, tt) =>
+      val bound = iters.toLong * (9 * nn + 1)
+      require(tt <= nn * scale && tt >= nn * scale - bound,
+        s"mass deficit ${nn * scale - tt} outside bound $bound at n=$nn")
+    }
+    require(w4 / w1 < 8.0,
+      f"4x data cost ${w4 / w1}%.1fx wall — superlinear scaling")
+    spark.stop()
+  }
+
   private def ccStarProbe(args: Array[String]): Unit = {
     val n = args.drop(1).headOption.map(_.toLong).getOrElse(1000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
