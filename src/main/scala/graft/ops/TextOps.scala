@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -85,7 +86,7 @@ object TextOps {
     * a higher-order function that means re-evaluating it per ARRAY
     * ELEMENT (e.g. re-splitting a document per candidate position turns a
     * linear scan into O(m²); measured 20× on cdcChunks at sf0.1). */
-  private[ops] def bind(c: Column)(body: Column => Column): Column =
+  private[graft] def bind(c: Column)(body: Column => Column): Column =
     element_at(transform(array(c), body), 1)
 
   def cdcChunks(text: Column, n: Int = 3, modulus: Int = 16): Column = {
@@ -241,4 +242,66 @@ object TextOps {
     regexp_replace(
       regexp_replace(text, "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
       "(\\d{3}-)?\\d{3}-\\d{4}", "<PHONE>")
+
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken,
+    * SIGMOD'03 — the MOSS sketch): hash every positional k-word gram,
+    * then in every window of `w` consecutive gram hashes keep the
+    * RIGHTMOST minimum. Guarantee: any two documents sharing a run of
+    * w+k−1 tokens share at least one fingerprint (the shared grams form
+    * one complete window in each doc, and identical window content
+    * selects the identical gram), at ~2/(w+1) sampling density — the
+    * local-dedup/plagiarism sketch where MinHash answers a global one.
+    *
+    * The rightmost-min-per-window select is ONE window-max pass over an
+    * encoded key ((2³²−1−(h+2³¹))·2²⁰ + pos — hash descending then
+    * position ascending in a single long), then a distinct: no
+    * per-window subquery, no self-join. Positions must fit 2²⁰ (a
+    * million grams per document); docs shorter than k tokens emit
+    * nothing (fall back to exact dedup, the LSH-fence contract).
+    *
+    * @return (idCol, pos, h) — 1-based gram position and its 32-bit
+    *         hash (as long), one row per selected fingerprint
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    val gramsCol = bind(tokens(col(textCol))) { ws =>
+      when(size(ws) >= k,
+        transform(sequence(lit(1), size(ws) - (k - 1)),
+          i => concat_ws("_", slice(ws, i, lit(k)))))
+        .otherwise(expr("CAST(array() AS array<string>)"))
+    }
+    val sh = docs
+      .select(col(idCol), posexplode(gramsCol).as(Seq("p0", "g")))
+      .select(col(idCol), (col("p0") + 1).cast("long").as("pos"),
+        graft.expr.GraftFunctions.java_string_hash(col("g"))
+          .cast("long").as("h"))
+    val enc = (lit((1L << 32) - 1L) - (col("h") + lit(1L << 31))) *
+      lit(1L << 20) + col("pos")
+    val wv = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(-(w - 1), 0)
+    val sel = sh.withColumn("wmax", max(enc).over(wv))
+      .where(col("pos") >= w) // full windows only
+      .select(col(idCol), (col("wmax") % lit(1L << 20)).as("pos"))
+      .distinct()
+    sel.join(sh, Seq(idCol, "pos"))
+      .select(col(idCol), col("pos"), col("h"))
+  }
+
+  /** Hashing-trick sparse features (Weinberger et al., ICML'09): token →
+    * bucket = javaHash(token) mod `dims`, per-document bucket counts —
+    * fixed-width features with NO vocabulary pass, so nothing to build,
+    * broadcast, or keep consistent across ingestion waves. explode →
+    * map-side partial agg; output bounded by docs × dims. */
+  def featureHash(docs: DataFrame, idCol: String, textCol: String,
+                  dims: Int = 64): DataFrame = {
+    require(dims >= 1, "need dims >= 1")
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .select(col(idCol),
+        pmod(graft.expr.GraftFunctions.java_string_hash(col("w")),
+          lit(dims)).cast("long").as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -64,4 +64,36 @@ object TimeSeries {
       .withColumnRenamed("__step", stepOut)
       .drop("__v")
   }
+
+  /** Truncated exponentially-weighted moving average as an EXACT
+    * rational: weight 2^(taps−1−j) on lag j (α = 1/2), emitted as
+    * integer (num, den) columns — num/den is the EWMA, and both sums
+    * are bit-stable under any engine/merge order, unlike the float
+    * recursion s_t = α·x_t + (1−α)·s_{t−1} whose rounding drifts.
+    * Rows with fewer than `taps` predecessors renormalize naturally:
+    * den sums only the weights of taps that exist.
+    *
+    * Scale: all `taps` lags ride ONE window pass (same partition, same
+    * sort — Spark plans a single Window operator), so cost is one
+    * shuffle on `keys` regardless of taps.
+    *
+    * @param order must be a deterministic total order within each key
+    *              (add a tiebreaker column if the time column repeats)
+    */
+  def ewmaExact(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                valCol: String, taps: Int = 10,
+                numOut: String = "num", denOut: String = "den")
+  : DataFrame = {
+    require(taps >= 1 && taps <= 62, "need 1 <= taps <= 62 (2^taps fits)")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val terms = (0 until taps).map { j =>
+      val vj = if (j == 0) col(valCol) else lag(col(valCol), j).over(w)
+      (vj, 1L << (taps - 1 - j))
+    }
+    val num = terms.map { case (vj, wg) =>
+      coalesce(vj, lit(0L)) * lit(wg) }.reduce(_ + _)
+    val den = terms.map { case (vj, wg) =>
+      when(vj.isNotNull, lit(wg)).otherwise(lit(0L)) }.reduce(_ + _)
+    df.withColumn(numOut, num).withColumn(denOut, den)
+  }
 }

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Fixtures._
+
+/** Round-7 batch 3: exact-integer signal processing and fingerprinting —
+  * a truncated EWMA whose value is an exact rational (num/den longs),
+  * winnowing document fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
+  * algorithm — the local dedup/plagiarism sketch with a guaranteed
+  * match window), and hashing-trick feature vectors (Weinberger et al. —
+  * fixed-width sparse features with no vocabulary pass).
+  */
+object Pipeline9Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** EWMA taps: weight 2^(Taps-1-j) at lag j — α = 1/2, truncated. */
+  private val Taps = 10
+
+  /** Winnowing parameters: K-word grams, window of W gram hashes. */
+  private val WinnowK = 3
+  private val WinnowW = 4
+
+  val queries: Map[String, Q] = Map(
+
+    "ts_ewma" -> ((s, dir) => {
+      // truncated exponentially-weighted moving average per user: the
+      // classic α=1/2 EWMA cut at 10 taps, kept EXACT by emitting the
+      // rational as (num, den) longs — weight 2^(9-j) on lag j, both
+      // sums pure integers, so the graded value is bit-stable where a
+      // float EWMA recursion is not. One window pass computes all ten
+      // lags (same frame, same sort); ties on ts break by event_id so
+      // the lag sequence is deterministic.
+      graft.ops.TimeSeries.ewmaExact(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("ts_ms"),
+              cents("value").as("v")),
+          keys = Seq("user_id"),
+          order = Seq(col("ts_ms"), col("event_id")),
+          valCol = "v", taps = Taps)
+        .select(col("event_id"), col("user_id"), col("num"), col("den"))
+        .orderBy("event_id")
+    }),
+
+    "txt_winnow" -> ((s, dir) => {
+      // winnowing fingerprints: hash every positional 3-word gram, then
+      // in every window of 4 consecutive gram hashes keep the RIGHTMOST
+      // minimum — the standard guarantee (any shared run of W+K-1
+      // tokens shares a fingerprint) at ~2/(W+1) sampling density.
+      // The rightmost-min-per-window select is ONE window-max pass over
+      // an encoded key (hash descending, position ascending packed into
+      // a single long: (2³²−1−(h+2³¹))·2²⁰ + pos), then a distinct —
+      // no per-window subquery, no self-join explosion. Positions are
+      // bounded by 2²⁰ (a million tokens/doc) per the encoding; docs
+      // shorter than K+W−1 tokens emit nothing (callers fall back to
+      // exact dedup — same contract as the LSH fence).
+      graft.ops.TextOps.winnowFingerprints(Tables.documents(s, dir),
+          "doc_id", "text", k = WinnowK, w = WinnowW)
+        .orderBy("doc_id", "pos")
+    }),
+
+    "txt_feature_hash" -> ((s, dir) => {
+      // hashing-trick features: token → bucket = javaHash(w) mod 64,
+      // per-doc bucket counts — fixed-width sparse vectors with NO
+      // vocabulary pass (the property that matters at corpus scale:
+      // no dictionary to build, broadcast, or keep consistent across
+      // ingestion waves). explode → map-side partial agg; output is
+      // bounded by docs × 64.
+      graft.ops.TextOps.featureHash(Tables.documents(s, dir),
+          "doc_id", "text", dims = 64)
+        .orderBy("doc_id", "bucket")
+    })
+  )
+
+  private def ewmaOracle: String = {
+    val lags = (1 until Taps).map(j =>
+      s"lag(v, $j) OVER w AS v$j").mkString(",\n        |  ")
+    val num = (0 until Taps).map { j =>
+      val wg = 1L << (Taps - 1 - j)
+      if (j == 0) s"$wg * v" else s"$wg * COALESCE(v$j, 0)"
+    }.mkString(" + ")
+    val den = (0 until Taps).map { j =>
+      val wg = 1L << (Taps - 1 - j)
+      if (j == 0) s"$wg"
+      else s"CASE WHEN v$j IS NOT NULL THEN $wg ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
+       |    ${centsSql("value")} AS v FROM events),
+       |l AS (SELECT event_id, user_id, v,
+       |  $lags
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+       |SELECT event_id, user_id,
+       |  CAST($num AS BIGINT) AS num,
+       |  CAST($den AS BIGINT) AS den
+       |FROM l ORDER BY event_id""".stripMargin
+  }
+
+  private def winnowOracle: String = {
+    val k = WinnowK
+    val gram = (0 until k).map(o => s"ws[i + $o]").mkString(" || '_' || ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |g AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= $k
+       |    THEN list_transform(range(1, len(ws) - ${k - 2}),
+       |         i -> struct_pack(pos := i, g := $gram))
+       |    ELSE CAST([] AS STRUCT(pos BIGINT, g VARCHAR)[]) END) AS e
+       |  FROM t),
+       |sh AS MATERIALIZED (SELECT doc_id, CAST(e.pos AS BIGINT) AS pos,
+       |    CAST(${PipelineQueries.javaHashSql("e.g")} AS BIGINT) AS h
+       |  FROM g),
+       |wm AS (SELECT doc_id, pos,
+       |    MAX((4294967295 - (h + 2147483648)) * 1048576 + pos)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW)
+       |      AS wmax
+       |  FROM sh),
+       |sel AS (SELECT DISTINCT doc_id, wmax % 1048576 AS pos
+       |  FROM wm WHERE pos >= $WinnowW)
+       |SELECT s.doc_id AS doc_id, s.pos AS pos, h.h AS h
+       |FROM sel s JOIN sh h ON h.doc_id = s.doc_id AND h.pos = s.pos
+       |ORDER BY s.doc_id, s.pos""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+
+    "ts_ewma" -> ewmaOracle,
+
+    "txt_winnow" -> winnowOracle,
+
+    "txt_feature_hash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    ((CAST(${PipelineQueries.javaHashSql("w")} AS BIGINT) % 64)
+         |     + 64) % 64 AS bucket
+         |  FROM tok)
+         |SELECT doc_id, bucket, COUNT(*) AS cnt
+         |FROM b GROUP BY doc_id, bucket
+         |ORDER BY doc_id, bucket""".stripMargin
+  )
+}

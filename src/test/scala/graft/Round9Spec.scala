@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 batch-3 operators: exact-rational EWMA, winnowing
+  * fingerprints, hashing-trick features — the guarantees the parquet
+  * oracle can't state (the winnowing match guarantee, EWMA's
+  * renormalization algebra, feature-mass conservation).
+  */
+class Round9Spec extends SparkSuite {
+  import spark.implicits._
+
+  test("winnowing guarantee: documents sharing a run of w+k-1 tokens " +
+      "share at least one fingerprint hash") {
+    // 6 shared tokens (= w+k-1 at k=3, w=4) embedded in fully distinct
+    // contexts — the shared grams form one complete window in each doc,
+    // so its rightmost-min gram must be selected in both
+    val shared = "s1 s2 s3 s4 s5 s6"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 $shared a5 a6 a7 a8"),
+      (2L, s"b1 b2 b3 b4 b5 b6 $shared b7 b8")
+    ).toDF("doc_id", "text")
+    val fp = graft.ops.TextOps.winnowFingerprints(docs, "doc_id", "text")
+      .localCheckpoint()
+    val h1 = fp.where($"doc_id" === 1L).select("h").as[Long].collect().toSet
+    val h2 = fp.where($"doc_id" === 2L).select("h").as[Long].collect().toSet
+    assert((h1 intersect h2).nonEmpty,
+      s"no shared fingerprint: doc1=$h1 doc2=$h2")
+  }
+
+  test("winnowing density: every full window is covered (gap between " +
+      "consecutive selected positions <= w) and short docs emit nothing") {
+    val docs = Tables.documents(spark, sfDir)
+    val fp = graft.ops.TextOps.winnowFingerprints(docs, "doc_id", "text")
+      .localCheckpoint()
+    // max gap between consecutive selections per doc is w: a gap of
+    // w+1 would mean some window selected nothing
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val maxGap = fp.withColumn("gap", $"pos" - lag($"pos", 1).over(w))
+      .agg(max("gap")).as[Long].head()
+    assert(maxGap <= 4L, s"uncovered window: gap $maxGap > w=4")
+    val short = Seq((9L, "w1 w2")).toDF("doc_id", "text")
+    assert(graft.ops.TextOps
+      .winnowFingerprints(short, "doc_id", "text").count() === 0L)
+  }
+
+  test("ewmaExact: first row per key has den = top weight; full-history " +
+      "rows have den = 2^taps - 1; num/den stays inside the value range") {
+    val e = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts_ms",
+        queries.Fixtures.cents("value").as("v"))
+    val out = graft.ops.TimeSeries.ewmaExact(e, Seq("user_id"),
+        Seq($"ts_ms", $"event_id"), "v", taps = 10)
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy($"ts_ms", $"event_id")
+    val first = out.withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+    assert(first.where($"den" =!= 512L).count() === 0L,
+      "first row per user must weight only the current value (512)")
+    assert(first.where($"num" =!= $"v" * 512L).count() === 0L)
+    val deep = out.withColumn("rn", row_number().over(w))
+      .where($"rn" >= 10)
+    assert(deep.where($"den" =!= 1023L).count() === 0L,
+      "rows with >= 9 predecessors must carry the full weight mass 1023")
+    // convexity: den·min(window) <= num <= den·max(window) — check the
+    // loose global version: num between den·min(v) and den·max(v)
+    val (mn, mx) = e.agg(min("v"), max("v")).as[(Long, Long)].head()
+    assert(out.where($"num" < $"den" * mn || $"num" > $"den" * mx)
+      .count() === 0L, "EWMA left the value hull")
+  }
+
+  test("featureHash: buckets within [0, dims) and per-doc feature mass " +
+      "equals the token count") {
+    val docs = Tables.documents(spark, sfDir)
+    val fh = graft.ops.TextOps.featureHash(docs, "doc_id", "text", dims = 64)
+      .localCheckpoint()
+    assert(fh.where($"bucket" < 0 || $"bucket" >= 64).count() === 0L)
+    val mass = fh.groupBy("doc_id").agg(sum("cnt").as("m"))
+    val toks = docs.select($"doc_id",
+      size(split($"text", " ")).cast("long").as("n"))
+    assert(mass.join(toks, "doc_id").where($"m" =!= $"n").count() === 0L,
+      "feature mass must conserve the token count")
+  }
+}
