@@ -53,7 +53,29 @@ object Graph {
     * @return (node, pr) for every vertex appearing as src or dst
     */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
-                  iters: Int, scale: Long = 1000000000000L): DataFrame = {
+                  iters: Int, scale: Long = 1000000000000L): DataFrame =
+    prCore(edges, srcCol, dstCol, None, iters, scale)
+
+  /** Personalized PageRank (random walk with restart to a SEED set) in
+    * the same scaled-integer arithmetic as [[pageRankInt]] — the
+    * similarity-to-a-community measure recommenders and expansion
+    * queries use: the teleport mass (15%) returns only to seed
+    * vertices, so rank concentrates around the seeds and decays with
+    * graph distance. Seeds outside the edge vertex set are ignored;
+    * initial mass is `scale` on each seed, 0 elsewhere.
+    * Same determinism, dangling, and overflow contracts as
+    * [[pageRankInt]]. */
+  def personalizedPageRankInt(edges: DataFrame, srcCol: String,
+                              dstCol: String, seeds: DataFrame,
+                              seedCol: String, iters: Int,
+                              scale: Long = 1000000000000L): DataFrame =
+    prCore(edges, srcCol, dstCol,
+      Some(seeds.select(col(seedCol).cast("long").as("node")).distinct()),
+      iters, scale)
+
+  private def prCore(edges: DataFrame, srcCol: String, dstCol: String,
+                     seeds: Option[DataFrame], iters: Int,
+                     scale: Long): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(scale >= 100L, "scale must be >= 100 (base term is scale*15/100)")
     val e = edges
@@ -63,12 +85,22 @@ object Graph {
       .localCheckpoint() // re-joined every round: pin the shuffle once
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
+    // node set with a pinned seed flag: the teleport term (and the
+    // initial mass) restrict to seeds in the personalized form; the
+    // uniform form flags every vertex
+    val nodesRaw = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+    val nodes = (seeds match {
+      case None => nodesRaw.withColumn("seed", lit(true))
+      case Some(sd) => nodesRaw.join(
+          sd.select(col("node"), lit(true).as("seed")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("seed"), lit(false)).as("seed"))
+    }).localCheckpoint()
     val base = 15L * scale / 100L
-    var r = nodes.select(col("node"), lit(scale).as("pr"))
+    val baseCol = when(col("seed"), lit(base)).otherwise(lit(0L))
+    var r = nodes.select(col("node"),
+      when(col("seed"), lit(scale)).otherwise(lit(0L)).as("pr"))
     for (_ <- 1 to iters) {
       // contributions: rank/outdeg per out-edge, summed at the receiver.
       // Vertices with in-edges but no contribution this round (all
@@ -84,10 +116,72 @@ object Graph {
         .select(col("node"), col("m"))
       r = nodes.join(msgs, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) +
+          (baseCol +
             expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100")).as("pr"))
     }
     r
+  }
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani's hard-label
+    * variant): seed vertices carry fixed labels; every round, each
+    * non-seed vertex adopts the PLURALITY label among its currently
+    * labeled neighbors (ties to the smaller label, so the whole
+    * trajectory is deterministic); vertices with no labeled neighbor
+    * stay unlabeled. The weak-labeling primitive of a training-data
+    * pipeline: a small hand-labeled seed set spreads over the
+    * similarity/interaction graph.
+    *
+    * Synchronous updates, fixed `iters` rounds — labels reach at most
+    * `iters` hops from the seeds. One round = one join (edges ⋈ labels
+    * on src) + one count groupBy + one per-vertex argmax window, all
+    * keyed on vertex ids; counts are integers so the argmax is exact on
+    * any engine.
+    *
+    * @param seeds (nodeCol, labelCol) rows; seeds outside the edge
+    *              vertex set are ignored, duplicate seed nodes must
+    *              carry one label (enforced: first by smallest label)
+    * @return (node, label) for every vertex — label null if unreached
+    */
+  def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+                     seeds: DataFrame, nodeCol: String, labelCol: String,
+                     iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val sd = seeds
+      .select(col(nodeCol).cast("long").as("node"),
+        col(labelCol).cast("long").as("seed_label"))
+      .where(col("node").isNotNull && col("seed_label").isNotNull)
+      .groupBy("node").agg(min(col("seed_label")).as("seed_label"))
+      .join(nodes, Seq("node"), "left_semi")
+      .localCheckpoint()
+    var lab = nodes.join(sd, Seq("node"), "left")
+      .select(col("node"), col("seed_label").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = e.join(
+          lab.where(col("label").isNotNull)
+            .select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("node")
+        .orderBy(col("c").desc, col("label").asc)
+      val winner = votes.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("node"), col("label").as("win_label"))
+      lab = nodes.join(sd, Seq("node"), "left")
+        .join(winner, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("seed_label"), col("win_label")).as("label"))
+    }
+    lab
   }
 
   /** Per-item co-occurrence top-k — "items that appear in the same
@@ -112,17 +206,23 @@ object Graph {
                   k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k must be >= 1")
-    val base = rows
+    // one shuffle does dedup AND basket assembly: collect_set partial-
+    // aggregates map-side, so repeated (group, item) rows collapse
+    // before the exchange. A self-join formulation would cost two more
+    // shuffles (distinct, then re-key both sides on the group).
+    val baskets = rows
       .select(col(groupCol).as("g"), col(itemCol).cast("long").as("it"))
       .where(col("g").isNotNull && col("it").isNotNull)
-      .distinct()
-    val a = base.select(col("g"), col("it").as("ia"))
-    val b = base.select(col("g"), col("it").as("ib"))
-    // count each unordered pair once (ia < ib), then emit both
-    // directions for the per-item ranking — explode, not a self-union,
-    // so the (possibly expensive) pair aggregation runs once
-    val pairs = a.join(b, Seq("g"))
-      .where(col("ia") < col("ib"))
+      .groupBy("g").agg(sort_array(collect_set(col("it"))).as("its"))
+    // unordered pairs map-side from the sorted basket (ia < ib by
+    // construction — the gramInt8 triangle pattern); Σ_g |g|² stays the
+    // cost bound, now with zero join
+    val n = size(col("its"))
+    val tri = flatten(transform(col("its"), (a, i) =>
+      transform(slice(col("its"), i + 2, n - i - 1),
+        b => struct(a.as("ia"), b.as("ib")))))
+    val pairs = baskets.select(explode(tri).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("n_co"))
       .select(explode(array(
         struct(col("ia").as("item"), col("ib").as("co_item"), col("n_co")),

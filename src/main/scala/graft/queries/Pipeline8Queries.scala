@@ -26,6 +26,9 @@ object Pipeline8Queries {
   private val PrIters = 4
   private val PrScale = 1000000000000L
 
+  /** Label-propagation rounds shared by the query and its oracle. */
+  private val LpIters = 3
+
   val queries: Map[String, Q] = Map(
 
     "sim_mmr_rerank" -> ((s, dir) => {
@@ -58,6 +61,53 @@ object Pipeline8Queries {
         e0.select(col("dst").as("src"), col("src").as("dst")))
       graft.ops.Graph.pageRankInt(edges, "src", "dst",
           iters = PrIters, scale = PrScale)
+        .orderBy("node")
+    }),
+
+    "graph_ppr" -> ((s, dir) => {
+      // personalized PageRank: teleport mass restricted to a seed
+      // community (nation-1 customers) over the same symmetrized
+      // customer–supplier graph — rank concentrates around the seeds
+      // and decays with distance, the recommender / community-expansion
+      // measure. Same integer recurrence, same unrolled oracle with a
+      // seed-gated base term.
+      val e0 = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.customer(s, dir)
+        .where(col("c_nationkey") === 1)
+        .select((col("c_custkey") * 2).as("node"))
+      graft.ops.Graph.personalizedPageRankInt(edges, "src", "dst",
+          seeds, "node", iters = PrIters, scale = PrScale)
+        .orderBy("node")
+    }),
+
+    "graph_label_prop" -> ((s, dir) => {
+      // semi-supervised weak labeling: every 10th customer is a seed
+      // carrying its nation as label; 3 synchronous plurality rounds
+      // spread labels over the bipartite purchase graph (suppliers pick
+      // up round 1, unlabeled customers round 2, ...). Integer counts +
+      // smaller-label ties make every round exact vs the unrolled SQL;
+      // vertices no labeled neighbor reached stay NULL on both engines.
+      val e0 = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.customer(s, dir)
+        .where(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") * 2).as("node"),
+          col("c_nationkey").as("lbl"))
+      graft.ops.Graph.labelPropagate(edges, "src", "dst",
+          seeds, "node", "lbl", iters = LpIters)
         .orderBy("node")
     }),
 
@@ -201,12 +251,27 @@ object Pipeline8Queries {
 
   /** Unrolled PageRank oracle: [[PrIters]] CTE layers of the identical
     * integer recurrence (BIGINT // is truncation, same as Spark's `div`
-    * on the all-positive ranks). */
-  private lazy val pagerankOracle: String = {
+    * on the all-positive ranks). With `seedWhere` set, the initial mass
+    * and the teleport base term gate on seed membership — the
+    * personalized form. */
+  private def prOracle(seedWhere: Option[String]): String = {
     val base = 15L * PrScale / 100L
+    val (seedCtes, baseSql, r0Sql) = seedWhere match {
+      case None =>
+        ("", s"CAST($base AS BIGINT)", s"CAST($PrScale AS BIGINT)")
+      case Some(w) =>
+        (s"""sd AS MATERIALIZED (SELECT DISTINCT c_custkey * 2 AS node
+            |  FROM customer WHERE $w),
+            |""".stripMargin,
+          s"CASE WHEN EXISTS(SELECT 1 FROM sd WHERE sd.node = n.node) " +
+            s"THEN CAST($base AS BIGINT) ELSE CAST(0 AS BIGINT) END",
+          s"CASE WHEN EXISTS(SELECT 1 FROM sd WHERE sd.node = n.node) " +
+            s"THEN CAST($PrScale AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    }
     val iters = (1 to PrIters).map { t =>
       s"""r$t AS MATERIALIZED (SELECT n.node,
-         |  CAST($base + (85 * COALESCE(m.m, 0)) // 100 AS BIGINT) AS pr
+         |  CAST(($baseSql) + (85 * COALESCE(m.m, 0)) // 100 AS BIGINT)
+         |    AS pr
          |  FROM n LEFT JOIN (
          |    SELECT e.dst AS node, SUM(r${t - 1}.pr // d.deg) AS m
          |    FROM e JOIN r${t - 1} ON r${t - 1}.node = e.src
@@ -219,10 +284,49 @@ object Pipeline8Queries {
        |e AS MATERIALIZED (SELECT src, dst FROM e0
        |  UNION ALL SELECT dst, src FROM e0),
        |d AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
-       |n AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
-       |r0 AS MATERIALIZED (SELECT node, CAST($PrScale AS BIGINT) AS pr FROM n),
+       |${seedCtes}n AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+       |r0 AS MATERIALIZED (SELECT n.node, $r0Sql AS pr FROM n),
        |$iters
        |SELECT node, pr FROM r$PrIters ORDER BY node""".stripMargin
+  }
+  private lazy val pagerankOracle: String = prOracle(None)
+  private lazy val pprOracle: String = prOracle(Some("c_nationkey = 1"))
+
+  /** Unrolled label-propagation oracle: [[LpIters]] layers of the
+    * plurality vote (count desc, label asc argmax per vertex), seeds
+    * clamped by the COALESCE. */
+  private lazy val labelPropOracle: String = {
+    val iters = (1 to LpIters).map { t =>
+      s"""l$t AS MATERIALIZED (SELECT n.node,
+         |  COALESCE(sd.seed_label, w.win_label) AS label
+         |  FROM n LEFT JOIN sd ON sd.node = n.node
+         |  LEFT JOIN (
+         |    SELECT node, label AS win_label FROM (
+         |      SELECT e.dst AS node, l.label,
+         |        ROW_NUMBER() OVER (PARTITION BY e.dst
+         |          ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+         |      FROM e JOIN l${t - 1} l ON l.node = e.src
+         |      WHERE l.label IS NOT NULL
+         |      GROUP BY e.dst, l.label) WHERE rn = 1) w
+         |    ON w.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+       |    l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst, src FROM e0),
+       |n AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+       |sd AS MATERIALIZED (SELECT c_custkey * 2 AS node,
+       |    MIN(c_nationkey) AS seed_label
+       |  FROM customer WHERE c_custkey % 10 = 0
+       |    AND EXISTS (SELECT 1 FROM n
+       |                WHERE n.node = c_custkey * 2)
+       |  GROUP BY c_custkey * 2),
+       |l0 AS MATERIALIZED (SELECT n.node, sd.seed_label AS label
+       |  FROM n LEFT JOIN sd ON sd.node = n.node),
+       |$iters
+       |SELECT node, CAST(label AS BIGINT) AS label FROM l$LpIters
+       |ORDER BY node""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -230,6 +334,10 @@ object Pipeline8Queries {
     "sim_mmr_rerank" -> mmrOracle,
 
     "graph_pagerank" -> pagerankOracle,
+
+    "graph_ppr" -> pprOracle,
+
+    "graph_label_prop" -> labelPropOracle,
 
     "graph_cooccur" ->
       """WITH base AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS it

@@ -107,6 +107,59 @@ class Round8Spec extends SparkSuite {
     assert(rows(1)._2 > rows(0)._2, "receiver not above pure-base emitter")
   }
 
+  test("personalizedPageRankInt with seeds = all vertices is identical " +
+      "to pageRankInt") {
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("src", "dst")
+    val edges = e0.union(e0.select($"dst", $"src"))
+    val allNodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst".as("node"))).distinct()
+    val uniform = graft.ops.Graph
+      .pageRankInt(edges, "src", "dst", iters = 3)
+      .orderBy("node").collect().toSeq
+    val ppr = graft.ops.Graph
+      .personalizedPageRankInt(edges, "src", "dst", allNodes, "node",
+        iters = 3)
+      .orderBy("node").collect().toSeq
+    assert(uniform === ppr)
+  }
+
+  test("personalizedPageRankInt: mass stays within iters hops of the " +
+      "seed and decays with distance") {
+    // symmetrized path 1-2-...-10, seed {1}: after 4 rounds, vertices
+    // at distance >= 5 cannot have received anything
+    val e0 = (1L to 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val edges = e0.union(e0.select($"dst", $"src"))
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val pr = graft.ops.Graph
+      .personalizedPageRankInt(edges, "src", "dst", seeds, "node",
+        iters = 4)
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    assert((6L to 10L).forall(pr(_) === 0L),
+      s"mass escaped the 4-hop horizon: $pr")
+    assert(pr(2L) > pr(4L) && pr(4L) > 0L,
+      s"rank must decay with distance from the seed: $pr")
+  }
+
+  test("labelPropagate: seeds stay clamped, plurality ties break to the " +
+      "smaller label, unreached vertices stay null") {
+    // 1(seed 10) — 3 — 2(seed 20); 3 — 4; 5 — 6 (no labels reachable)
+    val e0 = Seq((1L, 3L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("src", "dst")
+    val edges = e0.union(e0.select($"dst", $"src"))
+    val seeds = Seq((1L, 10L), (2L, 20L)).toDF("node", "lbl")
+    val out = graft.ops.Graph
+      .labelPropagate(edges, "src", "dst", seeds, "node", "lbl", iters = 2)
+      .orderBy("node")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSeq
+    // node 3: 1-1 tie between 10 and 20 → smaller label 10; node 4:
+    // labeled round 2 via 3; seed 2 keeps 20 despite neighbor pressure;
+    // the 5—6 component never sees a label
+    assert(out === Seq(1L -> Some(10L), 2L -> Some(20L), 3L -> Some(10L),
+      4L -> Some(10L), 5L -> None, 6L -> None), s"got $out")
+  }
+
   // ---- cooccurTopK ---------------------------------------------------
 
   test("cooccurTopK counts shared groups once per group, ranks by " +
