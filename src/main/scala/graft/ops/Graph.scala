@@ -203,17 +203,31 @@ object Graph {
     * @return (item, co_item, n_co, rnk) with rnk 1..k per item
     */
   def cooccurTopK(rows: DataFrame, groupCol: String, itemCol: String,
-                  k: Int): DataFrame = {
+                  k: Int, maxBasket: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k must be >= 1")
     // one shuffle does dedup AND basket assembly: collect_set partial-
     // aggregates map-side, so repeated (group, item) rows collapse
     // before the exchange. A self-join formulation would cost two more
     // shuffles (distinct, then re-key both sides on the group).
-    val baskets = rows
+    val basketsRaw = rows
       .select(col(groupCol).as("g"), col(itemCol).cast("long").as("it"))
       .where(col("g").isNotNull && col("it").isNotNull)
       .groupBy("g").agg(sort_array(collect_set(col("it"))).as("its"))
+    // optional LOUD guard on the |g|² pair blow-up: a pathological
+    // mega-group (one order containing the whole catalog) fails the job
+    // with the offending group named, instead of silently detonating
+    // the pair space — the same fail-loudly contract as tokenBudget's
+    // histogram cap. No cap by default: silently dropping data would be
+    // worse than the cost.
+    val baskets = maxBasket match {
+      case None => basketsRaw
+      case Some(cap) => basketsRaw.withColumn("its",
+        when(size(col("its")) <= cap, col("its")).otherwise(
+          raise_error(concat(lit(s"cooccurTopK: basket over maxBasket=" +
+            s"$cap items for group "), col("g").cast("string")))
+            .cast("array<bigint>")))
+    }
     // unordered pairs map-side from the sorted basket (ia < ib by
     // construction — the gramInt8 triangle pattern); Σ_g |g|² stays the
     // cost bound, now with zero join

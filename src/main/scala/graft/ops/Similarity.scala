@@ -369,11 +369,20 @@ object Similarity {
     *         is the integer selection score at pick time
     */
   def mmrRerank(corpus: DataFrame, probes: DataFrame, cands: Int, k: Int,
-                wRel: Long = 2L, wDiv: Long = 1L): DataFrame = {
+                wRel: Long = 2L, wDiv: Long = 1L): DataFrame =
+    mmrRerankOnSketch(quantizeInt8(corpus), probes, cands, k, wRel, wDiv)
+
+  /** The stored-sketch regime of [[mmrRerank]] — serve from an
+    * ALREADY-QUANTIZED corpus (a persisted [[quantizeInt8]] output),
+    * the same amortization contract as [[quantizedTopKOnSketch]]:
+    * quantize on ingest, store the int8 column, rank and diversify
+    * per query batch against the stored sketch. */
+  def mmrRerankOnSketch(sketch: DataFrame, probes: DataFrame,
+                        cands: Int, k: Int,
+                        wRel: Long = 2L, wDiv: Long = 1L): DataFrame = {
     require(k >= 1 && cands >= k, "need cands >= k >= 1")
-    val spark = corpus.sparkSession
+    val spark = sketch.sparkSession
     import spark.implicits._
-    val sketch = quantizeInt8(corpus)
     val top = quantizedTopKOnSketch(sketch, probes, cands)
       .select(col("query_id"), col("neighbor_id"), col("qdot").as("rel"))
     val withVec = sketch

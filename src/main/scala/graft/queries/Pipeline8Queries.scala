@@ -32,15 +32,32 @@ object Pipeline8Queries {
   val queries: Map[String, Q] = Map(
 
     "sim_mmr_rerank" -> ((s, dir) => {
-      // diversity-aware re-ranking over the int8 sketch: top-20
-      // candidates per probe (same probe set as sim_quantized_topk),
-      // greedy MMR picks 8 with λ = 2/3. Every score is an integer dot,
-      // so the full greedy trajectory hash-matches the unrolled-greedy
-      // SQL oracle — selection order, ids, and scores.
+      // diversity-aware re-ranking over the int8 sketch in the
+      // STORED-SKETCH regime (quantize once → persist → serve, the
+      // production shape sim_quantized_topk also grades): top-20
+      // candidates per probe, greedy MMR picks 8 with λ = 2/3. Every
+      // score is an integer dot and parquet round-trips bigint arrays
+      // exactly, so the full greedy trajectory hash-matches the
+      // unrolled-greedy SQL oracle — selection order, ids, and scores.
+      // The small result pins off the temp store (localCheckpoint) so
+      // the sketch dir deletes before returning (no leaked temp dirs).
       val emb = Tables.embeddings(s, dir)
-      graft.ops.Similarity.mmrRerank(emb,
-          emb.where(col("vec_id") % 50 === 0), cands = MmrCands, k = MmrK)
+      val store = java.nio.file.Files.createTempDirectory("mmr_store")
+        .toString
+      graft.ops.Similarity.quantizeInt8(emb)
+        .write.mode("overwrite").parquet(store)
+      val out = graft.ops.Similarity.mmrRerankOnSketch(
+          s.read.parquet(store), emb.where(col("vec_id") % 50 === 0),
+          cands = MmrCands, k = MmrK)
         .orderBy("query_id", "rnk")
+        .localCheckpoint()
+      def del(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(del)
+        f.delete(); ()
+      }
+      del(new java.io.File(store))
+      out
     }),
 
     "graph_pagerank" -> ((s, dir) => {

@@ -231,7 +231,16 @@ class PlanSpec extends SparkSuite {
 
   test("sim_mmr_rerank: the probe-bounded candidate set broadcasts " +
       "back over the sketch; the corpus side never shuffles before it") {
-    val df = q("sim_mmr_rerank")
+    // the graded query pins its result off a temp sketch store
+    // (localCheckpoint, same hygiene as sim_quantized_topk), which
+    // hides the scoring plan — pin the stored-regime plan directly
+    val emb = Tables.embeddings(spark, sfDir)
+    val store = java.nio.file.Files.createTempDirectory("mmr_plan").toString
+    graft.ops.Similarity.quantizeInt8(emb)
+      .write.mode("overwrite").parquet(store)
+    val df = graft.ops.Similarity.mmrRerankOnSketch(
+      spark.read.parquet(store),
+      emb.where(col("vec_id") % 50 === 0), cands = 20, k = 8)
     df.collect() // settle AQE so the final physical plan is inspectable
     val p = plan(df)
     // candidate-vector fetch: sketch ⋈ broadcast(topk) — a sort-merge

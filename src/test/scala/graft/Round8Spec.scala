@@ -183,4 +183,25 @@ class Round8Spec extends SparkSuite {
     val k2 = graft.ops.Graph.cooccurTopK(rows, "g", "it", k = 2)
     assert(k2.groupBy("item").count().agg(max("count")).as[Long].head() <= 2L)
   }
+
+  test("cooccurTopK maxBasket guard fails LOUDLY naming the offending " +
+      "group instead of silently detonating the pair space") {
+    val rows = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L))
+      .toDF("g", "it")
+    // cap 2: group 10 holds 3 items → the job must fail, not truncate
+    val ex = intercept[Exception] {
+      graft.ops.Graph.cooccurTopK(rows, "g", "it", k = 1,
+        maxBasket = Some(2)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m => m.contains("maxBasket") && m.contains("10")),
+      s"error must name the cap and the group: ${msgs(ex)}")
+    // under the cap, identical answer to the unguarded call
+    val ok = graft.ops.Graph.cooccurTopK(rows, "g", "it", k = 1,
+      maxBasket = Some(3)).orderBy("item").collect().toSeq
+    val un = graft.ops.Graph.cooccurTopK(rows, "g", "it", k = 1)
+      .orderBy("item").collect().toSeq
+    assert(ok === un)
+  }
 }
