@@ -463,4 +463,45 @@ object DedupText {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Winnowing-based near-dup candidates: documents sharing at least
+    * `minShared` distinct winnow fingerprint hashes
+    * ([[TextOps.winnowFingerprints]]). Winnowing's guarantee makes this
+    * the LOCAL complement of MinHash-LSH: any shared token run of
+    * w+k−1 forces a shared fingerprint, so long verbatim overlaps are
+    * caught deterministically, where MinHash-LSH only catches globally
+    * similar documents probabilistically.
+    *
+    * Scale contract (the same as LSH banding): the candidate join keys
+    * on the fingerprint HASH, so pair space is Σ_h df(h)² — bounded by
+    * `maxDocFreq`, which drops hashes appearing in more documents (a
+    * corpus-wide boilerplate gram would otherwise pair everything with
+    * everything; same fence as [[shinglesFiltered]]). Dropping hot
+    * hashes only loses BOILERPLATE evidence; document pairs sharing
+    * rarer content keep their counts.
+    *
+    * @return (a_id, b_id, n_shared) with a_id < b_id, n_shared =
+    *         distinct shared fingerprint hashes (post-fence)
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, text: String,
+                  k: Int = 3, w: Int = 4, minShared: Int = 2,
+                  maxDocFreq: Int = 50): DataFrame = {
+    require(minShared >= 1 && maxDocFreq >= 2,
+      "need minShared >= 1 and maxDocFreq >= 2")
+    // distinct (doc, hash): the same hash selected at several positions
+    // of one doc must count once toward sharing
+    val dh = TextOps.winnowFingerprints(docs, idCol, text, k, w)
+      .select(col(idCol).as("id"), col("h"))
+      .distinct()
+    val rare = dh.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq)
+      .select("h")
+    val fenced = dh.join(rare, Seq("h"), "left_semi")
+    val a = fenced.select(col("h"), col("id").as("a_id"))
+    val b = fenced.select(col("h"), col("id").as("b_id"))
+    a.join(b, Seq("h"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

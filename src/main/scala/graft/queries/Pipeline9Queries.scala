@@ -62,6 +62,18 @@ object Pipeline9Queries {
         .orderBy("doc_id", "pos")
     }),
 
+    "dd_winnow_pairs" -> ((s, dir) => {
+      // winnowing-based near-dup candidates: docs sharing >= 2 distinct
+      // fingerprint hashes — the LOCAL complement of MinHash-LSH (long
+      // verbatim overlaps are caught deterministically via the winnow
+      // guarantee). Pair space keys on the fingerprint hash, bounded by
+      // the doc-frequency fence (boilerplate hashes dropped, same
+      // contract as shinglesFiltered).
+      graft.ops.DedupText.winnowPairs(Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy("a_id", "b_id")
+    }),
+
     "txt_feature_hash" -> ((s, dir) => {
       // hashing-trick features: token → bucket = javaHash(w) mod 64,
       // per-doc bucket counts — fixed-width sparse vectors with NO
@@ -98,10 +110,12 @@ object Pipeline9Queries {
        |FROM l ORDER BY event_id""".stripMargin
   }
 
-  private def winnowOracle: String = {
+  /** Shared winnow CTE prefix: t → grams → hashed positions (sh) →
+    * per-window max of the encoded key (wm) → selected positions (sel). */
+  private def winnowCtes: String = {
     val k = WinnowK
     val gram = (0 until k).map(o => s"ws[i + $o]").mkString(" || '_' || ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS ws
        |  FROM documents),
        |g AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= $k
        |    THEN list_transform(range(1, len(ws) - ${k - 2}),
@@ -117,18 +131,37 @@ object Pipeline9Queries {
        |            ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW)
        |      AS wmax
        |  FROM sh),
-       |sel AS (SELECT DISTINCT doc_id, wmax % 1048576 AS pos
-       |  FROM wm WHERE pos >= $WinnowW)
+       |sel AS MATERIALIZED (SELECT DISTINCT doc_id, wmax % 1048576 AS pos
+       |  FROM wm WHERE pos >= $WinnowW)""".stripMargin
+  }
+
+  private def winnowOracle: String =
+    s"""WITH $winnowCtes
        |SELECT s.doc_id AS doc_id, s.pos AS pos, h.h AS h
        |FROM sel s JOIN sh h ON h.doc_id = s.doc_id AND h.pos = s.pos
        |ORDER BY s.doc_id, s.pos""".stripMargin
-  }
+
+  private def winnowPairsOracle: String =
+    s"""WITH $winnowCtes,
+       |fp AS MATERIALIZED (SELECT DISTINCT s.doc_id AS id, h.h AS h
+       |  FROM sel s JOIN sh h ON h.doc_id = s.doc_id AND h.pos = s.pos),
+       |rare AS (SELECT h FROM (
+       |  SELECT h, COUNT(*) AS df FROM fp GROUP BY h) WHERE df <= 50),
+       |ff AS MATERIALIZED (SELECT f.id, f.h FROM fp f
+       |  JOIN rare r ON r.h = f.h)
+       |SELECT a.id AS a_id, b.id AS b_id, COUNT(*) AS n_shared
+       |FROM ff a JOIN ff b ON a.h = b.h AND a.id < b.id
+       |GROUP BY a.id, b.id
+       |HAVING COUNT(*) >= 2
+       |ORDER BY a_id, b_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
     "ts_ewma" -> ewmaOracle,
 
     "txt_winnow" -> winnowOracle,
+
+    "dd_winnow_pairs" -> winnowPairsOracle,
 
     "txt_feature_hash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w

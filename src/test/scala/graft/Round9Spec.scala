@@ -71,6 +71,27 @@ class Round9Spec extends SparkSuite {
       .count() === 0L, "EWMA left the value hull")
   }
 
+  test("winnowPairs surfaces docs sharing a long verbatim run and the " +
+      "doc-frequency fence kills corpus-wide boilerplate pairs") {
+    val run = (1 to 12).map(i => s"s$i").mkString(" ")
+    // docs 1,2 share a 12-token run in different contexts → >= 2 shared
+    // fingerprints; docs 3..8 share ONLY a boilerplate header that, at
+    // maxDocFreq = 5, is hot (6 docs) and must not pair anything
+    val boiler = "the license header every doc carries verbatim " +
+      "word word word word"
+    val docs = (Seq(
+      (1L, s"a1 a2 a3 a4 $run a5 a6"),
+      (2L, s"b1 b2 b3 b4 b5 $run b6")) ++
+      (3L to 8L).map(i => (i, s"$boiler tail$i"))).toDF("doc_id", "text")
+    val pairs = graft.ops.DedupText.winnowPairs(docs, "doc_id", "text",
+        minShared = 2, maxDocFreq = 5)
+      .localCheckpoint()
+    assert(pairs.where($"a_id" === 1L && $"b_id" === 2L).count() === 1L,
+      "the planted 12-token overlap must be a candidate pair")
+    assert(pairs.where($"a_id" >= 3L).count() === 0L,
+      "boilerplate-only docs must not pair (hot hashes fenced)")
+  }
+
   test("featureHash: buckets within [0, dims) and per-doc feature mass " +
       "equals the token count") {
     val docs = Tables.documents(spark, sfDir)
