@@ -166,7 +166,14 @@ object ExplainDump {
         "src + a map-side-partial groupBy(dst) — (long, long) pairs on " +
         "every exchange, no vertex payloads, no driver loop state. On a " +
         "cluster, pre-partitioning edges by src makes each round's " +
-        "exchange rank-side only.")
+        "exchange rank-side only."),
+    "txt_winnow" ->
+      ("Winnowing fingerprints without per-window subqueries: the " +
+        "rightmost-min-per-window select runs as ONE running window-max " +
+        "over an encoded (hash desc, pos asc) long key, then a distinct " +
+        "— gram hashing and the window both stay in codegen; the only " +
+        "exchanges are the per-doc window partition and the final " +
+        "fingerprint join-back.")
   )
 
   def main(args: Array[String]): Unit = {
