@@ -171,11 +171,14 @@ object Graph {
             .select(col("node").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("node")
-        .orderBy(col("c").desc, col("label").asc)
-      val winner = votes.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("node"), col("label").as("win_label"))
+      // plurality argmax as an AGGREGATE, not a sort window: max of
+      // (count, -label) struct is lexicographic — highest count, then
+      // smallest label — and hash-aggregates with a map-side partial,
+      // where row_number() would sort every partition every round
+      val winner = votes
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("win_label"))
       lab = nodes.join(sd, Seq("node"), "left")
         .join(winner, Seq("node"), "left")
         .select(col("node"),
