@@ -122,6 +122,56 @@ object Graph {
     r
   }
 
+  /** HITS hubs & authorities (Kleinberg '99) in scaled-integer
+    * arithmetic — the mutually-recursive ranking a DIRECTED (often
+    * bipartite) graph supports where PageRank flattens it: authorities
+    * are scored by the hubs pointing at them, hubs by the authorities
+    * they point at. Each half-round is one join + one map-side-partial
+    * groupBy over (long, long) pairs, then an integer renormalization
+    * against the 1-row global max (broadcast):
+    *
+    *   score' = s div max(s div scale, 1)
+    *
+    * — dividing by the max's MULTIPLE of scale instead of multiplying
+    * by scale first keeps every intermediate inside a long (Σ score ≤
+    * deg·scale; a multiply-first normalization would overflow at ~10⁶
+    * in-degree), and integer division is deterministic on any engine
+    * and merge order, unlike float HITS whose normalization reorders.
+    *
+    * @return (node, side, score) — side 'hub' for src-side vertices,
+    *         'auth' for dst-side; a vertex on both sides gets two rows
+    */
+  def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
+              iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(scale >= 100L, "scale must be >= 100")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint()
+    def normalized(raw: DataFrame): DataFrame = {
+      val mx = raw.agg(max(col("s")).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"s div greatest(mx div $scale, 1)").as("score"))
+    }
+    var h = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(scale).as("score"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      a = normalized(
+        e.join(h.select(col("node").as("src"), col("score")), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(sum(col("score")).as("s")))
+      h = normalized(
+        e.join(a.select(col("node").as("dst"), col("score")), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(sum(col("score")).as("s")))
+    }
+    h.select(col("node"), lit("hub").as("side"), col("score"))
+      .unionByName(
+        a.select(col("node"), lit("auth").as("side"), col("score")))
+  }
+
   /** Semi-supervised label propagation (Zhu & Ghahramani's hard-label
     * variant): seed vertices carry fixed labels; every round, each
     * non-seed vertex adopts the PLURALITY label among its currently

@@ -29,6 +29,9 @@ object Pipeline8Queries {
   /** Label-propagation rounds shared by the query and its oracle. */
   private val LpIters = 3
 
+  /** HITS rounds shared by the query and its oracle. */
+  private val HitsIters = 3
+
   val queries: Map[String, Q] = Map(
 
     "sim_mmr_rerank" -> ((s, dir) => {
@@ -102,6 +105,22 @@ object Pipeline8Queries {
       graft.ops.Graph.personalizedPageRankInt(edges, "src", "dst",
           seeds, "node", iters = PrIters, scale = PrScale)
         .orderBy("node")
+    }),
+
+    "graph_hits" -> ((s, dir) => {
+      // HITS on the DIRECTED bipartite purchase graph — customers are
+      // pure hubs, suppliers pure authorities, the shape PageRank's
+      // single score flattens. Integer renormalization against the
+      // 1-row broadcast max makes all 3 rounds engine-exact.
+      val e0 = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.ops.Graph.hitsInt(e0, "src", "dst",
+          iters = HitsIters, scale = PrScale)
+        .orderBy("side", "node")
     }),
 
     "graph_label_prop" -> ((s, dir) => {
@@ -309,6 +328,38 @@ object Pipeline8Queries {
   private lazy val pagerankOracle: String = prOracle(None)
   private lazy val pprOracle: String = prOracle(Some("c_nationkey = 1"))
 
+  /** Unrolled HITS oracle: [[HitsIters]] rounds of authority-then-hub
+    * updates, each renormalized by `s // GREATEST(max(s) // scale, 1)`
+    * — the overflow-safe integer normalization hitsInt uses (DuckDB's
+    * HUGEINT sums make the // exact before the final BIGINT cast). */
+  private lazy val hitsOracle: String = {
+    val rounds = (1 to HitsIters).map { t =>
+      val hPrev = s"h${t - 1}"
+      s"""ar$t AS MATERIALIZED (SELECT e0.dst AS node,
+         |    SUM($hPrev.score) AS s
+         |  FROM e0 JOIN $hPrev ON $hPrev.node = e0.src GROUP BY e0.dst),
+         |a$t AS MATERIALIZED (SELECT node,
+         |  CAST(s // GREATEST((SELECT MAX(s) FROM ar$t) // $PrScale, 1)
+         |    AS BIGINT) AS score FROM ar$t),
+         |hr$t AS MATERIALIZED (SELECT e0.src AS node,
+         |    SUM(a$t.score) AS s
+         |  FROM e0 JOIN a$t ON a$t.node = e0.dst GROUP BY e0.src),
+         |h$t AS MATERIALIZED (SELECT node,
+         |  CAST(s // GREATEST((SELECT MAX(s) FROM hr$t) // $PrScale, 1)
+         |    AS BIGINT) AS score FROM hr$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src,
+       |    l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |h0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+       |  CAST($PrScale AS BIGINT) AS score FROM e0),
+       |$rounds
+       |SELECT node, 'hub' AS side, score FROM h$HitsIters
+       |UNION ALL
+       |SELECT node, 'auth' AS side, score FROM a$HitsIters
+       |ORDER BY side, node""".stripMargin
+  }
+
   /** Unrolled label-propagation oracle: [[LpIters]] layers of the
     * plurality vote (count desc, label asc argmax per vertex), seeds
     * clamped by the COALESCE. */
@@ -355,6 +406,8 @@ object Pipeline8Queries {
     "graph_ppr" -> pprOracle,
 
     "graph_label_prop" -> labelPropOracle,
+
+    "graph_hits" -> hitsOracle,
 
     "graph_cooccur" ->
       """WITH base AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS it

@@ -141,6 +141,30 @@ class Round8Spec extends SparkSuite {
       s"rank must decay with distance from the seed: $pr")
   }
 
+  test("hitsInt: authorities rank by hub endorsement, hubs by the " +
+      "authorities they reach, and the result is partitioning-invariant") {
+    // hubs 1,2,3 → authorities 10,11,12: 10 ← {1,2}, 11 ← {1,3},
+    // 12 ← {1}. So a(10) = a(11) > a(12); hub 1 (reaches everything)
+    // outranks hubs 2 and 3.
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (3L, 11L))
+      .toDF("src", "dst")
+    val out = graft.ops.Graph.hitsInt(edges, "src", "dst", iters = 3)
+      .localCheckpoint()
+    val auth = out.where($"side" === "auth")
+      .select($"node", $"score").as[(Long, Long)].collect().toMap
+    val hub = out.where($"side" === "hub")
+      .select($"node", $"score").as[(Long, Long)].collect().toMap
+    assert(auth(10L) === auth(11L) && auth(10L) > auth(12L),
+      s"authority order wrong: $auth")
+    assert(hub(1L) > hub(2L) && hub(2L) === hub(3L),
+      s"hub order wrong: $hub")
+    val rep = graft.ops.Graph
+      .hitsInt(edges.repartition(7), "src", "dst", iters = 3)
+      .orderBy("side", "node").collect().toSeq
+    assert(out.orderBy("side", "node").collect().toSeq === rep,
+      "result depends on partitioning")
+  }
+
   test("labelPropagate: seeds stay clamped, plurality ties break to the " +
       "smaller label, unreached vertices stay null") {
     // 1(seed 10) — 3 — 2(seed 20); 3 — 4; 5 — 6 (no labels reachable)
