@@ -489,14 +489,19 @@ object DedupText {
     require(minShared >= 1 && maxDocFreq >= 2,
       "need minShared >= 1 and maxDocFreq >= 2")
     // distinct (doc, hash): the same hash selected at several positions
-    // of one doc must count once toward sharing
+    // of one doc must count once toward sharing. Pinned: referenced by
+    // the doc-frequency aggregate AND the fence join.
     val dh = TextOps.winnowFingerprints(docs, idCol, text, k, w)
       .select(col(idCol).as("id"), col("h"))
       .distinct()
+      .localCheckpoint()
     val rare = dh.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq)
       .select("h")
+    // pinned: the candidate join references the fenced set on BOTH
+    // sides — left lazy, fingerprinting + dedup + fence run twice
     val fenced = dh.join(rare, Seq("h"), "left_semi")
+      .localCheckpoint()
     val a = fenced.select(col("h"), col("id").as("a_id"))
     val b = fenced.select(col("h"), col("id").as("b_id"))
     a.join(b, Seq("h"))

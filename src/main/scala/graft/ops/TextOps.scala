@@ -272,11 +272,15 @@ object TextOps {
           i => concat_ws("_", slice(ws, i, lit(k)))))
         .otherwise(expr("CAST(array() AS array<string>)"))
     }
+    // pinned: sh feeds BOTH the window-max pass and the fingerprint
+    // join-back — left lazy, the gram explode + hashing would run twice
+    // (the double-reference recompute hazard hitsInt documents)
     val sh = docs
       .select(col(idCol), posexplode(gramsCol).as(Seq("p0", "g")))
       .select(col(idCol), (col("p0") + 1).cast("long").as("pos"),
         graft.expr.GraftFunctions.java_string_hash(col("g"))
           .cast("long").as("h"))
+      .localCheckpoint()
     val enc = (lit((1L << 32) - 1L) - (col("h") + lit(1L << 31))) *
       lit(1L << 20) + col("pos")
     val wv = Window.partitionBy(idCol).orderBy("pos")
