@@ -32,6 +32,27 @@ object Pipeline8Queries {
   /** HITS rounds shared by the query and its oracle. */
   private val HitsIters = 3
 
+  /** Distinct customer→supplier purchase edges (custkey·2 → suppkey·2+1).
+    * `symmetric` emits both directions via EXPLODE, not a self-union —
+    * a union would inline the orders⋈lineitem subplan into both
+    * branches and execute it twice (the Cluster.scala symmetrize rule).
+    */
+  private def purchaseEdges(s: SparkSession, dir: String,
+                            symmetric: Boolean)
+  : org.apache.spark.sql.DataFrame = {
+    val e0 = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    if (!symmetric) e0
+    else e0.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     "sim_mmr_rerank" -> ((s, dir) => {
@@ -71,14 +92,7 @@ object Pipeline8Queries {
       // bit-exact vs the unrolled SQL — the graded contract is the
       // ITERATION, not convergence (production runs more rounds of the
       // same plan).
-      val e0 = Tables.orders(s, dir)
-        .join(Tables.lineitem(s, dir),
-          col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
-      val edges = e0.unionByName(
-        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val edges = purchaseEdges(s, dir, symmetric = true)
       graft.ops.Graph.pageRankInt(edges, "src", "dst",
           iters = PrIters, scale = PrScale)
         .orderBy("node")
@@ -91,14 +105,7 @@ object Pipeline8Queries {
       // and decays with distance, the recommender / community-expansion
       // measure. Same integer recurrence, same unrolled oracle with a
       // seed-gated base term.
-      val e0 = Tables.orders(s, dir)
-        .join(Tables.lineitem(s, dir),
-          col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
-      val edges = e0.unionByName(
-        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val edges = purchaseEdges(s, dir, symmetric = true)
       val seeds = Tables.customer(s, dir)
         .where(col("c_nationkey") === 1)
         .select((col("c_custkey") * 2).as("node"))
@@ -112,12 +119,7 @@ object Pipeline8Queries {
       // pure hubs, suppliers pure authorities, the shape PageRank's
       // single score flattens. Integer renormalization against the
       // 1-row broadcast max makes all 3 rounds engine-exact.
-      val e0 = Tables.orders(s, dir)
-        .join(Tables.lineitem(s, dir),
-          col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
+      val e0 = purchaseEdges(s, dir, symmetric = false)
       graft.ops.Graph.hitsInt(e0, "src", "dst",
           iters = HitsIters, scale = PrScale)
         .orderBy("side", "node")
@@ -130,14 +132,7 @@ object Pipeline8Queries {
       // up round 1, unlabeled customers round 2, ...). Integer counts +
       // smaller-label ties make every round exact vs the unrolled SQL;
       // vertices no labeled neighbor reached stay NULL on both engines.
-      val e0 = Tables.orders(s, dir)
-        .join(Tables.lineitem(s, dir),
-          col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
-      val edges = e0.unionByName(
-        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val edges = purchaseEdges(s, dir, symmetric = true)
       val seeds = Tables.customer(s, dir)
         .where(col("c_custkey") % 10 === 0)
         .select((col("c_custkey") * 2).as("node"),
