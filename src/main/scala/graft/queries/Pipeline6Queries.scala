@@ -176,7 +176,12 @@ object Pipeline6Queries {
         .select(col("doc_id"), col("text"), col("n_chars"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
         .where(col("n_tok").between(20L, 2000L))
+      // pinned: `exact` feeds both the fuzzy near-dup stage and the
+      // scoring join — left lazy, the gate + exact dedup (a corpus
+      // shuffle) run twice (the double-reference recompute hazard
+      // Graph.hitsInt documents)
       val exact = Dedup.exactByPayload(gated, "text", "doc_id")
+        .localCheckpoint()
       val canonIds = DedupText.fuzzyDedup(exact, "doc_id", "text",
           bands = 8, rows = 4, n = 3, num = 2, den = 3)
         .where(col("cluster") === col("id"))
