@@ -229,6 +229,18 @@ class PlanSpec extends SparkSuite {
         p.take(1500))
   }
 
+  test("graph_label_prop: the plurality argmax is a hash aggregate, " +
+      "never a sort window") {
+    // the per-round winner used to be row_number() over a sort window —
+    // 1.9× slower than max(struct(c, -label)) and a per-round sort of
+    // every vote partition; pin the aggregate shape so it cannot regress
+    val p = plan(q("graph_label_prop"))
+    assert(!p.contains("Window"),
+      "label propagation must not plan a window:\n" + p.take(1500))
+    assert(p.contains("HashAggregate"),
+      "plurality argmax must hash-aggregate:\n" + p.take(1500))
+  }
+
   test("sim_mmr_rerank: the probe-bounded candidate set broadcasts " +
       "back over the sketch; the corpus side never shuffles before it") {
     // the graded query pins its result off a temp sketch store
