@@ -43,10 +43,13 @@ object Graph {
     * cluster pre-partition `edges` by src once and every round's
     * exchange is rank-side only (node-count rows, not edge-count). The
     * groupBy(dst) partial-aggregates map-side, so the second shuffle
-    * carries at most (partitions × distinct dst) rows. Overflow: with
-    * scale = 1e12, 85 · Σ contributions stays under Long.MaxValue up to
-    * ~10⁸ vertices per receiving node's in-neighborhood mass — raise
-    * headroom by lowering `scale` for billion-node graphs.
+    * carries at most (partitions × distinct dst) rows. Overflow: the
+    * per-round message sum aggregates in decimal(38,0) — exact at any
+    * in-degree, no silent long wrap — and the single narrowing back to
+    * long is FENCED: a receiving vertex whose inbound mass exceeds
+    * (Long.MaxValue − scale)·100/85 units (≈ 10⁷ full-mass in-neighbors
+    * at the default scale = 1e12) fails the job loudly with the node
+    * named. Lower `scale` to raise that ceiling for hub-heavy graphs.
     *
     * @param edges directed edge list; duplicate edges count as parallel
     *              edges (dedup upstream if unwanted)
@@ -111,13 +114,32 @@ object Graph {
           col("r.node") === col("dg.src"))
         .select(col("dg.src").as("src"),
           expr("r.pr div dg.deg").as("c"))
+      // 85·Σc is the wrap hazard: Σ contributions is bounded only by a
+      // hub's whole in-neighborhood mass, and plain long `85 * sum`
+      // wraps silently (non-ANSI) past Long.MaxValue/85. Sum exactly in
+      // decimal(38,0); fence the one narrowing back to long loudly
+      // (the cooccurTopK fail-loudly contract) instead of ranking
+      // garbage on a mega-hub.
+      // the ceiling itself exceeds Long.MaxValue (≈1.08e19) — compute it
+      // in BigInt, not long arithmetic, or the limit literal wraps
+      val lim = lit(BigDecimal(
+          (BigInt(Long.MaxValue) - BigInt(scale)) * 100 / 85))
+        .cast("decimal(38,0)")
       val msgs = e.join(contrib, "src")
-        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("m"))
-        .select(col("node"), col("m"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c").cast("decimal(38,0)")).as("mraw"))
+        .select(col("node"),
+          when(col("mraw") <= lim, col("mraw")).otherwise(
+            raise_error(concat(
+              lit("pageRankInt: inbound mass overflows long at node "),
+              col("node").cast("string"),
+              lit(s"; lower scale (=$scale)"))).cast("decimal(38,0)"))
+            .as("m"))
       r = nodes.join(msgs, Seq("node"), "left")
         .select(col("node"),
           (baseCol +
-            expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100")).as("pr"))
+            expr("(85 * coalesce(m, CAST(0 AS DECIMAL(38,0)))) div 100"))
+            .as("pr"))
     }
     r
   }

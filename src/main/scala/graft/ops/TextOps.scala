@@ -256,7 +256,10 @@ object TextOps {
     * encoded key ((2³²−1−(h+2³¹))·2²⁰ + pos — hash descending then
     * position ascending in a single long), then a distinct: no
     * per-window subquery, no self-join. Positions must fit 2²⁰ (a
-    * million grams per document); docs shorter than k tokens emit
+    * million grams per document) — ENFORCED: a doc at or past the cap
+    * fails the job loudly with the offending id named (the cooccurTopK
+    * maxBasket contract; silently aliasing pos into the hash bits would
+    * return wrong fingerprints). Docs shorter than k tokens emit
     * nothing (fall back to exact dedup, the LSH-fence contract).
     *
     * @return (idCol, pos, h) — 1-based gram position and its 32-bit
@@ -275,9 +278,18 @@ object TextOps {
     // pinned: sh feeds BOTH the window-max pass and the fingerprint
     // join-back — left lazy, the gram explode + hashing would run twice
     // (the double-reference recompute hazard hitsInt documents)
+    val posRaw = (col("p0") + 1).cast("long")
     val sh = docs
       .select(col(idCol), posexplode(gramsCol).as(Seq("p0", "g")))
-      .select(col(idCol), (col("p0") + 1).cast("long").as("pos"),
+      .select(col(idCol),
+        // LOUD cap: pos >= 2^20 would alias into the hash bits of the
+        // packed (hash desc, pos asc) key and decode to a WRONG
+        // position — fail with the doc named instead of corrupting
+        when(posRaw < lit(1L << 20), posRaw).otherwise(
+          raise_error(concat(
+            lit("winnowFingerprints: document "), col(idCol).cast("string"),
+            lit(s" has >= ${1L << 20} grams; pre-chunk it or widen the " +
+              "encoding"))).cast("long")).as("pos"),
         graft.expr.GraftFunctions.java_string_hash(col("g"))
           .cast("long").as("h"))
       .localCheckpoint()

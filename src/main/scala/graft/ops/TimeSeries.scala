@@ -71,7 +71,12 @@ object TimeSeries {
     * are bit-stable under any engine/merge order, unlike the float
     * recursion s_t = α·x_t + (1−α)·s_{t−1} whose rounding drifts.
     * Rows with fewer than `taps` predecessors renormalize naturally:
-    * den sums only the weights of taps that exist.
+    * den sums only the weights of taps that exist. NULL values get the
+    * same missing-tap treatment at EVERY lag including j=0 (a NULL
+    * current value contributes 0 and drops its weight from den) —
+    * `lag()` cannot distinguish a NULL value from a missing
+    * predecessor, so treating them uniformly is the only consistent
+    * contract; the ts_ewma oracle encodes the identical rule.
     *
     * Scale: all `taps` lags ride ONE window pass (same partition, same
     * sort — Spark plans a single Window operator), so cost is one

@@ -26,8 +26,13 @@ object Fixtures {
 
   /** TIMESTAMP_NTZ literal at epoch-ms `ms` (UTC wall clock). Comparing
     * the native `events.ts` column against this is a plain binary
-    * predicate on the scan column, so it PUSHES DOWN into the parquet
-    * scan — a `ts_ms < c` post-conversion filter would not. */
+    * predicate on the scan column for the TIMESTAMP_NTZ/MICROS data
+    * vintage, so there it PUSHES DOWN into the parquet scan. For the
+    * raw-nanos-long vintage, `Tables.normalizeTs` rewrites `ts` as a
+    * computed column (`timestamp_micros(ts div 1000)`), so the
+    * comparison canNOT reach that scan — push an equivalent raw-nanos
+    * predicate before normalizeTs if pruning matters on that branch. A
+    * `ts_ms < c` post-conversion filter would push down on neither. */
   def tsNtz(ms: Long): Column =
     lit(java.time.LocalDateTime.ofEpochSecond(
       java.lang.Math.floorDiv(ms, 1000L),

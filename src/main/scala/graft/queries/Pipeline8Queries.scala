@@ -160,7 +160,12 @@ object Pipeline8Queries {
       // planted "<size> dup" near-dup markers survive. The ratio test
       // is exact integer cross-multiplication — c_xy·N_uni² ≥
       // 3·N_bi·c_x·c_y — run in decimal(38) on the Spark side and
-      // HUGEINT in DuckDB, so no float ever decides a row. Tokenization
+      // HUGEINT in DuckDB, so no float ever decides a row. BOUND: the
+      // decimal(38) side is exact while c_xy·N_uni² < 10³⁸, i.e. corpus
+      // token counts up to ~10¹² with c_xy up to ~10¹⁴ headroom; past
+      // that the product nulls out (non-ANSI) and rows drop silently vs
+      // a 128-bit engine — at that scale compare per-shard or in log
+      // space with an ε-margin re-check of borderline rows. Tokenization
       // is the corpus convention (split on single space,
       // txt_lm_coverage's bigram shape).
       val docs = Tables.documents(s, dir)

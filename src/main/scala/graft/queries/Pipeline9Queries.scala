@@ -90,14 +90,20 @@ object Pipeline9Queries {
   private def ewmaOracle: String = {
     val lags = (1 until Taps).map(j =>
       s"lag(v, $j) OVER w AS v$j").mkString(",\n        |  ")
+    // j=0 is coalesced/guarded exactly like the lags: a NULL current
+    // value contributes 0 and DROPS its weight from den — the same
+    // missing-tap treatment ewmaExact applies (lag() cannot distinguish
+    // a NULL value from a missing predecessor, so NULL values are
+    // missing taps uniformly at every j, including j=0)
     val num = (0 until Taps).map { j =>
       val wg = 1L << (Taps - 1 - j)
-      if (j == 0) s"$wg * v" else s"$wg * COALESCE(v$j, 0)"
+      val vj = if (j == 0) "v" else s"v$j"
+      s"$wg * COALESCE($vj, 0)"
     }.mkString(" + ")
     val den = (0 until Taps).map { j =>
       val wg = 1L << (Taps - 1 - j)
-      if (j == 0) s"$wg"
-      else s"CASE WHEN v$j IS NOT NULL THEN $wg ELSE 0 END"
+      val vj = if (j == 0) "v" else s"v$j"
+      s"CASE WHEN $vj IS NOT NULL THEN $wg ELSE 0 END"
     }.mkString(" + ")
     s"""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
        |    ${centsSql("value")} AS v FROM events),

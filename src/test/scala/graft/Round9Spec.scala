@@ -45,6 +45,39 @@ class Round9Spec extends SparkSuite {
       .winnowFingerprints(short, "doc_id", "text").count() === 0L)
   }
 
+  test("winnowFingerprints fails LOUDLY past the 2^20 gram position cap " +
+      "instead of silently aliasing positions into the hash bits") {
+    // 2^20 + 2 tokens → max gram position 2^20 (1-based) hits the fence
+    val over = Seq((7L, Array.fill((1 << 20) + 2)("x").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      graft.ops.TextOps.winnowFingerprints(over, "doc_id", "text").count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("winnowFingerprints")),
+      s"expected the named fence, got: ${chain(ex).mkString(" | ")}")
+  }
+
+  test("pageRankInt fences the inbound-mass long overflow loudly with " +
+      "the hub node named (decimal message sums, guarded narrowing)") {
+    // scale = 1e18 so 20 unit-degree in-neighbors push the hub's round-1
+    // message sum to 2e19 units — past (Long.Max − scale)·100/85 ≈
+    // 9.6e18, where 85·Σ would wrap a plain long
+    val edges = (1L to 20L).map(i => (i, 99L)).toDF("src", "dst")
+    val ex = intercept[Exception] {
+      // aggregate pr (not count()) so column pruning cannot drop the
+      // fenced message column
+      graft.ops.Graph.pageRankInt(edges, "src", "dst", iters = 1,
+        scale = 1000000000000000000L).agg(sum(col("pr"))).head()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(m => m.contains("pageRankInt") &&
+      m.contains("99")),
+      s"expected the named fence, got: ${chain(ex).mkString(" | ")}")
+  }
+
   test("ewmaExact: first row per key has den = top weight; full-history " +
       "rows have den = 2^taps - 1; num/den stays inside the value range") {
     val e = Tables.events(spark, sfDir)
