@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 import graft.Tables
 import Fixtures._
 
@@ -67,33 +66,12 @@ object Pipeline6Queries {
       // emit each event_id exactly once. The oracle is the exact distinct
       // of the same projection — so state-store semantics (first-arrival
       // emit, watermark-bounded state) are pinned against DuckDB.
-      val stream = eventsStream(s, dir)
-      val doubled = stream
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          unix_millis(col("ts").cast("timestamp")).as("ts_ms"))
-        .withColumn("__copy", explode(array(lit(0), lit(1))))
-        .drop("__copy")
-        .withColumn("__evt", timestamp_millis(col("ts_ms")))
-      val deduped = graft.streaming.StreamingSync
-        .dedupWithinWatermark(doubled, Seq("event_id"), "__evt", "1 hour")
-        .drop("__evt")
-      // memory sink table names are session-global: make each invocation
-      // unique so bench reruns and verify don't collide (dropped again in
-      // drainAndClean). Oracle equality assumes the fixture drains in ONE
-      // microbatch (AvailableNow over a single parquet file, no
-      // maxFilesPerTrigger): a split drain could advance batch-1's
-      // watermark past batch-2 rows >1h older and drop them, where the
-      // batch oracle counts every row. The 1h horizon is generous for
-      // the fixtures, but multi-batch drains are out of contract.
-      val name = "sdw_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val ckpt = java.nio.file.Files.createTempDirectory("sdw_ckpt").toString
-      val q = deduped.writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      drainAndClean(s, name, ckpt).orderBy("event_id")
+      // Multi-batch drains are IN-CONTRACT under watermark-bounded
+      // cross-batch disorder — StreamDrains documents the argument and
+      // StreamSplitDrainSpec proves split-drain == this answer.
+      StreamDrains.drain(s,
+          StreamDrains.dedupPipeline(eventsStream(s, dir)), "append", "sdw")
+        .orderBy("event_id")
     }),
 
     "stream_win_final" -> ((s, dir) => {
@@ -102,28 +80,12 @@ object Pipeline6Queries {
       // final (no retraction needed downstream — the property that makes
       // streaming aggregates mergeable into a warehouse). The oracle is
       // the batch aggregation restricted to windows the final watermark
-      // (max event time − 1h delay) closed: exact same rows.
-      val stream = eventsStream(s, dir)
-        .select(col("ts").cast("timestamp").as("ts"),
-          col("event_type"))
-      val agg = stream
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(unix_millis(col("window.start")).as("ws"),
-          col("event_type"), col("n"))
-      // single-microbatch drain assumption: same note as
-      // stream_dedup_watermark above — a split drain could finalize
-      // fewer windows than the batch oracle's final-watermark cut
-      val name = "swf_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val ckpt = java.nio.file.Files.createTempDirectory("swf_ckpt").toString
-      val q = agg.writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      drainAndClean(s, name, ckpt).orderBy("ws", "event_type")
+      // (max event time − 1h delay) closed: exact same rows. Multi-batch
+      // drains in-contract per StreamDrains / StreamSplitDrainSpec.
+      StreamDrains.drain(s,
+          StreamDrains.winFinalPipeline(eventsStream(s, dir)),
+          "append", "swf")
+        .orderBy("ws", "event_type")
     }),
 
     "stream_latest_per_key" -> ((s, dir) => {
@@ -134,25 +96,16 @@ object Pipeline6Queries {
       // at-least-once replay as stream_dedup_watermark) and event-time
       // out of order within the drain; the stateful reduce must still
       // converge to the batch keep-latest winner — max modified_ms, ties
-      // to the SMALLEST payload (Dedup.keepLatest's rule). Update-mode
-      // emission over the single-microbatch drain (same assumption as
-      // above) = exactly one row per key.
-      val stream = eventsStream(s, dir)
-        .select(col("user_id").cast("string").as("href"),
-          unix_millis(col("ts").cast("timestamp")).as("modified_ms"),
-          col("event_type").as("jsondata"))
-        .withColumn("__copy", explode(array(lit(0), lit(1))))
-        .drop("__copy")
-      val latest = graft.streaming.StreamingSync.latestPerKey(s, stream)
-      val name = "slk_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val ckpt = java.nio.file.Files.createTempDirectory("slk_ckpt").toString
-      val q = latest.writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", ckpt)
-        .outputMode("update")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      drainAndClean(s, name, ckpt).orderBy("href")
+      // to the SMALLEST payload (Dedup.keepLatest's rule). Update mode
+      // emits one snapshot per touched key per BATCH; the post-drain
+      // keep-latest reduce (latestFinalize) collapses them to the final
+      // state — identity on a one-batch drain, and exactly what makes a
+      // split drain in-contract (StreamSplitDrainSpec).
+      StreamDrains.latestFinalize(
+          StreamDrains.drain(s,
+            StreamDrains.latestPipeline(s, eventsStream(s, dir)),
+            "update", "slk"))
+        .orderBy("href")
     }),
 
     "curate_funnel" -> ((s, dir) => {

@@ -51,27 +51,11 @@ object Pipeline7Queries {
       // once the watermark passes its end (last event + 30 min gap), so
       // every emitted row is final; the oracle is the batch gap
       // sessionization (win_session's exact SQL) restricted to sessions
-      // the final watermark (max event time − 1h) closed. Same
-      // single-microbatch drain assumption as stream_dedup_watermark.
-      val stream = Pipeline6Queries.eventsStream(s, dir)
-        .select(col("ts").cast("timestamp").as("ts"),
-          col("user_id"))
-      val agg = stream
-        .withWatermark("ts", "1 hour")
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"),
-          unix_millis(col("session_window.start")).as("session_start_ms"),
-          col("n_events"))
-      val name = "ssf_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val ckpt = java.nio.file.Files.createTempDirectory("ssf_ckpt").toString
-      val q = agg.writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      Pipeline6Queries.drainAndClean(s, name, ckpt)
+      // the final watermark (max event time − 1h) closed. Multi-batch
+      // drains in-contract per StreamDrains / StreamSplitDrainSpec.
+      StreamDrains.drain(s,
+          StreamDrains.sessionFinalPipeline(
+            Pipeline6Queries.eventsStream(s, dir)), "append", "ssf")
         .orderBy("user_id", "session_start_ms")
     }),
 

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The four graded streaming pipelines as TRANSFORM-ONLY functions plus
+  * the shared memory-sink drain — factored out so the graded queries
+  * (single-file source, one microbatch) and the split-drain contract
+  * specs (`StreamSplitDrainSpec`: maxFilesPerTrigger=1 over a
+  * time-split multi-file copy) drive the IDENTICAL pipeline code.
+  *
+  * Multi-batch contract: each pipeline's graded answer is reproduced by
+  * a split drain whenever cross-batch event-time disorder is bounded by
+  * the watermark delay — which is precisely what a watermark ASSERTS,
+  * and what time-partitioned event logs (the 100 TB layout: hourly/daily
+  * files replayed in order) deliver. Under that bound:
+  *  - dedup: the duplicate copies are intra-row (same batch), and no
+  *    admitted row is older than the watermark, so nothing drops;
+  *  - tumbling/session windows: a window/session finalizes only once
+  *    the watermark passes its end, and every later-batch row is >= the
+  *    watermark, so it can only open a LATER window/session — finalized
+  *    results never miss rows;
+  *  - latest-per-key emits one state snapshot per touched key per batch
+  *    (update mode); snapshots are monotone under the keep-latest order,
+  *    so the post-drain [[graft.ops.Dedup.keepLatest]] reduce collapses
+  *    them to exactly the final state (a no-op on a one-batch drain).
+  * `StreamSplitDrainSpec` proves split-drain == graded answer for all
+  * four pipelines and asserts the drain really split (>= 3 batches).
+  */
+private[graft] object StreamDrains {
+
+  /** State-store dedup over a doubled stream (at-least-once replay,
+    * reference client.js:1808-1813 re-sync): each event arrives twice
+    * intra-row; the streaming dedup must emit each event_id once. */
+  def dedupPipeline(stream: DataFrame): DataFrame = {
+    val doubled = stream
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("ts_ms"))
+      .withColumn("__copy", explode(array(lit(0), lit(1))))
+      .drop("__copy")
+      .withColumn("__evt", timestamp_millis(col("ts_ms")))
+    graft.streaming.StreamingSync
+      .dedupWithinWatermark(doubled, Seq("event_id"), "__evt", "1 hour")
+      .drop("__evt")
+  }
+
+  /** Watermark-FINALIZED tumbling windows: append mode emits a window
+    * only once the watermark passes its end, so every row is final. */
+  def winFinalPipeline(stream: DataFrame): DataFrame =
+    stream
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("ws"),
+        col("event_type"), col("n"))
+
+  /** Keep-latest state (mapGroupsWithState) over a doubled, sync-shaped
+    * projection — emits the running winner per key each touched batch. */
+  def latestPipeline(s: SparkSession, stream: DataFrame): DataFrame = {
+    val shaped = stream
+      .select(col("user_id").cast("string").as("href"),
+        unix_millis(col("ts").cast("timestamp")).as("modified_ms"),
+        col("event_type").as("jsondata"))
+      .withColumn("__copy", explode(array(lit(0), lit(1))))
+      .drop("__copy")
+    graft.streaming.StreamingSync.latestPerKey(s, shaped)
+  }
+
+  /** Watermark-finalized MERGING session windows (30 min gap). */
+  def sessionFinalPipeline(stream: DataFrame): DataFrame =
+    stream
+      .select(col("ts").cast("timestamp").as("ts"), col("user_id"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        col("n_events"))
+
+  /** Update-mode emission leaves one snapshot per key per touched batch;
+    * snapshots are monotone under the keep-latest order (each is the
+    * state AFTER absorbing its batch), so the batch keep-latest reduce
+    * returns exactly the final state. Identity on a one-batch drain. */
+  def latestFinalize(drained: DataFrame): DataFrame =
+    graft.ops.Dedup.keepLatest(drained)
+
+  /** Drain a streaming DataFrame through a memory sink with
+    * `AvailableNow`, then clean up (unique session-global table name,
+    * checkpoint dir deleted — the Pipeline6 leak-regression contract).
+    * Returns the drained rows and the number of microbatches run, so
+    * contract specs can assert the drain really split. */
+  def drainCounted(s: SparkSession, df: DataFrame, mode: String,
+                   prefix: String): (DataFrame, Long) = {
+    val name = prefix + "_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory(prefix + "_ckpt")
+      .toString
+    val q = df.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = Option(q.lastProgress).map(_.batchId + 1L).getOrElse(0L)
+    (Pipeline6Queries.drainAndClean(s, name, ckpt), batches)
+  }
+
+  def drain(s: SparkSession, df: DataFrame, mode: String,
+            prefix: String): DataFrame =
+    drainCounted(s, df, mode, prefix)._1
+}
