@@ -31,6 +31,8 @@ object ScaleProbe {
     if (args.headOption.contains("asof")) { asofProbe(args); return }
     if (args.headOption.contains("inccc")) { incCcProbe(args); return }
     if (args.headOption.contains("pagerank")) { pagerankProbe(args); return }
+    if (args.headOption.contains("pagerankconv")) {
+      pagerankConvProbe(args); return }
     val targetRows = args.headOption.map(_.toLong).getOrElse(20000000L)
     val deltaRows = args.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -751,6 +753,55 @@ object ScaleProbe {
     *
     *   sbt "runMain graft.ScaleProbe pagerank 1000000"   # vertices
     */
+  /** Decade probe for the CONVERGENCE-TERMINATED PageRank
+    * (`pageRankIntConverged`): same synthetic power-law-ish graph as
+    * [[pagerankProbe]], eps = 1% of scale (the contraction factor is
+    * 0.85/round, so ~2 decades of delta ≈ 28 rounds — a realistic
+    * production tolerance that keeps the probe minutes, not hours).
+    * Checks (a) the ROUND COUNT is size-invariant (convergence depth
+    * depends on the contraction factor, not the vertex count — the
+    * property that makes the loop safe at 100 TB), and (b) wall time
+    * across a 4× decade step scales ~linearly in edges.
+    *
+    *   sbt "runMain graft.ScaleProbe pagerankconv 300000"   # vertices
+    */
+  private def pagerankConvProbe(args: Array[String]): Unit = {
+    val n = args.drop(1).headOption.map(_.toLong).getOrElse(300000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val eps = 10000000000L // 1% of the default 1e12 scale
+    def run(sz: Long): (Long, Int, Double) = {
+      val v = spark.range(2, sz).select(col("id"))
+      val edges = v.select(col("id").as("src"),
+          explode(array(greatest((col("id") / 2).cast("long"), lit(2L)) +:
+            (1 to 7).map(k => pmod(col("id") * (2 * k + 1) + k * 7919,
+              lit(sz - 2)) + 2): _*)).as("dst"))
+        .where(col("dst") =!= col("src"))
+      val t0 = System.nanoTime()
+      val (pr, rounds) = ops.Graph.pageRankIntConverged(
+        edges, "src", "dst", eps = eps, maxIters = 60)
+      val nodes = pr.count()
+      (nodes, rounds, (System.nanoTime() - t0) / 1e9)
+    }
+    val (n1, r1, w1) = run(n)
+    val (n4, r4, w4) = run(n * 4)
+    println(f"[pagerankconv] n=$n1%d rounds=$r1%d wall=$w1%.1fs | " +
+      f"4x n=$n4%d rounds=$r4%d wall=$w4%.1fs ratio=${w4 / w1}%.1fx")
+    require(math.abs(r4 - r1) <= 2,
+      s"round count varied with size: $r1 vs $r4 — convergence depth " +
+        "must track the contraction factor, not the graph size")
+    require(w4 / w1 < 8.0,
+      f"4x data cost ${w4 / w1}%.1fx wall — superlinear scaling")
+    spark.stop()
+  }
+
   private def pagerankProbe(args: Array[String]): Unit = {
     val n = args.drop(1).headOption.map(_.toLong).getOrElse(1000000L)
     val iters = 4

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge-list DataFrames — the Pregel-ish
@@ -76,10 +76,13 @@ object Graph {
       Some(seeds.select(col(seedCol).cast("long").as("node")).distinct()),
       iters, scale)
 
-  private def prCore(edges: DataFrame, srcCol: String, dstCol: String,
-                     seeds: Option[DataFrame], iters: Int,
-                     scale: Long): DataFrame = {
-    require(iters >= 1, "iters must be >= 1")
+  /** Pinned per-run inputs shared by every PageRank round. */
+  private case class PrInputs(e: DataFrame, deg: DataFrame,
+                              nodes: DataFrame, baseCol: Column,
+                              scale: Long)
+
+  private def prInputs(edges: DataFrame, srcCol: String, dstCol: String,
+                       seeds: Option[DataFrame], scale: Long): PrInputs = {
     require(scale >= 100L, "scale must be >= 100 (base term is scale*15/100)")
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
@@ -101,47 +104,104 @@ object Graph {
         .select(col("node"), coalesce(col("seed"), lit(false)).as("seed"))
     }).localCheckpoint()
     val base = 15L * scale / 100L
-    val baseCol = when(col("seed"), lit(base)).otherwise(lit(0L))
-    var r = nodes.select(col("node"),
-      when(col("seed"), lit(scale)).otherwise(lit(0L)).as("pr"))
-    for (_ <- 1 to iters) {
-      // contributions: rank/outdeg per out-edge, summed at the receiver.
-      // Vertices with in-edges but no contribution this round (all
-      // in-neighbors dangling) still get the base term via the left join.
-      // (aliases: from round 2 on, r's lineage already contains deg, so
-      // unqualified deg("src") would be ambiguous)
-      val contrib = r.as("r").join(deg.as("dg"),
-          col("r.node") === col("dg.src"))
-        .select(col("dg.src").as("src"),
-          expr("r.pr div dg.deg").as("c"))
-      // 85·Σc is the wrap hazard: Σ contributions is bounded only by a
-      // hub's whole in-neighborhood mass, and plain long `85 * sum`
-      // wraps silently (non-ANSI) past Long.MaxValue/85. Sum exactly in
-      // decimal(38,0); fence the one narrowing back to long loudly
-      // (the cooccurTopK fail-loudly contract) instead of ranking
-      // garbage on a mega-hub.
-      // the ceiling itself exceeds Long.MaxValue (≈1.08e19) — compute it
-      // in BigInt, not long arithmetic, or the limit literal wraps
-      val lim = lit(BigDecimal(
-          (BigInt(Long.MaxValue) - BigInt(scale)) * 100 / 85))
-        .cast("decimal(38,0)")
-      val msgs = e.join(contrib, "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("c").cast("decimal(38,0)")).as("mraw"))
-        .select(col("node"),
-          when(col("mraw") <= lim, col("mraw")).otherwise(
-            raise_error(concat(
-              lit("pageRankInt: inbound mass overflows long at node "),
-              col("node").cast("string"),
-              lit(s"; lower scale (=$scale)"))).cast("decimal(38,0)"))
-            .as("m"))
-      r = nodes.join(msgs, Seq("node"), "left")
-        .select(col("node"),
-          (baseCol +
-            expr("(85 * coalesce(m, CAST(0 AS DECIMAL(38,0)))) div 100"))
-            .as("pr"))
-    }
+    PrInputs(e, deg, nodes,
+      when(col("seed"), lit(base)).otherwise(lit(0L)), scale)
+  }
+
+  private def prInit(in: PrInputs): DataFrame =
+    in.nodes.select(col("node"),
+      when(col("seed"), lit(in.scale)).otherwise(lit(0L)).as("pr"))
+
+  private def prCore(edges: DataFrame, srcCol: String, dstCol: String,
+                     seeds: Option[DataFrame], iters: Int,
+                     scale: Long): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val in = prInputs(edges, srcCol, dstCol, seeds, scale)
+    var r = prInit(in)
+    for (_ <- 1 to iters) r = prRound(in, r)
     r
+  }
+
+  /** One synchronous PageRank round — the SINGLE implementation both the
+    * fixed-iteration graded form and the convergence-terminated driver
+    * loop execute (the spec pins their equality at the convergence
+    * round, so the two forms cannot drift apart). */
+  private def prRound(in: PrInputs, r: DataFrame): DataFrame = {
+    // contributions: rank/outdeg per out-edge, summed at the receiver.
+    // Vertices with in-edges but no contribution this round (all
+    // in-neighbors dangling) still get the base term via the left join.
+    // (aliases: from round 2 on, r's lineage already contains deg, so
+    // unqualified deg("src") would be ambiguous)
+    val contrib = r.as("r").join(in.deg.as("dg"),
+        col("r.node") === col("dg.src"))
+      .select(col("dg.src").as("src"),
+        expr("r.pr div dg.deg").as("c"))
+    // 85·Σc is the wrap hazard: Σ contributions is bounded only by a
+    // hub's whole in-neighborhood mass, and plain long `85 * sum`
+    // wraps silently (non-ANSI) past Long.MaxValue/85. Sum exactly in
+    // decimal(38,0); fence the one narrowing back to long loudly
+    // (the cooccurTopK fail-loudly contract) instead of ranking
+    // garbage on a mega-hub.
+    // the ceiling itself exceeds Long.MaxValue (≈1.08e19) — compute it
+    // in BigInt, not long arithmetic, or the limit literal wraps
+    val lim = lit(BigDecimal(
+        (BigInt(Long.MaxValue) - BigInt(in.scale)) * 100 / 85))
+      .cast("decimal(38,0)")
+    val msgs = in.e.join(contrib, "src")
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("c").cast("decimal(38,0)")).as("mraw"))
+      .select(col("node"),
+        when(col("mraw") <= lim, col("mraw")).otherwise(
+          raise_error(concat(
+            lit("pageRankInt: inbound mass overflows long at node "),
+            col("node").cast("string"),
+            lit(s"; lower scale (=${in.scale})"))).cast("decimal(38,0)"))
+          .as("m"))
+    in.nodes.join(msgs, Seq("node"), "left")
+      .select(col("node"),
+        (in.baseCol +
+          expr("(85 * coalesce(m, CAST(0 AS DECIMAL(38,0)))) div 100"))
+          .as("pr"))
+  }
+
+  /** Convergence-terminated PageRank: iterate [[prRound]] until the max
+    * per-vertex rank change is <= `eps` units (of 1/`scale`), up to
+    * `maxIters` rounds — the production form (a fixed count either
+    * wastes rounds or stops early; integer arithmetic reaches an exact
+    * fixpoint, so eps = 0 is meaningful). Each round is pinned with
+    * `localCheckpoint` (the ccStar/hitsInt pattern: the delta check
+    * references each round twice, and an unpinned chain would re-run
+    * every earlier round exponentially); the per-round delta read is a
+    * 1-row aggregate — the driver never holds ranks. FAILS LOUDLY
+    * (IllegalStateException, last delta named) if maxIters rounds don't
+    * converge, rather than returning silently-unconverged ranks.
+    *
+    * @return (ranks, roundsRun) — ranks identical to
+    *         `pageRankInt(edges, ..., iters = roundsRun)` by
+    *         construction (spec-pinned in Round9Spec)
+    */
+  def pageRankIntConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                           eps: Long = 0L, maxIters: Int = 50,
+                           scale: Long = 1000000000000L)
+  : (DataFrame, Int) = {
+    require(eps >= 0L, "eps must be >= 0")
+    require(maxIters >= 1, "maxIters must be >= 1")
+    val in = prInputs(edges, srcCol, dstCol, None, scale)
+    var r = prInit(in).localCheckpoint()
+    var rounds = 0
+    var delta = Long.MaxValue
+    while (delta > eps && rounds < maxIters) {
+      val next = prRound(in, r).localCheckpoint()
+      rounds += 1
+      delta = next.as("n").join(r.as("p"), col("n.node") === col("p.node"))
+        .agg(max(abs(col("n.pr") - col("p.pr"))).as("d"))
+        .head().getLong(0)
+      r = next
+    }
+    if (delta > eps) throw new IllegalStateException(
+      s"pageRankIntConverged: no convergence after $maxIters rounds " +
+        s"(last max delta $delta > eps $eps)")
+    (r, rounds)
   }
 
   /** HITS hubs & authorities (Kleinberg '99) in scaled-integer
@@ -223,8 +283,19 @@ object Graph {
   def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
                      seeds: DataFrame, nodeCol: String, labelCol: String,
                      iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(iters >= 1, "iters must be >= 1")
+    val in = lpInputs(edges, srcCol, dstCol, seeds, nodeCol, labelCol)
+    var lab = lpInit(in)
+    for (_ <- 1 to iters) lab = lpRound(in, lab)
+    lab
+  }
+
+  /** Pinned per-run inputs shared by every label-propagation round. */
+  private case class LpInputs(e: DataFrame, nodes: DataFrame, sd: DataFrame)
+
+  private def lpInputs(edges: DataFrame, srcCol: String, dstCol: String,
+                       seeds: DataFrame, nodeCol: String,
+                       labelCol: String): LpInputs = {
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -241,28 +312,72 @@ object Graph {
       .groupBy("node").agg(min(col("seed_label")).as("seed_label"))
       .join(nodes, Seq("node"), "left_semi")
       .localCheckpoint()
-    var lab = nodes.join(sd, Seq("node"), "left")
+    LpInputs(e, nodes, sd)
+  }
+
+  private def lpInit(in: LpInputs): DataFrame =
+    in.nodes.join(in.sd, Seq("node"), "left")
       .select(col("node"), col("seed_label").as("label"))
-    for (_ <- 1 to iters) {
-      val votes = e.join(
-          lab.where(col("label").isNotNull)
-            .select(col("node").as("src"), col("label")), Seq("src"))
-        .groupBy(col("dst").as("node"), col("label"))
-        .agg(count(lit(1)).as("c"))
-      // plurality argmax as an AGGREGATE, not a sort window: max of
-      // (count, -label) struct is lexicographic — highest count, then
-      // smallest label — and hash-aggregates with a map-side partial,
-      // where row_number() would sort every partition every round
-      val winner = votes
-        .groupBy("node")
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("node"), (-col("m.nl")).as("win_label"))
-      lab = nodes.join(sd, Seq("node"), "left")
-        .join(winner, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("seed_label"), col("win_label")).as("label"))
+
+  /** One synchronous label-propagation round — shared by the
+    * fixed-iteration graded form and [[labelPropagateConverged]]. */
+  private def lpRound(in: LpInputs, lab: DataFrame): DataFrame = {
+    val votes = in.e.join(
+        lab.where(col("label").isNotNull)
+          .select(col("node").as("src"), col("label")), Seq("src"))
+      .groupBy(col("dst").as("node"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    // plurality argmax as an AGGREGATE, not a sort window: max of
+    // (count, -label) struct is lexicographic — highest count, then
+    // smallest label — and hash-aggregates with a map-side partial,
+    // where row_number() would sort every partition every round
+    val winner = votes
+      .groupBy("node")
+      .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+      .select(col("node"), (-col("m.nl")).as("win_label"))
+    in.nodes.join(in.sd, Seq("node"), "left")
+      .join(winner, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("seed_label"), col("win_label")).as("label"))
+  }
+
+  /** Convergence-terminated label propagation: iterate [[lpRound]] until
+    * NO vertex changes label (the natural fixpoint — synchronous hard
+    * label propagation either stabilizes or oscillates), up to
+    * `maxIters` rounds, each round pinned with `localCheckpoint` and the
+    * per-round change count read as a 1-row aggregate. FAILS LOUDLY if
+    * maxIters rounds don't stabilize (the classic bipartite oscillation
+    * makes an un-terminated loop spin forever — better a named error
+    * than a silent cap).
+    *
+    * @return (labels, roundsRun) — labels identical to
+    *         `labelPropagate(..., iters = roundsRun)` by construction
+    *         (spec-pinned in Round9Spec)
+    */
+  def labelPropagateConverged(edges: DataFrame, srcCol: String,
+                              dstCol: String, seeds: DataFrame,
+                              nodeCol: String, labelCol: String,
+                              maxIters: Int = 50): (DataFrame, Int) = {
+    require(maxIters >= 1, "maxIters must be >= 1")
+    val in = lpInputs(edges, srcCol, dstCol, seeds, nodeCol, labelCol)
+    var lab = lpInit(in).localCheckpoint()
+    var rounds = 0
+    var changed = Long.MaxValue
+    while (changed > 0L && rounds < maxIters) {
+      val next = lpRound(in, lab).localCheckpoint()
+      rounds += 1
+      // null-safe change count: unreached (null) vs labeled transitions
+      // must count as changes, so compare with <=>
+      changed = next.as("n").join(lab.as("p"),
+          col("n.node") === col("p.node"))
+        .where(!(col("n.label") <=> col("p.label")))
+        .count()
+      lab = next
     }
-    lab
+    if (changed > 0L) throw new IllegalStateException(
+      s"labelPropagateConverged: not stable after $maxIters rounds " +
+        s"($changed labels still changing — oscillation or too-low cap)")
+    (lab, rounds)
   }
 
   /** Per-item co-occurrence top-k — "items that appear in the same

@@ -78,6 +78,60 @@ class Round9Spec extends SparkSuite {
       s"expected the named fence, got: ${chain(ex).mkString(" | ")}")
   }
 
+  test("pageRankIntConverged: reaches an exact integer fixpoint, equals " +
+      "the fixed-iteration form at its own round count, and one further " +
+      "round changes nothing") {
+    // star + chain + cycle mix so ranks take several rounds to settle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (6L, 4L), (2L, 1L)).toDF("src", "dst")
+    val (r, rounds) = graft.ops.Graph.pageRankIntConverged(
+      edges, "src", "dst", eps = 0L, maxIters = 80)
+    assert(rounds >= 2, s"trivial convergence in $rounds rounds")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect().map(_.toString).toSeq
+    val fixed = graft.ops.Graph.pageRankInt(edges, "src", "dst",
+      iters = rounds)
+    assert(rows(r) === rows(fixed),
+      "converged form diverged from the fixed form at the same round")
+    val onceMore = graft.ops.Graph.pageRankInt(edges, "src", "dst",
+      iters = rounds + 1)
+    assert(rows(r) === rows(onceMore), "not a true fixpoint")
+  }
+
+  test("pageRankIntConverged fails loudly when maxIters rounds cannot " +
+      "reach eps") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      graft.ops.Graph.pageRankIntConverged(edges, "src", "dst",
+        eps = 0L, maxIters = 1)
+    }
+    assert(ex.getMessage.contains("no convergence"))
+  }
+
+  test("labelPropagateConverged: stabilizes at the no-change fixpoint, " +
+      "equals the fixed form at its round count, loud when capped low") {
+    // directed chain: labels creep one hop per round from the seed, so
+    // stabilization takes length(chain) rounds + the confirming round
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq((1L, 7L)).toDF("node", "lbl")
+    val (lab, rounds) = graft.ops.Graph.labelPropagateConverged(
+      edges, "src", "dst", seeds, "node", "lbl", maxIters = 10)
+    assert(rounds === 5, s"chain of 4 hops stabilized in $rounds rounds")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect().map(_.toString).toSeq
+    val fixed = graft.ops.Graph.labelPropagate(edges, "src", "dst",
+      seeds, "node", "lbl", iters = rounds)
+    assert(rows(lab) === rows(fixed))
+    assert(lab.where($"label".isNull).count() === 0L)
+    val ex = intercept[IllegalStateException] {
+      graft.ops.Graph.labelPropagateConverged(edges, "src", "dst",
+        seeds, "node", "lbl", maxIters = 3)
+    }
+    assert(ex.getMessage.contains("not stable"))
+  }
+
   test("ewmaExact: first row per key has den = top weight; full-history " +
       "rows have den = 2^taps - 1; num/den stays inside the value range") {
     val e = Tables.events(spark, sfDir)
