@@ -486,15 +486,31 @@ object DedupText {
   def winnowPairs(docs: DataFrame, idCol: String, text: String,
                   k: Int = 3, w: Int = 4, minShared: Int = 2,
                   maxDocFreq: Int = 50): DataFrame = {
-    require(minShared >= 1 && maxDocFreq >= 2,
-      "need minShared >= 1 and maxDocFreq >= 2")
-    // distinct (doc, hash): the same hash selected at several positions
-    // of one doc must count once toward sharing. Pinned: referenced by
-    // the doc-frequency aggregate AND the fence join.
-    val dh = TextOps.winnowFingerprints(docs, idCol, text, k, w)
+    require(minShared >= 1, "need minShared >= 1")
+    winnowPairCounts(winnowIndex(docs, idCol, text, k, w), maxDocFreq)
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** The stored half of the winnow state: distinct (id, h) fingerprint
+    * rows — the same hash selected at several positions of one doc must
+    * count once toward sharing. This is what production PERSISTS between
+    * ingestion waves; [[winnowPairsDelta]] folds a delta batch against
+    * it without re-fingerprinting the corpus. */
+  def winnowIndex(docs: DataFrame, idCol: String, text: String,
+                  k: Int = 3, w: Int = 4): DataFrame =
+    TextOps.winnowFingerprints(docs, idCol, text, k, w)
       .select(col(idCol).as("id"), col("h"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint() // referenced by the df aggregate AND the fence join
+
+  /** UNfiltered shared-fingerprint pair counts over the df-fenced index
+    * (every pair with >= 1 shared rare hash) — the second stored half of
+    * the incremental state: the minShared cut must happen at READ time,
+    * because a stored pre-filtered table could never raise a pair back
+    * over the threshold when a later delta adds shared hashes. Bounded
+    * by Σ_h df(h)² under the fence, same as the one-shot form. */
+  def winnowPairCounts(dh: DataFrame, maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 2, "need maxDocFreq >= 2")
     val rare = dh.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq)
       .select("h")
@@ -507,6 +523,84 @@ object DedupText {
     a.join(b, Seq("h"))
       .where(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= minShared)
+  }
+
+  /** Incremental winnow-pair maintenance — the LOCAL-dedup complement of
+    * [[lshCandidatesDelta]], with one honest extra: a df FENCE is not
+    * compositional under naive union. A delta batch can push a hash OVER
+    * `maxDocFreq`, which must RETRACT that hash's contribution from
+    * existing base-base pairs (df only grows, so hot hashes never come
+    * back). So the delta fold is an add/retract count algebra over the
+    * stored state (`baseIndex` = [[winnowIndex]](B), `basePairs` =
+    * [[winnowPairCounts]](B)):
+    *
+    *  - additions: on hashes still rare in B ∪ D, pairs with >= 1 delta
+    *    endpoint (base×delta once per hash + delta×delta once per hash);
+    *  - retractions: on hashes rare in B but hot in B ∪ D, −1 per
+    *    base-base pair that shared them;
+    *  - result: basePairs ⊎ delta counts, zero/negative totals dropped.
+    *
+    * Identity (spec-pinned):
+    * `winnowPairCounts(index(B ∪ D)) = winnowPairsDelta(state(B), D)`
+    * exactly — counts included. Requires base and delta id sets disjoint
+    * (a delta batch is NEW documents; re-ingested docs must be retracted
+    * upstream first).
+    *
+    * 100 TB: only the DELTA is fingerprinted; every per-hash
+    * contribution is bounded by maxDocFreq² on both the add side (h
+    * rare in the union) and the retract side (h was rare in B), so the
+    * recurring cost is proportional to the delta and the fence cap,
+    * never the corpus. The base df aggregate runs over the stored
+    * 16-byte index rows (production would persist the df table too and
+    * merge `df += df_delta`).
+    *
+    * @return (a_id, b_id, n_shared >= 1) — the maintained UNfiltered
+    *         pair table; apply the minShared cut at read, as
+    *         [[winnowPairs]] does
+    */
+  def winnowPairsDelta(baseIndex: DataFrame, basePairs: DataFrame,
+                       deltaDocs: DataFrame, idCol: String, text: String,
+                       k: Int = 3, w: Int = 4,
+                       maxDocFreq: Int = 50): DataFrame = {
+    require(maxDocFreq >= 2, "need maxDocFreq >= 2")
+    val dhD = winnowIndex(deltaDocs, idCol, text, k, w)
+    val dfB = baseIndex.groupBy("h").agg(count(lit(1)).as("df_b"))
+    val dfD = dhD.groupBy("h").agg(count(lit(1)).as("df_d"))
+    // union df per hash; pinned — referenced by both hash classes below
+    val dfU = dfB.join(dfD, Seq("h"), "full_outer")
+      .select(col("h"),
+        coalesce(col("df_b"), lit(0L)).as("df_b"),
+        (coalesce(col("df_b"), lit(0L)) + coalesce(col("df_d"), lit(0L)))
+          .as("df_u"))
+      .localCheckpoint()
+    val stillRare = dfU.where(col("df_u") <= maxDocFreq).select("h")
+    val newlyHot = dfU
+      .where(col("df_b") <= maxDocFreq && col("df_u") > maxDocFreq)
+      .select("h")
+    val baseRare = baseIndex.join(stillRare, Seq("h"), "left_semi")
+    val deltaRare = dhD.join(stillRare, Seq("h"), "left_semi")
+    // base×delta: ids are disjoint, so canonicalize with least/greatest;
+    // delta×delta: a_id < b_id directly — each unordered pair counted
+    // exactly once per shared hash
+    val addBD = baseRare.select(col("h"), col("id").as("x"))
+      .join(deltaRare.select(col("h"), col("id").as("y")), Seq("h"))
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), lit(1L).as("dn"))
+    val addDD = deltaRare.select(col("h"), col("id").as("a_id"))
+      .join(deltaRare.select(col("h"), col("id").as("b_id")), Seq("h"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1L).as("dn"))
+    val hotB = baseIndex.join(newlyHot, Seq("h"), "left_semi")
+    val retract = hotB.select(col("h"), col("id").as("a_id"))
+      .join(hotB.select(col("h"), col("id").as("b_id")), Seq("h"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(-1L).as("dn"))
+    val dn = addBD.unionByName(addDD).unionByName(retract)
+      .groupBy("a_id", "b_id").agg(sum(col("dn")).as("dn"))
+    basePairs.join(dn, Seq("a_id", "b_id"), "full_outer")
+      .select(col("a_id"), col("b_id"),
+        (coalesce(col("n_shared"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_shared"))
+      .where(col("n_shared") >= 1L)
   }
 }

@@ -74,6 +74,30 @@ object Pipeline9Queries {
         .orderBy("a_id", "b_id")
     }),
 
+    "inc_winnow_delta" -> ((s, dir) => {
+      // incremental winnow-pair maintenance, end to end: only the delta
+      // batch (doc_id % 7 = 0) is fingerprinted; it folds against the
+      // STORED base state (fingerprint index + UNfiltered pair counts)
+      // with the add/retract algebra — a delta can push a hash over the
+      // df fence, which must retract that hash's base-base pair
+      // contributions (the reason naive pair-set union is wrong under a
+      // fence). Output ≡ full recompute, so the oracle is exactly
+      // dd_winnow_pairs' full-corpus SQL. Like inc_cc_delta, the graded
+      // query rebuilds the base state inside the timed region; in
+      // production that state is persisted and the recurring cost is
+      // the delta fold alone.
+      import graft.ops.DedupText
+      val docs = Tables.documents(s, dir)
+      val isDelta = col("doc_id") % 7 === 0
+      val baseIdx = DedupText.winnowIndex(docs.where(!isDelta),
+        "doc_id", "text", WinnowK, WinnowW)
+      val basePairs = DedupText.winnowPairCounts(baseIdx, maxDocFreq = 50)
+      DedupText.winnowPairsDelta(baseIdx, basePairs, docs.where(isDelta),
+          "doc_id", "text", WinnowK, WinnowW, maxDocFreq = 50)
+        .where(col("n_shared") >= 2)
+        .orderBy("a_id", "b_id")
+    }),
+
     "txt_feature_hash" -> ((s, dir) => {
       // hashing-trick features: token → bucket = javaHash(w) mod 64,
       // per-doc bucket counts — fixed-width sparse vectors with NO
@@ -168,6 +192,9 @@ object Pipeline9Queries {
     "txt_winnow" -> winnowOracle,
 
     "dd_winnow_pairs" -> winnowPairsOracle,
+
+    // the incremental fold's contract IS "≡ full recompute": same SQL
+    "inc_winnow_delta" -> winnowPairsOracle,
 
     "txt_feature_hash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w

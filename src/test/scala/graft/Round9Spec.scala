@@ -179,6 +179,62 @@ class Round9Spec extends SparkSuite {
       "boilerplate-only docs must not pair (hot hashes fenced)")
   }
 
+  test("winnowPairsDelta: fold(state(B), D) == full recompute over B∪D " +
+      "counts included, and the fence retraction path really fires") {
+    import graft.ops.DedupText
+    val run = (1 to 12).map(i => s"r$i").mkString(" ")
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    // base: docs 1-3 share the boilerplate (df = 3 == cap, so it PAIRS
+    // them in the base state); docs 4-5 share a genuine run
+    val base = (Seq(
+      (4L, s"c1 c2 c3 c4 $run c5"),
+      (5L, s"d1 d2 d3 $run d4 d5")) ++
+      (1L to 3L).map(i => (i, s"$boiler tail$i x$i y$i"))
+    ).toDF("doc_id", "text")
+    // delta: doc 10 carries the boilerplate too — df goes 3 -> 4 > cap,
+    // so ALL boilerplate-only base pairs must be retracted; doc 11
+    // shares the genuine run with 4/5
+    val delta = Seq(
+      (10L, s"$boiler tail10 x10 y10"),
+      (11L, s"e1 e2 $run e3 e4 e5")).toDF("doc_id", "text")
+    val cap = 3
+    val baseIdx = DedupText.winnowIndex(base, "doc_id", "text")
+    val basePairs = DedupText.winnowPairCounts(baseIdx, cap)
+      .localCheckpoint()
+    assert(basePairs.where($"a_id" <= 3L && $"b_id" <= 3L).count() > 0L,
+      "fixture broken: boilerplate must pair base docs BEFORE the delta")
+    val inc = DedupText.winnowPairsDelta(baseIdx, basePairs, delta,
+        "doc_id", "text", maxDocFreq = cap)
+      .localCheckpoint()
+    val full = DedupText.winnowPairCounts(
+      DedupText.winnowIndex(base.unionByName(delta), "doc_id", "text"), cap)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("a_id", "b_id").collect().map(_.toString).toSeq
+    assert(rows(inc) === rows(full),
+      "incremental fold diverged from the full recompute")
+    assert(inc.where($"a_id" <= 3L && $"b_id" <= 3L).count() === 0L,
+      "newly-hot boilerplate pairs must be retracted by the fold")
+    assert(inc.where($"b_id" === 11L).count() > 0L,
+      "delta doc sharing the genuine run must gain pairs")
+  }
+
+  test("winnowPairsDelta identity holds on the fixture corpus at the " +
+      "graded parameters (doc_id % 7 delta split)") {
+    import graft.ops.DedupText
+    val docs = Tables.documents(spark, sfDir)
+    val isDelta = $"doc_id" % 7 === 0
+    val baseIdx = DedupText.winnowIndex(docs.where(!isDelta),
+      "doc_id", "text")
+    val inc = DedupText.winnowPairsDelta(baseIdx,
+      DedupText.winnowPairCounts(baseIdx, 50), docs.where(isDelta),
+      "doc_id", "text", maxDocFreq = 50)
+    val full = DedupText.winnowPairCounts(
+      DedupText.winnowIndex(docs, "doc_id", "text"), 50)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("a_id", "b_id").collect().map(_.toString).toSeq
+    assert(rows(inc) === rows(full))
+  }
+
   test("featureHash: buckets within [0, dims) and per-doc feature mass " +
       "equals the token count") {
     val docs = Tables.documents(spark, sfDir)
