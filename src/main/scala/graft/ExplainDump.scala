@@ -153,6 +153,15 @@ object ExplainDump {
         "selection (histogram pre-pass, only the marginal score class " +
         "windows). Stages hand off as DataFrames — shuffle-partitioned " +
         "end to end, no driver materialization between them."),
+    "curate_funnel_full" ->
+      ("The funnel with the LM-coverage and PII stages composed in " +
+        "(the complete CCNet order). The lm model is the ONLY broadcast " +
+        "(top-500 bigrams, dim-sized by construction); coverage counts " +
+        "partial-aggregate before their exchange; redaction is a " +
+        "map-side regexp in the scan stage's projection — canonicalizing " +
+        "planted PII BEFORE dedup so contact-only variants re-collapse; " +
+        "the dedup/selection tail is curate_funnel's plan over the " +
+        "redacted text. Still shuffle-partitioned end to end."),
     "sim_mmr_rerank" ->
       ("MMR diversified re-ranking: candidate generation is the quantized " +
         "top-k (probes broadcast, corpus streams), then the probe-bounded " +

@@ -150,6 +150,65 @@ object Pipeline6Queries {
         .orderBy("doc_id")
     }),
 
+    "curate_funnel_full" -> ((s, dir) => {
+      // the FULL CCNet stage order with the two remaining graded stages
+      // composed in: gate → LM-coverage fluency filter (txt_lm_coverage
+      // over the gated corpus, keep coverage >= 3/5 by exact integer
+      // cross-multiplication) → PII redaction (txt_redact's planted
+      // contact block — the address varies per doc but redaction
+      // CANONICALIZES it to the same <EMAIL>/<PHONE> literals, so docs
+      // differing only in contact info re-collapse at the dedup stages,
+      // which is why CCNet cleans BEFORE deduping) → exact dedup →
+      // fuzzy near-dup → budgeted selection. One composed plan, one
+      // layered oracle (the lm + redact CTEs over the curate_funnel
+      // oracle); the composition stays shuffle-partitioned end to end —
+      // the lm model table is the only broadcast (dim-sized by the
+      // top-500 cut) and no stage materializes at the driver.
+      import graft.ops.{Dedup, DedupText, Sampling, TextOps}
+      val gated = Tables.documents(s, dir)
+        .where(col("n_chars").between(100L, 10000L))
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+        .where(col("n_tok").between(20L, 2000L))
+        // pinned: gated feeds the bigram explode AND the coverage join
+        // (the curate_funnel double-reference hazard, one stage earlier)
+        .localCheckpoint()
+      // pinned: bi feeds the model aggregate AND the coverage count
+      val bi = gated.select(col("doc_id"),
+          explode(TextOps.bigrams(col("text"))).as("b"))
+        .localCheckpoint()
+      val top = bi.groupBy("b").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("b").asc).limit(500)
+        .select("b")
+      val cov = bi.join(broadcast(top), Seq("b"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
+      // n_bi = n_tok − 1 (gate guarantees >= 20 tokens, so >= 2 always)
+      val fluent = gated.join(cov, Seq("doc_id"), "left")
+        .where(coalesce(col("n_cov"), lit(0L)) * 5 >=
+          (col("n_tok") - 1) * 3)
+      val planted = concat(col("text"), lit(" contact user"),
+        col("doc_id"), lit("@mail.example.com or 555-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
+      val red = fluent.select(col("doc_id"),
+        TextOps.redact(planted).as("text"), col("n_chars"), col("n_tok"))
+      // pinned for the same two-consumer reason as curate_funnel
+      val exact = Dedup.exactByPayload(red, "text", "doc_id")
+        .localCheckpoint()
+      val canonIds = DedupText.fuzzyDedup(exact, "doc_id", "text",
+          bands = 8, rows = 4, n = 3, num = 2, den = 3)
+        .where(col("cluster") === col("id"))
+        .select(col("id").as("doc_id"))
+      val scored = exact.join(canonIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          call_function("div", col("n_tok") * 1000, col("n_chars"))
+            .as("score"),
+          col("n_tok"))
+      Sampling.tokenBudget(scored, "score", "n_tok", "doc_id",
+          budget = 10000L)
+        .select("doc_id", "score", "n_tok")
+        .orderBy("doc_id")
+    }),
+
     "samp_alpha_mix" -> ((s, dir) => {
       // temperature / alpha source mixing (the mC4 / XLM-R multilingual
       // scheme): per-source keep rate derived FROM the measured source
@@ -297,6 +356,53 @@ object Pipeline6Queries {
         |g2 AS (SELECT * FROM g WHERE n_tok BETWEEN 20 AND 2000),
         |ex AS (SELECT * FROM g2 x
         |  WHERE doc_id = (SELECT MIN(doc_id) FROM g2 y
+        |    WHERE y.text = x.text)),
+        |${PipelineQueries.minhashPairsCtesWith(fenced = true,
+             baseSql = "SELECT doc_id, text FROM ex")},
+        |${Pipeline3Queries.fuzzyVerifyClusterCtes},
+        |canon AS (SELECT id AS doc_id FROM reach
+        |  GROUP BY id HAVING MIN(lbl) = id),
+        |d AS (SELECT e.doc_id, e.n_tok * 1000 // e.n_chars AS score,
+        |    e.n_tok
+        |  FROM ex e JOIN canon c ON c.doc_id = e.doc_id),
+        |r AS (SELECT *, SUM(n_tok) OVER (ORDER BY score DESC, doc_id ASC
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT doc_id, score, n_tok FROM r WHERE cum <= 10000
+        |ORDER BY doc_id""".stripMargin,
+
+    "curate_funnel_full" ->
+      // curate_funnel's oracle with the lm-model + redaction CTE layers
+      // spliced between the gate and the exact dedup: bigram top-500
+      // over the gated docs (txt_lm_coverage's construction), coverage
+      // >= 3/5 cross-multiplied, then txt_redact's planted-PII redact;
+      // the fuzzy layer runs over the REDACTED text
+      s"""WITH RECURSIVE g AS (SELECT doc_id, text, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |  WHERE n_chars BETWEEN 100 AND 10000),
+        |g2 AS (SELECT * FROM g WHERE n_tok BETWEEN 20 AND 2000),
+        |t0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM g2),
+        |lbi AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+        |    THEN list_transform(range(1, len(ws)),
+        |         i -> ws[i] || '_' || ws[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS b FROM t0),
+        |ltop AS (SELECT b FROM (
+        |  SELECT b, COUNT(*) AS c FROM lbi GROUP BY b
+        |  ORDER BY c DESC, b ASC LIMIT 500)),
+        |lcov AS (SELECT doc_id, COUNT(*) AS n_cov FROM lbi
+        |  WHERE b IN (SELECT b FROM ltop) GROUP BY doc_id),
+        |fl AS (SELECT g2.* FROM g2 LEFT JOIN lcov USING (doc_id)
+        |  WHERE COALESCE(lcov.n_cov, 0) * 5 >= (g2.n_tok - 1) * 3),
+        |red AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com or 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |    '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '(\\d{3}-)?\\d{3}-\\d{4}', '<PHONE>', 'g') AS text,
+        |  n_chars, n_tok FROM fl),
+        |ex AS (SELECT * FROM red x
+        |  WHERE doc_id = (SELECT MIN(doc_id) FROM red y
         |    WHERE y.text = x.text)),
         |${PipelineQueries.minhashPairsCtesWith(fenced = true,
              baseSql = "SELECT doc_id, text FROM ex")},

@@ -24,6 +24,12 @@ object Pipeline9Queries {
   private val WinnowK = 3
   private val WinnowW = 4
 
+  /** Unsigned 32-bit Java hash in DuckDB (mirrors Sampling.hu). */
+  private def huSql(c: String): String = {
+    val jh = PipelineQueries.javaHashSql(c)
+    s"""(CASE WHEN $jh < 0 THEN $jh + 4294967296 ELSE $jh END)"""
+  }
+
   val queries: Map[String, Q] = Map(
 
     "ts_ewma" -> ((s, dir) => {
@@ -96,6 +102,38 @@ object Pipeline9Queries {
           "doc_id", "text", WinnowK, WinnowW, maxDocFreq = 50)
         .where(col("n_shared") >= 2)
         .orderBy("a_id", "b_id")
+    }),
+
+    "samp_shard_export" -> ((s, dir) => {
+      // the pipeline's TERMINAL operator graded through the actual
+      // write → read-back round trip (sim_quantized_topk's stored-
+      // sketch regime): ShardWriter lays the corpus out as 8 hash-
+      // ordered parquet shards on disk; reading the export back must
+      // reproduce the closed-form (shard, pos) assignment exactly —
+      // shard = hu(salt‖key) mod 8, pos = rank of (hash, key) within
+      // the shard — independent of the input partitioning, because the
+      // assignment is a pure function of the key. The small graded
+      // result is pinned off the store (localCheckpoint) so the export
+      // dir is deleted before returning (the streaming-checkpoint
+      // hygiene contract).
+      val store = java.nio.file.Files.createTempDirectory("shard_export")
+        .toString
+      graft.sink.ShardWriter.write(
+        Tables.orders(s, dir).select("o_orderkey"),
+        col("o_orderkey"), salt = "r8", nShards = 8, path = store)
+      // shard is a PARTITION column on disk — Spark re-infers it as int
+      // on read, so cast back to the long the oracle declares
+      val out = s.read.parquet(store)
+        .select(col("o_orderkey"), col("shard").cast("long").as("shard"),
+          col("pos"))
+        .localCheckpoint()
+      def del(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(del)
+        f.delete(); ()
+      }
+      del(new java.io.File(store))
+      out.orderBy("shard", "pos")
     }),
 
     "txt_feature_hash" -> ((s, dir) => {
@@ -195,6 +233,17 @@ object Pipeline9Queries {
 
     // the incremental fold's contract IS "≡ full recompute": same SQL
     "inc_winnow_delta" -> winnowPairsOracle,
+
+    "samp_shard_export" -> {
+      // closed-form shard assignment (mirrors samp_shuffle_shards'
+      // oracle at salt r8): what the parquet export must round-trip
+      val hu = huSql("'r8' || CAST(o_orderkey AS VARCHAR)")
+      s"""WITH h AS (SELECT o_orderkey, $hu AS hu FROM orders)
+         |SELECT o_orderkey, hu % 8 AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY hu % 8
+         |    ORDER BY hu ASC, o_orderkey ASC) AS BIGINT) AS pos
+         |FROM h ORDER BY shard, pos""".stripMargin
+    },
 
     "txt_feature_hash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
