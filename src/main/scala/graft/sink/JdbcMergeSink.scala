@@ -66,10 +66,19 @@ object JdbcMergeSink {
       s"DELETE FROM ${c.table} w WHERE EXISTS (SELECT 1 FROM $deletesTable t WHERE ${keyEq("w", "t", c.keys)})"
   }
 
-  /** D2 — full-sync prune via anti-join (client.js:1006-1015 / 886-896). */
-  def pruneSql(c: SinkConfig): String =
-    s"DELETE FROM ${c.table} w WHERE NOT EXISTS " +
+  /** D2 — full-sync prune via anti-join (client.js:1006-1015 / 886-896).
+    * T-SQL cannot alias the target of a single-table `DELETE FROM t a`;
+    * it needs the reference's `DELETE a FROM t a` spelling
+    * (client.js:886) — caught by the golden shape comparison in
+    * `MsSqlGoldenSpec`. */
+  def pruneSql(c: SinkConfig): String = {
+    val head = c.dialect match {
+      case MsSql => s"DELETE w FROM ${c.table} w"
+      case _ => s"DELETE FROM ${c.table} w"
+    }
+    head + " WHERE NOT EXISTS " +
       s"(SELECT 1 FROM ${c.stagingTable} i WHERE ${keyEq("i", "w", c.keys)})"
+  }
 
   /** U1+P5 — change-detecting update: null-safe payload inequality skips
     * no-op writes (client.js:1058-1065 / 925-933, predicate 1064/932). */
