@@ -260,6 +260,62 @@ object Graph {
         a.select(col("node"), lit("auth").as("side"), col("score")))
   }
 
+  /** Convergence-terminated HITS: iterate full (auth, hub) rounds until
+    * the max per-vertex HUB score change is <= `eps` (hub stability
+    * implies auth stability — each auth half-round is a deterministic
+    * function of the hub scores), up to `maxIters`, loud on
+    * non-convergence — the [[pageRankIntConverged]] contract applied to
+    * the mutually-recursive ranking. The integer renormalization makes
+    * an exact fixpoint (eps = 0) meaningful here too. Returns the same
+    * (node, side, score) shape as [[hitsInt]] plus the round count;
+    * `hitsInt(..., iters = roundsRun)` is identical by construction
+    * (spec-pinned). */
+  def hitsIntConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                       eps: Long = 0L, maxIters: Int = 50,
+                       scale: Long = 1000000000000L): (DataFrame, Int) = {
+    require(eps >= 0L, "eps must be >= 0")
+    require(maxIters >= 1, "maxIters must be >= 1")
+    require(scale >= 100L, "scale must be >= 100")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint()
+    def normalized(raw0: DataFrame): DataFrame = {
+      val raw = raw0.localCheckpoint() // same pin rationale as hitsInt
+      val mx = raw.agg(max(col("s")).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"s div greatest(mx div $scale, 1)").as("score"))
+    }
+    var h = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(scale).as("score"))
+      .localCheckpoint()
+    var a: DataFrame = null
+    var rounds = 0
+    var delta = Long.MaxValue
+    while (delta > eps && rounds < maxIters) {
+      a = normalized(
+        e.join(h.select(col("node").as("src"), col("score")), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(sum(col("score")).as("s")))
+      val h2 = normalized(
+        e.join(a.select(col("node").as("dst"), col("score")), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(sum(col("score")).as("s")))
+      rounds += 1
+      delta = h2.as("n").join(h.as("p"), col("n.node") === col("p.node"))
+        .agg(max(abs(col("n.score") - col("p.score"))).as("d"))
+        .head().getLong(0)
+      h = h2
+    }
+    if (delta > eps) throw new IllegalStateException(
+      s"hitsIntConverged: no convergence after $maxIters rounds " +
+        s"(last max hub delta $delta > eps $eps)")
+    (h.select(col("node"), lit("hub").as("side"), col("score"))
+      .unionByName(
+        a.select(col("node"), lit("auth").as("side"), col("score"))),
+      rounds)
+  }
+
   /** Semi-supervised label propagation (Zhu & Ghahramani's hard-label
     * variant): seed vertices carry fixed labels; every round, each
     * non-seed vertex adopts the PLURALITY label among its currently

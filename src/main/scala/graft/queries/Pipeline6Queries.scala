@@ -173,10 +173,14 @@ object Pipeline6Queries {
         // pinned: gated feeds the bigram explode AND the coverage join
         // (the curate_funnel double-reference hazard, one stage earlier)
         .localCheckpoint()
-      // pinned: bi feeds the model aggregate AND the coverage count
+      // bi feeds the model aggregate AND the coverage count, but is NOT
+      // pinned: materializing corpus×tokens exploded rows is the wrong
+      // trade — re-deriving the explode twice from the PINNED gate
+      // output is a streaming map-side pass with zero storage, exactly
+      // what a 100 TB run wants (contrast the winnow/hits pins, where
+      // the double-referenced frame is post-shuffle and small)
       val bi = gated.select(col("doc_id"),
           explode(TextOps.bigrams(col("text"))).as("b"))
-        .localCheckpoint()
       val top = bi.groupBy("b").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("b").asc).limit(500)
         .select("b")

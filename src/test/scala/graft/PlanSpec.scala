@@ -266,4 +266,34 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"),
       "corpus-side shuffle join leaked into the MMR plan:\n" + p.take(1500))
   }
+
+  test("curate_funnel_full lm stage: model cut is TakeOrdered, coverage " +
+      "is a broadcast semi-join, bigrams are NOT re-shuffled for it") {
+    // the graded query's tail is truncated by the tokenBudget pins, so
+    // pin the lm-stage composition directly (the mmr pattern): gate →
+    // bigram model → coverage filter. The corpus-sized bigram frame
+    // must reach the coverage count through a BROADCAST of the top-500
+    // model — a shuffle join here would re-exchange corpus×tokens rows.
+    import graft.ops.TextOps
+    val gated = Tables.documents(spark, sfDir)
+      .where(col("n_chars").between(100L, 10000L))
+      .select(col("doc_id"), col("text"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      .where(col("n_tok").between(20L, 2000L))
+    val bi = gated.select(col("doc_id"),
+      explode(TextOps.bigrams(col("text"))).as("b"))
+    val top = bi.groupBy("b").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("b").asc).limit(500).select("b")
+    val cov = bi.join(broadcast(top), Seq("b"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
+    val fluent = gated.join(cov, Seq("doc_id"), "left")
+      .where(coalesce(col("n_cov"), lit(0L)) * 5 >= (col("n_tok") - 1) * 3)
+    fluent.collect() // settle AQE
+    val p = plan(fluent)
+    assert(p.contains("TakeOrderedAndProject"),
+      "model cut must be per-partition top-k:\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "coverage must broadcast the model into a semi-join:\n" +
+        p.take(1500))
+  }
 }

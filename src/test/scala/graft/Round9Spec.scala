@@ -109,6 +109,31 @@ class Round9Spec extends SparkSuite {
     assert(ex.getMessage.contains("no convergence"))
   }
 
+  test("hitsIntConverged: hub fixpoint, equals the fixed form at its " +
+      "round count, loud when capped too low") {
+    // bipartite-ish mix: two hubs endorsing overlapping authorities
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L),
+      (3L, 10L), (3L, 12L)).toDF("src", "dst")
+    val (ha, rounds) = graft.ops.Graph.hitsIntConverged(
+      edges, "src", "dst", eps = 0L, maxIters = 60)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("side", "node").collect().map(_.toString).toSeq
+    val fixed = graft.ops.Graph.hitsInt(edges, "src", "dst",
+      iters = rounds)
+    assert(rows(ha) === rows(fixed),
+      "converged HITS diverged from the fixed form at the same round")
+    val onceMore = graft.ops.Graph.hitsInt(edges, "src", "dst",
+      iters = rounds + 1)
+    assert(rows(ha) === rows(onceMore), "not a true fixpoint")
+    val ex = intercept[IllegalStateException] {
+      // asymmetric weights need >1 round to settle from the uniform init
+      graft.ops.Graph.hitsIntConverged(
+        Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (3L, 12L))
+          .toDF("src", "dst"), "src", "dst", eps = 0L, maxIters = 1)
+    }
+    assert(ex.getMessage.contains("no convergence"))
+  }
+
   test("labelPropagateConverged: stabilizes at the no-change fixpoint, " +
       "equals the fixed form at its round count, loud when capped low") {
     // directed chain: labels creep one hop per round from the seed, so
