@@ -29,7 +29,8 @@ object SparkEntry {
       Pipeline2Queries.queries ++ Pipeline3Queries.queries ++
       Pipeline4Queries.queries ++ Pipeline5Queries.queries ++
       Pipeline6Queries.queries ++ Pipeline7Queries.queries ++
-      Pipeline8Queries.queries ++ Pipeline9Queries.queries
+      Pipeline8Queries.queries ++ Pipeline9Queries.queries ++
+      Pipeline10Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       Pipeline2Queries.oracles ++ Pipeline3Queries.oracles ++
       Pipeline4Queries.oracles ++ Pipeline5Queries.oracles ++
       Pipeline6Queries.oracles ++ Pipeline7Queries.oracles ++
-      Pipeline8Queries.oracles ++ Pipeline9Queries.oracles
+      Pipeline8Queries.oracles ++ Pipeline9Queries.oracles ++
+      Pipeline10Queries.oracles
 }

@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Similarity
+
+/** Round-8 batch 2: the codebook-TRAINING side of vector indexing.
+  * The serving paths have been graded since rounds 4–7 (ivfTopK,
+  * quantizedTopK, mmrRerank); their `centroids` input has so far been a
+  * hash sample. This batch grades learning it — integer Lloyd's k-means
+  * over the int8 sketch — plus product quantization (trained sub-space
+  * codebooks + asymmetric-distance top-k), the FAISS-style compression
+  * regime a 100 TB embedding corpus actually serves from.
+  *
+  * Everything is exact integer arithmetic on the quantized sketch, so
+  * the entire training trajectory (seeds → every assignment → every
+  * centroid update) replays bit-identically in DuckDB — the oracles
+  * below unroll the rounds as CTE layers, the same convention as the
+  * graph family's unrolled integer recurrences. */
+object Pipeline10Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 8      // kmeans cells
+  private val ITERS = 3  // kmeans Lloyd rounds
+  private val PQ_M = 8     // PQ subspaces (64 dims -> 8 per subspace)
+  private val PQ_K = 8     // PQ cells per subspace
+  private val PQ_ITERS = 2 // PQ Lloyd rounds
+  private val PQ_SD = 8    // PQ subDim = 64 / PQ_M
+
+  private def sketch(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(s, dir))
+
+  val queries: Map[String, Q] = Map(
+
+    "emb_kmeans" -> ((s, dir) => {
+      // integer Lloyd's k-means (k=8, 3 rounds, hash seeding): the
+      // graded surface is the FINAL ASSIGNMENT (vec_id, cell, dist2) —
+      // every vector's cell and exact integer squared distance, i.e.
+      // the full trajectory compressed into its observable outcome.
+      // Per round: corpus × broadcast k-row centroids, argmin as a hash
+      // aggregate (min(struct)), update partial-aggregated map-side —
+      // nothing scales with corpus size but the scan.
+      Similarity.kmeansInt8(sketch(s, dir), K, ITERS)
+        .assign.orderBy("vec_id")
+    }),
+
+    "emb_kmeans_codebook" -> ((s, dir) => {
+      // the learned codebook itself, exploded to (cell, d, v) rows —
+      // grading the centroid VALUES pins the update arithmetic (the
+      // truncated integer means) directly, not just through the
+      // assignment it induces.
+      Similarity.kmeansInt8(sketch(s, dir), K, ITERS)
+        .centroids
+        .select(col("cell"), posexplode(col("c_emb")).as(Seq("d0", "v")))
+        .select(col("cell"), (col("d0") + 1).cast("long").as("d"),
+          col("v"))
+        .orderBy("cell", "d")
+    }),
+
+    "emb_pq_codes" -> ((s, dir) => {
+      // product quantization encoding: m=8 trained subspace codebooks
+      // (2 Lloyd rounds each, one shared hash-seeding pass), every
+      // vector compressed to 8 codes — 64 int8 dims become 8 bytes.
+      // Graded surface: (vec_id, sub, code, dist2) — the full encoding
+      // plus each subspace's exact integer quantization error.
+      Similarity.pqTrainInt8(sketch(s, dir), m = PQ_M, ksub = PQ_K,
+          iters = PQ_ITERS)
+        .codes.orderBy("vec_id", "sub")
+    }),
+
+    "sim_pq_topk" -> ((s, dir) => {
+      // asymmetric-distance top-k (ADC): probes precompute their exact
+      // integer sub-distance tables to the trained codebook; the corpus
+      // ranks from its CODES alone — raw corpus vectors are never read
+      // at query time (the 100 TB serving regime: 8 B/vector + a
+      // broadcast KB codebook). Integer ADC distances make ids, ranks
+      // AND scores oracle-exact.
+      val pq = Similarity.pqTrainInt8(sketch(s, dir), m = PQ_M,
+        ksub = PQ_K, iters = PQ_ITERS)
+      Similarity.pqTopK(pq.codes, pq.codebook,
+          Tables.embeddings(s, dir).where(col("vec_id") % 50 === 0),
+          k = 5)
+        .orderBy("query_id", "rnk")
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // Oracle SQL: the k-means trajectory unrolled as CTE layers.
+  // ------------------------------------------------------------------
+
+  /** Unsigned 32-bit Java hash of `'salt' || vec_id` — the
+    * samp_bernoulli two-layer spelling (signed hash, then +2³² shift). */
+  private def seedHashCtes(salt: String): String =
+    s"""sk0 AS (SELECT vec_id, qv,
+       |  CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS qn,
+       |  ${PipelineQueries.javaHashSql(s"'$salt' || CAST(vec_id AS VARCHAR)")}
+       |    AS hh FROM qq),
+       |sk AS (SELECT vec_id, qv, qn,
+       |  CASE WHEN hh < 0 THEN hh + 4294967296 ELSE hh END AS hu
+       |  FROM sk0),
+       |idx AS (SELECT CAST(ii AS BIGINT) AS d
+       |        FROM unnest(range(1, 65)) AS t(ii))""".stripMargin
+
+  /** Assignment `ai` under centroids `ci`: exact integer dist², ties to
+    * the smaller cell — ROW_NUMBER mirrors kmAssign's min(struct). */
+  private def assignCte(ai: String, ci: String): String =
+    s"""$ai AS (SELECT vec_id, cell, dist2 FROM (
+       |  SELECT vec_id, cell, dist2,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY dist2, cell) AS rn
+       |  FROM (SELECT s.vec_id, c.cell,
+       |      s.qn
+       |        - 2 * CAST(list_sum(list_transform(list_zip(s.qv, c.cv),
+       |            z -> z[1] * z[2])) AS BIGINT)
+       |        + CAST(list_sum(list_transform(c.cv, v -> v * v))
+       |            AS BIGINT) AS dist2
+       |    FROM sk s CROSS JOIN $ci c) ) WHERE rn = 1)""".stripMargin
+
+  /** Centroid update `cn` from assignment `ai` over previous `cp`:
+    * per-dim truncated integer mean (BIGINT `//` mirrors Spark `div`),
+    * empty cells keep the previous centroid. */
+  private def updateCtes(ai: String, cp: String, cn: String): String =
+    s"""${cn}u AS (SELECT a.cell, i.d,
+       |    CAST(SUM(s.qv[i.d]) AS BIGINT) // COUNT(*) AS v
+       |  FROM $ai a JOIN sk s USING (vec_id), idx i
+       |  GROUP BY a.cell, i.d),
+       |$cn AS (SELECT p.cell, COALESCE(n.cv, p.cv) AS cv
+       |  FROM $cp p LEFT JOIN (SELECT cell, list(v ORDER BY d) AS cv
+       |    FROM ${cn}u GROUP BY cell) n USING (cell))""".stripMargin
+
+  /** The full unrolled training prefix: quantize → seed → `iters`
+    * (assign, update) rounds; exposes `c$iters` and final `a$iters`. */
+  private def kmeansCtes(k: Int, iters: Int, salt: String): String = {
+    val seed =
+      s"""${Pipeline7Queries.quantCtes},
+         |${seedHashCtes(salt)},
+         |sd AS (SELECT vec_id, qv, hu FROM sk
+         |       ORDER BY hu, vec_id LIMIT $k),
+         |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY hu, vec_id) - 1
+         |    AS BIGINT) AS cell, qv AS cv FROM sd)""".stripMargin
+    val rounds = (0 until iters).map { i =>
+      s"""${assignCte(s"a$i", s"c$i")},
+         |${updateCtes(s"a$i", s"c$i", s"c${i + 1}")}""".stripMargin
+    }
+    (Seq(seed) ++ rounds :+ assignCte(s"a$iters", s"c$iters"))
+      .mkString(",\n")
+  }
+
+  // ---- PQ oracle: the same trajectory with (sub, cell) keys --------
+
+  /** PQ assignment `ai` under codebook `ci` (sub-vector frame `svn`). */
+  private def pqAssignCte(ai: String, ci: String): String =
+    s"""$ai AS (SELECT vec_id, sub, cell, dist2 FROM (
+       |  SELECT vec_id, sub, cell, dist2,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY dist2, cell) AS rn
+       |  FROM (SELECT s.vec_id, s.sub, c.cell,
+       |      s.svn
+       |        - 2 * CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
+       |            z -> z[1] * z[2])) AS BIGINT)
+       |        + CAST(list_sum(list_transform(c.cv, v -> v * v))
+       |            AS BIGINT) AS dist2
+       |    FROM svn s JOIN $ci c ON s.sub = c.sub) ) WHERE rn = 1)"""
+      .stripMargin
+
+  /** PQ codebook update `cn` from assignment `ai` over previous `cp`. */
+  private def pqUpdateCtes(ai: String, cp: String, cn: String): String =
+    s"""${cn}u AS (SELECT a.sub, a.cell, i.d,
+       |    CAST(SUM(s.sv[i.d]) AS BIGINT) // COUNT(*) AS v
+       |  FROM $ai a JOIN svn s ON a.vec_id = s.vec_id AND a.sub = s.sub,
+       |    idx8 i
+       |  GROUP BY a.sub, a.cell, i.d),
+       |$cn AS (SELECT p.sub, p.cell, COALESCE(n.cv, p.cv) AS cv
+       |  FROM $cp p LEFT JOIN (SELECT sub, cell, list(v ORDER BY d) AS cv
+       |    FROM ${cn}u GROUP BY sub, cell) n
+       |  ON p.sub = n.sub AND p.cell = n.cell)""".stripMargin
+
+  /** Full unrolled PQ training prefix: quantize → sub-vectors → shared
+    * hash seeding → `iters` rounds; exposes `pc$iters` and `pa$iters`. */
+  private def pqCtes(m: Int, ksub: Int, subDim: Int, iters: Int,
+                     salt: String): String = {
+    val seed =
+      s"""${Pipeline7Queries.quantCtes},
+         |${seedHashCtes(salt)},
+         |subs AS (SELECT CAST(ss AS BIGINT) AS sub
+         |         FROM unnest(range(0, $m)) AS t(ss)),
+         |idx8 AS (SELECT CAST(ii AS BIGINT) AS d
+         |         FROM unnest(range(1, ${subDim + 1})) AS t(ii)),
+         |svn0 AS (SELECT s.vec_id, b.sub,
+         |    s.qv[b.sub*$subDim+1 : b.sub*$subDim+$subDim] AS sv
+         |  FROM sk s, subs b),
+         |svn AS (SELECT vec_id, sub, sv,
+         |    CAST(list_sum(list_transform(sv, v -> v * v)) AS BIGINT)
+         |      AS svn
+         |  FROM svn0),
+         |sd AS (SELECT vec_id, qv, hu FROM sk
+         |       ORDER BY hu, vec_id LIMIT $ksub),
+         |r0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY hu, vec_id) - 1
+         |    AS BIGINT) AS cell, qv FROM sd),
+         |pc0 AS (SELECT b.sub, r.cell,
+         |    r.qv[b.sub*$subDim+1 : b.sub*$subDim+$subDim] AS cv
+         |  FROM r0 r, subs b)""".stripMargin
+    val rounds = (0 until iters).map { i =>
+      s"""${pqAssignCte(s"pa$i", s"pc$i")},
+         |${pqUpdateCtes(s"pa$i", s"pc$i", s"pc${i + 1}")}""".stripMargin
+    }
+    (Seq(seed) ++ rounds :+ pqAssignCte(s"pa$iters", s"pc$iters"))
+      .mkString(",\n")
+  }
+
+  val oracles: Map[String, String] = Map(
+
+    "emb_kmeans" ->
+      s"""WITH ${kmeansCtes(K, ITERS, "km")}
+         |SELECT vec_id, cell, dist2 FROM a$ITERS
+         |ORDER BY vec_id""".stripMargin,
+
+    "emb_kmeans_codebook" ->
+      s"""WITH ${kmeansCtes(K, ITERS, "km")}
+         |SELECT cell, d, cv[d] AS v FROM c$ITERS, idx
+         |ORDER BY cell, d""".stripMargin,
+
+    "emb_pq_codes" ->
+      s"""WITH ${pqCtes(PQ_M, PQ_K, PQ_SD, PQ_ITERS, "pq")}
+         |SELECT vec_id, sub, cell AS code, dist2 FROM pa$PQ_ITERS
+         |ORDER BY vec_id, sub""".stripMargin,
+
+    "sim_pq_topk" ->
+      // ADC: probe sub-distance tables against the trained codebook,
+      // corpus ranked by summing m code lookups; ties to the smaller
+      // neighbor_id — all integers, so ids, ranks and adist hash-match
+      s"""WITH ${pqCtes(PQ_M, PQ_K, PQ_SD, PQ_ITERS, "pq")},
+         |pt AS (SELECT s.vec_id AS query_id, s.sub, c.cell,
+         |    s.svn
+         |      - 2 * CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
+         |          z -> z[1] * z[2])) AS BIGINT)
+         |      + CAST(list_sum(list_transform(c.cv, v -> v * v))
+         |          AS BIGINT) AS tdist
+         |  FROM svn s JOIN pc$PQ_ITERS c ON s.sub = c.sub
+         |  WHERE s.vec_id % 50 = 0),
+         |ad AS (SELECT t.query_id, a.vec_id AS neighbor_id,
+         |    CAST(SUM(t.tdist) AS BIGINT) AS adist
+         |  FROM pa$PQ_ITERS a
+         |  JOIN pt t ON a.sub = t.sub AND a.cell = t.cell
+         |  WHERE a.vec_id <> t.query_id
+         |  GROUP BY t.query_id, a.vec_id),
+         |rk AS (SELECT query_id, neighbor_id, adist,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adist, neighbor_id) AS rnk FROM ad)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
+         |FROM rk WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
+  )
+}

@@ -168,7 +168,7 @@ object Pipeline7Queries {
   /** The int8 quantizer CTEs, shared with Pipeline6's quantizedTopkOracle
     * convention: floor-based (IEEE-identical across engines), zero/NaN
     * vectors fenced on the max-abs BEFORE floor. */
-  private val quantCtes: String =
+  private[queries] val quantCtes: String =
     """mx AS (SELECT vec_id, embedding,
       |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
       |    AS ma FROM embeddings),

@@ -296,4 +296,42 @@ class PlanSpec extends SparkSuite {
       "coverage must broadcast the model into a semi-join:\n" +
         p.take(1500))
   }
+
+  test("emb_kmeans: centroids broadcast into the assignment (nested-" +
+      "loop over a k-row side), argmin is a hash aggregate — the corpus " +
+      "never sort-merge-joins or window-sorts") {
+    val df = q("emb_kmeans")
+    df.collect() // settle AQE
+    val p = plan(df)
+    // per-round assignment: corpus × broadcast k-row centroid frame
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroid frame must broadcast into the assignment:\n" +
+        p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-side shuffle join leaked into the kmeans plan:\n" +
+        p.take(1500))
+    // the per-vector argmin is min(struct(...)) — a hash aggregate,
+    // never a row_number window (which would sort every partition)
+    assert(!p.contains("RunningWindowFunction") &&
+      !p.contains("Window"),
+      "argmin must be a hash aggregate, not a sort window:\n" +
+        p.take(1500))
+  }
+
+  test("sim_pq_topk: the probe distance TABLE broadcasts into the " +
+      "codes join — the corpus codes never sort-merge-join, and the " +
+      "(query, vector) ADC sums partial-aggregate before the exchange") {
+    val df = q("sim_pq_topk")
+    df.collect() // settle AQE
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      "probe table must broadcast into the ADC lookup:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-side shuffle join leaked into the ADC plan:\n" +
+        p.take(1500))
+    // the m-lookups-per-vector sum collapses map-side before shuffling
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      "ADC sum must partial-aggregate before the exchange:\n" +
+        p.take(1500))
+  }
 }

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Round-8 batch-2 operators: integer Lloyd's k-means (the codebook-
+  * training half of IVF/PQ) — the invariants the parquet oracle can't
+  * state: the empty-cluster guard, partitioning invariance of the full
+  * trajectory, convergence-fixpoint semantics, and the loud
+  * non-convergence path. */
+class Round10Spec extends SparkSuite {
+  import spark.implicits._
+
+  private def mkSketch(rows: Seq[(Long, Seq[Long])]) = {
+    val df = rows.toDF("vec_id", "q_emb")
+    df.withColumn("q_norm",
+      aggregate(col("q_emb"), lit(0L), (a, x) => a + x * x))
+  }
+
+  test("kmeans: an emptied cell keeps its previous centroid (empty-" +
+      "cluster guard), and the codebook always has k cells") {
+    // two IDENTICAL vectors: both seed cells start at the same point, so
+    // every vector assigns to the lower cell id and the other cell
+    // receives no members on the first update — it must keep its seed
+    // centroid, not vanish or go null
+    val sk = mkSketch(Seq(
+      (1L, Seq(10L, 0L)), (2L, Seq(10L, 0L)), (3L, Seq(0L, 50L))))
+    val km = Similarity.kmeansInt8(sk, k = 3, iters = 2)
+    val cents = km.centroids.orderBy("cell")
+      .select("cell", "c_emb").as[(Long, Seq[Long])].collect()
+    assert(cents.length === 3, s"codebook lost a cell: ${cents.toSeq}")
+    // the duplicate-seeded pair: one of the two cells seeded at (10,0)
+    // emptied; its centroid must still be exactly the seed vector
+    assert(cents.count(_._2 == Seq(10L, 0L)) >= 1,
+      s"emptied cell lost its seed centroid: ${cents.toSeq}")
+    // every vector still assigned, dist2 exact
+    val a = km.assign.orderBy("vec_id")
+      .as[(Long, Long, Long)].collect()
+    assert(a.length === 3)
+    assert(a.forall(_._3 >= 0L), s"negative dist2: ${a.toSeq}")
+    // the identical pair lands in the same cell (ties break to the
+    // smaller cell id for BOTH, deterministically)
+    assert(a(0)._2 === a(1)._2, s"identical vectors split: ${a.toSeq}")
+  }
+
+  test("kmeans: trajectory is invariant under input partitioning " +
+      "(integer argmin + integer means commute with merge order)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = Similarity.kmeansInt8(
+      Similarity.quantizeInt8(emb), k = 4, iters = 2)
+    val shuffled = Similarity.kmeansInt8(
+      Similarity.quantizeInt8(emb.repartition(7, col("label"))),
+      k = 4, iters = 2)
+    assert(base.assign.orderBy("vec_id").collect().toSeq ===
+      shuffled.assign.orderBy("vec_id").collect().toSeq)
+    assert(base.centroids.orderBy("cell").collect().toSeq ===
+      shuffled.centroids.orderBy("cell").collect().toSeq)
+  }
+
+  test("kmeans: iters=0 returns the hash-seeded codebook itself") {
+    val sk = Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))
+    val km = Similarity.kmeansInt8(sk, k = 5, iters = 0)
+    val cents = km.centroids.select("cell", "c_emb")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(cents.keySet === (0L until 5L).toSet)
+    // each seed centroid is an actual corpus sketch vector
+    val all = sk.select("q_emb").as[Seq[Long]].collect().toSet
+    assert(cents.values.forall(all.contains),
+      "seed centroid is not a corpus vector")
+  }
+
+  test("kmeansInt8Converged: equals the fixed-iteration form at the " +
+      "convergence round, and the result is a true fixpoint") {
+    val sk = Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))
+      .localCheckpoint()
+    val conv = Similarity.kmeansInt8Converged(sk, k = 4, maxIters = 60)
+    // find the round where the fixed form first matches the fixpoint
+    val convA = conv.assign.orderBy("vec_id").collect().toSeq
+    val matchRound = (1 to 60).find { i =>
+      Similarity.kmeansInt8(sk, k = 4, iters = i)
+        .assign.orderBy("vec_id").collect().toSeq == convA
+    }
+    assert(matchRound.nonEmpty, "no fixed-iteration round matches")
+    // fixpoint: one more Lloyd round changes nothing
+    val more = Similarity.kmeansInt8(sk, k = 4,
+      iters = matchRound.get + 1)
+    assert(more.assign.orderBy("vec_id").collect().toSeq === convA,
+      "assignment still moving after claimed convergence")
+  }
+
+  test("kmeansInt8Converged fails LOUDLY when maxIters is too small") {
+    val sk = Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))
+    val e = intercept[IllegalStateException] {
+      Similarity.kmeansInt8Converged(sk, k = 8, maxIters = 1)
+    }
+    assert(e.getMessage.contains("no fixpoint"), e.getMessage)
+  }
+
+  test("pq: encode-after-train reproduces the training assignment, and " +
+      "the trajectory is partitioning-invariant") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val pq = Similarity.pqTrainInt8(Similarity.quantizeInt8(emb),
+      m = 8, ksub = 4, iters = 2)
+    val enc = Similarity.pqEncode(Similarity.quantizeInt8(emb),
+      pq.codebook, m = 8)
+    assert(pq.codes.orderBy("vec_id", "sub").collect().toSeq ===
+      enc.orderBy("vec_id", "sub").collect().toSeq,
+      "pqEncode against the trained codebook must equal train's codes")
+    val shuffled = Similarity.pqTrainInt8(
+      Similarity.quantizeInt8(emb.repartition(7, col("label"))),
+      m = 8, ksub = 4, iters = 2)
+    assert(pq.codes.orderBy("vec_id", "sub").collect().toSeq ===
+      shuffled.codes.orderBy("vec_id", "sub").collect().toSeq)
+  }
+
+  test("pq: Lloyd rounds do not worsen total quantization error on the " +
+      "fixtures, and every vector gets exactly m codes in range") {
+    val sk = Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))
+      .localCheckpoint()
+    def err(iters: Int): Long =
+      Similarity.pqTrainInt8(sk, m = 8, ksub = 8, iters = iters)
+        .codes.agg(sum("dist2")).as[Long].head()
+    val e0 = err(0); val e2 = err(2)
+    assert(e2 <= e0, s"training increased error: $e0 -> $e2")
+    val codes = Similarity.pqTrainInt8(sk, m = 8, ksub = 8, iters = 1)
+      .codes.localCheckpoint()
+    val n = sk.count()
+    assert(codes.count() === n * 8)
+    assert(codes.where(col("code") < 0 || col("code") >= 8).isEmpty,
+      "code out of range")
+    assert(codes.where(col("dist2") < 0).isEmpty, "negative dist2")
+  }
+
+  test("pq ADC: adist telescopes — it equals the sum over subspaces of " +
+      "the probe-to-assigned-cell integer sub-distances") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val sk = Similarity.quantizeInt8(emb).localCheckpoint()
+    val pq = Similarity.pqTrainInt8(sk, m = 8, ksub = 8, iters = 2)
+    val probes = emb.where(col("vec_id") % 100 === 0)
+    val top = Similarity.pqTopK(pq.codes, pq.codebook, probes, k = 3)
+      .localCheckpoint()
+    // recompute one (query, neighbor) ADC distance by hand
+    val (qid, nid, adist) = top.orderBy("query_id", "rnk")
+      .select("query_id", "neighbor_id", "adist")
+      .as[(Long, Long, Long)].head()
+    val psv = sk.where(col("vec_id") === qid)
+      .select(col("q_emb")).as[Seq[Long]].head()
+    val ncodes = pq.codes.where(col("vec_id") === nid)
+      .orderBy("sub").select("code").as[Long].collect()
+    val cb = pq.codebook.select("sub", "cell", "c_emb")
+      .as[(Long, Long, Seq[Long])].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    val manual = (0 until 8).map { s =>
+      val pv = psv.slice(s * 8, s * 8 + 8)
+      val cv = cb((s.toLong, ncodes(s)))
+      pv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sum
+    assert(manual === adist, s"ADC mismatch: manual=$manual got=$adist")
+  }
+}
