@@ -503,4 +503,83 @@ object Graph {
       .select(col("item"), col("co_item"), col("n_co"),
         col("rnk").cast("long").as("rnk"))
   }
+
+  /** Per-vertex triangle counts over an UNDIRECTED simple graph — the
+    * clustering-coefficient / community-density primitive (a link graph
+    * with many triangles is a community; one with none is a spam farm —
+    * the classic quality prior alongside PageRank). Input edges are
+    * canonicalized first: direction ignored, self-loops and duplicate
+    * edges dropped.
+    *
+    * Algorithm: degree-ordered orientation (Chiba–Nishizeki / the
+    * standard MapReduce triangle count): each undirected edge is
+    * oriented from its lower-(degree, id) endpoint to its higher one,
+    * wedges are enumerated at the LOWEST-ordERED apex only, and a wedge
+    * closes iff its outer pair is an edge. Every triangle is found
+    * exactly once, and the wedge space is Σ_v outdeg(v)² with outdeg
+    * bounded by O(√E) under this orientation — the reason this scales
+    * where the naive Σ deg² wedge count detonates on hubs: a
+    * 10⁶-degree hub generates ZERO wedges if all its neighbors out-rank
+    * it. All joins are equi-joins on vertex ids (shuffle-partitionable);
+    * nothing is ever collected.
+    *
+    * @return (node, n_tri) for EVERY vertex of the canonical edge set,
+    *         zeros included
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    // canonical unordered edge (lo, hi): referenced by the wedge build
+    // AND the closure join AND the vertex set — pin it once
+    val canon = e0
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+      .localCheckpoint()
+    val deg = canon
+      .select(explode(array(col("lo"), col("hi"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orientation u → v iff (deg(u), u) < (deg(v), v): total order, so
+    // exactly one direction per edge; carry the order key of the HEAD
+    // so the wedge can order its two outer endpoints without re-joining
+    // degrees
+    val or = canon
+      .join(deg.select(col("v").as("lo"), col("deg").as("dlo")), "lo")
+      .join(deg.select(col("v").as("hi"), col("deg").as("dhi")), "hi")
+      .select(
+        when(struct(col("dlo"), col("lo")) < struct(col("dhi"), col("hi")),
+          col("lo")).otherwise(col("hi")).as("u"),
+        when(struct(col("dlo"), col("lo")) < struct(col("dhi"), col("hi")),
+          col("hi")).otherwise(col("lo")).as("v"),
+        when(struct(col("dlo"), col("lo")) < struct(col("dhi"), col("hi")),
+          struct(col("dhi").as("d"), col("hi").as("n")))
+          .otherwise(struct(col("dlo").as("d"), col("lo").as("n")))
+          .as("vord"))
+      .localCheckpoint()
+    // wedges at the lowest-ordered apex: (u→y, u→z) with y before z in
+    // the degree order — each triangle's apex generates its one wedge
+    val e1 = or.select(col("u"), col("v").as("y"), col("vord").as("yo"))
+    val e2 = or.select(col("u"), col("v").as("z"), col("vord").as("zo"))
+    val wedges = e1.join(e2, Seq("u"))
+      .where(col("yo") < col("zo"))
+      .select(col("u"), col("y"), col("z"))
+    // closure: the outer pair {y, z} is an edge (canonical form again)
+    val tri = wedges.join(canon,
+        least(col("y"), col("z")) === col("lo") &&
+          greatest(col("y"), col("z")) === col("hi"),
+        "left_semi")
+      .localCheckpoint() // referenced 3× by the per-vertex explode
+    val perVertex = tri
+      .select(explode(array(col("u"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    canon.select(explode(array(col("lo"), col("hi"))).as("node"))
+      .distinct()
+      .join(perVertex, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
 }

@@ -70,6 +70,25 @@ object Pipeline10Queries {
         .codes.orderBy("vec_id", "sub")
     }),
 
+    "graph_triangles" -> ((s, dir) => {
+      // per-vertex triangle counts on the supplier co-order graph
+      // (suppliers sharing an order, the graph_cooccur projection) —
+      // the community-density / clustering-coefficient numerator.
+      // Degree-ordered orientation: wedges enumerate at the lowest-
+      // ordered apex only, so hubs generate no wedge blow-up; zeros
+      // are reported (a vertex with no triangles is a signal, not a
+      // missing row).
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("g"), col("l_suppkey").as("v"))
+        .distinct()
+      val edges = base.select(col("g"), col("v").as("a"))
+        .join(base.select(col("g"), col("v").as("b")), "g")
+        .where(col("a") < col("b"))
+        .select("a", "b")
+      graft.ops.Graph.triangleCounts(edges, "a", "b")
+        .orderBy("node")
+    }),
+
     "sim_pq_topk" -> ((s, dir) => {
       // asymmetric-distance top-k (ADC): probes precompute their exact
       // integer sub-distance tables to the trained codebook; the corpus
@@ -221,6 +240,27 @@ object Pipeline10Queries {
       s"""WITH ${kmeansCtes(K, ITERS, "km")}
          |SELECT cell, d, cv[d] AS v FROM c$ITERS, idx
          |ORDER BY cell, d""".stripMargin,
+
+    "graph_triangles" ->
+      // id-ordered triple enumeration (x<y<z) — finds the same triangle
+      // set as the degree-ordered orientation, so per-vertex counts
+      // match; zeros come from the vertex-set left join
+      """WITH base AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS v
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.v AS lo, b.v AS hi
+        |  FROM base a JOIN base b ON a.g = b.g AND a.v < b.v),
+        |tri AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+        |  JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+        |tv AS (SELECT node, COUNT(*) AS n_tri FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri) GROUP BY node),
+        |verts AS (SELECT lo AS node FROM e UNION SELECT hi FROM e)
+        |SELECT v.node, COALESCE(t.n_tri, CAST(0 AS BIGINT)) AS n_tri
+        |FROM verts v LEFT JOIN tv t ON v.node = t.node
+        |ORDER BY v.node""".stripMargin,
 
     "emb_pq_codes" ->
       s"""WITH ${pqCtes(PQ_M, PQ_K, PQ_SD, PQ_ITERS, "pq")}

@@ -157,4 +157,32 @@ class Round10Spec extends SparkSuite {
     }.sum
     assert(manual === adist, s"ADC mismatch: manual=$manual got=$adist")
   }
+
+  private def triCounts(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    graft.ops.Graph.triangleCounts(
+        edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("triangles: K4 has every vertex in 3 triangles; a path has " +
+      "none; direction, duplicates and self-loops are ignored") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    assert(triCounts(k4) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(triCounts(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ===
+      Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    // same K4 with reversed duplicates and a self-loop mixed in
+    val messy = k4 ++ k4.map(_.swap) ++ Seq((2L, 2L))
+    assert(triCounts(messy) === triCounts(k4))
+  }
+
+  test("triangles: a star (pure hub) has none — the degree orientation " +
+      "generates no wedges at the hub — and a hub closed by one rim " +
+      "edge yields exactly one triangle") {
+    val star = (2L to 9L).map(v => (1L, v))
+    assert(triCounts(star).values.forall(_ == 0L))
+    val closed = star :+ (2L, 3L)
+    val c = triCounts(closed)
+    assert(c(1L) === 1L && c(2L) === 1L && c(3L) === 1L &&
+      (4L to 9L).forall(c(_) == 0L), c.toString)
+  }
 }
