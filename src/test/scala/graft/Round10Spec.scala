@@ -185,4 +185,67 @@ class Round10Spec extends SparkSuite {
     assert(c(1L) === 1L && c(2L) === 1L && c(3L) === 1L &&
       (4L to 9L).forall(c(_) == 0L), c.toString)
   }
+
+  test("kCore: a pendant chain peels one vertex per round into the " +
+      "triangle core; the fixed form converges to the true 2-core") {
+    // triangle {1,2,3} + chain 3-4-5-6: at k=2 the chain tip peels one
+    // vertex per round (6, then 5, then 4) — a genuinely multi-round
+    // peel — leaving the triangle, where everyone keeps degree 2
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L)).toDF("a", "b")
+    def surv(rounds: Int): Map[Long, Long] =
+      graft.ops.Graph.kCore(g, "a", "b", k = 2, rounds = rounds)
+        .as[(Long, Long)].collect().toMap
+    assert(surv(0).keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(surv(1).keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(surv(2).keySet === Set(1L, 2L, 3L, 4L))
+    assert(surv(3) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    val conv = graft.ops.Graph.kCoreConverged(g, "a", "b", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(conv === surv(3), "converged core != fixed-round fixpoint")
+    // every survivor of the CONVERGED core has degree >= k
+    assert(conv.values.forall(_ >= 2L))
+  }
+
+  test("kCoreConverged matches the fixed form's fixpoint on the " +
+      "co-order fixture and fails LOUDLY when capped") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = li.select(col("g"), col("p").as("lo"))
+      .join(li.select(col("g"), col("p").as("hi")), "g")
+      .where(col("lo") < col("hi"))
+      .groupBy("lo", "hi").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).select("lo", "hi")
+      .localCheckpoint()
+    // k=20 peels multi-round at sf0.001 (the 20-core is empty, reached
+    // through 3 shrinking rounds — a genuine cascade)
+    val conv = graft.ops.Graph.kCoreConverged(edges, "lo", "hi", k = 20)
+      .orderBy("node").collect().toSeq
+    // the converged core is a fixpoint of the fixed form: find it
+    val r = (1 to 50).find { i =>
+      graft.ops.Graph.kCore(edges, "lo", "hi", k = 20, rounds = i)
+        .orderBy("node").collect().toSeq == conv
+    }
+    assert(r.nonEmpty, "no fixed-round prefix reaches the converged core")
+    val e = intercept[IllegalStateException] {
+      graft.ops.Graph.kCoreConverged(edges, "lo", "hi", k = 20,
+        maxRounds = 1)
+    }
+    assert(e.getMessage.contains("no fixpoint"), e.getMessage)
+  }
+
+  test("ivfTopKInt8 with nprobe = k-cells degenerates to the exact " +
+      "quantized brute-force ranking (recall 1 when probing all cells)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val sk = Similarity.quantizeInt8(emb).localCheckpoint()
+    val km = Similarity.kmeansInt8(sk, k = 4, iters = 2)
+    val probes = emb.where(col("vec_id") % 100 === 0)
+    val ivf = Similarity.ivfTopKInt8(sk, km.centroids, probes,
+      k = 5, nprobe = 4)
+    val brute = Similarity.quantizedTopKOnSketch(sk, probes, 5)
+    assert(ivf.orderBy("query_id", "rnk").collect().toSeq ===
+      brute.orderBy("query_id", "rnk").collect().toSeq,
+      "all-cells IVF must equal the brute-force quantized ranking")
+  }
 }
