@@ -182,7 +182,27 @@ object ExplainDump {
         "over an encoded (hash desc, pos asc) long key, then a distinct " +
         "— gram hashing and the window both stay in codegen; the only " +
         "exchanges are the per-doc window partition and the final " +
-        "fingerprint join-back.")
+        "fingerprint join-back."),
+    "emb_kmeans" ->
+      ("Integer Lloyd's k-means: every round's assignment is the corpus " +
+        "× a BroadcastNestedLoopJoin over the k-row pinned codebook, " +
+        "argmin as min(struct) — a partial-then-final hash aggregate, " +
+        "never a sort window; the update's (cell, dim) sums collapse " +
+        "map-side. Nothing in the plan scales with corpus size except " +
+        "the scan itself — the codebook is KB-sized at any k·d."),
+    "sim_pq_topk" ->
+      ("ADC serving: the probe distance table broadcasts into the " +
+        "cell-keyed code join; the corpus side carries only (vec_id, " +
+        "sub, code) — 8 B/vector — and the per-(query, vector) lookup " +
+        "sums partial-aggregate before the exchange. Raw corpus vectors " +
+        "appear nowhere in the serving plan."),
+    "graph_triangles" ->
+      ("Degree-ordered triangle counting: canonical edges pin once and " +
+        "feed the orientation join, the apex self-join, and the closure " +
+        "semi-join — all equi-joins on vertex ids. The wedge explosion " +
+        "is bounded by Σ outdeg² with outdeg O(√E) under the " +
+        "orientation: a mega-hub out-ranks its neighbors and generates " +
+        "zero wedges.")
   )
 
   def main(args: Array[String]): Unit = {

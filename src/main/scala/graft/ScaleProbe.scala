@@ -33,6 +33,8 @@ object ScaleProbe {
     if (args.headOption.contains("pagerank")) { pagerankProbe(args); return }
     if (args.headOption.contains("pagerankconv")) {
       pagerankConvProbe(args); return }
+    if (args.headOption.contains("kmeans")) { kmeansProbe(args); return }
+    if (args.headOption.contains("tri")) { triangleProbe(args); return }
     val targetRows = args.headOption.map(_.toLong).getOrElse(20000000L)
     val deltaRows = args.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -846,6 +848,97 @@ object ScaleProbe {
     }
     require(w4 / w1 < 8.0,
       f"4x data cost ${w4 / w1}%.1fx wall — superlinear scaling")
+    spark.stop()
+  }
+
+  /** Decade point for codebook training + PQ encoding: synthetic int8
+    * sketches at n and 4n vectors, k-means (k=16, 2 rounds) and PQ
+    * (m=8, ksub=16, 1 round) + encode. Per-round cost is one corpus
+    * scan × broadcast codebook + a partial-aggregated update, so wall
+    * must stay near-linear in the corpus. */
+  private def kmeansProbe(args: Array[String]): Unit = {
+    val n = args.drop(1).headOption.map(_.toLong).getOrElse(200000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.expr.GraftFunctions.register(spark)
+    val ll = graft.expr.GraftFunctions.dot_ll _
+    def sketch(sz: Long) = spark.range(sz)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          pmod(col("id") * (j + 13) + j * lit(7919), lit(255)) - 127)
+          .as("q_emb"))
+      .withColumn("q_norm", ll(col("q_emb"), col("q_emb")))
+    def run(sz: Long): (Double, Double) = {
+      val sk = sketch(sz).localCheckpoint()
+      val t0 = System.nanoTime()
+      val km = ops.Similarity.kmeansInt8(sk, k = 16, iters = 2)
+      km.assign.groupBy("cell").count().collect()
+      val wKm = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val pq = ops.Similarity.pqTrainInt8(sk, m = 8, ksub = 16,
+        iters = 1)
+      pq.codes.groupBy("sub", "code").count().collect()
+      val wPq = (System.nanoTime() - t1) / 1e9
+      (wKm, wPq)
+    }
+    val (km1, pq1) = run(n)
+    val (km4, pq4) = run(n * 4)
+    println(f"[kmeans] n=$n%d km=$km1%.1fs pq=$pq1%.1fs | 4x " +
+      f"km=$km4%.1fs (${km4 / km1}%.1fx) pq=$pq4%.1fs (${pq4 / pq1}%.1fx)")
+    require(km4 / km1 < 8.0 && pq4 / pq1 < 8.0,
+      f"4x data cost km ${km4 / km1}%.1fx / pq ${pq4 / pq1}%.1fx wall " +
+        "— superlinear scaling")
+    spark.stop()
+  }
+
+  /** Decade point for triangle counting + k-core: the pagerank probe's
+    * constant-out-degree synthetic graph (wedge space Σ outdeg² grows
+    * linearly when degrees are bounded — the degree-ordered orientation
+    * keeps it that way even with hubs). */
+  private def triangleProbe(args: Array[String]): Unit = {
+    val n = args.drop(1).headOption.map(_.toLong).getOrElse(300000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def edges(sz: Long) = spark.range(2, sz)
+      .select(col("id").as("src"),
+        explode(array(greatest((col("id") / 2).cast("long"), lit(2L)) +:
+          (1 to 7).map(k => pmod(col("id") * (2 * k + 1) + k * 7919,
+            lit(sz - 2)) + 2): _*)).as("dst"))
+      .where(col("dst") =!= col("src"))
+    def run(sz: Long): (Long, Double, Double) = {
+      val e = edges(sz).localCheckpoint()
+      val t0 = System.nanoTime()
+      val nTri = ops.Graph.triangleCounts(e, "src", "dst")
+        .agg(sum("n_tri")).head.getLong(0) / 3
+      val wTri = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      ops.Graph.kCore(e, "src", "dst", k = 8, rounds = 3)
+        .agg(count(lit(1))).collect()
+      val wCore = (System.nanoTime() - t1) / 1e9
+      (nTri, wTri, wCore)
+    }
+    val (t1c, w1, c1) = run(n)
+    val (t4c, w4, c4) = run(n * 4)
+    println(f"[tri] n=$n%d triangles=$t1c%d tri=$w1%.1fs core=$c1%.1fs " +
+      f"| 4x triangles=$t4c%d tri=$w4%.1fs (${w4 / w1}%.1fx) " +
+      f"core=$c4%.1fs (${c4 / c1}%.1fx)")
+    require(w4 / w1 < 8.0 && c4 / c1 < 8.0,
+      f"4x data cost tri ${w4 / w1}%.1fx / core ${c4 / c1}%.1fx wall " +
+        "— superlinear scaling")
     spark.stop()
   }
 

@@ -143,6 +143,68 @@ object TextOps {
       .select(col(idCol), col("rnk"), col("term"), col("score"))
   }
 
+  /** C4-style global span deduplication (Raffel et al., JMLR 2020 §2.2:
+    * "we discarded all but one of any three-sentence span occurring more
+    * than once in the data set" — token spans stand in for sentence
+    * spans on the fixtures): every occurrence of an n-token span with
+    * corpus occurrence count > 1 is REMOVED except the globally first
+    * (smallest (doc_id, start)); each document is rewritten with the
+    * covered token positions dropped and the survivors re-joined in
+    * order. The detection family (minhash / winnow / simhash) SELECTS
+    * documents — this is the other half of the dedup story, the
+    * operator that REWRITES them.
+    *
+    * Determinism: the keeper is a pure function of the corpus (min
+    * (doc_id, start) per span — a hash aggregate, no sort window), and
+    * position-set union commutes, so the rewritten text is
+    * engine-exact. Scale: span counting is explode → map-side partial
+    * agg; the flagged-occurrence join is keyed on the span hashable
+    * string and LINEAR in occurrences (a span repeated 10⁶ times costs
+    * 10⁶ rows, never 10¹² pairs — no candidate blow-up exists in this
+    * operator, unlike pair-generating dedup); the rebuild's per-doc
+    * collect is bounded by document length.
+    *
+    * @return (idCol, text) — every input document, rewritten (possibly
+    *         to the empty string)
+    */
+  def dropRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("j", "tok")))
+    // positional n-gram occurrences (0-based start): NOT [[shingles]],
+    // which is distinct and position-free by design
+    val grams = bind(tokens(col(textCol))) { ws =>
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws("_", slice(ws, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val occ = docs.select(col(idCol).as("doc_id"),
+      posexplode(grams).as(Seq("p", "g")))
+    val agg = occ.groupBy("g")
+      .agg(count(lit(1)).as("df"),
+        min(struct(col("doc_id"), col("p"))).as("keep"))
+      .where(col("df") > 1)
+    val dropPos = occ.join(agg, Seq("g"))
+      .where(!(col("doc_id") === col("keep.doc_id") &&
+        col("p") === col("keep.p")))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (n - 1))).as("j"))
+      .distinct()
+    val rebuilt = toks.join(dropPos, Seq("doc_id", "j"), "left_anti")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("j"), col("tok"))))
+        .as("jt"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("jt"), x => x.getField("tok")))
+          .as("text"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** n-gram word shingles (distinct), the dedup/similarity unit.
     * transform over an index range keeps it codegen-friendly. Guarded for
     * docs shorter than n (sequence() would flip descending). */

@@ -129,6 +129,38 @@ object Pipeline10Queries {
         .orderBy("node")
     }),
 
+    "txt_span_dedup" -> ((s, dir) => {
+      // C4's signature REWRITE stage (all-but-one removal of every
+      // repeated 3-token span, token spans standing in for sentence
+      // spans): the detection family selects documents, this one edits
+      // them. Keeper = globally-first occurrence — a hash aggregate;
+      // the whole rewrite is linear in occurrences (no pair space).
+      graft.ops.TextOps.dropRepeatedSpans(Tables.documents(s, dir),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    "sim_recall_pq" -> ((s, dir) => {
+      // observability for the 8-byte compression trade: per-probe
+      // overlap of the PQ/ADC top-5 with the exact float top-5 —
+      // completes the measured-recall set (LSH / quantized / PQ).
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.where(col("vec_id") % 50 === 0)
+      val exact = Similarity.bruteForceTopK(emb, probes, 5)
+        .select("query_id", "neighbor_id")
+      val pq = Similarity.pqTrainInt8(sketch(s, dir), m = PQ_M,
+        ksub = PQ_K, iters = PQ_ITERS)
+      val adc = Similarity.pqTopK(pq.codes, pq.codebook, probes, 5)
+        .select("query_id", "neighbor_id")
+      val common = exact.join(adc, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n"))
+      exact.select("query_id").distinct()
+        .join(common, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n"), lit(0L)).as("n_common"))
+        .orderBy("query_id")
+    }),
+
     "sim_pq_topk" -> ((s, dir) => {
       // asymmetric-distance top-k (ADC): probes precompute their exact
       // integer sub-distance tables to the trained codebook; the corpus
@@ -368,30 +400,77 @@ object Pipeline10Queries {
          |SELECT vec_id, sub, cell AS code, dist2 FROM pa$PQ_ITERS
          |ORDER BY vec_id, sub""".stripMargin,
 
-    "sim_pq_topk" ->
-      // ADC: probe sub-distance tables against the trained codebook,
-      // corpus ranked by summing m code lookups; ties to the smaller
-      // neighbor_id — all integers, so ids, ranks and adist hash-match
-      s"""WITH ${pqCtes(PQ_M, PQ_K, PQ_SD, PQ_ITERS, "pq")},
-         |pt AS (SELECT s.vec_id AS query_id, s.sub, c.cell,
-         |    s.svn
-         |      - 2 * CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
-         |          z -> z[1] * z[2])) AS BIGINT)
-         |      + CAST(list_sum(list_transform(c.cv, v -> v * v))
-         |          AS BIGINT) AS tdist
-         |  FROM svn s JOIN pc$PQ_ITERS c ON s.sub = c.sub
-         |  WHERE s.vec_id % 50 = 0),
-         |ad AS (SELECT t.query_id, a.vec_id AS neighbor_id,
-         |    CAST(SUM(t.tdist) AS BIGINT) AS adist
-         |  FROM pa$PQ_ITERS a
-         |  JOIN pt t ON a.sub = t.sub AND a.cell = t.cell
-         |  WHERE a.vec_id <> t.query_id
-         |  GROUP BY t.query_id, a.vec_id),
-         |rk AS (SELECT query_id, neighbor_id, adist,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY adist, neighbor_id) AS rnk FROM ad)
-         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
-         |FROM rk WHERE rnk <= 5
-         |ORDER BY query_id, rnk""".stripMargin
+    "txt_span_dedup" ->
+      // the keeper is min(doc_id, start) per span — spelled as a
+      // ROW_NUMBER here (rn >= 2 ⟺ flagged: non-keeper occurrence of a
+      // df>1 span); drop-position union via unnest(range(p, p+3))
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, CAST(ii - 1 AS BIGINT) AS j, ws[ii] AS tok
+        |  FROM t, unnest(range(1, len(ws) + 1)) AS u(ii)),
+        |occ AS (SELECT doc_id, CAST(ii - 1 AS BIGINT) AS p,
+        |    ws[ii] || '_' || ws[ii+1] || '_' || ws[ii+2] AS g
+        |  FROM t, unnest(range(1, len(ws) - 1)) AS u(ii)
+        |  WHERE len(ws) >= 3),
+        |fl AS (SELECT doc_id, p FROM (
+        |    SELECT doc_id, p,
+        |      ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+        |    FROM occ) WHERE rn >= 2),
+        |dp AS (SELECT DISTINCT doc_id, j FROM (
+        |    SELECT doc_id, unnest(range(p, p + 3)) AS j FROM fl)),
+        |kept AS (SELECT tok.doc_id, tok.j, tok.tok FROM tok
+        |  LEFT JOIN dp ON tok.doc_id = dp.doc_id AND tok.j = dp.j
+        |  WHERE dp.j IS NULL),
+        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(reb.text, '') AS text
+        |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "sim_pq_topk" -> pqTopkOracle,
+
+    "sim_recall_pq" -> {
+      // composed from the two graded rankings' own oracles (the
+      // sim_recall_quantized pattern) — PQ completes the measured-
+      // recall set: exact / LSH / quantized / PQ
+      val ex = PipelineQueries.oracles("sim_cosine_topk")
+      s"""WITH ex AS ($ex),
+         |pqr AS ($pqTopkOracle),
+         |p AS (SELECT DISTINCT query_id FROM ex),
+         |c AS (SELECT ex.query_id, COUNT(*) AS n FROM ex
+         |  JOIN pqr ON ex.query_id = pqr.query_id
+         |    AND ex.neighbor_id = pqr.neighbor_id
+         |  GROUP BY ex.query_id)
+         |SELECT p.query_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_common
+         |FROM p LEFT JOIN c ON p.query_id = c.query_id
+         |ORDER BY p.query_id""".stripMargin
+    }
   )
+
+  /** ADC: probe sub-distance tables against the trained codebook,
+    * corpus ranked by summing m code lookups; ties to the smaller
+    * neighbor_id — all integers, so ids, ranks and adist hash-match.
+    * (lazy: referenced from `oracles` during its initialization.) */
+  private lazy val pqTopkOracle: String =
+    s"""WITH ${pqCtes(PQ_M, PQ_K, PQ_SD, PQ_ITERS, "pq")},
+       |pt AS (SELECT s.vec_id AS query_id, s.sub, c.cell,
+       |    s.svn
+       |      - 2 * CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
+       |          z -> z[1] * z[2])) AS BIGINT)
+       |      + CAST(list_sum(list_transform(c.cv, v -> v * v))
+       |          AS BIGINT) AS tdist
+       |  FROM svn s JOIN pc$PQ_ITERS c ON s.sub = c.sub
+       |  WHERE s.vec_id % 50 = 0),
+       |ad AS (SELECT t.query_id, a.vec_id AS neighbor_id,
+       |    CAST(SUM(t.tdist) AS BIGINT) AS adist
+       |  FROM pa$PQ_ITERS a
+       |  JOIN pt t ON a.sub = t.sub AND a.cell = t.cell
+       |  WHERE a.vec_id <> t.query_id
+       |  GROUP BY t.query_id, a.vec_id),
+       |rk AS (SELECT query_id, neighbor_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adist, neighbor_id) AS rnk FROM ad)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
+       |FROM rk WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
 }

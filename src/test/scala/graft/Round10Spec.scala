@@ -235,6 +235,35 @@ class Round10Spec extends SparkSuite {
     assert(e.getMessage.contains("no fixpoint"), e.getMessage)
   }
 
+  private def spanDedup(rows: Seq[(Long, String)]): Map[Long, String] =
+    graft.ops.TextOps.dropRepeatedSpans(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+
+  test("span dedup: the globally-first occurrence survives, every " +
+      "other occurrence's covered positions are removed") {
+    // docs 1 and 2 share a 5-token run (3 flagged 3-gram starts in doc
+    // 2 cover all 5 tokens); doc 3 is untouched
+    val out = spanDedup(Seq(
+      (1L, "p q r s t u v"),
+      (2L, "x1 x2 r s t u v x3"),
+      (3L, "a1 a2 a3 a4")))
+    assert(out(1L) === "p q r s t u v", out.toString)
+    assert(out(2L) === "x1 x2 x3", out.toString)
+    assert(out(3L) === "a1 a2 a3 a4")
+  }
+
+  test("span dedup: within-doc repetition keeps the first occurrence; " +
+      "an all-unique corpus is unchanged; a fully-duplicated doc " +
+      "rewrites to empty") {
+    val rep = spanDedup(Seq((1L, "a b c x a b c")))
+    assert(rep(1L) === "a b c x", rep.toString)
+    val uniq = Seq((1L, "u1 u2 u3 u4"), (2L, "v1 v2 v3"))
+    assert(spanDedup(uniq) === uniq.toMap)
+    val full = spanDedup(Seq((1L, "d e f"), (2L, "d e f")))
+    assert(full === Map(1L -> "d e f", 2L -> ""))
+  }
+
   test("ivfTopKInt8 with nprobe = k-cells degenerates to the exact " +
       "quantized brute-force ranking (recall 1 when probing all cells)") {
     val emb = Tables.embeddings(spark, sfDir)
