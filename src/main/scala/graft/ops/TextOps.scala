@@ -143,6 +143,71 @@ object TextOps {
       .select(col(idCol), col("rnk"), col("term"), col("score"))
   }
 
+  /** Result of [[bpeTrainMerges]]: `merges` = (rnk 1..rounds, l, r,
+    * cnt) — the learned merge table in application order; `vocab` =
+    * (word, n, seg) — every word type with its final space-delimited
+    * segmentation under those merges. */
+  final case class BpeResult(merges: DataFrame, vocab: DataFrame)
+
+  /** BPE merge training (Sennrich, Haddow & Birch, ACL 2016 — the
+    * byte-pair-encoding tokenizer TRAINER, not the [[bpeTokenEstimate]]
+    * heuristic): start from character symbols, repeatedly merge the
+    * globally most frequent adjacent symbol pair (count weighted by
+    * word-type frequency; ties (cnt DESC, l ASC, r ASC) — fully
+    * deterministic, so the whole trajectory is oracle-replayable).
+    *
+    * Trains on the WORD-TYPE table, the standard formulation and the
+    * scale story: the type table is sublinear in the corpus (Heaps'
+    * law) and built by one explode → partial-agg count; each round's
+    * pair table is bounded by Σ_type symbols, the argmax is an
+    * orderBy(1) TakeOrdered — never a global sort materialized — and
+    * the merge APPLICATION is a map-side string `replace` over the
+    * space-delimited segmentation (Java and DuckDB `replace` share
+    * left-to-right non-overlapping semantics, which IS greedy BPE
+    * application: ' a a a ' under (a,a) → ' aa a '). The 1-row winner
+    * broadcasts; the vocab pins per round so round t+1 never re-derives
+    * rounds 0..t. */
+  def bpeTrainMerges(docs: DataFrame, textCol: String,
+                     rounds: Int): BpeResult = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val wt = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    var vocab = wt.select(col("word"), col("n"),
+        concat(lit(" "), concat_ws(" ", split(col("word"), "")),
+          lit(" ")).as("seg"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[DataFrame]
+    var r = 1
+    while (r <= rounds) {
+      val adj = bind(split(trim(col("seg")), " ")) { s =>
+        when(size(s) >= 2,
+          transform(sequence(lit(1), size(s) - 1), i =>
+            struct(element_at(s, i).as("l"),
+              element_at(s, (i + 1).cast("int")).as("r"))))
+          .otherwise(array().cast("array<struct<l:string,r:string>>"))
+      }
+      val best = vocab.select(col("n"), explode(adj).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .localCheckpoint()
+      merges += best.select(lit(r).cast("long").as("rnk"), col("l"),
+        col("r"), col("cnt"))
+      vocab = vocab
+        .crossJoin(broadcast(best.select(col("l").as("ml"),
+          col("r").as("mr"))))
+        .select(col("word"), col("n"),
+          expr("replace(seg, concat(' ', ml, ' ', mr, ' '), " +
+            "concat(' ', ml, mr, ' '))").as("seg"))
+        .localCheckpoint()
+      r += 1
+    }
+    BpeResult(merges.result().reduce(_ unionByName _), vocab)
+  }
+
   /** C4-style global span deduplication (Raffel et al., JMLR 2020 §2.2:
     * "we discarded all but one of any three-sentence span occurring more
     * than once in the data set" — token spans stand in for sentence

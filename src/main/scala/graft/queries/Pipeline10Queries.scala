@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.Similarity
+import Fixtures._
 
 /** Round-8 batch 2: the codebook-TRAINING side of vector indexing.
   * The serving paths have been graded since rounds 4–7 (ivfTopK,
@@ -28,6 +29,7 @@ object Pipeline10Queries {
   private val PQ_K = 8     // PQ cells per subspace
   private val PQ_ITERS = 2 // PQ Lloyd rounds
   private val PQ_SD = 8    // PQ subDim = 64 / PQ_M
+  private val BPE_ROUNDS = 8
 
   private def sketch(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, dir))
@@ -111,22 +113,64 @@ object Pipeline10Queries {
     }),
 
     "graph_triangles" -> ((s, dir) => {
-      // per-vertex triangle counts on the supplier co-order graph
-      // (suppliers sharing an order, the graph_cooccur projection) —
-      // the community-density / clustering-coefficient numerator.
-      // Degree-ordered orientation: wedges enumerate at the lowest-
-      // ordered apex only, so hubs generate no wedge blow-up; zeros
-      // are reported (a vertex with no triangles is a signal, not a
-      // missing row).
-      val base = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("g"), col("l_suppkey").as("v"))
-        .distinct()
-      val edges = base.select(col("g"), col("v").as("a"))
-        .join(base.select(col("g"), col("v").as("b")), "g")
-        .where(col("a") < col("b"))
-        .select("a", "b")
-      graft.ops.Graph.triangleCounts(edges, "a", "b")
+      // per-vertex triangle counts on the top-5 CO-OCCURRENCE graph
+      // (each supplier keeps its 5 strongest co-order partners — the
+      // kNN-association graph a recommender builds, then community-
+      // analyzes). The raw co-order graph is near-COMPLETE at scale
+      // (every supplier pairs with most others through some order:
+      // ~500 avg degree at sf0.1 → 250M wedges); the top-k cut bounds
+      // degree ≤ 2k at ANY corpus size, which is the real-world shape:
+      // triangle analysis runs on similarity/kNN graphs, not raw
+      // co-occurrence. Zeros are reported per vertex.
+      val topk = graft.ops.Graph.cooccurTopK(Tables.lineitem(s, dir),
+        "l_orderkey", "l_suppkey", k = 5)
+      graft.ops.Graph.triangleCounts(topk, "item", "co_item")
         .orderBy("node")
+    }),
+
+    "txt_bpe_merges" -> ((s, dir) => {
+      // BPE tokenizer TRAINING (Sennrich et al.): the learned merge
+      // table after 8 rounds over the corpus word-type table — argmax
+      // pair per round with deterministic ties, so the whole trajectory
+      // hash-matches the unrolled oracle. The type table is Heaps-law
+      // sublinear in the corpus; merge application is a map-side
+      // string replace.
+      graft.ops.TextOps.bpeTrainMerges(Tables.documents(s, dir),
+          "text", rounds = BPE_ROUNDS)
+        .merges.orderBy("rnk")
+    }),
+
+    "txt_bpe_vocab" -> ((s, dir) => {
+      // the segmentation those merges induce on every word type — the
+      // APPLY path graded end to end (greedy left-to-right, the
+      // non-overlapping replace semantics both engines share).
+      graft.ops.TextOps.bpeTrainMerges(Tables.documents(s, dir),
+          "text", rounds = BPE_ROUNDS)
+        .vocab.orderBy("word")
+    }),
+
+    "agg_moments" -> ((s, dir) => {
+      // mergeable raw-moment profile per group (the single-pass
+      // variance/skew accumulation a profiler or feature-scaler runs):
+      // n, Σx, Σx², Σx³ over price cents, plus the variance numerator
+      // n·Σx² − (Σx)². All decimal(38,0) (HUGEINT in the oracle) — at
+      // pc ≤ 10⁸ cents, Σx³ stays within 38 digits to ~10¹⁴ rows; the
+      // derived skew numerator (which cubes Σx) is left to the caller
+      // because it overflows first. Partial-aggregates map-side like
+      // any sum — the mergeability the exact sort-based rank stats
+      // lack.
+      val pcd = cents("l_extendedprice").cast("decimal(38,0)")
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), pcd.as("pc"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("pc")).as("s1"),
+          sum(col("pc") * col("pc")).as("s2"),
+          sum(col("pc") * col("pc") * col("pc")).as("s3"))
+        .select(col("l_returnflag"), col("n"), col("s1"), col("s2"),
+          col("s3"),
+          (col("n").cast("decimal(38,0)") * col("s2")
+            - col("s1") * col("s1")).as("var_num"))
+        .orderBy("l_returnflag")
     }),
 
     "txt_span_dedup" -> ((s, dir) => {
@@ -301,6 +345,35 @@ object Pipeline10Queries {
       .mkString(",\n")
   }
 
+  /** Unrolled BPE training: word types → char segmentation → `rounds` ×
+    * (pair count, argmax, replace-apply). The lateral-unnest adjacent-
+    * pair spelling is the txt_span_dedup occ pattern; replace's
+    * left-to-right non-overlapping semantics match Java's, which IS
+    * greedy BPE application. */
+  private def bpeCtes(rounds: Int): String = {
+    val base =
+      """wt AS (SELECT w AS word, COUNT(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |v0 AS (SELECT word, n,
+        |  ' ' || array_to_string(string_split_regex(word, ''), ' ') ||
+        |    ' ' AS seg FROM wt)""".stripMargin
+    val rs = (0 until rounds).map { i =>
+      s"""p$i AS (SELECT l, r, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+         |    SELECT s[ii] AS l, s[ii + 1] AS r, n
+         |    FROM (SELECT n, string_split(trim(seg), ' ') AS s FROM v$i),
+         |      unnest(range(1, len(s))) AS u(ii))
+         |  GROUP BY l, r),
+         |m$i AS (SELECT l, r, cnt FROM p$i
+         |        ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |v${i + 1} AS (SELECT v.word, v.n,
+         |    replace(v.seg, ' ' || m.l || ' ' || m.r || ' ',
+         |      ' ' || m.l || m.r || ' ') AS seg
+         |  FROM v$i v, m$i m)""".stripMargin
+    }
+    (base +: rs).mkString(",\n")
+  }
+
   val oracles: Map[String, String] = Map(
 
     "emb_kmeans" ->
@@ -375,13 +448,23 @@ object Pipeline10Queries {
     },
 
     "graph_triangles" ->
-      // id-ordered triple enumeration (x<y<z) — finds the same triangle
-      // set as the degree-ordered orientation, so per-vertex counts
-      // match; zeros come from the vertex-set left join
-      """WITH base AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS v
+      // the graph_cooccur oracle's top-5 cut feeds an id-ordered triple
+      // enumeration (x<y<z) — same triangle set as the degree-ordered
+      // orientation, so per-vertex counts match; zeros come from the
+      // vertex-set left join
+      """WITH base AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS it
         |  FROM lineitem),
-        |e AS (SELECT DISTINCT a.v AS lo, b.v AS hi
-        |  FROM base a JOIN base b ON a.g = b.g AND a.v < b.v),
+        |pr AS (SELECT a.it AS ia, b.it AS ib, COUNT(*) AS n_co
+        |  FROM base a JOIN base b ON a.g = b.g AND a.it < b.it
+        |  GROUP BY a.it, b.it),
+        |sym AS (SELECT ia AS item, ib AS co_item, n_co FROM pr
+        |  UNION ALL SELECT ib, ia, n_co FROM pr),
+        |rk AS (SELECT item, co_item,
+        |    ROW_NUMBER() OVER (PARTITION BY item
+        |      ORDER BY n_co DESC, co_item ASC) AS rnk FROM sym),
+        |e AS (SELECT LEAST(item, co_item) AS lo,
+        |    GREATEST(item, co_item) AS hi
+        |  FROM rk WHERE rnk <= 5 GROUP BY 1, 2),
         |tri AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
         |  FROM e e1
         |  JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
@@ -399,6 +482,29 @@ object Pipeline10Queries {
       s"""WITH ${pqCtes(PQ_M, PQ_K, PQ_SD, PQ_ITERS, "pq")}
          |SELECT vec_id, sub, cell AS code, dist2 FROM pa$PQ_ITERS
          |ORDER BY vec_id, sub""".stripMargin,
+
+    "txt_bpe_merges" ->
+      s"""WITH ${bpeCtes(BPE_ROUNDS)}
+         |${(1 to BPE_ROUNDS).map(i =>
+             s"SELECT CAST($i AS BIGINT) AS rnk, l, r, cnt FROM m${i - 1}")
+           .mkString("\nUNION ALL\n")}
+         |ORDER BY rnk""".stripMargin,
+
+    "txt_bpe_vocab" ->
+      s"""WITH ${bpeCtes(BPE_ROUNDS)}
+         |SELECT word, n, seg FROM v$BPE_ROUNDS
+         |ORDER BY word""".stripMargin,
+
+    "agg_moments" ->
+      // HUGEINT sums → arrow decimal128(38,0), matching the Spark side
+      s"""WITH b AS (SELECT l_returnflag,
+         |    CAST(${centsSql("l_extendedprice")} AS HUGEINT) AS pc
+         |  FROM lineitem)
+         |SELECT l_returnflag, COUNT(*) AS n, SUM(pc) AS s1,
+         |  SUM(pc * pc) AS s2, SUM(pc * pc * pc) AS s3,
+         |  COUNT(*) * SUM(pc * pc) - SUM(pc) * SUM(pc) AS var_num
+         |FROM b GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
 
     "txt_span_dedup" ->
       // the keeper is min(doc_id, start) per span — spelled as a

@@ -264,6 +264,37 @@ class Round10Spec extends SparkSuite {
     assert(full === Map(1L -> "d e f", 2L -> ""))
   }
 
+  test("bpe: the classic low/lower/newest trajectory — argmax pairs " +
+      "with (cnt desc, l, r) ties, greedy application") {
+    val docs = Seq((1L, "low low low lower lower newest"))
+      .toDF("doc_id", "text")
+    val bpe = graft.ops.TextOps.bpeTrainMerges(docs, "text", rounds = 5)
+    val merges = bpe.merges.orderBy("rnk")
+      .select("l", "r", "cnt").as[(String, String, Long)].collect().toSeq
+    assert(merges === Seq(("l", "o", 5L), ("lo", "w", 5L),
+      ("e", "r", 2L), ("low", "er", 2L), ("e", "s", 1L)),
+      merges.toString)
+    val segs = bpe.vocab.select("word", "seg")
+      .as[(String, String)].collect().toMap
+    assert(segs("low") === " low ")
+    assert(segs("lower") === " lower ")
+    assert(segs("newest") === " n e w es t ")
+  }
+
+  test("bpe: segmentation is a partition of the word (symbols " +
+      "concatenate back to it) at every vocab row on the fixtures") {
+    val bpe = graft.ops.TextOps.bpeTrainMerges(
+      Tables.documents(spark, sfDir), "text", rounds = 4)
+    val bad = bpe.vocab
+      .where(regexp_replace(col("seg"), " ", "") =!= col("word"))
+    assert(bad.isEmpty, bad.collect().toSeq.toString)
+    // merge counts never increase across rounds (the max pair count is
+    // monotone non-increasing as symbols coarsen)
+    val cnts = bpe.merges.orderBy("rnk").select("cnt")
+      .as[Long].collect().toSeq
+    assert(cnts === cnts.sorted.reverse, cnts.toString)
+  }
+
   test("ivfTopKInt8 with nprobe = k-cells degenerates to the exact " +
       "quantized brute-force ranking (recall 1 when probing all cells)") {
     val emb = Tables.embeddings(spark, sfDir)
