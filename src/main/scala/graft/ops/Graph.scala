@@ -574,6 +574,47 @@ object Graph {
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Incremental per-vertex triangle maintenance: given base edges B
+    * and a delta batch D (both canonicalized here; D edges already in B
+    * are ignored), returns the per-vertex INCREMENT — every distinct
+    * triangle of B∪D touching at least one truly-new edge contributes
+    * 1 to each of its three vertices. Composition identity (the inc_*
+    * contract): counts(B∪D) ≡ counts(B) + delta, with D-only vertices
+    * entering at their delta value.
+    *
+    * Cost is DELTA-BOUNDED: candidates come from the D side only —
+    * each new edge (u, v) probes the B∪D adjacency for u's neighbors
+    * and closes against (v, w), so the join space is
+    * Σ_{(u,v)∈D} deg(u), never a recount of B's wedges. A triangle
+    * reachable through several new edges is found several times and
+    * deduplicated by its sorted vertex triple.
+    *
+    * @return (node, n_tri) — only vertices gaining at least one
+    *         triangle appear
+    */
+  def triangleDelta(base: DataFrame, delta: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val b = canonEdges(base, srcCol, dstCol).localCheckpoint()
+    val d = canonEdges(delta, srcCol, dstCol)
+      .join(b, Seq("lo", "hi"), "left_anti")
+      .localCheckpoint()
+    val all = b.unionByName(d).localCheckpoint() // disjoint by the anti-join
+    val adj = all.select(col("lo").as("u"), col("hi").as("w"))
+      .unionByName(all.select(col("hi").as("u"), col("lo").as("w")))
+    val cand = d
+      .join(adj.select(col("u").as("lo"), col("w")), "lo")
+      .where(col("w") =!= col("hi"))
+      .select(col("lo"), col("hi"), col("w"))
+    val closed = cand.join(
+      adj.select(col("u").as("hi"), col("w")), Seq("hi", "w"),
+      "left_semi")
+    val tri = closed
+      .select(sort_array(array(col("lo"), col("hi"), col("w"))).as("t"))
+      .distinct()
+    tri.select(explode(col("t")).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
   /** Canonical undirected simple edge set (lo < hi, self-loops and
     * duplicates dropped) — shared by [[triangleCounts]] and the k-core
     * peelers. */

@@ -101,6 +101,40 @@ object Pipeline10Queries {
         .orderBy("query_id", "rnk")
     }),
 
+    "inc_tri_delta" -> ((s, dir) => {
+      // incremental triangle maintenance on the graph_triangles edge
+      // set: a deterministic 1-in-7 edge split plays the arriving
+      // batch; the graded output is counts(B) + triangleDelta(B, D)
+      // composed over the full vertex set — the oracle is the FULL
+      // recompute (graph_triangles' SQL), so the identity
+      // counts(B∪D) = counts(B) + delta is hash-gated like the other
+      // six inc_* queries. Delta cost is bounded by the new edges'
+      // adjacency probes; B's wedges are never re-enumerated.
+      val topk = graft.ops.Graph.cooccurTopK(Tables.lineitem(s, dir),
+        "l_orderkey", "l_suppkey", k = 5)
+      val canon = topk.select(
+          least(col("item"), col("co_item")).as("lo"),
+          greatest(col("item"), col("co_item")).as("hi"))
+        .distinct().localCheckpoint()
+      val isNew = (col("lo") + col("hi")) % 7 === 0
+      val bEdges = canon.where(!isNew)
+      val dEdges = canon.where(isNew)
+      val baseC = graft.ops.Graph.triangleCounts(bEdges, "lo", "hi")
+        .withColumnRenamed("n_tri", "nb")
+      val deltaC = graft.ops.Graph.triangleDelta(bEdges, dEdges,
+          "lo", "hi")
+        .withColumnRenamed("n_tri", "nd")
+      val verts = canon
+        .select(explode(array(col("lo"), col("hi"))).as("node"))
+        .distinct()
+      verts.join(baseC, Seq("node"), "left")
+        .join(deltaC, Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("nb"), lit(0L)) + coalesce(col("nd"), lit(0L)))
+            .as("n_tri"))
+        .orderBy("node")
+    }),
+
     "graph_kcore" -> ((s, dir) => {
       // fixed-round k-core peeling (k=3, 3 synchronous rounds) on the
       // part co-order graph thinned to support >= 2 — the
@@ -447,36 +481,10 @@ object Pipeline10Queries {
          |GROUP BY node ORDER BY node""".stripMargin
     },
 
-    "graph_triangles" ->
-      // the graph_cooccur oracle's top-5 cut feeds an id-ordered triple
-      // enumeration (x<y<z) — same triangle set as the degree-ordered
-      // orientation, so per-vertex counts match; zeros come from the
-      // vertex-set left join
-      """WITH base AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS it
-        |  FROM lineitem),
-        |pr AS (SELECT a.it AS ia, b.it AS ib, COUNT(*) AS n_co
-        |  FROM base a JOIN base b ON a.g = b.g AND a.it < b.it
-        |  GROUP BY a.it, b.it),
-        |sym AS (SELECT ia AS item, ib AS co_item, n_co FROM pr
-        |  UNION ALL SELECT ib, ia, n_co FROM pr),
-        |rk AS (SELECT item, co_item,
-        |    ROW_NUMBER() OVER (PARTITION BY item
-        |      ORDER BY n_co DESC, co_item ASC) AS rnk FROM sym),
-        |e AS (SELECT LEAST(item, co_item) AS lo,
-        |    GREATEST(item, co_item) AS hi
-        |  FROM rk WHERE rnk <= 5 GROUP BY 1, 2),
-        |tri AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
-        |  FROM e e1
-        |  JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
-        |  JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
-        |tv AS (SELECT node, COUNT(*) AS n_tri FROM (
-        |    SELECT x AS node FROM tri
-        |    UNION ALL SELECT y FROM tri
-        |    UNION ALL SELECT z FROM tri) GROUP BY node),
-        |verts AS (SELECT lo AS node FROM e UNION SELECT hi FROM e)
-        |SELECT v.node, COALESCE(t.n_tri, CAST(0 AS BIGINT)) AS n_tri
-        |FROM verts v LEFT JOIN tv t ON v.node = t.node
-        |ORDER BY v.node""".stripMargin,
+    "graph_triangles" -> trianglesOracle,
+
+    // full recompute — counts(B∪D) must equal counts(B) + delta
+    "inc_tri_delta" -> trianglesOracle,
 
     "emb_pq_codes" ->
       s"""WITH ${pqCtes(PQ_M, PQ_K, PQ_SD, PQ_ITERS, "pq")}
@@ -552,6 +560,38 @@ object Pipeline10Queries {
          |ORDER BY p.query_id""".stripMargin
     }
   )
+
+  /** The graph_cooccur oracle's top-5 cut feeding an id-ordered triple
+    * enumeration (x<y<z) — same triangle set as the degree-ordered
+    * orientation, so per-vertex counts match; zeros come from the
+    * vertex-set left join. Shared verbatim by inc_tri_delta (full-
+    * recompute identity). */
+  private lazy val trianglesOracle: String =
+    """WITH base AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS it
+      |  FROM lineitem),
+      |pr AS (SELECT a.it AS ia, b.it AS ib, COUNT(*) AS n_co
+      |  FROM base a JOIN base b ON a.g = b.g AND a.it < b.it
+      |  GROUP BY a.it, b.it),
+      |sym AS (SELECT ia AS item, ib AS co_item, n_co FROM pr
+      |  UNION ALL SELECT ib, ia, n_co FROM pr),
+      |rk AS (SELECT item, co_item,
+      |    ROW_NUMBER() OVER (PARTITION BY item
+      |      ORDER BY n_co DESC, co_item ASC) AS rnk FROM sym),
+      |e AS (SELECT LEAST(item, co_item) AS lo,
+      |    GREATEST(item, co_item) AS hi
+      |  FROM rk WHERE rnk <= 5 GROUP BY 1, 2),
+      |tri AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+      |  FROM e e1
+      |  JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+      |  JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+      |tv AS (SELECT node, COUNT(*) AS n_tri FROM (
+      |    SELECT x AS node FROM tri
+      |    UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri) GROUP BY node),
+      |verts AS (SELECT lo AS node FROM e UNION SELECT hi FROM e)
+      |SELECT v.node, COALESCE(t.n_tri, CAST(0 AS BIGINT)) AS n_tri
+      |FROM verts v LEFT JOIN tv t ON v.node = t.node
+      |ORDER BY v.node""".stripMargin
 
   /** ADC: probe sub-distance tables against the trained codebook,
     * corpus ranked by summing m code lookups; ties to the smaller

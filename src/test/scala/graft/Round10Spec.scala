@@ -264,6 +264,33 @@ class Round10Spec extends SparkSuite {
     assert(full === Map(1L -> "d e f", 2L -> ""))
   }
 
+  test("triangleDelta: composition identity counts(B∪D) = counts(B) + " +
+      "delta, with multi-new-edge triangles counted once") {
+    // K4 on {1..4} plus a pendant: full graph has 4 triangles. D takes
+    // (1,2) and (1,3) — triangle {1,2,3} has TWO new edges (must count
+    // once); {1,2,4} and {1,3,4} one each; {2,3,4} zero (stays in B)
+    val full = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    val dSet = Set((1L, 2L), (1L, 3L))
+    val bEdges = full.filterNot(dSet).toDF("a", "b")
+    val dEdges = dSet.toSeq.toDF("a", "b")
+    val delta = graft.ops.Graph.triangleDelta(bEdges, dEdges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(delta === Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 2L),
+      delta.toString)
+    val base = graft.ops.Graph.triangleCounts(bEdges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val fullC = graft.ops.Graph.triangleCounts(full.toDF("a", "b"),
+      "a", "b").as[(Long, Long)].collect().toMap
+    val composed = (base.keySet ++ delta.keySet).map(v =>
+      v -> (base.getOrElse(v, 0L) + delta.getOrElse(v, 0L))).toMap
+    assert(composed === fullC, s"composed=$composed full=$fullC")
+    // delta edges already present in B are ignored
+    val noop = graft.ops.Graph.triangleDelta(full.toDF("a", "b"),
+      dEdges, "a", "b")
+    assert(noop.isEmpty)
+  }
+
   test("bpe: the classic low/lower/newest trajectory — argmax pairs " +
       "with (cnt desc, l, r) ties, greedy application") {
     val docs = Seq((1L, "low low low lower lower newest"))
