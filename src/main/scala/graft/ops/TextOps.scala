@@ -194,6 +194,15 @@ object TextOps {
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
         .limit(1)
         .localCheckpoint()
+      // fail-loudly contract: an empty argmax (every word fully merged
+      // to one symbol) would silently wipe the vocab through the cross
+      // join below — a caller asking for more rounds than the corpus
+      // supports must hear about it, not get an empty model
+      if (best.isEmpty)
+        throw new IllegalStateException(
+          s"bpeTrainMerges: no adjacent pairs left at round $r of " +
+            s"$rounds — every word type is a single symbol; lower " +
+            "rounds")
       merges += best.select(lit(r).cast("long").as("rnk"), col("l"),
         col("r"), col("cnt"))
       vocab = vocab

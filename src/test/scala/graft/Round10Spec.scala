@@ -308,6 +308,15 @@ class Round10Spec extends SparkSuite {
     assert(segs("newest") === " n e w es t ")
   }
 
+  test("bpe fails LOUDLY when rounds exceed the corpus's mergeable " +
+      "pairs instead of silently wiping the vocab") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text") // one 2-char type
+    val e = intercept[IllegalStateException] {
+      graft.ops.TextOps.bpeTrainMerges(docs, "text", rounds = 2)
+    }
+    assert(e.getMessage.contains("no adjacent pairs left"), e.getMessage)
+  }
+
   test("bpe: segmentation is a partition of the word (symbols " +
       "concatenate back to it) at every vocab row on the fixtures") {
     val bpe = graft.ops.TextOps.bpeTrainMerges(
