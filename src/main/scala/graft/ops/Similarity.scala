@@ -750,6 +750,30 @@ object Similarity {
         col("neighbor_id"), col("adist"))
   }
 
+  /** Johnson–Lindenstrauss sign projection of the int8 sketch:
+    * out_j = Σ_i q_i · s_{j,i} with s ∈ {−1, +1} from the
+    * deterministic [[planeSign]] mix — DATA-INDEPENDENT dense
+    * dimensionality reduction (d → outDims): no training pass, no
+    * model table to version; the sign matrix is a plan-time literal
+    * compiled into the projection, so the operator is a single narrow
+    * codegen'd map over the corpus (the JL lemma gives distance
+    * preservation ∝ 1/√outDims). Integer outputs are exact under any
+    * partition order — the oracle embeds the same matrix as SQL
+    * literals (the sign-LSH convention). Returns (vec_id, p_emb:
+    * array<long> of outDims). */
+  def signProjectInt8(sketch: DataFrame, outDims: Int, dims: Int = 64,
+                      seedOffset: Int = 100): DataFrame = {
+    require(outDims >= 1, "outDims must be >= 1")
+    graft.expr.GraftFunctions.register(sketch.sparkSession)
+    val ll = graft.expr.GraftFunctions.dot_ll _
+    val comps = (0 until outDims).map { j =>
+      val signs = typedlit((0 until dims).map(i =>
+        if (planeSign(seedOffset + j, i) > 0) 1L else -1L))
+      ll(col("q_emb"), signs)
+    }
+    sketch.select(col("vec_id"), array(comps: _*).as("p_emb"))
+  }
+
   /** Explode a sketch into its m sub-vectors:
     * (vec_id, sub 0..m−1, sv: array<long> of subDim, sv_norm). */
   private def subVectors(sketch: DataFrame, m: Int,

@@ -30,6 +30,7 @@ object Pipeline10Queries {
   private val PQ_ITERS = 2 // PQ Lloyd rounds
   private val PQ_SD = 8    // PQ subDim = 64 / PQ_M
   private val BPE_ROUNDS = 8
+  private val RP_DIMS = 16 // JL sign-projection output width
 
   private def sketch(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, dir))
@@ -181,6 +182,18 @@ object Pipeline10Queries {
       graft.ops.TextOps.bpeTrainMerges(Tables.documents(s, dir),
           "text", rounds = BPE_ROUNDS)
         .vocab.orderBy("word")
+    }),
+
+    "emb_rp_reduce" -> ((s, dir) => {
+      // Johnson–Lindenstrauss sign projection 64 → 16 dims: the
+      // data-independent reducer (no training, no model table — the
+      // ±1 matrix is a plan-time literal, one codegen'd map over the
+      // corpus). Exploded to (vec_id, j, v) rows; exact integers.
+      Similarity.signProjectInt8(sketch(s, dir), outDims = RP_DIMS)
+        .select(col("vec_id"), posexplode(col("p_emb")).as(Seq("j0", "v")))
+        .select(col("vec_id"), (col("j0") + 1).cast("long").as("j"),
+          col("v"))
+        .orderBy("vec_id", "j")
     }),
 
     "agg_moments" -> ((s, dir) => {
@@ -502,6 +515,22 @@ object Pipeline10Queries {
       s"""WITH ${bpeCtes(BPE_ROUNDS)}
          |SELECT word, n, seg FROM v$BPE_ROUNDS
          |ORDER BY word""".stripMargin,
+
+    "emb_rp_reduce" -> {
+      // the same ±1 matrix embedded as SQL literals (sign-LSH
+      // convention), one UNION ALL arm per output dim
+      val arms = (0 until RP_DIMS).map { j =>
+        val signs = (0 until 64).map(i =>
+          if (graft.ops.Similarity.planeSign(100 + j, i) > 0) "1"
+          else "-1").mkString("[", ", ", "]")
+        s"""SELECT vec_id, CAST(${j + 1} AS BIGINT) AS j,
+           |  CAST(list_sum(list_transform(list_zip(qv, $signs),
+           |    z -> z[1] * z[2])) AS BIGINT) AS v FROM qq""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${Pipeline7Queries.quantCtes}
+         |$arms
+         |ORDER BY vec_id, j""".stripMargin
+    },
 
     "agg_moments" ->
       // HUGEINT sums → arrow decimal128(38,0), matching the Spark side

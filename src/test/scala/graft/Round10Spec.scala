@@ -235,6 +235,25 @@ class Round10Spec extends SparkSuite {
     assert(e.getMessage.contains("no fixpoint"), e.getMessage)
   }
 
+  test("signProjectInt8 matches the hand-computed literal projection " +
+      "and is bounded by the sketch's L1 norm") {
+    val sk = Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))
+      .localCheckpoint()
+    val out = Similarity.signProjectInt8(sk, outDims = 4)
+    val (vid, p) = out.orderBy("vec_id")
+      .as[(Long, Seq[Long])].head()
+    val q = sk.where(col("vec_id") === vid)
+      .select("q_emb").as[Seq[Long]].head()
+    val manual = (0 until 4).map { j =>
+      q.zipWithIndex.map { case (x, i) =>
+        x * (if (Similarity.planeSign(100 + j, i) > 0) 1L else -1L)
+      }.sum
+    }
+    assert(p === manual, s"projection mismatch: $p vs $manual")
+    val l1 = q.map(math.abs).sum
+    assert(p.forall(v => math.abs(v) <= l1))
+  }
+
   private def spanDedup(rows: Seq[(Long, String)]): Map[Long, String] =
     graft.ops.TextOps.dropRepeatedSpans(
         rows.toDF("doc_id", "text"), "doc_id", "text")
