@@ -81,4 +81,58 @@ object Freq {
       .groupBy(term).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * k > n)
   }
+
+  // ------------------------------------------------------------------
+  // Count-min sketch (Cormode–Muthukrishnan): the MERGEABLE frequency
+  // summary for the regime where even Misra-Gries' k counters per
+  // partition is too coarse — point-queryable counts over unbounded key
+  // cardinality in depth×width integers. Sketches built on disjoint
+  // slices (partitions, days, sources) merge by cell-wise addition, so
+  // a 100 TB corpus keeps one tiny sketch per ingest unit and unions
+  // them without ever re-scanning. Estimates overcount, never
+  // undercount: est(key) = min over rows of the hashed cell ≥ true
+  // count, with the classic (ε=e/width, δ=e^-depth) bound.
+  //
+  // Determinism: cell indices come from the proven 32-bit Java string
+  // hash (f4_string_hash) of "row:salt:key", so the sketch — and every
+  // estimate — is bit-identical across engines and partitionings.
+  // ------------------------------------------------------------------
+
+  private def cell(row: Column, salt: String, key: Column,
+                   width: Int): Column =
+    pmod(graft.expr.GraftFunctions.java_hash_u32(
+      concat(row.cast("string"), lit(":" + salt + ":"),
+        key.cast("string"))), lit(width.toLong))
+
+  /** Build the depth×width sketch over `keyCol` occurrences: one row
+    * per touched (row, bucket) cell with its exact count. The explode
+    * is a width-`depth` literal array (no shuffle growth beyond
+    * depth×); the aggregation partial-combines map-side into at most
+    * depth·width rows per partition regardless of input size. */
+  def countMinSketch(df: DataFrame, keyCol: String, depth: Int,
+                     width: Int, salt: String): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape $depth x $width")
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    df.select(col(keyCol).as("k"),
+        explode(lit((0 until depth).map(_.toLong).toArray)).as("rw"))
+      .select(col("rw"), cell(col("rw"), salt, col("k"), width)
+        .as("bucket"))
+      .groupBy("rw", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes` (one `k` column) against a built
+    * sketch: est = min over rows of the addressed cell (missing cell =
+    * 0). The sketch is depth·width rows — broadcast into the probe
+    * side, never the reverse. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, depth: Int,
+                  width: Int, salt: String): DataFrame = {
+    graft.expr.GraftFunctions.register(probes.sparkSession)
+    probes.select(col("k"),
+        explode(lit((0 until depth).map(_.toLong).toArray)).as("rw"))
+      .select(col("k"), col("rw"),
+        cell(col("rw"), salt, col("k"), width).as("bucket"))
+      .join(broadcast(sketch), Seq("rw", "bucket"), "left")
+      .groupBy("k")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked full-text retrieval over the document corpus — the query side
+  * of the inverted-index / TF-IDF surface (`txt_inverted`, `txt_tfidf`):
+  * given a small set of term queries, return the top-k documents per
+  * query under BM25 (Robertson et al., TREC-3) — the retrieval stage a
+  * RAG / data-curation pipeline runs before ANN re-ranking.
+  *
+  * EXACTNESS. Classic BM25's idf is `ln((N-df+0.5)/(df+0.5))` — a
+  * transcendental no two engines round identically. This is BM25-lite:
+  * the same saturating tf part and length normalization, but the RAW
+  * rational idf `(N-df+1/2)/(df+1/2)` (the log's argument; order-
+  * preserving per term since it is monotone in df). Every per-term
+  * contribution is then a ratio of integers, floored at `scale`:
+  *
+  *   contrib = floor( scale * (2N-2df+1) * 22 * tf * S
+  *                    / ((2df+1) * (10*S*tf + 3*S + 9*dl*N)) )
+  *
+  * which is exactly `scale * idf * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))`
+  * with k1=6/5, b=3/4, avgdl=S/N, all denominators cleared (multiply
+  * num and den by 10*S). Numerators run in decimal(38,0) (HUGEINT on
+  * the oracle side, the txt_pmi convention); `div` mirrors `//`, so no
+  * float ever decides a score. BOUND: exact while
+  * scale*2N*22*tf*S < 10^38, i.e. N * S * tf ≲ 2*10^30 — beyond any
+  * real corpus (10^10 docs * 10^13 tokens * tf 100 = 10^25).
+  *
+  * SCALE. The query set and its per-term df are broadcast; the corpus
+  * tokenization is the only large scan. Postings are never materialized
+  * corpus-wide: tokens are semi-joined to the query vocabulary BEFORE
+  * the tf aggregation, so the big shuffle carries only matching terms.
+  * Doc length joins on the doc key (co-partitioned with tf). The final
+  * top-k window partitions by query_id over scored docs only.
+  */
+object Retrieval {
+
+  /** @param docs    corpus (idCol, textCol)
+    * @param queries (query_id, term) — small, broadcastable
+    * @param k       results per query
+    * @return (query_id, rnk, doc_id, score) — rnk 1..k by
+    *         (score desc, doc_id asc), score = Σ per-term floored
+    *         contributions at `scale`
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, k: Int,
+               scale: Long = 1000000L): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .where(col("term") =!= "")
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // 1-row corpus stats: the scalar-broadcast crossJoin convention
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("s_tok"))
+    val qterms = queries.select(col("query_id"), col("term")).distinct()
+    val qvocab = qterms.select("term").distinct()
+    // semi-join first: the tf shuffle carries query-vocabulary tokens
+    // only, never the whole corpus token stream
+    val tf = tok.join(broadcast(qvocab), Seq("term"), "left_semi")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib =
+      expr(s"""(CAST($scale AS DECIMAL(38,0))
+              |   * (2*n_docs - 2*df + 1) * 22 * tf * s_tok)
+              | div
+              | (CAST(2*df + 1 AS DECIMAL(38,0))
+              |   * (10*s_tok*tf + 3*s_tok + 9*dl*n_docs))"""
+        .stripMargin.replace("\n", " "))
+    val scored = tf
+      .join(broadcast(dfTerm), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), "term")
+      .select(col("query_id"), col("doc_id"), contrib.as("contrib"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.select(col("query_id"), row_number().over(w)
+        .cast("long").as("rnk"), col("doc_id"), col("score"))
+      .where(col("rnk") <= k)
+  }
+
+  /** Vocabulary-growth (Heaps' law) measurement: distinct-term count
+    * and cumulative token count at each corpus-prefix checkpoint —
+    * the curve that sizes a tokenizer's vocabulary budget before
+    * training it. One pass: each term contributes only its FIRST doc
+    * (min doc id), so a checkpoint's vocabulary is a count of terms
+    * with first-doc ≤ c — never a per-prefix distinct. Checkpoints are
+    * a broadcast literal; both joins are range conditions against
+    * aggregated (term-level / doc-level) frames, not the token stream.
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  checkpoints: Seq[Long]): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .where(col("term") =!= "")
+    val first = tok.groupBy("term").agg(min("doc_id").as("fd"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val cps = docs.sparkSession
+      .range(0, checkpoints.size).select(
+        element_at(lit(checkpoints.toArray),
+          (col("id") + 1).cast("int")).as("c"))
+    val vocab = first.join(broadcast(cps), col("fd") <= col("c"))
+      .groupBy("c").agg(count(lit(1)).as("vocab"))
+    val toks = dl.join(broadcast(cps), col("doc_id") <= col("c"))
+      .groupBy("c").agg(sum("dl").as("tokens"))
+    vocab.join(toks, "c").select("c", "vocab", "tokens")
+  }
+}

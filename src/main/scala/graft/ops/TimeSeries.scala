@@ -101,4 +101,47 @@ object TimeSeries {
       when(vj.isNotNull, lit(wg)).otherwise(lit(0L)) }.reduce(_ + _)
     df.withColumn(numOut, num).withColumn(denOut, den)
   }
+
+  /** Rolling z-score anomaly flags, INTEGER-exact: over each key's
+    * ordered stream, a trailing window of `window` rows (current
+    * included) yields n, s1=Σx, s2=Σx²; the row is anomalous when
+    * |x − μ| > `sigmas`·σ, decided without ever forming μ or σ —
+    * multiply through by n²:
+    *
+    *   (n·x − s1)² > sigmas² · (n·s2 − s1²)
+    *
+    * Both sides are exact longs (for cents-scaled values ≲ 10⁶ and
+    * window ≲ 10³: n·x ≤ 10⁹, squared 10¹⁸ — at the long boundary;
+    * larger magnitudes should pre-scale down or widen to decimal).
+    * Rows before a full window are never flagged (n = `window`
+    * required): a 3-row history has no meaningful σ. One window pass
+    * computes all three sums over the same frame/sort — the ewmaExact
+    * contract; shuffle is the per-key window partition only.
+    *
+    * The window is SELF-INCLUSIVE, which bounds the reachable z-score:
+    * a single outlier against n−1 equal values maxes out at z² = n−1,
+    * so `window` must exceed sigmas²+1 or nothing can ever flag —
+    * enforced loudly rather than silently returning an empty result.
+    *
+    * @return input plus (n, s1, s2, lhs, rhs, is_anomaly)
+    */
+  def anomalyZ(df: DataFrame, keys: Seq[String], order: Seq[Column],
+               valCol: String, window: Int = 16, sigmas: Int = 3)
+  : DataFrame = {
+    require(window > sigmas * sigmas + 1,
+      s"window=$window can never flag at $sigmas sigma: a self-" +
+        s"inclusive window caps z^2 at window-1 <= ${sigmas * sigmas}")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val x = col(valCol)
+    df.withColumn("n", count(x).over(w))
+      .withColumn("s1", sum(x).over(w))
+      .withColumn("s2", sum(x * x).over(w))
+      .withColumn("lhs",
+        (col("n") * x - col("s1")) * (col("n") * x - col("s1")))
+      .withColumn("rhs", lit(sigmas.toLong * sigmas) *
+        (col("n") * col("s2") - col("s1") * col("s1")))
+      .withColumn("is_anomaly",
+        col("n") === window && col("lhs") > col("rhs"))
+  }
 }

@@ -38,7 +38,7 @@ object Pipeline10Queries {
   /** Part co-order graph thinned to support ≥ 2 (pairs co-ordered at
     * least twice) — sparse enough for real k-core peeling dynamics.
     * Pair space is Σ_order |basket|², the cooccur bound. */
-  private def coorderEdges(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def coorderEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("g"), col("l_partkey").as("p"))
       .distinct()

@@ -37,7 +37,7 @@ object Pipeline8Queries {
     * a union would inline the orders⋈lineitem subplan into both
     * branches and execute it twice (the Cluster.scala symmetrize rule).
     */
-  private def purchaseEdges(s: SparkSession, dir: String,
+  private[queries] def purchaseEdges(s: SparkSession, dir: String,
                             symmetric: Boolean)
   : org.apache.spark.sql.DataFrame = {
     val e0 = Tables.orders(s, dir)
