@@ -30,7 +30,8 @@ object SparkEntry {
       Pipeline4Queries.queries ++ Pipeline5Queries.queries ++
       Pipeline6Queries.queries ++ Pipeline7Queries.queries ++
       Pipeline8Queries.queries ++ Pipeline9Queries.queries ++
-      Pipeline10Queries.queries ++ Pipeline11Queries.queries
+      Pipeline10Queries.queries ++ Pipeline11Queries.queries ++
+      Pipeline12Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
       Pipeline4Queries.oracles ++ Pipeline5Queries.oracles ++
       Pipeline6Queries.oracles ++ Pipeline7Queries.oracles ++
       Pipeline8Queries.oracles ++ Pipeline9Queries.oracles ++
-      Pipeline10Queries.oracles ++ Pipeline11Queries.oracles
+      Pipeline10Queries.oracles ++ Pipeline11Queries.oracles ++
+      Pipeline12Queries.oracles
 }

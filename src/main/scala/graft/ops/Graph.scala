@@ -767,4 +767,63 @@ object Graph {
         (col("da") + col("db") - col("n_common")).as("n_union"))
       .where(col("n_common") * 4 >= col("n_union"))
   }
+
+  /** Deterministic pseudo-random walks over an undirected graph — the
+    * DeepWalk/node2vec SAMPLING primitive (p = q = 1): the walk corpus
+    * that skip-gram embedding training consumes. True random walks are
+    * unreplayable across engines; here the choice at every step is a
+    * pure function of ids — from vertex v, walker w at step t moves to
+    * the neighbor n minimizing (javaHashU32(salt‖w‖t‖n), n) — so the
+    * full trajectory is bit-reproducible and a SQL oracle can replay
+    * it. One walker starts at every vertex; step 0 is the seed itself.
+    * Hash-uniform neighbor choice ≈ uniform sampling for embedding
+    * purposes, with determinism the training-data pipeline actually
+    * wants (re-runs produce identical corpora, so downstream caches and
+    * dedup stay valid).
+    *
+    * Self-loops/duplicate edges are dropped (canonical edge set);
+    * every vertex of the edge set has ≥ 1 neighbor by construction, so
+    * walks never strand. Scale: per step, ONE join frontier ⋈ adjacency
+    * (fan-out = degree — run on degree-bounded graphs, e.g.
+    * [[cooccurTopK]] output, the kNN-graph shape walk corpora are
+    * actually built on) and one hash-aggregate argmin keyed on walker
+    * (the labelPropagate argmax contract: never a sort window). Each
+    * frontier is localCheckpoint-pinned so step t+1's plan does not
+    * re-derive steps 0..t (the hitsInt recompute contract). The
+    * adjacency is pinned once and re-joined per step.
+    *
+    * @return (walker, step, node) — (steps+1) rows per walker
+    */
+  def deterministicWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                         steps: Int, salt: String = "gw"): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    graft.expr.GraftFunctions.register(edges.sparkSession)
+    val hu = graft.expr.GraftFunctions.java_hash_u32 _
+    val e = canonEdges(edges, srcCol, dstCol)
+    val adj = e.select(explode(array(
+        struct(col("lo").as("v"), col("hi").as("n")),
+        struct(col("hi").as("v"), col("lo").as("n")))).as("x"))
+      .select(col("x.v").as("v"), col("x.n").as("n"))
+      .localCheckpoint()
+    var frontier = adj.select(col("v")).distinct()
+      .select(col("v").as("walker"), col("v").as("node"))
+      .localCheckpoint()
+    var out = frontier.withColumn("step", lit(0L))
+    var t = 1
+    while (t <= steps) {
+      val next = frontier
+        .join(adj, frontier("node") === adj("v"))
+        .select(col("walker"), col("n"),
+          hu(concat_ws("|", lit(salt), col("walker"), lit(t), col("n")))
+            .as("h"))
+        .groupBy("walker")
+        .agg(min(struct(col("h"), col("n"))).as("m"))
+        .select(col("walker"), col("m.n").as("node"))
+        .localCheckpoint()
+      out = out.unionByName(next.withColumn("step", lit(t.toLong)))
+      frontier = next
+      t += 1
+    }
+    out.select(col("walker"), col("step"), col("node"))
+  }
 }

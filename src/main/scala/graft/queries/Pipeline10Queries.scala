@@ -287,7 +287,8 @@ object Pipeline10Queries {
 
   /** Assignment `ai` under centroids `ci`: exact integer dist², ties to
     * the smaller cell — ROW_NUMBER mirrors kmAssign's min(struct). */
-  private def assignCte(ai: String, ci: String): String =
+  private[queries] def assignCte(ai: String, ci: String,
+                                 src: String = "sk"): String =
     s"""$ai AS (SELECT vec_id, cell, dist2 FROM (
        |  SELECT vec_id, cell, dist2,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -298,35 +299,46 @@ object Pipeline10Queries {
        |            z -> z[1] * z[2])) AS BIGINT)
        |        + CAST(list_sum(list_transform(c.cv, v -> v * v))
        |            AS BIGINT) AS dist2
-       |    FROM sk s CROSS JOIN $ci c) ) WHERE rn = 1)""".stripMargin
+       |    FROM $src s CROSS JOIN $ci c) ) WHERE rn = 1)""".stripMargin
 
   /** Centroid update `cn` from assignment `ai` over previous `cp`:
     * per-dim truncated integer mean (BIGINT `//` mirrors Spark `div`),
     * empty cells keep the previous centroid. */
-  private def updateCtes(ai: String, cp: String, cn: String): String =
+  private def updateCtes(ai: String, cp: String, cn: String,
+                         src: String = "sk"): String =
     s"""${cn}u AS (SELECT a.cell, i.d,
        |    CAST(SUM(s.qv[i.d]) AS BIGINT) // COUNT(*) AS v
-       |  FROM $ai a JOIN sk s USING (vec_id), idx i
+       |  FROM $ai a JOIN $src s USING (vec_id), idx i
        |  GROUP BY a.cell, i.d),
        |$cn AS (SELECT p.cell, COALESCE(n.cv, p.cv) AS cv
        |  FROM $cp p LEFT JOIN (SELECT cell, list(v ORDER BY d) AS cv
        |    FROM ${cn}u GROUP BY cell) n USING (cell))""".stripMargin
 
   /** The full unrolled training prefix: quantize → seed → `iters`
-    * (assign, update) rounds; exposes `c$iters` and final `a$iters`. */
-  private def kmeansCtes(k: Int, iters: Int, salt: String): String = {
+    * (assign, update) rounds; exposes `c$iters` and final `a$iters`.
+    * With `srcFilter` set, an extra `skb` CTE restricts TRAINING (seed,
+    * assignments, updates) to the matching sketch rows — the
+    * inc_kmeans_delta base-corpus replay; the quantized full corpus
+    * stays available as `sk` for a final [[assignCte]] over everything. */
+  private[queries] def kmeansCtes(k: Int, iters: Int, salt: String,
+                                  srcFilter: Option[String] = None)
+  : String = {
+    val src = if (srcFilter.isDefined) "skb" else "sk"
+    val baseCte = srcFilter
+      .map(f => s",\nskb AS (SELECT * FROM sk WHERE $f)")
+      .getOrElse("")
     val seed =
       s"""${Pipeline7Queries.quantCtes},
-         |${seedHashCtes(salt)},
-         |sd AS (SELECT vec_id, qv, hu FROM sk
+         |${seedHashCtes(salt)}$baseCte,
+         |sd AS (SELECT vec_id, qv, hu FROM $src
          |       ORDER BY hu, vec_id LIMIT $k),
          |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY hu, vec_id) - 1
          |    AS BIGINT) AS cell, qv AS cv FROM sd)""".stripMargin
     val rounds = (0 until iters).map { i =>
-      s"""${assignCte(s"a$i", s"c$i")},
-         |${updateCtes(s"a$i", s"c$i", s"c${i + 1}")}""".stripMargin
+      s"""${assignCte(s"a$i", s"c$i", src)},
+         |${updateCtes(s"a$i", s"c$i", s"c${i + 1}", src)}""".stripMargin
     }
-    (Seq(seed) ++ rounds :+ assignCte(s"a$iters", s"c$iters"))
+    (Seq(seed) ++ rounds :+ assignCte(s"a$iters", s"c$iters", src))
       .mkString(",\n")
   }
 

@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{AsOf, Graph, Quality, Similarity, TimeSeries}
+import Fixtures._
+
+/** Round-8 batch 4: the monitoring/maintenance ring around the core —
+  * exact integer autocorrelation (seasonality detection over the
+  * aggregated time axis), a Benford first-digit audit (synthetic-data /
+  * fraud smell test), last-touch attribution (as-of join composed into
+  * the marketing report), per-domain curation profiles (the CCNet
+  * group-by-domain pass), incremental k-means statistics (the streaming
+  * codebook-maintenance half of the trained-IVF family), and a
+  * deterministic DeepWalk corpus (hash-derived walk choices, replayable
+  * in SQL). The batch convention holds: no float ever decides a graded
+  * value, every iterative trajectory unrolls into CTE layers.
+  */
+object Pipeline12Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val AcfMaxLag = 7
+  private val IkmK = 8      // inc_kmeans cells
+  private val IkmIters = 2  // inc_kmeans Lloyd rounds
+  private val WalkSteps = 4
+
+  /** Unsigned 32-bit Java hash in DuckDB (the Pipeline9 huSql). */
+  private def huSql(c: String): String = {
+    val jh = PipelineQueries.javaHashSql(c)
+    s"""(CASE WHEN $jh < 0 THEN $jh + 4294967296 ELSE $jh END)"""
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    "ts_acf" -> ((s, dir) => {
+      // lag-1..7 autocorrelation of the daily order-count series per
+      // order priority — the seasonality probe a forecasting pipeline
+      // runs before model choice. Exact integer (num, den) pairs per
+      // lag (the ewmaExact rational convention): den = Σ(n·x−S)²,
+      // num_k = Σ(n·x_t−S)(n·x_{t+k}−S). The distributed step is the
+      // raw-rows → daily-counts aggregate; the series itself is
+      // calendar-bounded (one row per priority × day), so the
+      // single-partition-per-key window is structurally small.
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("pri"),
+          col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      TimeSeries.acfExact(daily, Seq("pri"), Seq(col("day")), "x",
+          maxLag = AcfMaxLag)
+        .orderBy("pri", "lag")
+    }),
+
+    "dq_benford" -> ((s, dir) => {
+      // Benford first-digit audit of order totals (in cents) per
+      // priority class: observed count, integer deviation from the
+      // Benford expectation in micro-shares, and a 10-pp flag — all
+      // division-free, so the verdict is bit-stable. Every digit
+      // reports even at zero observations (absence IS the signal).
+      Quality.benfordAudit(
+          Tables.orders(s, dir).select(
+            col("o_orderpriority").as("pri"),
+            cents("o_totalprice").as("cts")),
+          Seq("pri"), col("cts"))
+        .orderBy("pri", "digit")
+    }),
+
+    "evt_attribution" -> ((s, dir) => {
+      // last-touch attribution: each purchase binds to the LATEST
+      // click of the same user at-or-before it ([[AsOf.join]] — one
+      // union + one keyed window, never a range cross-join), within a
+      // 24 h lookback; revenue rolls up per campaign (the click's
+      // props key mod 4), unattributed purchases under campaign −1.
+      // The asof match ignores the tolerance by construction (earlier
+      // clicks are only farther), so the window filter composes after.
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ms"), col("event_id"),
+          cents("value").as("cts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ms"),
+          col("event_id").as("click_id"),
+          (regexp_extract(col("props"), "[0-9]+", 0).cast("long") % 4)
+            .as("campaign"))
+      val m = AsOf.join(purchases, clicks, "user_id", "ts_ms",
+        "event_id", "click_id")
+      val ok = col("asof_id").isNotNull &&
+        col("ts_ms") - col("asof_time") <= lit(86400000L)
+      m.withColumn("att", when(ok, col("asof_id")).otherwise(lit(null)))
+        .join(purchases.select(col("event_id"), col("cts")), "event_id")
+        .join(clicks.select(col("click_id").as("att"), col("campaign")),
+          Seq("att"), "left")
+        .select(coalesce(col("campaign"), lit(-1L)).as("campaign"),
+          col("cts"))
+        .groupBy("campaign")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cts")).as("rev_cents"))
+        .orderBy("campaign")
+    }),
+
+    "txt_domain_stats" -> ((s, dir) => {
+      // per-domain curation profile — the CCNet group-by-source pass
+      // that decides which domains are worth crawling deeper: doc and
+      // token volume, language breadth, length-gate pass count, and
+      // exact-duplicate mass (docs minus distinct texts). One aggregate
+      // keyed on source; token counts combine map-side, the two
+      // distincts are per-source expand-aggregates — the frame after
+      // the first combine is domain-cardinality-sized, not corpus-sized.
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("n_chars") >= 200, 1L).otherwise(0L))
+            .as("n_long"),
+          (count(lit(1)) - countDistinct(col("text"))).as("n_dup"))
+        .orderBy("source")
+    }),
+
+    "inc_kmeans_delta" -> ((s, dir) => {
+      // incremental codebook statistics: centroids train on the BASE
+      // corpus (integer Lloyd, k=8, 2 rounds); the graded output is the
+      // per-(cell, dim) sufficient statistics (Σ q_emb[d], count) of
+      // base ∪ delta, computed as base stats ⊎ delta stats — the delta
+      // batch is assigned and summed WITHOUT rescanning base vectors
+      // (the streaming mini-batch k-means update). The oracle is the
+      // full recompute (train on base, assign everything), so the merge
+      // identity stats(B ∪ D) = stats(B) ⊎ stats(D) is hash-gated like
+      // the other seven inc_* queries.
+      val sk = Similarity.quantizeInt8(Tables.embeddings(s, dir))
+      val isNew = col("vec_id") % 7 === 0
+      val base = sk.where(!isNew).localCheckpoint()
+      val delta = sk.where(isNew)
+      val km = Similarity.kmeansInt8(base, IkmK, IkmIters)
+      val sb = Similarity.centroidStats(base, km.centroids)
+        .select(col("cell"), col("d"), col("s").as("s_b"),
+          col("n").as("n_b"))
+      val sd = Similarity.centroidStats(delta, km.centroids)
+        .select(col("cell"), col("d"), col("s").as("s_d"),
+          col("n").as("n_d"))
+      sb.join(sd, Seq("cell", "d"), "full_outer")
+        .select(col("cell"), col("d"),
+          (coalesce(col("s_b"), lit(0L)) + coalesce(col("s_d"), lit(0L)))
+            .as("s"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+            .as("n"))
+        .orderBy("cell", "d")
+    }),
+
+    "graph_walks" -> ((s, dir) => {
+      // deterministic DeepWalk corpus over the top-5 co-occurrence
+      // graph (the bounded-degree kNN shape walk corpora run on): one
+      // walker per vertex, 4 steps, each choice the hash-argmin
+      // neighbor — a pure function of ids, so the whole corpus is
+      // reproducible (re-runs leave downstream caches/dedup valid)
+      // and replays in SQL. Per step: one frontier ⋈ adjacency join +
+      // one argmin hash aggregate, frontier pinned.
+      val topk = Graph.cooccurTopK(Tables.lineitem(s, dir),
+        "l_orderkey", "l_suppkey", k = 5)
+      Graph.deterministicWalks(topk, "item", "co_item",
+          steps = WalkSteps, salt = "gw")
+        .orderBy("walker", "step")
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // Oracle SQL
+  // ------------------------------------------------------------------
+
+  /** The top-5 co-occurrence graph as canonical (lo, hi) edges — the
+    * trianglesOracle prefix (supplier co-order baskets → pair counts →
+    * per-item top-5 by (n_co desc, co_item asc) → canonical dedup). */
+  private val walkEdgeCtes: String =
+    """base AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS it
+      |  FROM lineitem),
+      |pr AS (SELECT a.it AS ia, b.it AS ib, COUNT(*) AS n_co
+      |  FROM base a JOIN base b ON a.g = b.g AND a.it < b.it
+      |  GROUP BY a.it, b.it),
+      |sym AS (SELECT ia AS item, ib AS co_item, n_co FROM pr
+      |  UNION ALL SELECT ib, ia, n_co FROM pr),
+      |rk AS (SELECT item, co_item,
+      |    ROW_NUMBER() OVER (PARTITION BY item
+      |      ORDER BY n_co DESC, co_item ASC) AS rnk FROM sym),
+      |ce AS (SELECT LEAST(item, co_item) AS lo,
+      |    GREATEST(item, co_item) AS hi
+      |  FROM rk WHERE rnk <= 5 GROUP BY 1, 2),
+      |adj AS (SELECT lo AS v, hi AS n FROM ce
+      |  UNION ALL SELECT hi, lo FROM ce)""".stripMargin
+
+  /** One walk step: from wk`i-1`, the neighbor minimizing
+    * (hashU32('gw|walker|step|n'), n). */
+  private def walkStepCte(i: Int): String = {
+    val h = huSql("'gw|' || CAST(w.walker AS VARCHAR) || '|' || " +
+      s"'$i' || '|' || CAST(a.n AS VARCHAR)")
+    s"""wk$i AS (SELECT walker, n AS node FROM (
+       |  SELECT w.walker, a.n,
+       |    ROW_NUMBER() OVER (PARTITION BY w.walker
+       |      ORDER BY $h, a.n) AS rn
+       |  FROM wk${i - 1} w JOIN adj a ON w.node = a.v) WHERE rn = 1)"""
+      .stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+
+    "ts_acf" ->
+      s"""WITH d AS (SELECT o_orderpriority AS pri,
+         |    CAST(o_orderdate AS DATE) AS day, COUNT(*) AS x
+         |  FROM orders GROUP BY 1, 2),
+         |t AS (SELECT pri, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sv
+         |      FROM d GROUP BY 1),
+         |e AS (SELECT d.pri,
+         |    ROW_NUMBER() OVER (PARTITION BY d.pri ORDER BY d.day) AS rn,
+         |    t.n * d.x - t.sv AS e
+         |  FROM d JOIN t USING (pri)),
+         |dn AS (SELECT pri, CAST(SUM(e * e) AS BIGINT) AS den
+         |       FROM e GROUP BY 1),
+         |lg AS (SELECT CAST(k AS BIGINT) AS lag
+         |       FROM unnest(range(1, ${AcfMaxLag + 1})) AS t(k)),
+         |nm AS (SELECT a.pri, l.lag, CAST(SUM(a.e * b.e) AS BIGINT) AS num
+         |  FROM e a CROSS JOIN lg l
+         |  JOIN e b ON a.pri = b.pri AND b.rn = a.rn + l.lag
+         |  GROUP BY 1, 2)
+         |SELECT pri, lag, num, den FROM nm JOIN dn USING (pri)
+         |ORDER BY pri, lag""".stripMargin,
+
+    "dq_benford" -> {
+      val vals = Quality.BenfordMicro.zipWithIndex
+        .map { case (e, i) => s"(${i + 1}, $e)" }.mkString(", ")
+      s"""WITH b AS (SELECT o_orderpriority AS pri,
+         |    CAST(SUBSTR(CAST(${centsSql("o_totalprice")} AS VARCHAR),
+         |      1, 1) AS BIGINT) AS digit
+         |  FROM orders WHERE ${centsSql("o_totalprice")} > 0),
+         |em AS (SELECT CAST(d AS BIGINT) AS digit, CAST(e AS BIGINT) AS e
+         |       FROM (VALUES $vals) AS v(d, e)),
+         |c AS (SELECT pri, digit, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+         |t AS (SELECT pri, COUNT(*) AS n FROM b GROUP BY 1),
+         |sp AS (SELECT t.pri, em.digit, em.e, t.n FROM t CROSS JOIN em)
+         |SELECT sp.pri, sp.digit, COALESCE(c.cnt, 0) AS cnt,
+         |  ABS(1000000 * COALESCE(c.cnt, 0) - sp.n * sp.e) AS dev,
+         |  (ABS(1000000 * COALESCE(c.cnt, 0) - sp.n * sp.e)
+         |    > sp.n * 100000) AS flagged
+         |FROM sp LEFT JOIN c ON sp.pri = c.pri AND sp.digit = c.digit
+         |ORDER BY sp.pri, sp.digit""".stripMargin
+    },
+
+    "evt_attribution" ->
+      s"""WITH p AS (SELECT event_id AS pid, user_id, epoch_ms(ts) AS pt,
+         |    ${centsSql("value")} AS cts
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT event_id AS cid, user_id, epoch_ms(ts) AS ct,
+         |    CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 4
+         |      AS campaign
+         |  FROM events WHERE event_type = 'click'),
+         |m AS (SELECT p.pid, c.campaign, c.ct, p.pt,
+         |    ROW_NUMBER() OVER (PARTITION BY p.pid
+         |      ORDER BY c.ct DESC, c.cid DESC) AS rn
+         |  FROM p JOIN c ON p.user_id = c.user_id AND c.ct <= p.pt),
+         |w AS (SELECT pid, campaign, ct, pt FROM m WHERE rn = 1),
+         |a AS (SELECT p.pid, p.cts,
+         |    CASE WHEN w.pid IS NULL OR p.pt - w.ct > 86400000
+         |         THEN CAST(-1 AS BIGINT) ELSE w.campaign END AS campaign
+         |  FROM p LEFT JOIN w USING (pid))
+         |SELECT campaign, COUNT(*) AS n_purchases,
+         |  CAST(SUM(cts) AS BIGINT) AS rev_cents
+         |FROM a GROUP BY campaign ORDER BY campaign""".stripMargin,
+
+    "txt_domain_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_long,
+        |  COUNT(*) - COUNT(DISTINCT text) AS n_dup
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "inc_kmeans_delta" ->
+      s"""WITH ${Pipeline10Queries.kmeansCtes(IkmK, IkmIters, "km",
+             Some("vec_id % 7 <> 0"))},
+         |${Pipeline10Queries.assignCte("af", s"c$IkmIters", "sk")}
+         |SELECT a.cell, i.d, CAST(SUM(s.qv[i.d]) AS BIGINT) AS s,
+         |  COUNT(*) AS n
+         |FROM af a JOIN sk s USING (vec_id), idx i
+         |GROUP BY a.cell, i.d
+         |ORDER BY cell, d""".stripMargin,
+
+    "graph_walks" -> {
+      val steps = (1 to WalkSteps).map(walkStepCte).mkString(",\n")
+      val sel = (0 to WalkSteps).map(i =>
+        s"SELECT walker, CAST($i AS BIGINT) AS step, node FROM wk$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $walkEdgeCtes,
+         |wk0 AS (SELECT DISTINCT v AS walker, v AS node FROM adj),
+         |$steps
+         |$sel
+         |ORDER BY walker, step""".stripMargin
+    }
+  )
+}
