@@ -148,6 +148,19 @@ object Pipeline12Queries {
         .orderBy("cell", "d")
     }),
 
+    "stream_join_final" -> ((s, dir) => {
+      // stream-stream interval join through a real AvailableNow drain:
+      // purchases pair with same-user clicks of the preceding 30 min.
+      // Inner joins emit on match, so the drained row-set is exactly
+      // the batch interval join — the oracle — whenever no admitted
+      // row is late beyond the watermark (the StreamDrains multi-batch
+      // contract; split-drain spec in StreamSplitDrainSpec).
+      StreamDrains.drain(s,
+          StreamDrains.joinPipeline(Pipeline6Queries.eventsStream(s, dir)),
+          "append", "sjf")
+        .orderBy("click_id", "purchase_id")
+    }),
+
     "graph_walks" -> ((s, dir) => {
       // deterministic DeepWalk corpus over the top-5 co-occurrence
       // graph (the bounded-degree kNN shape walk corpora run on): one
@@ -283,6 +296,19 @@ object Pipeline12Queries {
          |FROM af a JOIN sk s USING (vec_id), idx i
          |GROUP BY a.cell, i.d
          |ORDER BY cell, d""".stripMargin,
+
+    "stream_join_final" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_ms(ts) AS t FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, t AS cts
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, t AS pts
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT c.click_id, p.purchase_id, c.user_id,
+        |  c.cts AS cts_ms, p.pts AS pts_ms
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.pts >= c.cts AND p.pts <= c.cts + 1800000
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "graph_walks" -> {
       val steps = (1 to WalkSteps).map(walkStepCte).mkString(",\n")

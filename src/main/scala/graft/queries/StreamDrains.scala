@@ -79,6 +79,40 @@ private[graft] object StreamDrains {
         unix_millis(col("session_window.start")).as("session_start_ms"),
         col("n_events"))
 
+  /** Stream-stream interval join (conversion pairing): purchases bind
+    * to every click of the same user in the preceding 30 minutes —
+    * both sides filters of ONE input stream (a watermarked self-join),
+    * the last big stateful-streaming shape (joins alongside dedup,
+    * windows, and arbitrary state). Inner joins emit on match, no
+    * finalization wait; each side's state is bounded by its watermark
+    * plus the join range, which is the 100 TB story: state size is
+    * (watermark delay + 30 min) of traffic, never the stream.
+    *
+    * Multi-batch contract (same bounded-disorder argument as the
+    * header): a click's state survives until the watermark passes
+    * cts + 30 min; the watermark lags max event time by 1 h, so any
+    * purchase that could still match (pts ≤ cts + 30 min) arrives
+    * while the click is live — no pair is lost to a split. */
+  def joinPipeline(stream: DataFrame): DataFrame = {
+    val base = stream.select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts").cast("timestamp").as("ts"))
+    val clicks = base.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val purchases = base.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    clicks.join(purchases,
+        expr("c_user = p_user AND pts >= cts AND " +
+          "pts <= cts + interval 30 minutes"))
+      .select(col("click_id"), col("purchase_id"),
+        col("c_user").as("user_id"),
+        unix_millis(col("cts")).as("cts_ms"),
+        unix_millis(col("pts")).as("pts_ms"))
+  }
+
   /** Update-mode emission leaves one snapshot per key per touched batch;
     * snapshots are monotone under the keep-latest order (each is the
     * state AFTER absorbing its batch), so the batch keep-latest reduce

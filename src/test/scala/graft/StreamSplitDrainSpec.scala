@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.queries.{Pipeline6Queries, Pipeline7Queries, StreamDrains}
+import graft.queries.{Pipeline6Queries, Pipeline7Queries,
+  Pipeline12Queries, StreamDrains}
 
 /** The multi-microbatch streaming CONTRACT (VERDICT r7 #1): each of the
   * four graded stream_* pipelines must produce its graded (one-batch)
@@ -63,7 +64,8 @@ class StreamSplitDrainSpec extends SparkSuite {
     df.collect().map(_.toString).sorted.toSeq
 
   private def gradedAnswer(name: String): Seq[String] = {
-    val qs = Pipeline6Queries.queries ++ Pipeline7Queries.queries
+    val qs = Pipeline6Queries.queries ++ Pipeline7Queries.queries ++
+      Pipeline12Queries.queries
     rows(qs(name)(spark, sfDir))
   }
 
@@ -107,5 +109,48 @@ class StreamSplitDrainSpec extends SparkSuite {
     val (out, n) = StreamDrains.drainCounted(spark,
       StreamDrains.sessionFinalPipeline(splitStream), "append", "ssf_split")
     assertSplitEqualsGraded("stream_session_final", out, n)
+  }
+
+  test("stream_join_final: interval-join state survives batch " +
+      "boundaries — split drain emits every cross-batch pair") {
+    val (out, n) = StreamDrains.drainCounted(spark,
+      StreamDrains.joinPipeline(splitStream), "append", "sjf_split")
+    assertSplitEqualsGraded("stream_join_final", out, n)
+  }
+
+  test("stream_join_final: a pair whose click and purchase arrive in " +
+      "DIFFERENT microbatches is still emitted (state retention)") {
+    import spark.implicits._
+    // crafted two-file replay: the click lands in batch 1, its matching
+    // purchase (12 min later, within the 30 min join range) in batch 2 —
+    // plus a decoy pair outside the range that must NOT pair
+    def ts(min: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 10, 0).plusMinutes(min))
+    val f1 = Seq((100L, ts(0), 7L, "click"),
+      (101L, ts(1), 8L, "click")).toDF("event_id", "ts", "user_id",
+      "event_type")
+    val f2 = Seq((200L, ts(12), 7L, "purchase"),
+      (201L, ts(45), 8L, "purchase")).toDF("event_id", "ts", "user_id",
+      "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("sjf_cross").toString
+    Seq((f1, 1), (f2, 2)).foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"sjf_t$i").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, f"ev_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val (got, batches) = StreamDrains.drainCounted(spark,
+      StreamDrains.joinPipeline(stream), "append", "sjf_cross")
+    assert(batches >= 2L, s"drain ran $batches batches — did not split")
+    val pairs = got.select("click_id", "purchase_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((100L, 200L)),
+      s"expected exactly the cross-batch in-range pair, got $pairs")
   }
 }
