@@ -13,7 +13,53 @@ import graft.ops.{Dedup, Merge}
   *   sbt "runMain graft.ScaleProbe minhash 500000"            # dedup path
   */
 object ScaleProbe {
+  /** Decade probe for the round-8 batch-4/5 iterative graph ops: walk
+    * corpus generation and Borůvka contraction on a synthetic bounded-
+    * degree graph (the top-k-association shape both are documented to
+    * run on) at n and 4n vertices. Both are per-round join+aggregate
+    * algebra, so wall should scale near-linearly in edges. */
+  private def walkMstProbe(args: Array[String]): Unit = {
+    val n = args.drop(1).headOption.map(_.toLong).getOrElse(300000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def edges(sz: Long) = spark.range(2, sz)
+      .select(col("id").as("src"),
+        explode(array((1 to 5).map(k =>
+          pmod(col("id") * (2 * k + 1) + k * 7919, lit(sz - 2)) + 2): _*))
+          .as("dst"))
+      .where(col("dst") =!= col("src"))
+      .withColumn("w", pmod(col("src") * 31 + col("dst") * 17, lit(1000L)))
+    def run(sz: Long): (Double, Double) = {
+      val e = edges(sz).localCheckpoint()
+      val t0 = System.nanoTime()
+      ops.Graph.deterministicWalks(e, "src", "dst", steps = 4)
+        .agg(count(lit(1))).collect()
+      val wWalk = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      ops.Graph.boruvkaMaxForest(e, "src", "dst", "w", rounds = 3)
+        .agg(count(lit(1))).collect()
+      val wMst = (System.nanoTime() - t1) / 1e9
+      (wWalk, wMst)
+    }
+    val (a1, m1) = run(n)
+    val (a4, m4) = run(n * 4)
+    println(f"[walkmst] n=$n%d walk=$a1%.1fs mst=$m1%.1fs | 4x " +
+      f"walk=$a4%.1fs (${a4 / a1}%.1fx) mst=$m4%.1fs (${m4 / m1}%.1fx)")
+    require(a4 / a1 < 8.0 && m4 / m1 < 8.0,
+      f"4x data cost walk ${a4 / a1}%.1fx / mst ${m4 / m1}%.1fx wall " +
+        "— superlinear scaling")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("walkmst")) { walkMstProbe(args); return }
     if (args.headOption.contains("minhash")) { minhashProbe(args); return }
     if (args.headOption.contains("cc")) { ccProbe(args); return }
     if (args.headOption.contains("ccstar")) { ccStarProbe(args); return }

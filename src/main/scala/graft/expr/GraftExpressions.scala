@@ -311,6 +311,57 @@ object ZOrderUtil {
   def interleave16(x: Long, y: Long): Long = spread(x) | (spread(y) << 1)
 }
 
+/** Multimodal binary feature primitive: per-block unsigned-byte sums of
+  * an opaque payload — `block_sums(payload, blocks)` returns an
+  * array<bigint> of `blocks` sums, byte i (0-based, length n) landing in
+  * block ⌊i·blocks/n⌋ (the proportional layout that keeps every block
+  * within ±1 byte of even, any n). This is the integer skeleton of a
+  * perceptual hash (pHash/aHash family: block statistics → sign
+  * pattern): the REAL decode step needs image libs this container lacks
+  * (stubbed per the multimodal contract), but block-energy
+  * fingerprinting over the raw payload is the same Spark-side shape —
+  * one codegen'd pass per row, no per-byte rows ever materialized.
+  * Empty payloads return all-zero sums. */
+case class BlockSums(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary, int), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def nullSafeEval(p: Any, b: Any): Any =
+    ByteOps.blockSums(p.asInstanceOf[Array[Byte]], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (p, b) => s"graft.expr.ByteOps.blockSums($p, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+  : BlockSums = copy(left = l, right = r)
+  override def prettyName: String = "block_sums"
+}
+
+/** Static forwarder home for [[BlockSums]] (the ZOrderUtil janino
+  * convention). */
+object ByteOps {
+  def blockSums(bytes: Array[Byte], blocks: Int)
+  : org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(blocks >= 1, s"block_sums: blocks must be >= 1, got $blocks")
+    val out = new Array[Long](blocks)
+    val n = bytes.length
+    var i = 0
+    while (i < n) {
+      out((i.toLong * blocks / n).toInt) += (bytes(i) & 0xFF).toLong
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 private[expr] object JsonSupport {
   val mapper = new ObjectMapper()
 
@@ -365,6 +416,7 @@ object GraftFunctions {
     "dot_ff" -> (es => DotProductFF(es.head, es(1))),
     "dot_ll" -> (es => DotProductLL(es.head, es(1))),
     "zorder16" -> (es => ZOrder16(es.head, es(1))),
+    "block_sums" -> (es => BlockSums(es.head, es(1))),
     // runtime bloom-join filtering — Spark ships these expressions for its
     // InjectRuntimeFilter rule but does not expose them; registering the
     // same pair (key pre-hashed with xxhash64, as that rule does) makes
@@ -402,6 +454,8 @@ object GraftFunctions {
     call_function("dot_ll", a, b)
   def zorder16(x: Column, y: Column): Column =
     call_function("zorder16", x, y)
+  def block_sums(payload: Column, blocks: Column): Column =
+    call_function("block_sums", payload, blocks)
   def bloom_agg(key: Column, expectedItems: Column): Column =
     call_function("bloom_agg", key, expectedItems)
   def might_contain(bloom: Column, key: Column): Column =

@@ -826,4 +826,90 @@ object Graph {
     }
     out.select(col("walker"), col("step"), col("node"))
   }
+
+  /** Borůvka MAXIMUM spanning forest over a weighted undirected graph,
+    * fixed synchronous rounds — the association-backbone extractor: keep
+    * the strongest edges that still connect everything (the
+    * skeletonization step before visualizing / clustering a similarity
+    * or co-occurrence graph; max-spanning on association strength ≡
+    * min-spanning on distance). Borůvka is THE distributed MST
+    * algorithm (every component picks its best incident cut edge, all
+    * components contract at once — components at least halve per round,
+    * so ⌈log₂ V⌉ rounds suffice for the full forest).
+    *
+    * Determinism: per component the argmax edge under the total order
+    * (w desc, lo asc, hi asc) via one hash-aggregate min(struct(−w, lo,
+    * hi)) — never a sort window; two components choosing the same edge
+    * collapse by distinct. Contraction relabels through
+    * [[Cluster.connectedComponents]] over the CHOSEN edge graph — a
+    * frame of component labels (≤ V rows round 1, at least halving
+    * after), not data rows.
+    *
+    * Scale: the weighted edge list is pinned once and re-joined per
+    * round with the (vertex → component) frame — two equi-joins + one
+    * argmax aggregate per round, everything keyed on vertex/component
+    * ids. Nothing is ever collected; round count is the only driver
+    * control flow (fixed, like [[kCore]] — run ⌈log₂ V⌉ rounds for the
+    * complete forest).
+    *
+    * `rounds` is a CAP, not a count: a round that finds no cut edge
+    * means every component is already spanned, so the loop exits early
+    * (a 1-row existence read per round, the ccStar/kmeansConverged
+    * driver-state contract) instead of paying further contraction
+    * passes on a finished forest.
+    *
+    * @param edges undirected weighted edges (dedup upstream; self-loops
+    *              dropped); larger `w` = stronger = kept
+    * @return the chosen forest edges (lo, hi, w) accumulated over at
+    *         most `rounds` — a subset of the input edge set, acyclic
+    */
+  def boruvkaMaxForest(edges: DataFrame, loCol: String, hiCol: String,
+                       wCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col(loCol).cast("long").as("lo"),
+        col(hiCol).cast("long").as("hi"), col(wCol).cast("long").as("w"))
+      .where(col("lo") =!= col("hi"))
+      .localCheckpoint()
+    var comp = e.select(explode(array(col("lo"), col("hi"))).as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("c"))
+      .localCheckpoint()
+    var chosen: DataFrame = null
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val el = e
+        .join(comp.select(col("id").as("lo"), col("c").as("cl")), "lo")
+        .join(comp.select(col("id").as("hi"), col("c").as("ch")), "hi")
+        .where(col("cl") =!= col("ch"))
+      val best = el
+        .select(explode(array(col("cl"), col("ch"))).as("c"),
+          col("w"), col("lo"), col("hi"))
+        .groupBy("c")
+        .agg(min(struct((-col("w")).as("nw"), col("lo"), col("hi")))
+          .as("m"))
+        .select(col("m.lo").as("lo"), col("m.hi").as("hi"),
+          (-col("m.nw")).as("w"))
+        .distinct()
+        .localCheckpoint()
+      done = best.isEmpty // no cut edge anywhere: the forest is complete
+      chosen = if (chosen == null) best else chosen.unionByName(best)
+      if (!done) {
+        // contract: new component labels = CC over the chosen-edge
+        // component graph (labels as vertices, chosen edges relabeled)
+        val cg = best
+          .join(comp.select(col("id").as("lo"), col("c").as("cl")), "lo")
+          .join(comp.select(col("id").as("hi"), col("c").as("ch")), "hi")
+          .select("cl", "ch")
+        val labels = Cluster.connectedComponents(
+          comp.select(col("c")).distinct(), "c", cg, "cl", "ch")
+        comp = comp.select(col("id"), col("c"))
+          .join(labels.select(col("id").as("c"), col("cluster")), "c")
+          .select(col("id"), col("cluster").as("c"))
+          .localCheckpoint()
+      }
+      r += 1
+    }
+    chosen.select("lo", "hi", "w")
+  }
 }

@@ -95,4 +95,58 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
   }
+
+  /** 64-bit block-energy fingerprint of a binary payload — the integer
+    * skeleton of a perceptual hash (aHash/pHash family: block statistic
+    * vs global mean → sign pattern). Bit b is set iff block b's
+    * unsigned-byte sum (the codegen'd `block_sums` pass, proportional
+    * block layout) strictly exceeds the payload mean — decided by the
+    * cross-multiplication 64·s_b > Σs, division-free. Payloads that are
+    * near-duplicates at the byte level land within a few Hamming bits;
+    * the REAL decode → DCT step is stubbed per the multimodal contract,
+    * but every Spark-side shape (one codegen pass per row, no per-byte
+    * rows, fingerprint as one long) is what a production pHash runs.
+    *
+    * @return df + (`out`: long fingerprint) */
+  def phash64(df: DataFrame, payload: String, out: String): DataFrame = {
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    df.withColumn("__bs",
+        graft.expr.GraftFunctions.block_sums(col(payload), lit(64)))
+      .withColumn("__tot", aggregate(col("__bs"), lit(0L), _ + _))
+      .withColumn(out, expr(
+        """aggregate(transform(__bs,
+          |  (s, i) -> IF(64 * s > __tot, shiftleft(1L, i), 0L)),
+          |  0L, (a, x) -> a + x)""".stripMargin))
+      .drop("__bs", "__tot")
+  }
+
+  /** Near-duplicate media pairs by banded Hamming match over the
+    * [[phash64]] fingerprint — the multi-index Hamming join (Manku et
+    * al.'s simhash dedup layout, standard for image dedup): the 64-bit
+    * fingerprint splits into 4 16-bit bands; by pigeonhole, any pair
+    * within Hamming distance 3 agrees on ≥ 1 whole band, so candidates
+    * come from 4 equality self-joins (shuffle-partitionable on the band
+    * value — pair space Σ_band df(band)², NEVER corpus²) and the exact
+    * `bit_count(a XOR b)` verify runs on candidates only.
+    *
+    * @return (a, b, hamming) with a < b, hamming <= maxHamming (<= 3
+    *         for the recall guarantee; higher thresholds lose it) */
+  def hammingNearDup(fps: DataFrame, idCol: String, fpCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banded 4x16 recall guarantee holds to Hamming 3, got $maxHamming")
+    val bands = fps.select(col(idCol).as("id"), col(fpCol).as("fp"))
+      .withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("bv", expr("shiftright(fp, band * 16) & 65535"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.fp").as("fa"), col("y.fp").as("fb"))
+      .distinct()
+    cand.select(col("a"), col("b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long")
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOf, Graph, Quality, Similarity, TimeSeries}
+import graft.ops.{AsOf, Graph, Multimodal, Quality, Similarity, TimeSeries}
 import Fixtures._
 
 /** Round-8 batch 4: the monitoring/maintenance ring around the core —
@@ -148,6 +148,73 @@ object Pipeline12Queries {
         .orderBy("cell", "d")
     }),
 
+    "mm_phash" -> ((s, dir) => {
+      // 64-bit block-energy fingerprint per media payload — the pHash
+      // skeleton: one codegen'd block_sums pass per row, sign pattern
+      // vs the payload mean by cross-multiplication (64·s_b > Σs).
+      // Byte-level near-duplicates land within a few Hamming bits.
+      Multimodal.phash64(
+          Multimodal.mediaFromDocuments(s, dir).toDF(), "payload", "fp")
+        .select(col("media_id"), col("fp"))
+        .orderBy("media_id")
+    }),
+
+    "mm_near_dup" -> ((s, dir) => {
+      // near-duplicate media pairs by banded Hamming match (4×16-bit
+      // bands; pigeonhole: distance ≤ 3 ⇒ ≥ 1 whole band equal, so the
+      // oracle's ALL-pairs Hamming scan and the banded candidate join
+      // must agree — the recall guarantee is itself hash-gated here).
+      val fps = Multimodal.phash64(
+          Multimodal.mediaFromDocuments(s, dir).toDF(), "payload", "fp")
+        .select(col("media_id"), col("fp"))
+      Multimodal.hammingNearDup(fps, "media_id", "fp", maxHamming = 3)
+        .orderBy("a", "b")
+    }),
+
+    "graph_mst" -> ((s, dir) => {
+      // Borůvka MAXIMUM spanning forest (2 synchronous rounds) on the
+      // support-weighted part co-order graph — the association-backbone
+      // extractor: the strongest edges that still connect everything.
+      // Per round: each component's argmax incident cut edge as ONE
+      // hash aggregate, contraction via connectedComponents over the
+      // chosen-edge label graph (component-count-sized, halving).
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("p"))
+        .distinct()
+      val we = li.select(col("g"), col("p").as("lo"))
+        .join(li.select(col("g"), col("p").as("hi")), "g")
+        .where(col("lo") < col("hi"))
+        .groupBy("lo", "hi").agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+      Graph.boruvkaMaxForest(we, "lo", "hi", "w", rounds = 2)
+        .orderBy("lo", "hi")
+    }),
+
+    "dq_rate_drift" -> ((s, dir) => {
+      // dataset-shift monitor between the base corpus and the arriving
+      // batch (the inc_* 1-in-7 split): per category, the cross-
+      // multiplied rate-drift test 10·|n_d·T_b − n_b·T_d| > T_b·T_d
+      // (a 10% absolute share gap) — division-free, decimal(38) against
+      // the oracle's HUGEINT so no float ever decides (products reach
+      // 38 digits only past ~10¹⁸ row counts).
+      val o = Tables.orders(s, dir).select(
+        col("o_orderpriority").as("pri"),
+        (col("o_orderkey") % 7 === 0).as("isnew"))
+      val c = o.groupBy("pri").agg(
+        sum(when(!col("isnew"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("isnew"), 1L).otherwise(0L)).as("n_delta"))
+      val t = c.agg(sum("n_base").as("tb"), sum("n_delta").as("td"))
+      val dev = lit(10L).cast("decimal(38,0)") *
+        abs(col("n_delta").cast("decimal(38,0)") * col("tb") -
+          col("n_base").cast("decimal(38,0)") * col("td"))
+      c.crossJoin(broadcast(t))
+        .withColumn("dev", dev)
+        .withColumn("drifted",
+          col("dev") > col("tb").cast("decimal(38,0)") * col("td"))
+        .select("pri", "n_base", "n_delta", "dev", "drifted")
+        .orderBy("pri")
+    }),
+
     "stream_join_final" -> ((s, dir) => {
       // stream-stream interval join through a real AvailableNow drain:
       // purchases pair with same-user clicks of the preceding 30 min.
@@ -214,7 +281,112 @@ object Pipeline12Queries {
       .stripMargin
   }
 
+  /** The phash64 fingerprint replayed in SQL: unicode codes == payload
+    * bytes on the ASCII corpus (the mm_resize precedent), proportional
+    * block layout (i·64)//n, dense 0..63 block spine (docs shorter than
+    * 64 bytes leave empty blocks = zero sums), sign bit via the same
+    * 64·s > Σs cross-multiplication. Bit 63 is the signed-long MSB:
+    * DuckDB's `<<` range-checks where Java wraps, so it is emitted as
+    * the Long.MIN_VALUE literal — the arithmetic sum of distinct powers
+    * (63 positive, one negative MSB) equals the two's-complement OR
+    * pattern on both engines. */
+  private val phashCtes: String =
+    """ch AS (SELECT doc_id, string_split_regex(text, '') AS s
+      |       FROM documents),
+      |tok AS (SELECT doc_id, CAST(ii - 1 AS BIGINT) AS i0,
+      |    CAST(unicode(s[ii]) AS BIGINT) AS code,
+      |    CAST(len(s) AS BIGINT) AS n
+      |  FROM ch, unnest(range(1, len(s) + 1)) AS u(ii)),
+      |bs0 AS (SELECT doc_id, i0 * 64 // n AS b, SUM(code) AS sm
+      |        FROM tok GROUP BY 1, 2),
+      |sp AS (SELECT d.doc_id, bb.b
+      |  FROM (SELECT DISTINCT doc_id FROM tok) d,
+      |    (SELECT CAST(x AS BIGINT) AS b
+      |     FROM unnest(range(0, 64)) t(x)) bb),
+      |bs AS (SELECT sp.doc_id, sp.b, COALESCE(bs0.sm, 0) AS sm
+      |  FROM sp LEFT JOIN bs0 ON sp.doc_id = bs0.doc_id
+      |    AND sp.b = bs0.b),
+      |tt AS (SELECT doc_id, SUM(sm) AS tot FROM bs GROUP BY 1),
+      |fps AS (SELECT bs.doc_id AS media_id,
+      |    CAST(SUM(CASE WHEN 64 * bs.sm > tt.tot THEN
+      |        CASE WHEN bs.b = 63 THEN -9223372036854775808
+      |             ELSE 1::BIGINT << bs.b END
+      |      ELSE 0 END) AS BIGINT) AS fp
+      |  FROM bs JOIN tt USING (doc_id) GROUP BY 1)""".stripMargin
+
+  /** The support-weighted co-order graph + 2 unrolled Borůvka rounds;
+    * the round-1 contraction is a recursive closure over the chosen
+    * edges (the dd_cluster_cc transitive-closure convention). */
+  private val mstCtes: String =
+    """wb AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS it
+      |       FROM lineitem),
+      |wd AS (SELECT a.it AS lo, b.it AS hi, COUNT(*) AS w
+      |  FROM wb a JOIN wb b ON a.g = b.g AND a.it < b.it
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |cand1 AS (SELECT lo AS c, lo, hi, w FROM wd
+      |  UNION ALL SELECT hi, lo, hi, w FROM wd),
+      |b1 AS (SELECT lo, hi, w FROM (
+      |    SELECT c, lo, hi, w, ROW_NUMBER() OVER (PARTITION BY c
+      |      ORDER BY w DESC, lo ASC, hi ASC) AS rn FROM cand1)
+      |  WHERE rn = 1),
+      |ch1 AS (SELECT DISTINCT lo, hi, w FROM b1),
+      |verts AS (SELECT lo AS v FROM wd UNION SELECT hi FROM wd),
+      |sedges AS (SELECT lo AS u, hi AS v FROM ch1
+      |  UNION SELECT hi, lo FROM ch1),
+      |reach(id, lbl) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT e.v, r.lbl FROM reach r JOIN sedges e ON e.u = r.id),
+      |lab AS (SELECT id, MIN(lbl) AS l FROM reach GROUP BY id),
+      |e2 AS (SELECT w.lo, w.hi, w.w, a.l AS cl, b.l AS ch
+      |  FROM wd w JOIN lab a ON w.lo = a.id JOIN lab b ON w.hi = b.id
+      |  WHERE a.l <> b.l),
+      |cand2 AS (SELECT cl AS c, lo, hi, w FROM e2
+      |  UNION ALL SELECT ch, lo, hi, w FROM e2),
+      |b2 AS (SELECT lo, hi, w FROM (
+      |    SELECT c, lo, hi, w, ROW_NUMBER() OVER (PARTITION BY c
+      |      ORDER BY w DESC, lo ASC, hi ASC) AS rn FROM cand2)
+      |  WHERE rn = 1),
+      |ch2 AS (SELECT DISTINCT lo, hi, w FROM b2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "mm_phash" ->
+      s"""WITH $phashCtes
+         |SELECT media_id, fp FROM fps ORDER BY media_id""".stripMargin,
+
+    "mm_near_dup" ->
+      // ALL-pairs Hamming scan — deliberately NOT banded: matching the
+      // banded Spark plan against the exhaustive oracle grades the
+      // pigeonhole recall guarantee itself
+      s"""WITH $phashCtes
+         |SELECT x.media_id AS a, y.media_id AS b,
+         |  CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
+         |FROM fps x JOIN fps y ON x.media_id < y.media_id
+         |WHERE bit_count(xor(x.fp, y.fp)) <= 3
+         |ORDER BY a, b""".stripMargin,
+
+    "graph_mst" ->
+      s"""WITH RECURSIVE $mstCtes
+         |SELECT lo, hi, w FROM (
+         |  SELECT * FROM ch1 UNION ALL SELECT * FROM ch2)
+         |ORDER BY lo, hi""".stripMargin,
+
+    "dq_rate_drift" ->
+      """WITH o AS (SELECT o_orderpriority AS pri,
+        |    o_orderkey % 7 = 0 AS isnew FROM orders),
+        |c AS (SELECT pri,
+        |    CAST(SUM(CASE WHEN isnew THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_base,
+        |    CAST(SUM(CASE WHEN isnew THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_delta
+        |  FROM o GROUP BY 1),
+        |t AS (SELECT SUM(n_base) AS tb, SUM(n_delta) AS td FROM c)
+        |SELECT c.pri, c.n_base, c.n_delta,
+        |  10 * ABS(c.n_delta * t.tb - c.n_base * t.td) AS dev,
+        |  (10 * ABS(c.n_delta * t.tb - c.n_base * t.td)
+        |    > t.tb * t.td) AS drifted
+        |FROM c, t ORDER BY pri""".stripMargin,
 
     "ts_acf" ->
       s"""WITH d AS (SELECT o_orderpriority AS pri,

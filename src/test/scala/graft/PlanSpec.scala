@@ -334,4 +334,42 @@ class PlanSpec extends SparkSuite {
       "ADC sum must partial-aggregate before the exchange:\n" +
         p.take(1500))
   }
+
+  test("ts_acf: per-key totals broadcast back onto the series; all " +
+      "seven lags ride one Window operator") {
+    val p = plan(q("ts_acf"))
+    assert(p.contains("BroadcastHashJoin"),
+      "totals must broadcast-join (they are key-cardinality-sized):\n" +
+        p.take(1500))
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1,
+      s"all lags must share ONE window pass, found $windows:\n" +
+        p.take(1500))
+  }
+
+  test("evt_attribution: the as-of match is a keyed window, never a " +
+      "theta/cross join over clicks x purchases") {
+    val p = plan(q("evt_attribution"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "attribution planned a theta join — the AsOf union+window " +
+        "shape regressed:\n" + p.take(1500))
+  }
+
+  test("centroidStats: the (cell, d) sums partial-aggregate map-side " +
+      "before the exchange; centroids broadcast into the assignment") {
+    val sk = graft.ops.Similarity.quantizeInt8(
+      Tables.embeddings(spark, sfDir))
+    val cent = graft.ops.Similarity.kmeansInt8(sk, k = 4, iters = 1)
+      .centroids
+    val df = graft.ops.Similarity.centroidStats(sk, cent)
+    df.collect() // settle AQE
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "k-row centroid frame must broadcast into the argmin:\n" +
+        p.take(1500))
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      "(cell, d) sums must partial-aggregate before the exchange:\n" +
+        p.take(1500))
+  }
 }

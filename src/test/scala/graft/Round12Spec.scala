@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Graph, Quality, Similarity, TimeSeries}
+import graft.ops.{Graph, Multimodal, Quality, Similarity, TimeSeries}
 
 /** Round-8 batch-4 operators — the invariants the parquet oracle can't
   * state: ACF's closed-form values on hand series, Benford's exclusion
@@ -140,5 +140,128 @@ class Round12Spec extends SparkSuite {
     assert(whole.exceptAll(merged).isEmpty &&
       merged.exceptAll(whole).isEmpty,
       "merge identity violated: stats(B u D) != stats(B) + stats(D)")
+  }
+
+  // ---- phash64 / hammingNearDup -------------------------------------
+
+  test("phash64: hand-computed sign pattern — blocks above the mean " +
+      "set their bit, identical payloads collide, one edit flips few") {
+    val lo = "a" * 32
+    val df = Seq(
+      (1L, lo + "z" * 32), // exactly 64 bytes: byte i IS block i
+      (2L, lo + "z" * 32),
+      (3L, lo + "z" * 31 + "a") // last byte drops below the mean
+    ).toDF("media_id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val fp = Multimodal.phash64(df, "payload", "fp")
+      .select("media_id", "fp").as[(Long, Long)].collect()
+      .toMap
+    // 'a'=97 < mean=109.5 < 'z'=122: exactly blocks 32..63 (the z
+    // half) exceed the mean, so fp = bits 32..63 set.
+    val expectHi = (32 to 63).map {
+      case 63 => Long.MinValue
+      case b  => 1L << b
+    }.sum
+    assert(fp(1L) === expectHi, f"fp(1) = ${fp(1L)}%x != $expectHi%x")
+    assert(fp(1L) === fp(2L), "identical payloads must collide")
+    // doc 3: block 63 falls to 97 < mean 6983/64 — ONLY bit 63 flips
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) === 1,
+      f"one-byte edit should flip exactly bit 63: ${fp(3L)}%x")
+  }
+
+  test("hammingNearDup: distance <= 3 is ALWAYS found (pigeonhole); a " +
+      "distance-4 pair spread one-bit-per-band is correctly missed") {
+    // crafted fingerprints, fed straight to the band join
+    val base = 0x0123456789abcdefL
+    val d3 = base ^ 0x7L               // 3 bits, all in band 0
+    val d4 = base ^ ((1L << 0) | (1L << 16) | (1L << 32) | (1L << 48))
+    val fps = Seq((1L, base), (2L, d3), (3L, d4))
+      .toDF("media_id", "fp")
+    val pairs = Multimodal.hammingNearDup(fps, "media_id", "fp")
+      .select("a", "b", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(pairs.contains((1L, 2L, 3L)),
+      s"distance-3 pair must be found: $pairs")
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 3L),
+      "distance-4 pair with all four bands touched is outside the " +
+        s"guarantee and must not appear at maxHamming=3: $pairs")
+  }
+
+  // ---- boruvkaMaxForest ---------------------------------------------
+
+  test("boruvka: triangle keeps its two strongest edges; a " +
+      "two-component graph yields one forest per component") {
+    val tri = Seq((1L, 2L, 10L), (2L, 3L, 20L), (1L, 3L, 30L),
+      (7L, 8L, 5L)).toDF("lo", "hi", "w")
+    val got = Graph.boruvkaMaxForest(tri, "lo", "hi", "w", rounds = 2)
+      .orderBy("lo", "hi").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L, 30L), (2L, 3L, 20L), (7L, 8L, 5L)),
+      s"max spanning forest wrong: $got")
+  }
+
+  test("boruvka: equal weights break by (lo, hi) ascending — the " +
+      "trajectory is deterministic") {
+    val sq = Seq((1L, 2L, 5L), (2L, 3L, 5L), (3L, 4L, 5L), (1L, 4L, 5L))
+      .toDF("lo", "hi", "w")
+    val a = Graph.boruvkaMaxForest(sq, "lo", "hi", "w", rounds = 2)
+      .orderBy("lo", "hi").as[(Long, Long, Long)].collect().toSeq
+    val b = Graph.boruvkaMaxForest(sq, "lo", "hi", "w", rounds = 2)
+      .orderBy("lo", "hi").as[(Long, Long, Long)].collect().toSeq
+    assert(a === b, "re-run diverged")
+    // 4-cycle, all weights equal: every vertex picks its smallest
+    // (lo, hi) incident edge; 3 distinct edges span the cycle
+    assert(a.size === 3 && a.forall(_._3 == 5L),
+      s"expected a 3-edge spanning tree of the square: $a")
+  }
+
+  test("boruvka: the chosen forest is acyclic and spans each " +
+      "connected component within log2(V) rounds") {
+    val edges = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("p"))
+      .distinct()
+    val we = edges.select(col("g"), col("p").as("lo"))
+      .join(edges.select(col("g"), col("p").as("hi")), "g")
+      .where(col("lo") < col("hi"))
+      .groupBy("lo", "hi").agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .localCheckpoint()
+    val forest = Graph.boruvkaMaxForest(we, "lo", "hi", "w", rounds = 10)
+    val nEdges = forest.count()
+    val verts = we.select(explode(array(col("lo"), col("hi"))).as("v"))
+      .distinct()
+    val nVerts = verts.count()
+    val nComp = graft.ops.Cluster.connectedComponents(
+        verts, "v", we, "lo", "hi")
+      .select("cluster").distinct().count()
+    // spanning forest: |E| = |V| - #components (acyclic AND spanning)
+    assert(nEdges === nVerts - nComp,
+      s"forest edges $nEdges != $nVerts - $nComp")
+  }
+
+  // ---- dq_rate_drift ------------------------------------------------
+
+  test("rate drift: a category present only in the delta slice flags; " +
+      "a proportionally-stable one does not") {
+    // base: 90 x, 10 y (T_b=100); delta: 45 x, 5 y, 6 z (T_d=56) —
+    // x drops 90% → 80.4% (9.6 pp, under the 10 pp gate), y holds
+    // within 1.1 pp, z appears at 10.7% from nothing (over the gate):
+    // 10·|45·100−90·56| = 5400 ≤ 5600 = T_b·T_d but 10·|6·100−0| = 6000
+    val rows = Seq.fill(90)(("x", false)) ++ Seq.fill(10)(("y", false)) ++
+      Seq.fill(45)(("x", true)) ++ Seq.fill(5)(("y", true)) ++
+      Seq.fill(6)(("z", true))
+    val df = rows.toDF("cat", "isnew")
+    val c = df.groupBy("cat").agg(
+      sum(when(!col("isnew"), 1L).otherwise(0L)).as("n_base"),
+      sum(when(col("isnew"), 1L).otherwise(0L)).as("n_delta"))
+    val t = c.agg(sum("n_base").as("tb"), sum("n_delta").as("td"))
+    val got = c.crossJoin(broadcast(t))
+      .withColumn("drifted",
+        lit(10L).cast("decimal(38,0)") *
+          abs(col("n_delta").cast("decimal(38,0)") * col("tb") -
+            col("n_base").cast("decimal(38,0)") * col("td")) >
+          col("tb").cast("decimal(38,0)") * col("td"))
+      .select("cat", "drifted").as[(String, Boolean)].collect().toMap
+    assert(got === Map("x" -> false, "y" -> false, "z" -> true),
+      s"drift verdicts wrong: $got")
   }
 }
