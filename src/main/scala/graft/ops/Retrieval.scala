@@ -37,28 +37,62 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** @param docs    corpus (idCol, textCol)
-    * @param queries (query_id, term) — small, broadcastable
-    * @param k       results per query
-    * @return (query_id, rnk, doc_id, score) — rnk 1..k by
-    *         (score desc, doc_id asc), score = Σ per-term floored
-    *         contributions at `scale`
-    */
-  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               queries: DataFrame, k: Int,
-               scale: Long = 1000000L): DataFrame = {
+  /** The stored retrieval index of one corpus slice: `postings` =
+    * (doc_id, term, tf), `dl` = (doc_id, dl), `stats` = one row
+    * (n_docs, s_tok). BM25's sufficient statistics are ADDITIVE over
+    * disjoint doc slices (df is a count of postings rows per term; N
+    * and S are sums), so indexes merge by union/addition — the
+    * incremental-maintenance property a streaming retrieval index
+    * lives on ([[bm25Merge]]). */
+  final case class Bm25Index(postings: DataFrame, dl: DataFrame,
+                             stats: DataFrame)
+
+  /** Build the stored index for a corpus slice — the one pass that
+    * touches raw text. Postings keep the FULL vocabulary (the index is
+    * query-independent); the serve-time semi-join restricts to the
+    * query vocabulary. */
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String)
+  : Bm25Index = {
     val tok = docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
       .where(col("term") =!= "")
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    // 1-row corpus stats: the scalar-broadcast crossJoin convention
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("s_tok"))
+    val postings = tok.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    Bm25Index(postings, dl, stats)
+  }
+
+  /** Merge two DISJOINT-slice indexes: postings/dl union (doc sets must
+    * not overlap — re-index a replaced doc by deleting first), stats
+    * add. The arriving batch contributes only its OWN index; the base
+    * corpus text is never rescanned. */
+  def bm25Merge(a: Bm25Index, b: Bm25Index): Bm25Index = Bm25Index(
+    a.postings.unionByName(b.postings),
+    a.dl.unionByName(b.dl),
+    a.stats.select(col("n_docs").as("na"), col("s_tok").as("sa"))
+      .crossJoin(b.stats.select(col("n_docs").as("nb"),
+        col("s_tok").as("sb")))
+      .select((col("na") + col("nb")).as("n_docs"),
+        (col("sa") + col("sb")).as("s_tok")))
+
+  /** Score top-k from a STORED index — no raw-text scan. Per-term df
+    * is counted from the (semi-joined) postings, so it reflects
+    * whatever slices were merged in. */
+  def bm25Serve(ix: Bm25Index, queries: DataFrame, k: Int,
+                scale: Long = 1000000L): DataFrame = {
     val qterms = queries.select(col("query_id"), col("term")).distinct()
     val qvocab = qterms.select("term").distinct()
-    // semi-join first: the tf shuffle carries query-vocabulary tokens
-    // only, never the whole corpus token stream
-    val tf = tok.join(broadcast(qvocab), Seq("term"), "left_semi")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // semi-join first: the scoring shuffle carries query-vocabulary
+    // postings only, never the whole index
+    scoreTf(ix.postings.join(broadcast(qvocab), Seq("term"), "left_semi"),
+      ix.dl, ix.stats, qterms, k, scale)
+  }
+
+  /** Shared scorer over an already-query-pruned tf frame. */
+  private def scoreTf(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+                      qterms: DataFrame, k: Int, scale: Long)
+  : DataFrame = {
     val dfTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val contrib =
       expr(s"""(CAST($scale AS DECIMAL(38,0))
@@ -80,6 +114,35 @@ object Retrieval {
     scored.select(col("query_id"), row_number().over(w)
         .cast("long").as("rnk"), col("doc_id"), col("score"))
       .where(col("rnk") <= k)
+  }
+
+  /** One-shot scan-and-score (no stored index). Unlike
+    * [[bm25Serve]]-after-[[bm25Index]], the corpus token stream is
+    * semi-joined to the query vocabulary BEFORE the tf aggregation, so
+    * the big shuffle carries matching terms only — the right plan when
+    * no index will be reused.
+    *
+    * @param docs    corpus (idCol, textCol)
+    * @param queries (query_id, term) — small, broadcastable
+    * @param k       results per query
+    * @return (query_id, rnk, doc_id, score) — rnk 1..k by
+    *         (score desc, doc_id asc), score = Σ per-term floored
+    *         contributions at `scale`
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, k: Int,
+               scale: Long = 1000000L): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .where(col("term") =!= "")
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // 1-row corpus stats: the scalar-broadcast crossJoin convention
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("s_tok"))
+    val qterms = queries.select(col("query_id"), col("term")).distinct()
+    val qvocab = qterms.select("term").distinct()
+    val tf = tok.join(broadcast(qvocab), Seq("term"), "left_semi")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    scoreTf(tf, dl, stats, qterms, k, scale)
   }
 
   /** Vocabulary-growth (Heaps' law) measurement: distinct-term count

@@ -217,6 +217,46 @@ object TextOps {
     BpeResult(merges.result().reduce(_ unionByName _), vocab)
   }
 
+  /** Apply a TRAINED merge table to a fresh word list — the tokenizer
+    * ENCODE step: char-segment each word, then replay the merges in
+    * training order (each a broadcast 1-row replace pass; left-to-right
+    * non-overlapping `replace` semantics ARE greedy BPE application).
+    * Replaying on a fresh segmentation reproduces the training vocab's
+    * segmentation exactly for words the trainer saw (spec-pinned
+    * identity) and degrades gracefully to char pieces for unseen words
+    * — no OOV table, no special-casing: this is how a trained
+    * tokenizer encodes a NEW corpus slice (the inc_* regime: the base
+    * corpus is never re-read; only its KB-sized merge table is).
+    *
+    * Scale: `rounds` broadcast-replace passes over the WORD-TYPE table
+    * (Heaps-law sublinear in the corpus); per-round pin keeps round
+    * r+1 from re-deriving 1..r.
+    *
+    * @param words  one `word` column, distinct word types
+    * @param merges a [[BpeResult]].merges frame (rnk, l, r)
+    * @return (word, seg): the piece segmentation " p1 p2 ... "
+    */
+  def bpeApplyMerges(words: DataFrame, merges: DataFrame,
+                     rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    var seg = words.select(col("word"),
+        concat(lit(" "), concat_ws(" ", split(col("word"), "")),
+          lit(" ")).as("seg"))
+      .localCheckpoint()
+    var r = 1
+    while (r <= rounds) {
+      val m = merges.where(col("rnk") === r).select(
+        col("l").as("ml"), col("r").as("mr"))
+      seg = seg.crossJoin(broadcast(m))
+        .select(col("word"),
+          expr("replace(seg, concat(' ', ml, ' ', mr, ' '), " +
+            "concat(' ', ml, mr, ' '))").as("seg"))
+        .localCheckpoint()
+      r += 1
+    }
+    seg
+  }
+
   /** C4-style global span deduplication (Raffel et al., JMLR 2020 §2.2:
     * "we discarded all but one of any three-sentence span occurring more
     * than once in the data set" — token spans stand in for sentence

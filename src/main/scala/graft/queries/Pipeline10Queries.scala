@@ -409,10 +409,14 @@ object Pipeline10Queries {
     * pair spelling is the txt_span_dedup occ pattern; replace's
     * left-to-right non-overlapping semantics match Java's, which IS
     * greedy BPE application. */
-  private def bpeCtes(rounds: Int): String = {
+  private[queries] def bpeCtes(rounds: Int,
+                               srcFilter: Option[String] = None)
+  : String = {
+    val docWhere = srcFilter.map(f => s" WHERE $f").getOrElse("")
     val base =
-      """wt AS (SELECT w AS word, COUNT(*) AS n FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      s"""wt AS (SELECT w AS word, COUNT(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents$docWhere)
         |  WHERE w <> '' GROUP BY w),
         |v0 AS (SELECT word, n,
         |  ' ' || array_to_string(string_split_regex(word, ''), ' ') ||

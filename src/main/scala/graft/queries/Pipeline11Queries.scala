@@ -27,7 +27,7 @@ object Pipeline11Queries {
 
   /** The retrieval query set: 4 multi-term queries over the corpus
     * vocabulary — a plan-time literal on both sides. */
-  private val QuerySet: Seq[(Long, String)] = Seq(
+  private[queries] val QuerySet: Seq[(Long, String)] = Seq(
     1L -> "hash", 1L -> "join",
     2L -> "window", 2L -> "agg", 2L -> "stream",
     3L -> "vector", 3L -> "scan",

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOf, Graph, Multimodal, Quality, Similarity, TimeSeries}
+import graft.ops.{AsOf, Graph, Multimodal, Quality, Retrieval,
+  Similarity, TextOps, TimeSeries}
 import Fixtures._
 
 /** Round-8 batch 4: the monitoring/maintenance ring around the core —
@@ -25,6 +26,7 @@ object Pipeline12Queries {
   private val IkmK = 8      // inc_kmeans cells
   private val IkmIters = 2  // inc_kmeans Lloyd rounds
   private val WalkSteps = 4
+  private val BpeRounds = 8 // matches Pipeline10's trained merge depth
 
   /** Unsigned 32-bit Java hash in DuckDB (the Pipeline9 huSql). */
   private def huSql(c: String): String = {
@@ -146,6 +148,68 @@ object Pipeline12Queries {
           (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
             .as("n"))
         .orderBy("cell", "d")
+    }),
+
+    "inc_bm25_delta" -> ((s, dir) => {
+      // incremental retrieval-index maintenance: BM25's sufficient
+      // statistics are ADDITIVE over disjoint doc slices (df = postings
+      // rows per term; N, S = sums), so the merged index of base ⊎
+      // delta serves scores IDENTICAL to a full rebuild — the oracle is
+      // txt_bm25's full-corpus SQL verbatim (the inc_tri_delta oracle-
+      // reuse convention; 9th inc_* query). The base corpus text is
+      // never rescanned: only its stored postings/dl/stats frames and
+      // the delta batch's own one-pass index meet at serve time.
+      import s.implicits._
+      val qdf = Pipeline11Queries.QuerySet.toDF("query_id", "term")
+      val docs = Tables.documents(s, dir)
+      val isNew = col("doc_id") % 7 === 0
+      val merged = Retrieval.bm25Merge(
+        Retrieval.bm25Index(docs.where(!isNew), "doc_id", "text"),
+        Retrieval.bm25Index(docs.where(isNew), "doc_id", "text"))
+      Retrieval.bm25Serve(merged, qdf, k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+
+    "txt_bpe_encode" -> ((s, dir) => {
+      // tokenizer ENCODE with a trained model: merges learn on the
+      // BASE corpus (1-in-7 split), then encode the ARRIVING slice by
+      // replaying the merge table over its word types — known words
+      // reproduce the training segmentation exactly, unseen words
+      // degrade to char pieces, no OOV table. Graded surface: per-doc
+      // piece counts of the delta slice (the token-budget number a
+      // pipeline bills by).
+      val docs = Tables.documents(s, dir)
+      val isNew = col("doc_id") % 7 === 0
+      val merges = TextOps.bpeTrainMerges(
+        docs.where(!isNew), "text", BpeRounds).merges
+      val dTok = docs.where(isNew)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+      val enc = TextOps.bpeApplyMerges(
+          dTok.select("word").distinct(), merges, BpeRounds)
+        .select(col("word"),
+          size(split(trim(col("seg")), " ")).cast("long").as("np"))
+      dTok.join(enc, "word")
+        .groupBy("doc_id").agg(sum("np").as("n_pieces"))
+        .orderBy("doc_id")
+    }),
+
+    "evt_transitions" -> ((s, dir) => {
+      // first-order Markov transition counts over each user's ordered
+      // event stream (the user-journey model): one keyed window pass
+      // (ts, event_id tie-break) for the successor, then a
+      // (src, dst)-keyed count that partial-aggregates map-side.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ms"), col("event_id"),
+          col("event_type").as("src"))
+        .withColumn("dst", lead(col("src"), 1).over(w))
+        .where(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        .orderBy("src", "dst")
     }),
 
     "mm_phash" -> ((s, dir) => {
@@ -350,6 +414,49 @@ object Pipeline12Queries {
       |ch2 AS (SELECT DISTINCT lo, hi, w FROM b2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // full-recompute identity: the merged incremental index must score
+    // exactly what a from-scratch rebuild scores
+    "inc_bm25_delta" -> Pipeline11Queries.oracles("txt_bm25"),
+
+    "txt_bpe_encode" -> {
+      // training chain (v/m CTEs) restricted to the base slice, then a
+      // parallel apply chain u0..u8 replays m0..m7 over the delta
+      // slice's word types
+      val applies = (0 until BpeRounds).map { i =>
+        s"""u${i + 1} AS (SELECT u.word,
+           |    replace(u.seg, ' ' || m.l || ' ' || m.r || ' ',
+           |      ' ' || m.l || m.r || ' ') AS seg
+           |  FROM u$i u, m$i m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${Pipeline10Queries.bpeCtes(BpeRounds,
+             Some("doc_id % 7 <> 0"))},
+         |dt AS (SELECT doc_id, w AS word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents WHERE doc_id % 7 = 0)
+         |  WHERE w <> ''),
+         |u0 AS (SELECT word,
+         |    ' ' || array_to_string(string_split_regex(word, ''), ' ')
+         |      || ' ' AS seg
+         |  FROM (SELECT DISTINCT word FROM dt)),
+         |$applies,
+         |enc AS (SELECT word,
+         |    CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS np
+         |  FROM u$BpeRounds)
+         |SELECT dt.doc_id, CAST(SUM(enc.np) AS BIGINT) AS n_pieces
+         |FROM dt JOIN enc USING (word)
+         |GROUP BY dt.doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "evt_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS t,
+        |    event_id FROM events),
+        |s AS (SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS dst
+        |  FROM e)
+        |SELECT src, dst, COUNT(*) AS n FROM s WHERE dst IS NOT NULL
+        |GROUP BY src, dst ORDER BY src, dst""".stripMargin,
 
     "mm_phash" ->
       s"""WITH $phashCtes

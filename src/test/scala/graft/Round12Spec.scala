@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Graph, Multimodal, Quality, Similarity, TimeSeries}
+import graft.ops.{Graph, Multimodal, Quality, Retrieval, Similarity,
+  TextOps, TimeSeries}
 
 /** Round-8 batch-4 operators — the invariants the parquet oracle can't
   * state: ACF's closed-form values on hand series, Benford's exclusion
@@ -263,5 +264,49 @@ class Round12Spec extends SparkSuite {
       .select("cat", "drifted").as[(String, Boolean)].collect().toMap
     assert(got === Map("x" -> false, "y" -> false, "z" -> true),
       s"drift verdicts wrong: $got")
+  }
+
+  // ---- bm25 index/merge/serve ---------------------------------------
+
+  test("bm25: serve over merged slice indexes equals the one-shot " +
+      "scan-and-score — the statistics really are additive") {
+    val docs = Tables.documents(spark, sfDir)
+    val q = Seq((1L, "the"), (1L, "data"), (2L, "dup"))
+      .toDF("query_id", "term")
+    val whole = Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 5)
+      .orderBy("query_id", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val isNew = col("doc_id") % 3 === 0
+    val merged = Retrieval.bm25Serve(
+        Retrieval.bm25Merge(
+          Retrieval.bm25Index(docs.where(!isNew), "doc_id", "text"),
+          Retrieval.bm25Index(docs.where(isNew), "doc_id", "text")),
+        q, k = 5)
+      .orderBy("query_id", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(whole === merged,
+      "merged incremental index diverged from the full rebuild")
+  }
+
+  // ---- bpeApplyMerges -----------------------------------------------
+
+  test("bpe apply: replaying the merge table reproduces the training " +
+      "vocab's segmentation; unseen words fall back to char pieces") {
+    import spark.implicits._
+    val docs = Seq("low low low lower newest newest").toDF("text")
+    val bpe = TextOps.bpeTrainMerges(docs, "text", rounds = 3)
+    val trainedSeg = bpe.vocab.select("word", "seg")
+      .as[(String, String)].collect().toMap
+    val applied = TextOps.bpeApplyMerges(
+        Seq("low", "lower", "newest", "zzz").toDF("word"),
+        bpe.merges, rounds = 3)
+      .as[(String, String)].collect().toMap
+    Seq("low", "lower", "newest").foreach { w =>
+      assert(applied(w) === trainedSeg(w),
+        s"apply($w) = ${applied(w)} != trained ${trainedSeg(w)}")
+    }
+    // 'zzz' shares no trained merge: stays fully char-segmented
+    assert(applied("zzz") === " z z z ",
+      s"unseen word must stay char pieces: '${applied("zzz")}'")
   }
 }
