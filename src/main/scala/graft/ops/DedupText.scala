@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection family for training-data pipelines: exact,
@@ -602,5 +603,71 @@ object DedupText {
         (coalesce(col("n_shared"), lit(0L)) + coalesce(col("dn"), lit(0L)))
           .as("n_shared"))
       .where(col("n_shared") >= 1L)
+  }
+
+  /** Prefix-filtered EXACT set-similarity join (SSJoin/PPJoin family —
+    * Chaudhuri et al. ICDE 2006, Bayardo et al. WWW 2007, Xiao et al.
+    * WWW 2008): every document pair whose word-SET Jaccard is ≥
+    * tauNum/tauDen, with NO false negatives — the deterministic
+    * complement of MinHash-LSH (probabilistic recall) and winnowing
+    * (verbatim-overlap recall). The candidate generator is the prefix
+    * filtering lemma: order the token universe globally by (df asc,
+    * token asc) — rarest first — and keep each doc's first
+    * m − ⌈τ·m⌉ + 1 tokens; any pair with J ≥ τ must share ≥ ⌈τ·max(ma,
+    * mb)⌉ tokens, so their prefixes must intersect. Pair space is
+    * Σ_t df_prefix(t)² over PREFIX occurrences only — and prefix
+    * tokens are by construction each doc's rarest, which is the whole
+    * economics of the method. Candidates verify by exact intersection
+    * count; the final test is the cross-multiplied integer
+    * `(tauDen+tauNum)·i ≥ tauNum·(ma+mb)` — no float ever decides.
+    *
+    * Per-doc prefix selection is a doc-keyed window (never a global
+    * rank); the global order is carried by the (df, token) pair
+    * itself. Corpora dominated by huge EXACT-duplicate classes should
+    * exact-dedup first (each class multiplies prefix df) — the funnel
+    * order already does.
+    *
+    * @return (a_id, b_id, n_inter, n_union) with a_id < b_id, J ≥ τ
+    */
+  def prefixJaccardJoin(docs: DataFrame, idCol: String, text: String,
+                        tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen,
+      s"need 0 < tauNum <= tauDen, got $tauNum/$tauDen")
+    val tok = docs.select(col(idCol).as("id"),
+        explode(split(col(text), " ")).as("tok"))
+      .where(col("tok") =!= "").distinct()
+      .localCheckpoint() // feeds df agg, prefix window AND both verify arms
+    val sizes = tok.groupBy("id").agg(count(lit(1)).as("m"))
+    val dfTok = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("id")
+      .orderBy(col("df").asc, col("tok").asc)
+    val pref = tok.join(dfTok, "tok").join(sizes, "id")
+      .withColumn("__r", row_number().over(wDoc))
+      .withColumn("__plen", col("m") + lit(1L) -
+        call_function("div",
+          lit(tauNum.toLong) * col("m") + lit(tauDen.toLong - 1),
+          lit(tauDen.toLong)))
+      .where(col("__r") <= col("__plen"))
+      .select(col("id"), col("tok"), col("m"))
+    val cand = pref.as("pa")
+      .join(pref.as("pb"), col("pa.tok") === col("pb.tok") &&
+        col("pa.id") < col("pb.id"))
+      // size filter: J >= tau forces min(ma,mb) >= tau*max(ma,mb)
+      .where(lit(tauDen.toLong) * least(col("pa.m"), col("pb.m")) >=
+        lit(tauNum.toLong) * greatest(col("pa.m"), col("pb.m")))
+      .select(col("pa.id").as("a_id"), col("pb.id").as("b_id"),
+        col("pa.m").as("ma"), col("pb.m").as("mb"))
+      .distinct()
+    val inter = cand
+      .join(tok.select(col("id").as("a_id"), col("tok")), "a_id")
+      .join(tok.select(col("id").as("b_id"), col("tok")),
+        Seq("b_id", "tok"))
+      .groupBy("a_id", "b_id", "ma", "mb")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .where(lit((tauDen + tauNum).toLong) * col("n_inter") >=
+        lit(tauNum.toLong) * (col("ma") + col("mb")))
+      .select(col("a_id"), col("b_id"), col("n_inter"),
+        (col("ma") + col("mb") - col("n_inter")).as("n_union"))
   }
 }

@@ -731,6 +731,43 @@ object Graph {
     dist
   }
 
+  /** Single-source(-set) shortest paths over a WEIGHTED directed edge
+    * list — distributed Bellman–Ford with a fixed round horizon (the
+    * [[bfsDistances]] contract: `rounds` is both the statically-
+    * unrolled graded object and the locality bound you actually want at
+    * 100 TB; a path longer than the horizon is out of scope by design,
+    * not hoped away). Each round relaxes every edge once: one join
+    * (current distances × out-edges) + one min-aggregate, both keyed on
+    * the vertex id, frontier pinned per round (the prRound double-
+    * reference rule). Weights are non-negative longs — min() over
+    * longs, so distances are exact; after r rounds every vertex holds
+    * the exact shortest distance among paths of ≤ r hops.
+    *
+    * @return (node, dist) for every vertex reachable within `rounds`
+    *         hops, dist = min path weight over ≤ rounds hops
+    */
+  def ssspDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                    wCol: String, seeds: DataFrame, seedCol: String,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(wCol).cast("long").as("w"))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .localCheckpoint()
+    var dist = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+    for (_ <- 0 until rounds) {
+      dist = dist
+        .unionByName(dist.join(e, col("node") === col("src"))
+          .select(col("dst").as("node"),
+            (col("dist") + col("w")).as("dist")))
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Neighbor-Jaccard link prediction (Liben-Nowell & Kleinberg): for
     * every NON-edge pair sharing at least `minCommon` neighbors in the
     * canonicalized undirected graph, the exact overlap and union sizes

@@ -138,6 +138,10 @@ object Multimodal {
     val bands = fps.select(col(idCol).as("id"), col(fpCol).as("fp"))
       .withColumn("band", explode(sequence(lit(0), lit(3))))
       .withColumn("bv", expr("shiftright(fp, band * 16) & 65535"))
+      // both sides of the self-join reference this frame: pin it so the
+      // upstream fingerprint computation (one pass per payload) runs
+      // once, not twice (the prRound double-reference rule)
+      .localCheckpoint()
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.id") < col("y.id"))

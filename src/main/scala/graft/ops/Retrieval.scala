@@ -145,6 +145,49 @@ object Retrieval {
     scoreTf(tf, dl, stats, qterms, k, scale)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
+    * the hybrid-search combiner: given several rank lists over the same
+    * (query_id, doc_id) space (e.g. sparse BM25 and dense ANN), the
+    * fused score of a doc is Σ_lists ⌊scale / (kRrf + rank)⌋, summed
+    * over the lists that returned it (absence contributes 0 — the
+    * standard convention). Because ranks are small integers and the
+    * per-list contribution is a FLOORED scaled integer, the fused
+    * ordering is bit-stable on any engine — RRF's whole point is that
+    * it consumes ranks, not incomparable raw scores, so no score
+    * normalization pass exists to drift.
+    *
+    * Scale: each input list is already top-k per query (bounded:
+    * queries × k rows), so the union + two-level aggregate is
+    * trivially small next to the retrieval that produced the lists;
+    * the final per-query top-k is a window over ≤ lists·k rows per
+    * query.
+    *
+    * @param lists  rank lists, each with (query_id, doc_id, rnk) —
+    *               rnk 1-based within its list
+    * @param k      fused results per query
+    * @return (query_id, rnk, doc_id, score, n_lists) — rnk 1..k by
+    *         (score desc, n_lists desc, doc_id asc)
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, kRrf: Int = 60,
+              scale: Long = 1000000L): DataFrame = {
+    require(lists.nonEmpty, "need at least one rank list")
+    val all = lists.map(_.select(col("query_id"), col("doc_id"),
+        col("rnk").cast("long").as("rnk")))
+      .reduce(_ unionByName _)
+    val scored = all
+      .select(col("query_id"), col("doc_id"),
+        call_function("div", lit(scale), lit(kRrf.toLong) + col("rnk"))
+          .as("contrib"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("score"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("n_lists").desc, col("doc_id").asc)
+    scored.select(col("query_id"),
+        row_number().over(w).cast("long").as("rnk"),
+        col("doc_id"), col("score"), col("n_lists"))
+      .where(col("rnk") <= k)
+  }
+
   /** Vocabulary-growth (Heaps' law) measurement: distinct-term count
     * and cumulative token count at each corpus-prefix checkpoint —
     * the curve that sizes a tokenizer's vocabulary budget before

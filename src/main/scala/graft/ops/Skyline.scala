@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** 2-D Pareto frontier ("skyline", Börzsönyi et al. ICDE 2001) — the
+  * selection shape a curation pipeline uses when two objectives
+  * genuinely conflict (cost vs information: shortest documents with the
+  * richest vocabulary) and no scalarization is defensible: keep exactly
+  * the points no other point dominates (x' ≤ x ∧ y' ≥ y with one
+  * strict; x minimized, y maximized).
+  *
+  * Two-phase distributed plan:
+  *
+  *  1. GRID PRUNE. Points bucket on x (`buckets` equi-width cells from
+  *     the broadcast global (min, max)); one aggregate yields each
+  *     bucket's max y. Because bucketing is monotone in x, every point
+  *     of a strictly-lower bucket has strictly smaller x — so a point
+  *     dominated by a lower bucket's max-y point (prefix-max ≥ y) can
+  *     be dropped with NO false negatives: the witness has x' < x,
+  *     y' ≥ y. This is the distributed 99%-kill pass: survivors are
+  *     bounded by frontier thickness × bucket width, not data volume.
+  *  2. EXACT PASS. Survivors (distinct (x, y) points, counted) run one
+  *     ordered window (x asc, y desc): a point is dominated iff some
+  *     PRECEDING point has y ≥ its y — preceding rows are exactly
+  *     those with (x' < x) or (x' = x ∧ y' > y), both dominance
+  *     witnesses on distinct points. Single-partition by construction
+  *     of phase 1 (documented bound), the agg_median convention.
+  *
+  * All arithmetic is long-integer; ties collapse to one frontier point
+  * carrying `n_rows`.
+  *
+  * @return (x, y, n_rows): the non-dominated distinct points and how
+  *         many input rows sit at each
+  */
+object Skyline {
+
+  def skyline2d(df: DataFrame, xCol: Column, yCol: Column,
+                buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val pts = df.select(xCol.cast("long").as("x"),
+        yCol.cast("long").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n_rows"))
+    val ext = pts.agg(min("x").as("__xlo"), max("x").as("__xhi"))
+    val withB = pts.crossJoin(broadcast(ext))
+      .withColumn("__b", call_function("div",
+        (col("x") - col("__xlo")) * lit(buckets.toLong),
+        col("__xhi") - col("__xlo") + lit(1L)))
+    val wB = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // bucket frontier: buckets-bounded frame; the prefix max over
+    // STRICTLY lower buckets is a safe dominance witness (x' < x)
+    val bmax = withB.groupBy("__b").agg(max("y").as("__by"))
+      .withColumn("__pmax", max(col("__by")).over(wB))
+      .select(col("__b"), col("__pmax"))
+    val survivors = withB.join(broadcast(bmax), Seq("__b"))
+      .where(col("__pmax").isNull || col("__pmax") < col("y"))
+      .select("x", "y", "n_rows")
+    val wX = Window.orderBy(col("x").asc, col("y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    survivors
+      .withColumn("__prev", max(col("y")).over(wX))
+      .where(col("__prev").isNull || col("__prev") < col("y"))
+      .select("x", "y", "n_rows")
+  }
+}

@@ -193,4 +193,89 @@ object TimeSeries {
       .select((k :+ col("__lg.lag").as("lag")) ++
         Seq(col("__lg.num").as("num"), col("den")): _*)
   }
+
+  /** Two-sided CUSUM changepoint statistics (Page 1954), INTEGER-exact
+    * and window-closed: for each key's integer series x_1..x_n the
+    * textbook recursions
+    *
+    *   s⁺_t = max(0, s⁺_{t−1} + (x_t − k)),   s⁻_t = max(0, s⁻_{t−1} + (k − x_t))
+    *
+    * look sequential, but with C_t = Σ_{i≤t}(x_i − k) they close over
+    * prefix extrema:  s⁺_t = C_t − min(0, min_{j≤t} C_j)  and
+    * s⁻_t = max(0, max_{j≤t} C_j) − C_t  (the j=0 / C_0=0 term is the
+    * `least/greatest` against 0) — so both directions ride ONE window
+    * pass (cumsum + running min + running max over the same frame),
+    * never a sequential scan. The allowance k is the per-key ceiling
+    * mean ⌈S/n⌉ (integer, so x_t − k stays integer — no scaling pass),
+    * joined back from a key-cardinality aggregate; the alarm threshold
+    * is `hMult·k` per key. Everything that decides a flag is long
+    * arithmetic.
+    *
+    * Scale: like [[acfExact]], the input is the already-aggregated
+    * series (daily counts per key) — calendar-bounded, with the raw →
+    * series aggregation as the distributed step before this call. The
+    * totals join is a broadcast of one row per key.
+    *
+    * @return input columns :+ (cusum_hi, cusum_lo, flag_hi, flag_lo)
+    */
+  def cusumFlags(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                 valCol: String, hMult: Int = 5): DataFrame = {
+    require(hMult >= 1, "hMult must be >= 1")
+    val k = keys.map(col)
+    val totals = df.groupBy(k: _*)
+      .agg(sum(col(valCol)).as("__s"), count(lit(1)).as("__n"))
+      .withColumn("__k",
+        call_function("div", col("__s") + col("__n") - 1, col("__n")))
+      .select((keys.map(col) :+ col("__k")): _*)
+    val joined =
+      if (keys.isEmpty) df.crossJoin(broadcast(totals))
+      else df.join(broadcast(totals), keys)
+    val w = Window.partitionBy(k: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = sum(col(valCol) - col("__k")).over(w)
+    val out = joined
+      .withColumn("__c", c)
+      .withColumn("__cmin", min(col("__c")).over(w))
+      .withColumn("__cmax", max(col("__c")).over(w))
+      .withColumn("cusum_hi", col("__c") - least(lit(0L), col("__cmin")))
+      .withColumn("cusum_lo",
+        greatest(lit(0L), col("__cmax")) - col("__c"))
+      .withColumn("flag_hi", col("cusum_hi") > lit(hMult.toLong) * col("__k"))
+      .withColumn("flag_lo", col("cusum_lo") > lit(hMult.toLong) * col("__k"))
+    out.drop("__k", "__c", "__cmin", "__cmax")
+  }
+
+  /** Inter-arrival regularity audit — the timing-signature half of bot
+    * detection: humans produce heavy-tailed gap distributions, schedulers
+    * produce spikes. Per key, successive gaps in `orderCol` (one lag
+    * window pass) bucket at `bucketDiv` resolution; concentration is the
+    * exact Simpson collision mass Σ_b n_b² against n² — the verdict
+    * `2·Σn_b² > n²` ("a random pair of gaps collides with probability
+    * > 1/2") is division-free integer, the dq_benford convention. Keys
+    * with fewer than `minGaps` gaps report with `flag = false` (too few
+    * observations is absence of evidence, not evidence).
+    *
+    * Scale: one keyed window pass for gaps, one two-level aggregation
+    * (key×bucket, then key) — both shuffles carry the key, partials
+    * combine map-side. Output is key-cardinality.
+    *
+    * @return (keys..., n_gaps, sum_sq, flag)
+    */
+  def regularityFlags(df: DataFrame, keys: Seq[String], orderCol: Column,
+                      bucketDiv: Long, minGaps: Int = 8): DataFrame = {
+    require(bucketDiv >= 1, "bucketDiv must be >= 1")
+    val k = keys.map(col)
+    val w = Window.partitionBy(k: _*).orderBy(orderCol)
+    val gaps = df
+      .withColumn("__gap", orderCol - lag(orderCol, 1).over(w))
+      .where(col("__gap").isNotNull)
+      .withColumn("__b", call_function("div", col("__gap"), lit(bucketDiv)))
+    val perBucket = gaps.groupBy((k :+ col("__b")): _*)
+      .agg(count(lit(1)).as("__nb"))
+    perBucket.groupBy(k: _*)
+      .agg(sum(col("__nb")).as("n_gaps"),
+        sum(col("__nb") * col("__nb")).as("sum_sq"))
+      .withColumn("flag", col("n_gaps") >= minGaps.toLong &&
+        lit(2L) * col("sum_sq") > col("n_gaps") * col("n_gaps"))
+  }
 }

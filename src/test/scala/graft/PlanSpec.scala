@@ -356,6 +356,58 @@ class PlanSpec extends SparkSuite {
         "shape regressed:\n" + p.take(1500))
   }
 
+  test("ts_cusum: cumsum and both running extrema share one window " +
+      "partitioning — a single exchange, no sequential scan") {
+    val df = q("ts_cusum")
+    df.collect() // settle AQE
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      "per-key allowance must broadcast back:\n" + p.take(1500))
+    // the extrema Window (over C) chains onto the cumsum Window's
+    // partitioning: no Exchange may sit between the two Window nodes
+    val wIdx = "\\bWindow\\b".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(wIdx.size == 2,
+      s"expected exactly two Window passes, got ${wIdx.size}:\n" +
+        p.take(2000))
+    val between = p.substring(wIdx.head, wIdx.last)
+    assert(!between.contains("Exchange"),
+      "the second window re-exchanged an already-partitioned frame:\n" +
+        between.take(1500))
+  }
+
+  test("dd_ppjoin: candidate generation is a keyed join, never a " +
+      "cartesian pair scan") {
+    val p = plan(q("dd_ppjoin"))
+    assert(!p.contains("CartesianProduct"),
+      "prefix join degenerated to all-pairs:\n" + p.take(1500))
+  }
+
+  test("ret_rrf: the fusion stage is union + hash aggregate + one " +
+      "bounded top-k window — no join over the corpus") {
+    val df = q("ret_rrf")
+    df.collect() // settle AQE
+    val p = plan(df)
+    assert(p.contains("Union"), "fusion must union the rank lists:\n" +
+      p.take(1200))
+    assert(!p.contains("SortMergeJoin") ||
+      !p.split("Union")(0).contains("SortMergeJoin"),
+      "nothing above the union may re-join the corpus:\n" + p.take(2000))
+  }
+
+  test("doc_skyline: the bucket frontier broadcasts back; no " +
+      "all-pairs dominance join exists in the plan") {
+    val df = q("doc_skyline")
+    df.collect() // settle AQE
+    val p = plan(df)
+    // scalar extent + bucket frontier both ride broadcast joins; the
+    // only nested-loop allowed is the 1-row extent crossJoin
+    assert(!p.contains("CartesianProduct"),
+      "skyline planned a cartesian dominance join:\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "bucket frontier must broadcast:\n" + p.take(1500))
+  }
+
   test("centroidStats: the (cell, d) sums partial-aggregate map-side " +
       "before the exchange; centroids broadcast into the assignment") {
     val sk = graft.ops.Similarity.quantizeInt8(
