@@ -627,15 +627,35 @@ object DedupText {
     * exact-dedup first (each class multiplies prefix df) — the funnel
     * order already does.
     *
+    * THE SET UNIVERSE MATTERS: with `n = 1` the sets are word sets —
+    * right for short records, but on template-generated or
+    * small-vocabulary corpora the "rarest word" of a doc can still be
+    * corpus-hot and the prefix space degenerates (measured here:
+    * 16.2M candidate pairs at sf0.1 with max prefix-df 4165). With
+    * `n ≥ 2` the sets are word n-gram shingles ([[TextOps.shingles]],
+    * the dd_minhash universe): the element space is combinatorially
+    * larger, prefix df collapses (23K pairs, max df 7 on the same
+    * corpus), and the Jaccard itself is the standard near-dup
+    * measure. Prefer shingles for document dedup; the lemma and the
+    * exactness guarantee are token-universe-independent.
+    *
     * @return (a_id, b_id, n_inter, n_union) with a_id < b_id, J ≥ τ
     */
   def prefixJaccardJoin(docs: DataFrame, idCol: String, text: String,
-                        tauNum: Int, tauDen: Int): DataFrame = {
+                        tauNum: Int, tauDen: Int, n: Int = 1)
+  : DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen,
       s"need 0 < tauNum <= tauDen, got $tauNum/$tauDen")
-    val tok = docs.select(col(idCol).as("id"),
-        explode(split(col(text), " ")).as("tok"))
-      .where(col("tok") =!= "").distinct()
+    require(n >= 1, s"need n >= 1, got $n")
+    val raw =
+      if (n == 1)
+        docs.select(col(idCol).as("id"),
+            explode(split(col(text), " ")).as("tok"))
+          .where(col("tok") =!= "").distinct()
+      else // shingles() is already per-doc distinct
+        docs.select(col(idCol).as("id"),
+          explode(TextOps.shingles(col(text), n)).as("tok"))
+    val tok = raw
       .localCheckpoint() // feeds df agg, prefix window AND both verify arms
     val sizes = tok.groupBy("id").agg(count(lit(1)).as("m"))
     val dfTok = tok.groupBy("tok").agg(count(lit(1)).as("df"))

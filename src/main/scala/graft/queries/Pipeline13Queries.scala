@@ -25,11 +25,12 @@ object Pipeline13Queries {
   private val RrfK = 10      // fused results per query
   private val RrfC = 60      // the SIGIR-2009 constant
   private val CusumH = 3     // alarm at cusum > 3 * allowance
-  private val PpTauNum = 19  // Jaccard threshold tau = 19/20: the
-  private val PpTauDen = 20  // synthetic corpus shares vocabulary
-                             // broadly (75% of ALL pairs clear tau=1/2),
-                             // so the graded cut sits where near-dup
-                             // classes actually separate
+  private val PpTauNum = 4   // shingle-Jaccard threshold tau = 4/5 —
+  private val PpTauDen = 5   // on the 3-gram universe the dup classes
+                             // separate cleanly (81 pairs from tau 0.7
+                             // through 0.9; word sets degenerate here:
+                             // 75% of ALL pairs clear word-tau 1/2)
+  private val PpShingleN = 3
   private val BotBucketMs = 60000L
   private val BotMinGaps = 8
   private val SsspRounds = 4
@@ -77,14 +78,15 @@ object Pipeline13Queries {
     }),
 
     "dd_ppjoin" -> ((s, dir) => {
-      // prefix-filtered EXACT word-set Jaccard join at tau = 19/20 over
-      // the dup-planted corpus — every qualifying pair, no false
+      // prefix-filtered EXACT 3-shingle-set Jaccard join at tau = 4/5
+      // over the dup-planted corpus — every qualifying pair, no false
       // negatives (the prefix filtering lemma), candidates bounded by
-      // rare-token prefix df^2, verdict by integer cross-
-      // multiplication. The deterministic complement of dd_minhash_lsh.
+      // rare-shingle prefix df^2, verdict by integer cross-
+      // multiplication. The deterministic complement of dd_minhash_lsh
+      // (same shingle universe, guaranteed recall instead of banded).
       DedupText.prefixJaccardJoin(
           PipelineQueries.docsWithDups(s, dir), "doc_id", "text",
-          tauNum = PpTauNum, tauDen = PpTauDen)
+          tauNum = PpTauNum, tauDen = PpTauDen, n = PpShingleN)
         .orderBy("a_id", "b_id")
     }),
 
@@ -238,9 +240,13 @@ object Pipeline13Queries {
 
     "dd_ppjoin" ->
       s"""WITH dd AS (${PipelineQueries.docsWithDupsSql}),
-         |tok AS (SELECT DISTINCT doc_id AS id, t AS tok FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM dd)
-         |  WHERE t <> ''),
+         |tw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM dd),
+         |tok AS (SELECT doc_id AS id,
+         |    unnest(list_distinct(CASE WHEN len(ws) >= $PpShingleN
+         |      THEN list_transform(range(1, len(ws) - ${PpShingleN - 2}),
+         |           i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2])
+         |      ELSE [list_aggregate(ws, 'string_agg', ' ')] END)) AS tok
+         |  FROM tw),
          |m AS (SELECT id, COUNT(*) AS m FROM tok GROUP BY id),
          |i AS (SELECT a.id AS a_id, b.id AS b_id, COUNT(*) AS n_inter
          |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id

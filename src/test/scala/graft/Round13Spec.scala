@@ -100,6 +100,39 @@ class Round13Spec extends SparkSuite {
     assert(got.map(key).contains((4L, 5L)), "near dup pair missing")
   }
 
+  test("ppjoin: shingle mode (n=3) equals brute force over shingle " +
+      "sets and finds the shifted near-dup a word-set join would " +
+      "over-match") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat today"),
+      (2L, "the cat sat on the mat tonight"),  // 4/7 shingles shared
+      (3L, "mat the on sat cat the today"),    // same WORDS, new order
+      (4L, "completely different text here now")).toDF("doc_id", "text")
+    val tok = docs.select(col("doc_id"),
+      explode(graft.ops.TextOps.shingles(col("text"), 3)).as("tok"))
+    val m = tok.groupBy("doc_id").agg(count(lit(1)).as("m"))
+    val brute = tok.as("a").join(tok.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("i"))
+      .join(m.select(col("doc_id").as("a_id"), col("m").as("ma")), "a_id")
+      .join(m.select(col("doc_id").as("b_id"), col("m").as("mb")), "b_id")
+      .where(lit(3L) * col("i") >= lit(1L) * (col("ma") + col("mb")))
+      .select(col("a_id"), col("b_id"), col("i"),
+        (col("ma") + col("mb") - col("i")).as("u"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val got = DedupText.prefixJaccardJoin(docs, "doc_id", "text",
+        1, 2, n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === brute, s"shingle prefix join != brute force: " +
+      s"extra=${got -- brute} missing=${brute -- got}")
+    assert(got.map(r => (r._1, r._2)).contains((1L, 2L)),
+      "shifted near-dup pair missing")
+    assert(!got.map(r => (r._1, r._2)).contains((1L, 3L)),
+      "word-scramble must NOT match on shingles")
+  }
+
   test("ppjoin: tau = 1 degenerates to exact set equality") {
     val docs = Seq(
       (1L, "a b c"), (2L, "c b a a"),   // same SET {a,b,c}
