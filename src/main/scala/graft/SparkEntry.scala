@@ -31,7 +31,8 @@ object SparkEntry {
       Pipeline6Queries.queries ++ Pipeline7Queries.queries ++
       Pipeline8Queries.queries ++ Pipeline9Queries.queries ++
       Pipeline10Queries.queries ++ Pipeline11Queries.queries ++
-      Pipeline12Queries.queries ++ Pipeline13Queries.queries
+      Pipeline12Queries.queries ++ Pipeline13Queries.queries ++
+      Pipeline14Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       Pipeline6Queries.oracles ++ Pipeline7Queries.oracles ++
       Pipeline8Queries.oracles ++ Pipeline9Queries.oracles ++
       Pipeline10Queries.oracles ++ Pipeline11Queries.oracles ++
-      Pipeline12Queries.oracles ++ Pipeline13Queries.oracles
+      Pipeline12Queries.oracles ++ Pipeline13Queries.oracles ++
+      Pipeline14Queries.oracles
 }

@@ -731,6 +731,57 @@ object Graph {
     dist
   }
 
+  /** Per-source BFS hop distances: [[bfsDistances]] with the source
+    * identity CARRIED — the frontier key is (src, node), so k sources
+    * expand independently in the same fixed-round job (state k×
+    * reachable, never re-running the graph scan per source). This is
+    * the substrate for seed-set centralities: harmonic closeness of a
+    * source is Σ_v ⌊scale/d(s,v)⌋ over reached v ≠ s — a floored
+    * integer sum, engine-stable where 1/d floats are not.
+    *
+    * @return (src, node, dist), dist ≤ rounds, one row per source ×
+    *         reached vertex
+    */
+  def bfsDistancesPerSource(edges: DataFrame, srcCol: String,
+                            dstCol: String, seeds: DataFrame,
+                            seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v")).distinct().localCheckpoint()
+    var dist = seeds.select(col(seedCol).cast("long").as("src"))
+      .distinct()
+      .select(col("src"), col("src").as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 0 until rounds) {
+      dist = dist
+        .unionByName(dist.join(e, col("node") === col("u"))
+          .select(col("src"), col("v").as("node"),
+            (col("dist") + 1L).as("dist")))
+        .groupBy("src", "node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** Harmonic closeness centrality of each seed within a hop horizon:
+    * Σ over reached vertices v ≠ s of ⌊scale / d(s, v)⌋ (Marchiori &
+    * Latora's harmonic form — sums, not the reciprocal-of-sum
+    * closeness, so disconnected vertices cost 0 instead of ∞). One
+    * [[bfsDistancesPerSource]] pass + one aggregate.
+    *
+    * @return (src, n_reached, closeness)
+    */
+  def harmonicCloseness(edges: DataFrame, srcCol: String,
+                        dstCol: String, seeds: DataFrame,
+                        seedCol: String, rounds: Int,
+                        scale: Long = 1000000L): DataFrame =
+    bfsDistancesPerSource(edges, srcCol, dstCol, seeds, seedCol, rounds)
+      .where(col("dist") > 0L)
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(call_function("div", lit(scale), col("dist")))
+          .as("closeness"))
+
   /** Single-source(-set) shortest paths over a WEIGHTED directed edge
     * list — distributed Bellman–Ford with a fixed round horizon (the
     * [[bfsDistances]] contract: `rounds` is both the statically-

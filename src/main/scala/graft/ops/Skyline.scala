@@ -37,11 +37,39 @@ import org.apache.spark.sql.functions._
 object Skyline {
 
   def skyline2d(df: DataFrame, xCol: Column, yCol: Column,
-                buckets: Int = 256): DataFrame = {
+                buckets: Int = 256): DataFrame =
+    skylinePoints(
+      df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("n_rows")),
+      buckets)
+
+  /** Incremental maintenance: the frontier is a SUFFICIENT state.
+    * skyline(B ∪ D) = skyline(skyline(B) ⊎ points(D)) — a dominated
+    * point stays dominated when points are only added, and any
+    * B∪D-frontier point from B must already be on B's frontier (its
+    * B-dominator would otherwise survive into B∪D), so its n_rows
+    * count is preserved in the state. The arriving batch contributes
+    * its own point aggregate; base rows are never rescanned — the
+    * inc_* contract.
+    *
+    * @param frontier a prior [[skyline2d]]/[[skylineMerge]] result
+    *                 (x, y, n_rows)
+    * @param delta    raw arriving rows
+    */
+  def skylineMerge(frontier: DataFrame, delta: DataFrame,
+                   xCol: Column, yCol: Column,
+                   buckets: Int = 256): DataFrame =
+    skylinePoints(
+      frontier.select(col("x"), col("y"), col("n_rows"))
+        .unionByName(delta.select(xCol.cast("long").as("x"),
+            yCol.cast("long").as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("n_rows")))
+        .groupBy("x", "y").agg(sum("n_rows").as("n_rows")),
+      buckets)
+
+  /** Core over pre-counted distinct points (x, y, n_rows). */
+  def skylinePoints(pts: DataFrame, buckets: Int): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
-    val pts = df.select(xCol.cast("long").as("x"),
-        yCol.cast("long").as("y"))
-      .groupBy("x", "y").agg(count(lit(1)).as("n_rows"))
     val ext = pts.agg(min("x").as("__xlo"), max("x").as("__xhi"))
     val withB = pts.crossJoin(broadcast(ext))
       .withColumn("__b", call_function("div",

@@ -315,7 +315,7 @@ object Pipeline12Queries {
   /** The top-5 co-occurrence graph as canonical (lo, hi) edges — the
     * trianglesOracle prefix (supplier co-order baskets → pair counts →
     * per-item top-5 by (n_co desc, co_item asc) → canonical dedup). */
-  private val walkEdgeCtes: String =
+  private[queries] val walkEdgeCtes: String =
     """base AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS it
       |  FROM lineitem),
       |pr AS (SELECT a.it AS ia, b.it AS ib, COUNT(*) AS n_co

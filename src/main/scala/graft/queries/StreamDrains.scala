@@ -117,6 +117,18 @@ private[graft] object StreamDrains {
     * snapshots are monotone under the keep-latest order (each is the
     * state AFTER absorbing its batch), so the batch keep-latest reduce
     * returns exactly the final state. Identity on a one-batch drain. */
+  /** Streaming count-min sketch: the cell grid IS the aggregation
+    * state, so a complete-mode drain needs no watermark and carries a
+    * HARD state bound of depth×width cells no matter how many distinct
+    * keys stream past — the textbook bounded-memory streaming-sketch
+    * regime (the batch twin is approx_cms_est; cells merge by
+    * addition, so the final complete-mode emission equals the batch
+    * sketch for ANY batching of the input). */
+  def cmsPipeline(stream: DataFrame): DataFrame =
+    graft.ops.Freq.countMinSketch(
+      stream.select(col("user_id")), "user_id",
+      depth = 4, width = 64, salt = "cms")
+
   def latestFinalize(drained: DataFrame): DataFrame =
     graft.ops.Dedup.keepLatest(drained)
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.queries.{Pipeline6Queries, Pipeline7Queries,
-  Pipeline12Queries, StreamDrains}
+  Pipeline12Queries, Pipeline14Queries, StreamDrains}
 
 /** The multi-microbatch streaming CONTRACT (VERDICT r7 #1): each of the
   * four graded stream_* pipelines must produce its graded (one-batch)
@@ -65,7 +65,7 @@ class StreamSplitDrainSpec extends SparkSuite {
 
   private def gradedAnswer(name: String): Seq[String] = {
     val qs = Pipeline6Queries.queries ++ Pipeline7Queries.queries ++
-      Pipeline12Queries.queries
+      Pipeline12Queries.queries ++ Pipeline14Queries.queries
     rows(qs(name)(spark, sfDir))
   }
 
@@ -109,6 +109,13 @@ class StreamSplitDrainSpec extends SparkSuite {
     val (out, n) = StreamDrains.drainCounted(spark,
       StreamDrains.sessionFinalPipeline(splitStream), "append", "ssf_split")
     assertSplitEqualsGraded("stream_session_final", out, n)
+  }
+
+  test("stream_cms: the sketch state accumulates across batches — a " +
+      "split complete-mode drain lands on the batch cell grid exactly") {
+    val (out, n) = StreamDrains.drainCounted(spark,
+      StreamDrains.cmsPipeline(splitStream), "complete", "scm_split")
+    assertSplitEqualsGraded("stream_cms", out, n)
   }
 
   test("stream_join_final: interval-join state survives batch " +
