@@ -202,7 +202,36 @@ object ExplainDump {
         "semi-join — all equi-joins on vertex ids. The wedge explosion " +
         "is bounded by Σ outdeg² with outdeg O(√E) under the " +
         "orientation: a mega-hub out-ranks its neighbors and generates " +
-        "zero wedges.")
+        "zero wedges."),
+    "ret_rrf" ->
+      ("Hybrid fusion: both retrieval pools are top-k bounded BEFORE " +
+        "fusion, so above the Union the plan is one hash aggregate + " +
+        "one window over ≤ queries × k × lists rows — the corpus-scale " +
+        "work (BM25 semi-joined postings, broadcast-probe cosine) all " +
+        "sits below the pools and never re-joins."),
+    "ts_cusum" ->
+      ("The sequential max(0, s+e) recursion closed over prefix " +
+        "extrema: cumsum, running min, and running max ride two " +
+        "chained Window nodes on the SAME (pri) partitioning — one " +
+        "exchange for the whole window chain, allowance broadcast " +
+        "back from a key-cardinality aggregate."),
+    "dd_ppjoin" ->
+      ("Prefix filtering: candidate pairs come from an equi-join on " +
+        "prefix shingles (each doc's rarest — measured max prefix-df 7 " +
+        "on this corpus), never a pair scan; the exact-intersection " +
+        "verify joins candidates back to the pinned token frame on " +
+        "(id, shingle) keys. No CartesianProduct anywhere."),
+    "doc_skyline" ->
+      ("Two-phase skyline: the bucket frontier (≤ buckets rows) " +
+        "broadcasts back to prune every grid-dominated point " +
+        "map-side; the exact dominance pass is a window over the " +
+        "frontier-bounded survivors — the single-partition window " +
+        "exists, but over survivors, not data."),
+    "graph_sssp" ->
+      ("Fixed-horizon Bellman-Ford: per round one equi-join (frontier " +
+        "× pinned weighted edges) + one min-aggregate keyed on the " +
+        "vertex; each round's frontier pins so round r never " +
+        "re-derives rounds 0..r-1 — the statically-unrolled relax DAG.")
   )
 
   def main(args: Array[String]): Unit = {

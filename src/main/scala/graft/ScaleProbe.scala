@@ -58,7 +58,99 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Decade probe for the round-8 batch-7/8 operators: prefix-filtered
+    * Jaccard join over a synthetic dup-class corpus, weighted SSSP and
+    * per-source harmonic closeness on the bounded-degree synthetic
+    * graph, and the two-phase skyline over hashed points — each at n
+    * and 4n. All are join+aggregate algebra with fenced pair spaces, so
+    * wall must scale near-linearly. Run with SPARK_DRIVER_MEM=24g at
+    * n >= 100000 (32 concurrent hash-agg tasks over the 15M-shingle
+    * frame outgrow the default 8g single-JVM heap; on a real cluster
+    * this is ordinary executor sizing). Recorded point:
+    * n=100k ppjoin=15.6s sssp=3.6s closeness=2.3s skyline=1.2s;
+    * 4x data -> 3.3x / 1.1x / 1.4x / 1.4x wall. */
+  private def decideProbe(args: Array[String]): Unit = {
+    val n = args.drop(1).headOption.map(_.toLong).getOrElse(100000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // corpus: 20% of docs sit in near-dup pairs (partner differs in one
+    // token), the rest unique; 40 tokens/doc over a vocabulary that
+    // grows with n (the Heaps-law regime prefix filtering relies on).
+    // The i² term matters: an i-AFFINE token formula makes any two
+    // docs whose bases satisfy one shift congruence share nearly ALL
+    // shingles (a hidden near-dup class per shift) — quadratic in i,
+    // a cross-doc match at one position cannot persist at the next.
+    def docs(sz: Long) = spark.range(0, sz)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(39)), i =>
+          concat(lit("t"),
+            when(i === 0 && col("id") % 10 === 1, col("id") + lit(sz * 4)) // the near-dup edit
+              .otherwise(pmod(
+                (col("id") - col("id") % 10 * when(col("id") % 10 <= 1, 1)
+                  .otherwise(0)) * 37 + i * i * 13 + i * 7, lit(sz * 4))))))
+          .as("text"))
+    def edges(sz: Long) = spark.range(2, sz)
+      .select(col("id").as("src"),
+        explode(array((1 to 5).map(k =>
+          pmod(col("id") * (2 * k + 1) + k * 7919, lit(sz - 2)) + 2): _*))
+          .as("dst"))
+      .where(col("dst") =!= col("src"))
+      .withColumn("w", pmod(col("src") * 31 + col("dst") * 17, lit(1000L)) + 1)
+    // pinned frontiers/token frames otherwise accumulate across the
+    // four sections × two sizes and tip the 8g driver (the Bench
+    // between-run sweep rationale)
+    def sweep(): Unit = spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    def run(sz: Long): (Double, Double, Double, Double) = {
+      val d = docs(sz).localCheckpoint()
+      val t0 = System.nanoTime()
+      ops.DedupText.prefixJaccardJoin(d, "doc_id", "text", 4, 5, n = 3)
+        .agg(count(lit(1))).collect()
+      val wPp = (System.nanoTime() - t0) / 1e9
+      sweep()
+      val e = edges(sz).localCheckpoint()
+      val seeds = spark.range(2, sz, sz / 50).toDF("node")
+      val t1 = System.nanoTime()
+      ops.Graph.ssspDistances(e, "src", "dst", "w", seeds, "node", 4)
+        .agg(count(lit(1))).collect()
+      val wSs = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      ops.Graph.harmonicCloseness(e, "src", "dst", seeds, "node", 3)
+        .agg(count(lit(1))).collect()
+      val wCl = (System.nanoTime() - t2) / 1e9
+      sweep()
+      val pts = spark.range(0, sz).select(
+        pmod(col("id") * 7919, lit(sz)).as("x"),
+        pmod(col("id") * 104729, lit(sz)).as("y"))
+      val t3 = System.nanoTime()
+      ops.Skyline.skyline2d(pts, col("x"), col("y"))
+        .agg(count(lit(1))).collect()
+      val wSk = (System.nanoTime() - t3) / 1e9
+      sweep()
+      (wPp, wSs, wCl, wSk)
+    }
+    val (p1, s1, c1, k1) = run(n)
+    val (p4, s4, c4, k4) = run(n * 4)
+    println(f"[decide] n=$n%d ppjoin=$p1%.1fs sssp=$s1%.1fs " +
+      f"closeness=$c1%.1fs skyline=$k1%.1fs | 4x ppjoin=$p4%.1fs " +
+      f"(${p4 / p1}%.1fx) sssp=$s4%.1fs (${s4 / s1}%.1fx) " +
+      f"closeness=$c4%.1fs (${c4 / c1}%.1fx) skyline=$k4%.1fs " +
+      f"(${k4 / k1}%.1fx)")
+    require(p4 / p1 < 8.0 && s4 / s1 < 8.0 && c4 / c1 < 8.0 &&
+      k4 / k1 < 8.0,
+      "4x data cost >= 8x wall on a decide-family op — superlinear")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("decide")) { decideProbe(args); return }
     if (args.headOption.contains("walkmst")) { walkMstProbe(args); return }
     if (args.headOption.contains("minhash")) { minhashProbe(args); return }
     if (args.headOption.contains("cc")) { ccProbe(args); return }

@@ -669,6 +669,9 @@ object DedupText {
           lit(tauDen.toLong)))
       .where(col("__r") <= col("__plen"))
       .select(col("id"), col("tok"), col("m"))
+      // both sides of the candidate self-join reference the prefix
+      // frame: pin it so the df join + per-doc window run once
+      .localCheckpoint()
     val cand = pref.as("pa")
       .join(pref.as("pb"), col("pa.tok") === col("pb.tok") &&
         col("pa.id") < col("pb.id"))

@@ -242,6 +242,58 @@ object Similarity {
       .select("vec_id", "q_emb", "q_norm")
   }
 
+  /** Greedy k-center selection (Gonzalez 1985, farthest-point
+    * traversal — 2-approximate for the k-center radius): start from
+    * the lowest id, then repeatedly take the vector FARTHEST from the
+    * chosen set. The coreset/diversity-seeding primitive: k probes
+    * that between them see the whole embedding space, where top-k
+    * similarity would return k near-copies. Distances are exact
+    * integers on the int8 sketch: d²(a,b) = ‖a‖² + ‖b‖² − 2⟨a,b⟩ with
+    * the codegen'd [[graft.expr.DotProductLL]] — so the full selection
+    * trajectory is engine-reproducible, the MMR convention.
+    *
+    * Per round: the ≤k-row chosen frame broadcasts into one pass over
+    * the sketch (min distance per vector), then a 1-row hash-aggregate
+    * argmax — corpus never shuffles, the emb_kmeans plan shape. Each
+    * new center's `d2` (its distance to the set when picked) is
+    * non-increasing — Gonzalez's radius sequence, spec-pinned.
+    *
+    * @param sketch [[quantizeInt8]] output (vec_id, q_emb, q_norm)
+    * @return (rnk, vec_id, d2) — rnk 1..k in pick order, d2 = 0 for
+    *         the seed
+    */
+  def kCenterGreedy(sketch: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.expr.GraftFunctions.register(sketch.sparkSession)
+    val ll = graft.expr.GraftFunctions.dot_ll _
+    val s = sketch.select(col("vec_id"), col("q_emb"), col("q_norm"))
+      .localCheckpoint()
+    val seed = s
+      .join(broadcast(s.agg(min("vec_id").as("vec_id"))), "vec_id")
+      .select(col("vec_id"), col("q_emb"), col("q_norm"),
+        lit(1L).as("rnk"), lit(0L).as("d2"))
+    var chosen = seed.localCheckpoint()
+    for (r <- 2 to k) {
+      val dmin = s
+        .join(chosen.select("vec_id"), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(chosen.select(col("q_emb").as("ce"),
+          col("q_norm").as("cn"))))
+        .select(col("vec_id"),
+          (col("q_norm") + col("cn") -
+            lit(2L) * ll(col("q_emb"), col("ce"))).as("d"))
+        .groupBy("vec_id").agg(min("d").as("d2"))
+      val winner = dmin
+        .agg(min(struct((-col("d2")).as("nd"), col("vec_id").as("vid")))
+          .as("m"))
+        .select(col("m.vid").as("vec_id"), (-col("m.nd")).as("d2"))
+        .join(s, "vec_id")
+        .select(col("vec_id"), col("q_emb"), col("q_norm"),
+          lit(r.toLong).as("rnk"), col("d2"))
+      chosen = chosen.unionByName(winner).localCheckpoint()
+    }
+    chosen.select("rnk", "vec_id", "d2")
+  }
+
   /** Top-k by QUANTIZED cosine: [[bruteForceTopK]]'s shape (probes
     * broadcast, corpus streams, per-query window) over int8 sketches —
     * the dot product is the exact-integer [[graft.expr.DotProductLL]],

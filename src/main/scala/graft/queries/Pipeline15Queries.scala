@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Selection, Similarity}
+
+/** Round-8 batch 9: greedy data selection + profiling — greedy maximum
+  * coverage (the (1−1/e) submodular pick: k documents that together
+  * cover the most vocabulary), greedy k-center seeding (Gonzalez
+  * farthest-point over int8 sketches: k probes that see the whole
+  * embedding space), and an exact per-column data-quality profile. The
+  * greedy trajectories unroll into MATERIALIZED CTE layers (the MMR
+  * convention); every graded value is integer.
+  */
+object Pipeline15Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val CoverK = 5
+  private val KCenterK = 5
+  private val ProfileCols = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  val queries: Map[String, Q] = Map(
+
+    "curate_setcover" -> ((s, dir) => {
+      // greedy max-coverage: the 5 documents that together cover the
+      // most distinct 3-gram shingles — each round one anti-join
+      // against the covered set + one count + a 1-row argmax.
+      // Diversity selection where dedup only removes redundancy. The
+      // element universe is shingles, not words: this corpus's word
+      // vocabulary is 31 and one doc covers it whole (a degenerate
+      // 1-pick instance); the combinatorial shingle space is where
+      // coverage actually discriminates — the dd_ppjoin lesson.
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.ops.TextOps.shingles(col("text"), 3)).as("tok"))
+      Selection.greedyMaxCoverage(toks, "doc_id", "tok", k = CoverK)
+        .orderBy("rnk")
+    }),
+
+    "sim_kcenter" -> ((s, dir) => {
+      // Gonzalez farthest-point seeding on the int8 sketch: exact
+      // integer d² trajectory, chosen set broadcast each round, corpus
+      // never shuffles. The d2 column is the non-increasing radius
+      // sequence (2-approx k-center certificate).
+      Similarity.kCenterGreedy(
+          Similarity.quantizeInt8(Tables.embeddings(s, dir)),
+          k = KCenterK)
+        .orderBy("rnk")
+    }),
+
+    "dq_profile" -> ((s, dir) => {
+      // exact per-column profile of orders: row count, null count,
+      // distinct count — the schema-drift / completeness baseline a
+      // pipeline snapshots per ingest wave. One pass; the multi-column
+      // DISTINCT rides Spark's expand (one stream per column), which is
+      // the right trade at column counts like this — switch to HLL
+      // sketches (approx_distinct) when columns × rows outgrow it.
+      val o = Tables.orders(s, dir)
+      val aggExprs = ProfileCols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")))
+      val agged = o.agg(count(lit(1)).as("n"), aggExprs: _*)
+      agged.select(explode(array(ProfileCols.map(c =>
+          struct(lit(c).as("col_name"), col("n").as("n_rows"),
+            col(s"nn_$c").as("n_null"),
+            col(s"nd_$c").as("n_distinct"))): _*)).as("r"))
+        .select("r.*")
+        .orderBy("col_name")
+    })
+  )
+
+  // ------------------------------------------------------------------
+
+  /** Greedy max-coverage unrolled: layer r picks argmax new-coverage
+    * over items not yet chosen, elements not yet covered. */
+  private def setcoverOracle: String = {
+    val layers = (2 to CoverK).map { r =>
+      s"""g$r AS MATERIALIZED (SELECT t.item, COUNT(*) AS gain
+         |  FROM tok t
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov${r - 1} c
+         |          WHERE c.elem = t.elem)
+         |    AND NOT EXISTS (SELECT 1 FROM acc${r - 1} a
+         |          WHERE a.item = t.item)
+         |  GROUP BY t.item),
+         |s$r AS MATERIALIZED (SELECT item, gain,
+         |    CAST($r AS BIGINT) AS rnk
+         |  FROM (SELECT item, gain, ROW_NUMBER() OVER (
+         |      ORDER BY gain DESC, item ASC) AS rn FROM g$r)
+         |  WHERE rn = 1),
+         |cov$r AS MATERIALIZED (SELECT elem FROM cov${r - 1}
+         |  UNION SELECT t.elem FROM tok t JOIN s$r USING (item)),
+         |acc$r AS MATERIALIZED (SELECT * FROM acc${r - 1}
+         |  UNION ALL SELECT item, gain, rnk FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tw AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |tok AS MATERIALIZED (SELECT doc_id AS item,
+       |    unnest(list_distinct(CASE WHEN len(ws) >= 3
+       |      THEN list_transform(range(1, len(ws) - 1),
+       |           i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2])
+       |      ELSE [list_aggregate(ws, 'string_agg', ' ')] END)) AS elem
+       |  FROM tw),
+       |g1 AS MATERIALIZED (SELECT item, COUNT(*) AS gain FROM tok
+       |  GROUP BY item),
+       |s1 AS MATERIALIZED (SELECT item, gain, CAST(1 AS BIGINT) AS rnk
+       |  FROM (SELECT item, gain, ROW_NUMBER() OVER (
+       |      ORDER BY gain DESC, item ASC) AS rn FROM g1)
+       |  WHERE rn = 1),
+       |cov1 AS MATERIALIZED (SELECT DISTINCT t.elem FROM tok t
+       |  JOIN s1 USING (item)),
+       |acc1 AS MATERIALIZED (SELECT item, gain, rnk FROM s1),
+       |$layers
+       |SELECT rnk, item, gain FROM acc$CoverK ORDER BY rnk""".stripMargin
+  }
+
+  /** Gonzalez unrolled: layer r = argmax over min-d² to the chosen
+    * set, d² = ‖a‖² + ‖b‖² − 2⟨a,b⟩ on the int8 sketch. */
+  private def kcenterOracle: String = {
+    val dot = "CAST(list_sum(list_transform(list_zip(q.qv, c.qv), " +
+      "z -> z[1] * z[2])) AS BIGINT)"
+    val layers = (2 to KCenterK).map { r =>
+      s"""dm$r AS MATERIALIZED (SELECT q.vec_id,
+         |    CAST(MIN(q.q_norm + c.q_norm - 2 * $dot) AS BIGINT) AS d2
+         |  FROM qn q, acc${r - 1} c
+         |  WHERE NOT EXISTS (SELECT 1 FROM acc${r - 1} x
+         |          WHERE x.vec_id = q.vec_id)
+         |  GROUP BY q.vec_id),
+         |s$r AS MATERIALIZED (SELECT vec_id, d2 FROM (
+         |    SELECT vec_id, d2, ROW_NUMBER() OVER (
+         |      ORDER BY d2 DESC, vec_id ASC) AS rn FROM dm$r)
+         |  WHERE rn = 1),
+         |acc$r AS MATERIALIZED (SELECT * FROM acc${r - 1}
+         |  UNION ALL SELECT q.vec_id, q.qv, q.q_norm,
+         |    CAST($r AS BIGINT) AS rnk, s.d2
+         |  FROM s$r s JOIN qn q USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Pipeline8Queries.quantCtes},
+       |acc1 AS MATERIALIZED (SELECT vec_id, qv, q_norm,
+       |    CAST(1 AS BIGINT) AS rnk, CAST(0 AS BIGINT) AS d2
+       |  FROM qn WHERE vec_id = (SELECT MIN(vec_id) FROM qn)),
+       |$layers
+       |SELECT rnk, vec_id, d2 FROM acc$KCenterK ORDER BY rnk"""
+      .stripMargin
+  }
+
+  private def profileOracle: String =
+    ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct
+         |FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
+
+  val oracles: Map[String, String] = Map(
+    "curate_setcover" -> setcoverOracle,
+    "sim_kcenter" -> kcenterOracle,
+    "dq_profile" -> profileOracle
+  )
+}

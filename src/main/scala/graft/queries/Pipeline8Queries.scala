@@ -214,7 +214,7 @@ object Pipeline8Queries {
   )
 
   /** The int8 quantizer + norm CTEs (quantizedTopkOracle's convention). */
-  private val quantCtes: String =
+  private[queries] val quantCtes: String =
     """mx AS (SELECT vec_id, embedding,
       |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
       |    AS ma FROM embeddings),

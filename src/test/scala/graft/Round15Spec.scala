@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Selection, Similarity}
+
+/** Round-8 batch-9 operators — greedy-selection invariants: max-coverage
+  * picks the textbook greedy trajectory, ties break low-id, exhaustion
+  * stops early; k-center reproduces the hand farthest-point sequence
+  * with a non-increasing radius; the profile row is self-consistent on
+  * the fixture (PK distinct == row count).
+  */
+class Round15Spec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- greedyMaxCoverage --------------------------------------------
+
+  test("max-coverage: textbook greedy — biggest set first, then the " +
+      "only item with new elements, then early stop") {
+    val inc = Seq(
+      (10L, "e1"), (10L, "e2"), (10L, "e3"), (10L, "e4"),
+      (20L, "e1"), (20L, "e2"),
+      (30L, "e3"), (30L, "e4"),
+      (40L, "e5")).toDF("item", "elem")
+    val got = Selection.greedyMaxCoverage(inc, "item", "elem", k = 4)
+      .orderBy("rnk").as[(Long, Long, Long)].collect().toSeq
+    // 10 covers 4; 40 adds 1; 20/30 add nothing -> stop at 2 picks
+    assert(got === Seq((1L, 10L, 4L), (2L, 40L, 1L)),
+      s"greedy trajectory mismatch: $got")
+  }
+
+  test("max-coverage: equal gains break to the lower item id") {
+    val inc = Seq((7L, "a"), (7L, "b"), (3L, "c"), (3L, "d"))
+      .toDF("item", "elem")
+    val got = Selection.greedyMaxCoverage(inc, "item", "elem", k = 2)
+      .orderBy("rnk").select("item").as[Long].collect().toSeq
+    assert(got === Seq(3L, 7L), s"tie-break order wrong: $got")
+  }
+
+  test("max-coverage: gains are non-increasing (submodularity) and " +
+      "chosen items are distinct on the fixture corpus") {
+    val out = SparkEntry.queries("curate_setcover")(spark, sfDir)
+      .orderBy("rnk").as[(Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.map(_._2).distinct.size == out.size, "item re-chosen")
+    val gains = out.map(_._3)
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b },
+      s"gains must be non-increasing: $gains")
+  }
+
+  // ---- kCenterGreedy ------------------------------------------------
+
+  test("k-center: hand farthest-point sequence — seed, the far point, " +
+      "then the midpoint tie at the lower id") {
+    val sk = Seq(
+      (1L, Seq(0L, 0L), 0L),
+      (2L, Seq(10L, 0L), 100L),
+      (3L, Seq(100L, 0L), 10000L),
+      (4L, Seq(90L, 0L), 8100L))
+      .toDF("vec_id", "q_emb", "q_norm")
+    val got = Similarity.kCenterGreedy(sk, k = 3)
+      .orderBy("rnk").as[(Long, Long, Long)].collect().toSeq
+    // seed 1 (d2 0); farthest from 1 is 3 (d2 10000);
+    // then 2: min(100, 8100)=100 and 4: min(8100, 100)=100 — tie -> 2
+    assert(got === Seq((1L, 1L, 0L), (2L, 3L, 10000L), (3L, 2L, 100L)),
+      s"farthest-point sequence mismatch: $got")
+  }
+
+  test("k-center: the radius sequence is non-increasing on the " +
+      "fixture embeddings (Gonzalez certificate)") {
+    val out = SparkEntry.queries("sim_kcenter")(spark, sfDir)
+      .orderBy("rnk").as[(Long, Long, Long)].collect().toSeq
+    assert(out.size == 5 && out.head._3 == 0L)
+    val d2 = out.map(_._3).drop(1) // seed's 0 aside
+    assert(d2.zip(d2.tail).forall { case (a, b) => a >= b },
+      s"radius sequence must be non-increasing: $d2")
+    assert(out.map(_._2).distinct.size == 5, "center re-chosen")
+  }
+
+  // ---- dq_profile ---------------------------------------------------
+
+  test("profile: per-column rows are self-consistent — constant row " +
+      "count, PK distinct equals rows, null-free fixture reports 0") {
+    val out = SparkEntry.queries("dq_profile")(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out.size == 6)
+    assert(out.map(_._2).distinct.size == 1, "n_rows must be constant")
+    val pk = out.find(_._1 == "o_orderkey").get
+    assert(pk._4 == pk._2, "order key must be unique")
+    assert(out.forall(_._3 == 0L), "fixture has no nulls")
+    val status = out.find(_._1 == "o_orderstatus").get
+    assert(status._4 <= 3L, "order status has tiny cardinality")
+  }
+}
