@@ -231,7 +231,15 @@ object ExplainDump {
       ("Fixed-horizon Bellman-Ford: per round one equi-join (frontier " +
         "× pinned weighted edges) + one min-aggregate keyed on the " +
         "vertex; each round's frontier pins so round r never " +
-        "re-derives rounds 0..r-1 — the statically-unrolled relax DAG.")
+        "re-derives rounds 0..r-1 — the statically-unrolled relax DAG."),
+    "evt_rfm" ->
+      ("Value-threshold segmentation: the customer metrics pin once, " +
+        "three rank windows run over that customer-cardinality frame " +
+        "(the agg_median convention), and all nine quartile cuts " +
+        "collapse into ONE 1-row frame that broadcast-nested-loop " +
+        "joins back — bucket assignment is a map-side compare, so at " +
+        "any scale only the aggregate, not the assignment, costs a " +
+        "shuffle.")
   )
 
   def main(args: Array[String]): Unit = {

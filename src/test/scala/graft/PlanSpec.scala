@@ -408,6 +408,40 @@ class PlanSpec extends SparkSuite {
       "bucket frontier must broadcast:\n" + p.take(1500))
   }
 
+  test("evt_rfm: the nine quartile cuts ride ONE 1-row broadcast; " +
+      "bucket assignment is a map-side compare, not a join per metric") {
+    val df = q("evt_rfm")
+    df.collect() // settle AQE
+    val p = plan(df)
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 2, // horizon scalar + cuts row
+      s"more than the two scalar broadcasts appeared ($bnl):\n" +
+        p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "rfm planned a cartesian:\n" + p.take(1500))
+  }
+
+  test("sim_kcenter: the chosen set broadcasts into the distance " +
+      "pass — the corpus sketch never shuffles for it") {
+    val df = q("sim_kcenter")
+    df.collect() // settle AQE (runs the greedy rounds)
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin"),
+      "a corpus-side shuffle join appeared in the k-center serve:\n" +
+        p.take(2000))
+  }
+
+  test("curate_setcover: each greedy round is anti-join + count + " +
+      "1-row argmax — no cartesian, no global sort") {
+    val df = q("curate_setcover")
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("GlobalLimit 1\n+- Sort"),
+      "setcover argmax regressed to sort-limit or cartesian:\n" +
+        p.take(1500))
+  }
+
   test("centroidStats: the (cell, d) sums partial-aggregate map-side " +
       "before the exchange; centroids broadcast into the assignment") {
     val sk = graft.ops.Similarity.quantizeInt8(
