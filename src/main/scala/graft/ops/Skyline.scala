@@ -71,10 +71,18 @@ object Skyline {
   def skylinePoints(pts: DataFrame, buckets: Int): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
     val ext = pts.agg(min("x").as("__xlo"), max("x").as("__xhi"))
+    // loud fence: (x − xlo)·buckets must not wrap (the fail-loudly
+    // contract — a wrapped bucket id would silently prune frontier
+    // points). Long.MaxValue/buckets x-range covers any real metric.
+    val safeRange = when(
+      col("__xhi") - col("__xlo") <= lit(Long.MaxValue / buckets),
+      col("__xhi")).otherwise(raise_error(lit(
+      s"skyline2d: x range exceeds Long.MaxValue/$buckets — rescale x " +
+        "or lower buckets")))
     val withB = pts.crossJoin(broadcast(ext))
       .withColumn("__b", call_function("div",
         (col("x") - col("__xlo")) * lit(buckets.toLong),
-        col("__xhi") - col("__xlo") + lit(1L)))
+        safeRange - col("__xlo") + lit(1L)))
     val wB = Window.orderBy(col("__b").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     // bucket frontier: buckets-bounded frame; the prefix max over

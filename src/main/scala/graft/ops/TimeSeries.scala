@@ -216,6 +216,11 @@ object TimeSeries {
     * series aggregation as the distributed step before this call. The
     * totals join is a broadcast of one row per key.
     *
+    * PRECONDITION: `valCol` is non-null (true by construction for
+    * count/sum series). A NULL observation would silently drop out of
+    * the cumulative sum while keeping its row — the ewmaExact oracle-
+    * divergence class — so it is fenced loudly instead.
+    *
     * @return input columns :+ (cusum_hi, cusum_lo, flag_hi, flag_lo)
     */
   def cusumFlags(df: DataFrame, keys: Seq[String], order: Seq[Column],
@@ -232,7 +237,12 @@ object TimeSeries {
       else df.join(broadcast(totals), keys)
     val w = Window.partitionBy(k: _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val c = sum(col(valCol) - col("__k")).over(w)
+    val fenced = when(col(valCol).isNull,
+      raise_error(concat(lit("cusumFlags: NULL observation in "),
+        lit(valCol),
+        lit(" — aggregate or fill the series first")))
+    ).otherwise(col(valCol))
+    val c = sum(fenced - col("__k")).over(w)
     val out = joined
       .withColumn("__c", c)
       .withColumn("__cmin", min(col("__c")).over(w))

@@ -63,6 +63,18 @@ class Round13Spec extends SparkSuite {
     assert(got("shift") > 0L, s"shifted key never flagged: $got")
   }
 
+  test("cusum: a NULL observation raises loudly instead of silently " +
+      "dropping out of the cumulative sum") {
+    val df = Seq((1L, Some(4L)), (2L, None), (3L, Some(4L)))
+      .toDF("t", "x")
+    val e = intercept[Exception] {
+      TimeSeries.cusumFlags(df, Nil, Seq(col("t")), "x", 1).collect()
+    }
+    assert(e.getMessage.contains("NULL observation") ||
+      Option(e.getCause).exists(_.getMessage.contains("NULL observation")),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   // ---- prefixJaccardJoin --------------------------------------------
 
   test("ppjoin: equals the brute-force all-pairs scan on a mixed " +

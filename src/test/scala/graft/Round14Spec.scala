@@ -43,6 +43,22 @@ class Round14Spec extends SparkSuite {
       s"dominate/coincide handling wrong: $got")
   }
 
+  test("skyline: an x range that would wrap the bucket arithmetic " +
+      "raises loudly instead of silently pruning frontier points") {
+    // a range that subtracts fine but would wrap when scaled by the
+    // bucket count (the fully-extreme case is caught upstream by ANSI
+    // overflow on the subtraction itself — also loud)
+    val df = Seq((0L, 1L), (Long.MaxValue / 256 + 10L, 2L))
+      .toDF("x0", "y0")
+    val e = intercept[Exception] {
+      Skyline.skyline2d(df, col("x0"), col("y0"), buckets = 256)
+        .collect()
+    }
+    assert(e.getMessage.contains("x range exceeds") ||
+      Option(e.getCause).exists(_.getMessage.contains("x range exceeds")),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   // ---- bfsDistancesPerSource / harmonicCloseness --------------------
 
   test("per-source BFS: pooling per-source distances with MIN equals " +
