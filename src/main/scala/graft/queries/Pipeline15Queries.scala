@@ -51,6 +51,21 @@ object Pipeline15Queries {
         .orderBy("rnk")
     }),
 
+    "stream_cusum" -> ((s, dir) => {
+      // streaming two-sided CUSUM over per-user spend: Page's test in
+      // its preset-reference streaming form, O(1) state per key
+      // through a REAL mapGroupsWithState drain. The oracle is the
+      // window-CLOSED batch form (s+ = C - min(0, min C)) — the
+      // ts_cusum identity graded ACROSS the batch/stream boundary.
+      // The 7th stateful streaming shape.
+      StreamDrains.cusumFinalize(
+          StreamDrains.drain(s,
+            StreamDrains.cusumPipeline(s,
+              Pipeline6Queries.eventsStream(s, dir)),
+            "update", "scu"))
+        .orderBy("user_id")
+    }),
+
     "dq_profile" -> ((s, dir) => {
       // exact per-column profile of orders: row count, null count,
       // distinct count — the schema-drift / completeness baseline a
@@ -155,9 +170,29 @@ object Pipeline15Queries {
          |FROM orders""".stripMargin
     }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
 
+  private def streamCusumOracle: String = {
+    val k = StreamDrains.CusumRef
+    s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id,
+       |    CAST(ROUND(value * 100) AS BIGINT) AS v FROM events),
+       |c AS (SELECT user_id,
+       |    CAST(SUM(v - $k) OVER (PARTITION BY user_id
+       |      ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cc
+       |  FROM e),
+       |t AS (SELECT user_id, COUNT(*) AS n_events,
+       |    CAST(SUM(v - $k) AS BIGINT) AS cfin FROM e GROUP BY 1),
+       |x AS (SELECT user_id, MIN(cc) AS cmin, MAX(cc) AS cmax
+       |  FROM c GROUP BY 1)
+       |SELECT t.user_id, t.n_events,
+       |  t.cfin - LEAST(CAST(0 AS BIGINT), x.cmin) AS cusum_hi,
+       |  GREATEST(CAST(0 AS BIGINT), x.cmax) - t.cfin AS cusum_lo
+       |FROM t JOIN x USING (user_id) ORDER BY user_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "curate_setcover" -> setcoverOracle,
     "sim_kcenter" -> kcenterOracle,
+    "stream_cusum" -> streamCusumOracle,
     "dq_profile" -> profileOracle
   )
 }

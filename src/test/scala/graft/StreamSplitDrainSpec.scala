@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.queries.{Pipeline6Queries, Pipeline7Queries,
-  Pipeline12Queries, Pipeline14Queries, StreamDrains}
+  Pipeline12Queries, Pipeline14Queries, Pipeline15Queries, StreamDrains}
 
 /** The multi-microbatch streaming CONTRACT (VERDICT r7 #1): each of the
   * four graded stream_* pipelines must produce its graded (one-batch)
@@ -65,7 +65,8 @@ class StreamSplitDrainSpec extends SparkSuite {
 
   private def gradedAnswer(name: String): Seq[String] = {
     val qs = Pipeline6Queries.queries ++ Pipeline7Queries.queries ++
-      Pipeline12Queries.queries ++ Pipeline14Queries.queries
+      Pipeline12Queries.queries ++ Pipeline14Queries.queries ++
+      Pipeline15Queries.queries
     rows(qs(name)(spark, sfDir))
   }
 
@@ -116,6 +117,20 @@ class StreamSplitDrainSpec extends SparkSuite {
     val (out, n) = StreamDrains.drainCounted(spark,
       StreamDrains.cmsPipeline(splitStream), "complete", "scm_split")
     assertSplitEqualsGraded("stream_cms", out, n)
+  }
+
+  test("stream_cusum: the O(1) per-key recursion folds across batch " +
+      "boundaries onto the window-closed batch answer") {
+    val (raw, n) = StreamDrains.drainCounted(spark,
+      StreamDrains.cusumPipeline(spark, splitStream), "update",
+      "scu_split")
+    // at least one key must have been updated across several batches —
+    // otherwise the cross-batch state fold is untested
+    val multi = raw.groupBy("user_id").count()
+      .where(col("count") > 1).count()
+    assert(multi > 0L, "no key saw multiple batches — fold untested")
+    assertSplitEqualsGraded("stream_cusum",
+      StreamDrains.cusumFinalize(raw), n)
   }
 
   test("stream_join_final: interval-join state survives batch " +
