@@ -731,6 +731,72 @@ object Graph {
     dist
   }
 
+  /** Partition-quality audit over an UNDIRECTED canonical edge list and
+    * a vertex→block assignment: per block, the internal edge count, the
+    * cut edge count (one endpoint inside), and the volume (Σ degree of
+    * members). Conductance cut/min(vol, 2m−vol) and coverage
+    * internal/m derive from these integers division-free downstream —
+    * the audit a partitioner (community detection, sharding, tenant
+    * fencing) runs before trusting its blocks. Two joins (each endpoint
+    * to its block) + one aggregate; blocks frame is vertex-keyed.
+    *
+    * Vertices missing from `blocks` fail LOUDLY (a silent drop would
+    * understate cut edges — the fail-loudly contract).
+    *
+    * @return (block, n_internal, n_cut, volume)
+    */
+  def blockConductance(edges: DataFrame, loCol: String, hiCol: String,
+                       blocks: DataFrame, nodeCol: String,
+                       blockCol: String): DataFrame = {
+    val e = canonEdges(edges, loCol, hiCol)
+    val b = blocks.select(col(nodeCol).cast("long").as("node"),
+      col(blockCol).as("blk")).distinct()
+    val lab = e
+      .join(b.select(col("node").as("lo"), col("blk").as("bl")),
+        Seq("lo"), "left")
+      .join(b.select(col("node").as("hi"), col("blk").as("bh")),
+        Seq("hi"), "left")
+      .select(col("lo"), col("hi"),
+        when(col("bl").isNull || col("bh").isNull,
+          raise_error(concat(lit("blockConductance: unassigned vertex "
+            + "on edge ("), col("lo"), lit(","), col("hi"), lit(")"))))
+          .otherwise(col("bl")).as("bl"), col("bh"))
+    val perBlock = lab.select(explode(array(
+        struct(col("bl").as("blk"), col("bh").as("other")),
+        struct(col("bh").as("blk"), col("bl").as("other")))).as("x"))
+      .select(col("x.blk").as("blk"), col("x.other").as("other"))
+      .groupBy("blk")
+      .agg(call_function("div",
+          sum(when(col("blk") === col("other"), 1L).otherwise(0L)),
+          lit(2L)).as("n_internal"),
+        sum(when(col("blk") =!= col("other"), 1L).otherwise(0L))
+          .as("n_cut"),
+        count(lit(1)).as("volume"))
+    perBlock.select(col("blk").as("block"), col("n_internal"),
+      col("n_cut"), col("volume"))
+  }
+
+  /** Degree-assortativity sufficient statistics of an undirected
+    * canonical edge list (Newman 2002), as ONE row of exact integers:
+    * m (edges), s1 = Σ_e d_u·d_v, s2 = Σ_e (d_u + d_v),
+    * s3 = Σ_e (d_u² + d_v²). The Pearson coefficient is
+    * (4m·s1 − s2²) / (2m·s3 − s2²) — a pure function of these longs,
+    * formed downstream so no float ever leaves the engine. One degree
+    * aggregate + two endpoint joins + one global aggregate.
+    */
+  def assortativityStats(edges: DataFrame, loCol: String,
+                         hiCol: String): DataFrame = {
+    val e = canonEdges(edges, loCol, hiCol).localCheckpoint()
+    val deg = e.select(explode(array(col("lo"), col("hi"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    e.join(deg.select(col("v").as("lo"), col("d").as("dl")), "lo")
+      .join(deg.select(col("v").as("hi"), col("d").as("dh")), "hi")
+      .agg(count(lit(1)).as("m"),
+        sum(col("dl") * col("dh")).as("s1"),
+        sum(col("dl") + col("dh")).as("s2"),
+        sum(col("dl") * col("dl") + col("dh") * col("dh")).as("s3"))
+  }
+
   /** Per-source BFS hop distances: [[bfsDistances]] with the source
     * identity CARRIED — the frontier key is (src, node), so k sources
     * expand independently in the same fixed-round job (state k×

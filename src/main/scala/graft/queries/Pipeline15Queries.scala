@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Selection, Similarity}
+import graft.ops.{Graph, Selection, Similarity}
 
 /** Round-8 batch 9: greedy data selection + profiling — greedy maximum
   * coverage (the (1−1/e) submodular pick: k documents that together
@@ -49,6 +49,39 @@ object Pipeline15Queries {
           Similarity.quantizeInt8(Tables.embeddings(s, dir)),
           k = KCenterK)
         .orderBy("rnk")
+    }),
+
+    "graph_conductance" -> ((s, dir) => {
+      // partition-quality audit: nation blocks over the bipartite
+      // purchase graph — per block the internal/cut edge counts and
+      // volume, the integers conductance and coverage derive from
+      // division-free. The audit a sharding or community layer runs
+      // before trusting its blocks; unassigned vertices raise.
+      val e = Pipeline8Queries.purchaseEdges(s, dir, symmetric = false)
+      val blocks = Tables.customer(s, dir)
+        .select((col("c_custkey") * 2).as("node"),
+          col("c_nationkey").as("blk"))
+        .unionByName(Tables.supplier(s, dir)
+          .select((col("s_suppkey") * 2 + 1).as("node"),
+            col("s_nationkey").as("blk")))
+      Graph.blockConductance(e, "src", "dst", blocks, "node", "blk")
+        .orderBy("block")
+    }),
+
+    "graph_assortativity" -> ((s, dir) => {
+      // Newman degree-assortativity sufficient statistics of the
+      // support>=2 co-order part graph, ONE row of exact longs —
+      // r = (4m*s1 - s2^2)/(2m*s3 - s2^2) forms downstream, so the
+      // hub-attracts-hub verdict is bit-stable.
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("p"))
+        .distinct()
+      val we = li.select(col("g"), col("p").as("lo"))
+        .join(li.select(col("g"), col("p").as("hi")), "g")
+        .where(col("lo") < col("hi"))
+        .groupBy("lo", "hi").agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+      Graph.assortativityStats(we, "lo", "hi")
     }),
 
     "stream_cusum" -> ((s, dir) => {
@@ -189,10 +222,51 @@ object Pipeline15Queries {
        |FROM t JOIN x USING (user_id) ORDER BY user_id""".stripMargin
   }
 
+  private def conductanceOracle: String =
+    """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |ce AS (SELECT LEAST(a, b) AS lo, GREATEST(a, b) AS hi FROM e0),
+      |blk AS (SELECT c_custkey*2 AS node, c_nationkey AS blk
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT s_suppkey*2+1, s_nationkey FROM supplier),
+      |lab AS (SELECT ce.lo, ce.hi, bl.blk AS bl, bh.blk AS bh
+      |  FROM ce JOIN blk bl ON bl.node = ce.lo
+      |  JOIN blk bh ON bh.node = ce.hi),
+      |x AS (SELECT blk,
+      |    CAST(SUM(CASE WHEN blk = other THEN 1 ELSE 0 END) // 2
+      |      AS BIGINT) AS n_internal,
+      |    CAST(SUM(CASE WHEN blk <> other THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_cut,
+      |    COUNT(*) AS volume
+      |  FROM (SELECT bl AS blk, bh AS other FROM lab
+      |        UNION ALL SELECT bh, bl FROM lab)
+      |  GROUP BY 1)
+      |SELECT blk AS block, n_internal, n_cut, volume FROM x
+      |ORDER BY block""".stripMargin
+
+  private def assortativityOracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
+      |  FROM lineitem),
+      |we AS (SELECT a.p AS lo, b.p AS hi
+      |  FROM li a JOIN li b ON a.g = b.g AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |deg AS (SELECT v, COUNT(*) AS d FROM (
+      |    SELECT lo AS v FROM we UNION ALL SELECT hi FROM we)
+      |  GROUP BY v)
+      |SELECT COUNT(*) AS m,
+      |  CAST(SUM(dl.d * dh.d) AS BIGINT) AS s1,
+      |  CAST(SUM(dl.d + dh.d) AS BIGINT) AS s2,
+      |  CAST(SUM(dl.d * dl.d + dh.d * dh.d) AS BIGINT) AS s3
+      |FROM we JOIN deg dl ON dl.v = we.lo
+      |JOIN deg dh ON dh.v = we.hi""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "curate_setcover" -> setcoverOracle,
     "sim_kcenter" -> kcenterOracle,
     "stream_cusum" -> streamCusumOracle,
+    "graph_conductance" -> conductanceOracle,
+    "graph_assortativity" -> assortativityOracle,
     "dq_profile" -> profileOracle
   )
 }

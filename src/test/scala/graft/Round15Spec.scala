@@ -76,6 +76,41 @@ class Round15Spec extends SparkSuite {
     assert(out.map(_._2).distinct.size == 5, "center re-chosen")
   }
 
+  // ---- blockConductance / assortativityStats ------------------------
+
+  test("conductance: triangle block with one cut edge — internal, " +
+      "cut, and volume count exactly; unassigned vertex raises") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("s", "d")
+    val blocks = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"))
+      .toDF("node", "blk")
+    val got = graft.ops.Graph.blockConductance(e, "s", "d",
+        blocks, "node", "blk")
+      .orderBy("block").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("A", 3L, 1L, 7L), ("B", 0L, 1L, 1L)),
+      s"block audit mismatch: $got")
+    val bad = blocks.where(col("node") =!= 4L)
+    val ex = intercept[Exception] {
+      graft.ops.Graph.blockConductance(e, "s", "d", bad,
+        "node", "blk").collect()
+    }
+    assert(ex.getMessage.contains("unassigned") ||
+      Option(ex.getCause).exists(_.getMessage.contains("unassigned")),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
+  test("assortativity: a star is perfectly disassortative — the " +
+      "integer stats yield r = -1 exactly") {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "d")
+    val (m, s1, s2, s3) = graft.ops.Graph.assortativityStats(e, "s", "d")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert((m, s1, s2, s3) === ((3L, 9L, 12L, 30L)),
+      s"stats mismatch: ${(m, s1, s2, s3)}")
+    val num = 4 * m * s1 - s2 * s2
+    val den = 2 * m * s3 - s2 * s2
+    assert(num == -den, s"star must give r = -1: $num/$den")
+  }
+
   // ---- dq_profile ---------------------------------------------------
 
   test("profile: per-column rows are self-consistent — constant row " +
