@@ -295,6 +295,32 @@ object Sampling {
     * hash-ordered positions of their own — they never silently join a
     * real shard. Filter or key-coalesce upstream if nulls are invalid.
     */
+  /** Class-balanced downsampling: every label keeps exactly
+    * min-class-count rows, selected by deterministic hash rank
+    * (hash(salt ‖ key), key) within the label — the bias-control pass
+    * before training on skewed labels, reproducible across runs and
+    * partitionings (the shuffleShards hash convention). One count
+    * aggregate (label-cardinality, broadcast back) + one label-keyed
+    * window.
+    *
+    * @return input columns, balanced: min-class-count rows per label
+    */
+  def classBalance(df: DataFrame, labelCol: Column, key: Column,
+                   salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    val hu = graft.expr.GraftFunctions.java_hash_u32 _
+    val counts = df.groupBy(labelCol.as("__lbl"))
+      .agg(count(lit(1)).as("__n"))
+    val minc = counts.agg(min("__n").as("__minc"))
+    val w = Window.partitionBy(labelCol)
+      .orderBy(hu(concat(lit(salt), key.cast("string"))).asc, key.asc)
+    df.withColumn("__rk", row_number().over(w))
+      .crossJoin(broadcast(minc))
+      .where(col("__rk") <= col("__minc"))
+      .drop("__rk", "__minc")
+  }
+
   def shuffleShards(df: DataFrame, key: Column, salt: String,
       nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards $nShards must be positive")

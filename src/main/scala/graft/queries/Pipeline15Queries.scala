@@ -51,6 +51,52 @@ object Pipeline15Queries {
         .orderBy("rnk")
     }),
 
+    "samp_class_balance" -> ((s, dir) => {
+      // class-balanced downsampling: every label keeps exactly
+      // min-class-count vectors by deterministic hash rank — the
+      // skewed-label bias control, reproducible across partitionings.
+      graft.ops.Sampling.classBalance(
+          Tables.embeddings(s, dir).select(col("vec_id"),
+            col("label").cast("long").as("label")),
+          col("label"), col("vec_id"), salt = "cb")
+        .orderBy("vec_id")
+    }),
+
+    "agg_gini" -> ((s, dir) => {
+      // Gini impurity of the status mix per order priority,
+      // division-free: impurity = gini_num / n^2 with gini_num =
+      // n^2 - sum(n_b^2) emitted as exact longs — the split-quality /
+      // label-diversity metric, engine-stable.
+      val c = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("pri"),
+          col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("nb"))
+      c.groupBy("pri")
+        .agg(sum("nb").as("n"), sum(col("nb") * col("nb")).as("sum_sq"))
+        .withColumn("gini_num", col("n") * col("n") - col("sum_sq"))
+        .orderBy("pri")
+    }),
+
+    "ts_snaive_sse" -> ((s, dir) => {
+      // seasonal-naive forecast skill: SSE of x_t vs x_{t-7} on the
+      // daily order-count series per priority (the ts_acf series) —
+      // the baseline any forecasting model must beat, as exact
+      // integers (n_terms, sse).
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("pri"),
+          col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("pri").orderBy("day")
+      daily.withColumn("l7", lag(col("x"), 7).over(w))
+        .where(col("l7").isNotNull)
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_terms"),
+          sum((col("x") - col("l7")) * (col("x") - col("l7")))
+            .as("sse"))
+        .orderBy("pri")
+    }),
+
     "graph_conductance" -> ((s, dir) => {
       // partition-quality audit: nation blocks over the bipartite
       // purchase graph — per block the internal/cut edge counts and
@@ -261,7 +307,47 @@ object Pipeline15Queries {
       |FROM we JOIN deg dl ON dl.v = we.lo
       |JOIN deg dh ON dh.v = we.hi""".stripMargin
 
+  /** Unsigned 32-bit Java hash in DuckDB (the Pipeline11 convention). */
+  private def huSql(c: String): String = {
+    val jh = PipelineQueries.javaHashSql(c)
+    s"""(CASE WHEN $jh < 0 THEN $jh + 4294967296 ELSE $jh END)"""
+  }
+
+  private def classBalanceOracle: String = {
+    val h = huSql("'cb' || CAST(vec_id AS VARCHAR)")
+    s"""WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings
+       |  GROUP BY 1),
+       |m AS (SELECT MIN(n) AS minc FROM c),
+       |r AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    ROW_NUMBER() OVER (PARTITION BY label
+       |      ORDER BY $h, vec_id) AS rk
+       |  FROM embeddings)
+       |SELECT vec_id, label FROM r, m WHERE rk <= minc
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "samp_class_balance" -> classBalanceOracle,
+
+    "agg_gini" ->
+      """WITH c AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,
+        |    COUNT(*) AS nb FROM orders GROUP BY 1, 2),
+        |g AS (SELECT pri, CAST(SUM(nb) AS BIGINT) AS n,
+        |    CAST(SUM(nb * nb) AS BIGINT) AS sum_sq FROM c GROUP BY 1)
+        |SELECT pri, n, sum_sq, n * n - sum_sq AS gini_num FROM g
+        |ORDER BY pri""".stripMargin,
+
+    "ts_snaive_sse" ->
+      """WITH d AS (SELECT o_orderpriority AS pri,
+        |    CAST(o_orderdate AS DATE) AS day, COUNT(*) AS x
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (SELECT pri, x, LAG(x, 7) OVER (PARTITION BY pri
+        |    ORDER BY day) AS l7 FROM d)
+        |SELECT pri, COUNT(*) AS n_terms,
+        |  CAST(SUM((x - l7) * (x - l7)) AS BIGINT) AS sse
+        |FROM l WHERE l7 IS NOT NULL GROUP BY pri
+        |ORDER BY pri""".stripMargin,
+
     "curate_setcover" -> setcoverOracle,
     "sim_kcenter" -> kcenterOracle,
     "stream_cusum" -> streamCusumOracle,

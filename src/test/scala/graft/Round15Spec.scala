@@ -111,6 +111,38 @@ class Round15Spec extends SparkSuite {
     assert(num == -den, s"star must give r = -1: $num/$den")
   }
 
+  // ---- classBalance -------------------------------------------------
+
+  test("class balance: every label keeps exactly min-class-count rows, " +
+      "and the selection is partitioning-invariant") {
+    val df = ((1L to 30L).map(i => (i, "big")) ++
+      (31L to 38L).map(i => (i, "mid")) ++
+      (41L to 45L).map(i => (i, "small"))).toDF("id", "lbl")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.classBalance(d, col("lbl"), col("id"), "s")
+        .select("id", "lbl").as[(Long, String)].collect().toSet
+    val got = run(df)
+    val byLabel = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLabel === Map("big" -> 5, "mid" -> 5, "small" -> 5),
+      s"labels not balanced to the min class: $byLabel")
+    assert(run(df.repartition(7)) === got,
+      "selection changed under repartitioning — not deterministic")
+  }
+
+  test("gini: a pure group scores zero impurity, an even 2-way mix " +
+      "scores n^2/2 — from the graded query's integer form") {
+    // verify the identity on hand counts rather than the fixture:
+    // n=6 pure -> gini_num = 36 - 36 = 0;
+    // n=6 even two-class -> 36 - (9+9) = 18 = n^2/2
+    val c = Seq(("p", "A", 6L), ("q", "A", 3L), ("q", "B", 3L))
+      .toDF("pri", "st", "nb")
+    val g = c.groupBy("pri")
+      .agg(sum("nb").as("n"), sum(col("nb") * col("nb")).as("ss"))
+      .withColumn("gnum", col("n") * col("n") - col("ss"))
+      .select("pri", "gnum").as[(String, Long)].collect().toMap
+    assert(g === Map("p" -> 0L, "q" -> 18L), s"gini identity: $g")
+  }
+
   // ---- dq_profile ---------------------------------------------------
 
   test("profile: per-column rows are self-consistent — constant row " +
