@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinOps
 
 /** Connected components over an undirected edge list — the clustering
   * step of a near-duplicate pipeline: LSH candidate pairs become duplicate
@@ -96,7 +97,7 @@ object Cluster {
         .join(verts.select(col("id").as("u")), Seq("u"), "left_semi")
         .join(verts.select(col("id").as("v")), Seq("v"), "left_semi")
         .select("u", "v"))
-      .localCheckpoint() // edges are re-joined every round: pin them once
+      .pin() // edges are re-joined every round: pin them once
     val labels = ccCore(sym, maxIter)
     // `labels` holds exactly the edge-touched vertices (the seed groups
     // u∪v), already distinct — reuse it as the touched set instead of
@@ -130,7 +131,7 @@ object Cluster {
     var labels = sym.select(col("v").as("id"), col("u").as("lbl"))
       .union(sym.select(col("u").as("id"), col("u").as("lbl")))
       .groupBy("id").agg(min("lbl").as("lbl"))
-      .localCheckpoint()
+      .pin()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < propRounds) {
@@ -143,7 +144,7 @@ object Cluster {
         .groupBy("id")
         .agg(min("lbl").as("lbl"),
           min(when(col("own") === 1, col("lbl"))).as("prev"))
-        .localCheckpoint()
+        .pin()
       changed = next.where(col("lbl") < col("prev")).count()
       labels = next.select("id", "lbl")
       it += 1
@@ -165,7 +166,7 @@ object Cluster {
         .join(star.as("s"), col("l.lbl") === col("s.id"), "left")
         .select(col("l.id").as("id"),
           coalesce(col("s.lbl"), col("l.lbl")).as("lbl"))
-        .localCheckpoint()
+        .pin()
     }
     labels
   }
@@ -199,7 +200,7 @@ object Cluster {
         least(col(aCol), col(bCol)).as("lo"))
       .where(col("hi") =!= col("lo"))
       .distinct()
-      .localCheckpoint()
+      .pin()
     var prev = (-1L, -1L, -1L)
     var converged = false
     var it = 0
@@ -224,7 +225,7 @@ object Cluster {
         .select(col("p.x").as("hi"), col("p.y").as("lo"))
         .where(col("hi") =!= col("lo"))
         .distinct()
-        .localCheckpoint()
+        .pin()
       // signature of the new edge set from the frame that seeds the next
       // round: sum of bounded hashes can't overflow below ~9e9 edges
       val sig = ss.agg(count(lit(1)),
@@ -303,7 +304,7 @@ object Cluster {
     val lbl = baseLabels
       .select(col("id").cast("long").as("id"),
         col("cluster").cast("long").as("lbl"))
-      .localCheckpoint() // read three times below; pin once
+      .pin() // read three times below; pin once
     val eRaw = newEdges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull)
@@ -340,7 +341,7 @@ object Cluster {
         struct(col("cu").as("u"), col("cv").as("v")),
         struct(col("cv").as("u"), col("cu").as("v")))).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
-      .localCheckpoint()
+      .pin()
     val contracted = ccCore(symMapped, maxIter = 25)
       .select(col("id").as("old_lbl"), col("lbl").as("new_lbl"))
     // base vertices remap through their label; delta vertices either

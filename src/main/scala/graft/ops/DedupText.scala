@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinOps
 
 /** Near-duplicate detection family for training-data pipelines: exact,
   * n-gram Jaccard (inverted index), MinHash+LSH, SimHash.
@@ -109,7 +110,7 @@ object DedupText {
     // doc-frequency count, the anti-join, and the empty-doc repair
     val sh = Par.fanOut(docs, col(idCol))
       .select(col(idCol), explode(TextOps.shingles(col(text), n)).as("s"))
-      .localCheckpoint()
+      .pin()
     // doc count for the threshold: EVERY doc yields ≥ 1 shingle — short
     // docs get the whole-text sentinel, and even a null text maps to the
     // "" sentinel (concat_ws over a null token array), mirrored by
@@ -139,7 +140,7 @@ object DedupText {
       .crossJoin(broadcast(nDocs))
       .where(col("df") > (col("n_docs") * maxDocFrac))
       .select("s")
-      .localCheckpoint() // small by the bound above; read 2-3 times below
+      .pin() // small by the bound above; read 2-3 times below
     // clean corpus (no shingle above the threshold) — the overwhelmingly
     // common case: the fence is a no-op, so skip the anti-join and the
     // lost-doc repair entirely and hand back the pinned raw explode
@@ -158,7 +159,7 @@ object DedupText {
       // contract: the returned frame is ALWAYS pinned (both branches), so
       // multi-pass consumers (fuzzyDedup reads it for signatures AND
       // verification) never re-run the explode or the fence
-      .localCheckpoint()
+      .pin()
   }
 
   /** MinHash over boilerplate-filtered shingles ([[shinglesFiltered]]):
@@ -293,7 +294,7 @@ object DedupText {
     val wins = Par.fanOut(docs, col(idCol))
       .select(col(idCol), graft.expr.GraftFunctions.explode_windows(
         TextOps.tokens(col(text)), lit(w)))
-      .localCheckpoint() // reused 3×: df count, both join sides
+      .pin() // reused 3×: df count, both join sides
     // df = 1 windows (the dominant mass of a real corpus — unique text)
     // can only pair a doc with itself, which a_id < b_id discards: keep
     // only 2..maxDf, shrinking the self-join input to the genuinely
@@ -352,7 +353,7 @@ object DedupText {
     pairShingleOverlapFrom(
       Par.fanOut(docs, col(idCol)).select(col(idCol),
           explode(TextOps.shingles(col(text), n)).as("s"))
-        .localCheckpoint(), // reused: both probe sides + per-doc counts
+        .pin(), // reused: both probe sides + per-doc counts
       idCol, pairs)
 
   /** [[pairShingleOverlap]] over an already-exploded — and, if reused,
@@ -409,7 +410,7 @@ object DedupText {
         shinglesFiltered(docs, idCol, text, n, maxDocFrac)
       else Par.fanOut(docs, col(idCol)).select(col(idCol),
         explode(TextOps.shingles(col(text), n)).as("s"))
-        .localCheckpoint()
+        .pin()
     val signed = signaturesFromShingles(shAll, idCol, bands * rows)
     val cand = lshCandidatesExact(signed, idCol, bands, rows)
     val verified = pairShingleOverlapFrom(shAll, idCol, cand)
@@ -502,7 +503,7 @@ object DedupText {
     TextOps.winnowFingerprints(docs, idCol, text, k, w)
       .select(col(idCol).as("id"), col("h"))
       .distinct()
-      .localCheckpoint() // referenced by the df aggregate AND the fence join
+      .pin() // referenced by the df aggregate AND the fence join
 
   /** UNfiltered shared-fingerprint pair counts over the df-fenced index
     * (every pair with >= 1 shared rare hash) — the second stored half of
@@ -518,7 +519,7 @@ object DedupText {
     // pinned: the candidate join references the fenced set on BOTH
     // sides — left lazy, fingerprinting + dedup + fence run twice
     val fenced = dh.join(rare, Seq("h"), "left_semi")
-      .localCheckpoint()
+      .pin()
     val a = fenced.select(col("h"), col("id").as("a_id"))
     val b = fenced.select(col("h"), col("id").as("b_id"))
     a.join(b, Seq("h"))
@@ -573,7 +574,7 @@ object DedupText {
         coalesce(col("df_b"), lit(0L)).as("df_b"),
         (coalesce(col("df_b"), lit(0L)) + coalesce(col("df_d"), lit(0L)))
           .as("df_u"))
-      .localCheckpoint()
+      .pin()
     val stillRare = dfU.where(col("df_u") <= maxDocFreq).select("h")
     val newlyHot = dfU
       .where(col("df_b") <= maxDocFreq && col("df_u") > maxDocFreq)
@@ -656,7 +657,7 @@ object DedupText {
         docs.select(col(idCol).as("id"),
           explode(TextOps.shingles(col(text), n)).as("tok"))
     val tok = raw
-      .localCheckpoint() // feeds df agg, prefix window AND both verify arms
+      .pin() // feeds df agg, prefix window AND both verify arms
     val sizes = tok.groupBy("id").agg(count(lit(1)).as("m"))
     val dfTok = tok.groupBy("tok").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("id")
@@ -671,7 +672,7 @@ object DedupText {
       .select(col("id"), col("tok"), col("m"))
       // both sides of the candidate self-join reference the prefix
       // frame: pin it so the df join + per-doc window run once
-      .localCheckpoint()
+      .pin()
     val cand = pref.as("pa")
       .join(pref.as("pb"), col("pa.tok") === col("pb.tok") &&
         col("pa.id") < col("pb.id"))

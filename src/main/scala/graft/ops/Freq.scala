@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinOps
 
 /** Frequent-item (heavy-hitter) detection at corpus scale.
   *

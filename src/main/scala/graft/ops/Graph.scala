@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinOps
 
 /** Iterative graph analytics over edge-list DataFrames — the Pregel-ish
   * message rounds a link/citation/co-purchase graph needs beyond the
@@ -88,9 +89,9 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint() // re-joined every round: pin the shuffle once
+      .pin() // re-joined every round: pin the shuffle once
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .pin()
     // node set with a pinned seed flag: the teleport term (and the
     // initial mass) restrict to seeds in the personalized form; the
     // uniform form flags every vertex
@@ -102,7 +103,7 @@ object Graph {
       case Some(sd) => nodesRaw.join(
           sd.select(col("node"), lit(true).as("seed")), Seq("node"), "left")
         .select(col("node"), coalesce(col("seed"), lit(false)).as("seed"))
-    }).localCheckpoint()
+    }).pin()
     val base = 15L * scale / 100L
     PrInputs(e, deg, nodes,
       when(col("seed"), lit(base)).otherwise(lit(0L)), scale)
@@ -187,11 +188,11 @@ object Graph {
     require(eps >= 0L, "eps must be >= 0")
     require(maxIters >= 1, "maxIters must be >= 1")
     val in = prInputs(edges, srcCol, dstCol, None, scale)
-    var r = prInit(in).localCheckpoint()
+    var r = prInit(in).pin()
     var rounds = 0
     var delta = Long.MaxValue
     while (delta > eps && rounds < maxIters) {
-      val next = prRound(in, r).localCheckpoint()
+      val next = prRound(in, r).pin()
       rounds += 1
       delta = next.as("n").join(r.as("p"), col("n.node") === col("p.node"))
         .agg(max(abs(col("n.pr") - col("p.pr"))).as("d"))
@@ -231,14 +232,14 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint()
+      .pin()
     def normalized(raw0: DataFrame): DataFrame = {
       // pin the half-round before normalizing: `raw` is referenced
       // TWICE (the max aggregate and the output projection), and since
       // each round builds on the previous, leaving it lazy re-evaluates
       // every earlier round 2^(2·iters) times — measured 2× on the
       // graded query at 3 iters, and unbounded growth beyond
-      val raw = raw0.localCheckpoint()
+      val raw = raw0.pin()
       val mx = raw.agg(max(col("s")).as("mx"))
       raw.crossJoin(broadcast(mx))
         .select(col("node"),
@@ -280,9 +281,9 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint()
+      .pin()
     def normalized(raw0: DataFrame): DataFrame = {
-      val raw = raw0.localCheckpoint() // same pin rationale as hitsInt
+      val raw = raw0.pin() // same pin rationale as hitsInt
       val mx = raw.agg(max(col("s")).as("mx"))
       raw.crossJoin(broadcast(mx))
         .select(col("node"),
@@ -290,7 +291,7 @@ object Graph {
     }
     var h = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(scale).as("score"))
-      .localCheckpoint()
+      .pin()
     var a: DataFrame = null
     var rounds = 0
     var delta = Long.MaxValue
@@ -356,18 +357,18 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint()
+      .pin()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .pin()
     val sd = seeds
       .select(col(nodeCol).cast("long").as("node"),
         col(labelCol).cast("long").as("seed_label"))
       .where(col("node").isNotNull && col("seed_label").isNotNull)
       .groupBy("node").agg(min(col("seed_label")).as("seed_label"))
       .join(nodes, Seq("node"), "left_semi")
-      .localCheckpoint()
+      .pin()
     LpInputs(e, nodes, sd)
   }
 
@@ -416,11 +417,11 @@ object Graph {
                               maxIters: Int = 50): (DataFrame, Int) = {
     require(maxIters >= 1, "maxIters must be >= 1")
     val in = lpInputs(edges, srcCol, dstCol, seeds, nodeCol, labelCol)
-    var lab = lpInit(in).localCheckpoint()
+    var lab = lpInit(in).pin()
     var rounds = 0
     var changed = Long.MaxValue
     while (changed > 0L && rounds < maxIters) {
-      val next = lpRound(in, lab).localCheckpoint()
+      val next = lpRound(in, lab).pin()
       rounds += 1
       // null-safe change count: unreached (null) vs labeled transitions
       // must count as changes, so compare with <=>
@@ -530,7 +531,7 @@ object Graph {
                      dstCol: String): DataFrame = {
     // canonical unordered edge (lo, hi): referenced by the wedge build
     // AND the closure join AND the vertex set — pin it once
-    val canon = canonEdges(edges, srcCol, dstCol).localCheckpoint()
+    val canon = canonEdges(edges, srcCol, dstCol).pin()
     val deg = canon
       .select(explode(array(col("lo"), col("hi"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -550,7 +551,7 @@ object Graph {
           struct(col("dhi").as("d"), col("hi").as("n")))
           .otherwise(struct(col("dlo").as("d"), col("lo").as("n")))
           .as("vord"))
-      .localCheckpoint()
+      .pin()
     // wedges at the lowest-ordered apex: (u→y, u→z) with y before z in
     // the degree order — each triangle's apex generates its one wedge
     val e1 = or.select(col("u"), col("v").as("y"), col("vord").as("yo"))
@@ -563,7 +564,7 @@ object Graph {
         least(col("y"), col("z")) === col("lo") &&
           greatest(col("y"), col("z")) === col("hi"),
         "left_semi")
-      .localCheckpoint() // referenced 3× by the per-vertex explode
+      .pin() // referenced 3× by the per-vertex explode
     val perVertex = tri
       .select(explode(array(col("u"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
@@ -594,11 +595,11 @@ object Graph {
     */
   def triangleDelta(base: DataFrame, delta: DataFrame, srcCol: String,
                     dstCol: String): DataFrame = {
-    val b = canonEdges(base, srcCol, dstCol).localCheckpoint()
+    val b = canonEdges(base, srcCol, dstCol).pin()
     val d = canonEdges(delta, srcCol, dstCol)
       .join(b, Seq("lo", "hi"), "left_anti")
-      .localCheckpoint()
-    val all = b.unionByName(d).localCheckpoint() // disjoint by the anti-join
+      .pin()
+    val all = b.unionByName(d).pin() // disjoint by the anti-join
     val adj = all.select(col("lo").as("u"), col("hi").as("w"))
       .unionByName(all.select(col("hi").as("u"), col("lo").as("w")))
     val cand = d
@@ -640,7 +641,7 @@ object Graph {
     e.join(keep.withColumnRenamed("v", "lo"), Seq("lo"), "left_semi")
       .join(keep.withColumnRenamed("v", "hi"), Seq("hi"), "left_semi")
       .select("lo", "hi")
-      .localCheckpoint()
+      .pin()
   }
 
   /** Fixed-round k-core peeling (Seidman's cores / Matula–Beck, the
@@ -660,7 +661,7 @@ object Graph {
             rounds: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 0, "rounds must be >= 0")
-    var e = canonEdges(edges, srcCol, dstCol).localCheckpoint()
+    var e = canonEdges(edges, srcCol, dstCol).pin()
     var i = 0
     while (i < rounds) {
       e = peelRound(e, k)
@@ -680,7 +681,7 @@ object Graph {
                      k: Int, maxRounds: Int = 100): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(maxRounds >= 1, "maxRounds must be >= 1")
-    var e = canonEdges(edges, srcCol, dstCol).localCheckpoint()
+    var e = canonEdges(edges, srcCol, dstCol).pin()
     var n = e.count()
     var converged = false
     var i = 0
@@ -718,15 +719,15 @@ object Graph {
                    rounds: Int): DataFrame = {
     require(rounds >= 0, "rounds must be >= 0")
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+      col(dstCol).cast("long").as("dst")).distinct().pin()
     var dist = seeds.select(col(seedCol).cast("long").as("node"))
-      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+      .distinct().withColumn("dist", lit(0L)).pin()
     for (_ <- 0 until rounds) {
       dist = dist
         .unionByName(dist.join(e, col("node") === col("src"))
           .select(col("dst").as("node"), (col("dist") + 1L).as("dist")))
         .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint()
+        .pin()
     }
     dist
   }
@@ -786,7 +787,7 @@ object Graph {
     */
   def assortativityStats(edges: DataFrame, loCol: String,
                          hiCol: String): DataFrame = {
-    val e = canonEdges(edges, loCol, hiCol).localCheckpoint()
+    val e = canonEdges(edges, loCol, hiCol).pin()
     val deg = e.select(explode(array(col("lo"), col("hi"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
     e.join(deg.select(col("v").as("lo"), col("d").as("dl")), "lo")
@@ -813,18 +814,18 @@ object Graph {
                             seedCol: String, rounds: Int): DataFrame = {
     require(rounds >= 0, "rounds must be >= 0")
     val e = edges.select(col(srcCol).cast("long").as("u"),
-      col(dstCol).cast("long").as("v")).distinct().localCheckpoint()
+      col(dstCol).cast("long").as("v")).distinct().pin()
     var dist = seeds.select(col(seedCol).cast("long").as("src"))
       .distinct()
       .select(col("src"), col("src").as("node"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .pin()
     for (_ <- 0 until rounds) {
       dist = dist
         .unionByName(dist.join(e, col("node") === col("u"))
           .select(col("src"), col("v").as("node"),
             (col("dist") + 1L).as("dist")))
         .groupBy("src", "node").agg(min("dist").as("dist"))
-        .localCheckpoint()
+        .pin()
     }
     dist
   }
@@ -871,16 +872,16 @@ object Graph {
         col(dstCol).cast("long").as("dst"),
         col(wCol).cast("long").as("w"))
       .groupBy("src", "dst").agg(min("w").as("w"))
-      .localCheckpoint()
+      .pin()
     var dist = seeds.select(col(seedCol).cast("long").as("node"))
-      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+      .distinct().withColumn("dist", lit(0L)).pin()
     for (_ <- 0 until rounds) {
       dist = dist
         .unionByName(dist.join(e, col("node") === col("src"))
           .select(col("dst").as("node"),
             (col("dist") + col("w")).as("dist")))
         .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint()
+        .pin()
     }
     dist
   }
@@ -900,7 +901,7 @@ object Graph {
     */
   def neighborJaccard(edges: DataFrame, srcCol: String, dstCol: String,
                       minCommon: Int = 2): DataFrame = {
-    val e = canonEdges(edges, srcCol, dstCol).localCheckpoint()
+    val e = canonEdges(edges, srcCol, dstCol).pin()
     val adj = e.select(explode(array(
         struct(col("lo").as("v"), col("hi").as("n")),
         struct(col("hi").as("v"), col("lo").as("n")))).as("x"))
@@ -958,10 +959,10 @@ object Graph {
         struct(col("lo").as("v"), col("hi").as("n")),
         struct(col("hi").as("v"), col("lo").as("n")))).as("x"))
       .select(col("x.v").as("v"), col("x.n").as("n"))
-      .localCheckpoint()
+      .pin()
     var frontier = adj.select(col("v")).distinct()
       .select(col("v").as("walker"), col("v").as("node"))
-      .localCheckpoint()
+      .pin()
     var out = frontier.withColumn("step", lit(0L))
     var t = 1
     while (t <= steps) {
@@ -973,7 +974,7 @@ object Graph {
         .groupBy("walker")
         .agg(min(struct(col("h"), col("n"))).as("m"))
         .select(col("walker"), col("m.n").as("node"))
-        .localCheckpoint()
+        .pin()
       out = out.unionByName(next.withColumn("step", lit(t.toLong)))
       frontier = next
       t += 1
@@ -1012,22 +1013,32 @@ object Graph {
     * driver-state contract) instead of paying further contraction
     * passes on a finished forest.
     *
-    * @param edges undirected weighted edges (dedup upstream; self-loops
-    *              dropped); larger `w` = stronger = kept
+    * @param edges undirected weighted edges (self-loops dropped;
+    *              parallel edges collapsed to their max weight here —
+    *              the total order over edges must be well-defined
+    *              regardless of input multiplicity); larger `w` =
+    *              stronger = kept
     * @return the chosen forest edges (lo, hi, w) accumulated over at
     *         most `rounds` — a subset of the input edge set, acyclic
     */
   def boruvkaMaxForest(edges: DataFrame, loCol: String, hiCol: String,
                        wCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    // normalize like ssspDistances: with parallel (lo, hi) copies at
+    // different weights, two components could each argmax a DIFFERENT
+    // copy of the same pair in one round and .distinct() would keep
+    // both — silently breaking the acyclic-forest contract. Collapsing
+    // to max(w) makes every (lo, hi) a single candidate (and max is
+    // the copy a MAX-forest would ever pick).
     val e = edges.select(col(loCol).cast("long").as("lo"),
         col(hiCol).cast("long").as("hi"), col(wCol).cast("long").as("w"))
       .where(col("lo") =!= col("hi"))
-      .localCheckpoint()
+      .groupBy("lo", "hi").agg(max("w").as("w"))
+      .pin()
     var comp = e.select(explode(array(col("lo"), col("hi"))).as("id"))
       .distinct()
       .select(col("id"), col("id").as("c"))
-      .localCheckpoint()
+      .pin()
     var chosen: DataFrame = null
     var r = 0
     var done = false
@@ -1045,7 +1056,7 @@ object Graph {
         .select(col("m.lo").as("lo"), col("m.hi").as("hi"),
           (-col("m.nw")).as("w"))
         .distinct()
-        .localCheckpoint()
+        .pin()
       done = best.isEmpty // no cut edge anywhere: the forest is complete
       chosen = if (chosen == null) best else chosen.unionByName(best)
       if (!done) {
@@ -1060,7 +1071,7 @@ object Graph {
         comp = comp.select(col("id"), col("c"))
           .join(labels.select(col("id").as("c"), col("cluster")), "c")
           .select(col("id"), col("cluster").as("c"))
-          .localCheckpoint()
+          .pin()
       }
       r += 1
     }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinOps
 
 /** Multimodal-column plumbing (north-star extension): media payloads are
   * opaque `binary` columns with typed metadata; decode / feature-extract
@@ -141,7 +142,7 @@ object Multimodal {
       // both sides of the self-join reference this frame: pin it so the
       // upstream fingerprint computation (one pass per payload) runs
       // once, not twice (the prRound double-reference rule)
-      .localCheckpoint()
+      .pin()
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.id") < col("y.id"))

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.Dataset
+
+/** Lineage pinning with a cluster-survivable fallback.
+  *
+  * Iterative operators (Graph, DedupText, Selection, Skyline, Cluster,
+  * TextOps…) must truncate lineage every round or the plan grows
+  * exponentially. `localCheckpoint()` is the fast primitive — blocks
+  * live in executor memory/disk, no distributed filesystem round-trip —
+  * but those blocks die with their executor: on a real multi-executor
+  * cluster a single lost executor fails the whole iterative job (Spark
+  * itself WARNs "checkpoint may not be reliable" on every call).
+  *
+  * `Pin` is the one switch: when a checkpoint directory is configured
+  * (`SparkContext.setCheckpointDir` / `spark.checkpoint.dir` — on a
+  * cluster that is HDFS/S3, replicated and executor-loss-proof), pin
+  * via reliable `checkpoint()`; otherwise (local development,
+  * single-JVM bench — the only mode this sandbox can execute) keep the
+  * fast local form. Call sites write `.pin()` and never choose.
+  *
+  * Both are EAGER (the default of both underlying calls): the pinned
+  * plan is computed at the call, so per-round driver loops observe the
+  * same execution order in either mode.
+  */
+object Pin {
+  /** True when pinning should go through reliable `checkpoint()`.
+    * Default: a checkpoint directory is configured on the context.
+    * `graft.pin.reliable` (session conf) overrides either way — the
+    * escape hatch for A/B-ing the two modes on one session (specs) or
+    * forcing fast local pins on a cluster that has a checkpoint dir
+    * set for other reasons. */
+  def reliable(ds: Dataset[_]): Boolean =
+    ds.sparkSession.conf.getOption("graft.pin.reliable") match {
+      case Some(v) => v.toBoolean
+      case None =>
+        ds.sparkSession.sparkContext.getCheckpointDir.isDefined
+    }
+
+  def apply[T](ds: Dataset[T]): Dataset[T] =
+    if (reliable(ds)) ds.checkpoint() else ds.localCheckpoint()
+
+  /** `df.pin()` — postfix form, drop-in for `.localCheckpoint()`. */
+  implicit class PinOps[T](private val ds: Dataset[T]) extends AnyVal {
+    def pin(): Dataset[T] = Pin(ds)
+  }
+}

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinOps
 import org.apache.spark.sql.expressions.Window
 
 /** Deterministic sampling for corpus curation. Random-number sampling
@@ -240,7 +241,7 @@ object Sampling {
       // the histogram collect + both output branches would otherwise
       // re-execute the (typically expensive — end of a curation funnel)
       // upstream lineage three times
-      .localCheckpoint()
+      .pin()
     // the guard rides inside the same job: limit(maxClasses + 1) bounds
     // what can ever reach the driver (no separate countDistinct pass),
     // and one extra row is proof of overflow

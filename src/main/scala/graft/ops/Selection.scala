@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinOps
 
 /** Greedy maximum-coverage selection (Nemhauser–Wolsey–Fisher 1978:
   * the (1−1/e)-approximate greedy for submodular coverage) — the
@@ -37,7 +38,7 @@ object Selection {
     // each round is one count over a strictly smaller frame.
     var live = pairs.select(col(itemCol).as("item"),
         col(elemCol).as("elem"))
-      .distinct().localCheckpoint()
+      .distinct().pin()
     var chosen: DataFrame = null
     var r = 1
     var done = false
@@ -51,15 +52,15 @@ object Selection {
         .select(col("m.item").as("item"), (-col("m.ng")).as("gain"),
           lit(r.toLong).as("rnk"))
         .where(col("item").isNotNull)
-        .localCheckpoint()
+        .pin()
       done = winner.isEmpty // nothing uncovered remains: stop early
       if (!done) {
         chosen = if (chosen == null) winner
-          else chosen.unionByName(winner).localCheckpoint()
+          else chosen.unionByName(winner).pin()
         val newCov = live.join(winner.select("item"), Seq("item"))
           .select("elem")
         live = live.join(newCov, Seq("elem"), "left_anti")
-          .localCheckpoint()
+          .pin()
       }
       r += 1
     }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinOps
 
 /** Embedding similarity search (north-star extension): brute-force cosine
   * top-k as the correctness baseline, LSH-bucketed variant as the scale
@@ -267,12 +268,12 @@ object Similarity {
     graft.expr.GraftFunctions.register(sketch.sparkSession)
     val ll = graft.expr.GraftFunctions.dot_ll _
     val s = sketch.select(col("vec_id"), col("q_emb"), col("q_norm"))
-      .localCheckpoint()
+      .pin()
     val seed = s
       .join(broadcast(s.agg(min("vec_id").as("vec_id"))), "vec_id")
       .select(col("vec_id"), col("q_emb"), col("q_norm"),
         lit(1L).as("rnk"), lit(0L).as("d2"))
-    var chosen = seed.localCheckpoint()
+    var chosen = seed.pin()
     for (r <- 2 to k) {
       val dmin = s
         .join(chosen.select("vec_id"), Seq("vec_id"), "left_anti")
@@ -289,7 +290,7 @@ object Similarity {
         .join(s, "vec_id")
         .select(col("vec_id"), col("q_emb"), col("q_norm"),
           lit(r.toLong).as("rnk"), col("d2"))
-      chosen = chosen.unionByName(winner).localCheckpoint()
+      chosen = chosen.unionByName(winner).pin()
     }
     chosen.select("rnk", "vec_id", "d2")
   }
@@ -547,7 +548,7 @@ object Similarity {
     require(k >= 1, "k must be >= 1")
     require(iters >= 0, "iters must be >= 0")
     graft.expr.GraftFunctions.register(sketch.sparkSession)
-    val sk = sketch.select("vec_id", "q_emb", "q_norm").localCheckpoint()
+    val sk = sketch.select("vec_id", "q_emb", "q_norm").pin()
     var cent = kmSeed(sk, k, salt)
     var i = 0
     while (i < iters) {
@@ -572,14 +573,14 @@ object Similarity {
     require(k >= 1, "k must be >= 1")
     require(maxIters >= 1, "maxIters must be >= 1")
     graft.expr.GraftFunctions.register(sketch.sparkSession)
-    val sk = sketch.select("vec_id", "q_emb", "q_norm").localCheckpoint()
+    val sk = sketch.select("vec_id", "q_emb", "q_norm").pin()
     var cent = kmSeed(sk, k, salt)
-    var assign = kmAssign(sk, cent).localCheckpoint()
+    var assign = kmAssign(sk, cent).pin()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       cent = kmUpdate(assign, cent)
-      val next = kmAssign(sk, cent).localCheckpoint()
+      val next = kmAssign(sk, cent).pin()
       val changed = next.select(col("vec_id"), col("cell").as("c2"))
         .join(assign.select(col("vec_id"), col("cell").as("c1")), "vec_id")
         .where(col("c1") =!= col("c2"))
@@ -689,7 +690,7 @@ object Similarity {
     seeds.select((row_number().over(w) - 1).cast("long").as("cell"),
         col("q_emb").as("c_emb"))
       .withColumn("c_norm", ll(col("c_emb"), col("c_emb")))
-      .localCheckpoint()
+      .pin()
   }
 
   /** One assignment pass: exact integer argmin over the broadcast
@@ -728,7 +729,7 @@ object Similarity {
       .select(col("cell"),
         coalesce(col("u_emb"), col("p_emb")).as("c_emb"))
       .withColumn("c_norm", ll(col("c_emb"), col("c_emb")))
-      .localCheckpoint()
+      .pin()
   }
 
   // --------------------------------------------------------------------
@@ -770,7 +771,7 @@ object Similarity {
     require(ksub >= 1 && iters >= 0, "need ksub >= 1, iters >= 0")
     graft.expr.GraftFunctions.register(sketch.sparkSession)
     val subDim = dims / m
-    val sv = subVectors(sketch, m, subDim).localCheckpoint()
+    val sv = subVectors(sketch, m, subDim).pin()
     var cb = pqSeed(sketch, m, ksub, subDim, salt)
     var i = 0
     while (i < iters) {
@@ -889,7 +890,7 @@ object Similarity {
       .select(col("e.sub").as("sub"), col("cell"),
         col("e.cv").as("c_emb"))
       .withColumn("c_norm", ll(col("c_emb"), col("c_emb")))
-      .localCheckpoint()
+      .pin()
   }
 
   /** One PQ assignment pass: per (vec_id, sub), integer argmin over the
@@ -928,6 +929,6 @@ object Similarity {
       .select(col("sub"), col("cell"),
         coalesce(col("u_emb"), col("p_emb")).as("c_emb"))
       .withColumn("c_norm", ll(col("c_emb"), col("c_emb")))
-      .localCheckpoint()
+      .pin()
   }
 }

@@ -74,8 +74,16 @@ object Skyline {
     // loud fence: (x − xlo)·buckets must not wrap (the fail-loudly
     // contract — a wrapped bucket id would silently prune frontier
     // points). Long.MaxValue/buckets x-range covers any real metric.
+    // The fence itself must be wrap-safe: xhi − xlo can exceed Long
+    // range (xlo near Long.MinValue), wrapping negative and slipping
+    // past a naive <= check — so test for wrap BEFORE subtracting.
+    // Or/And short-circuit per-row, so the guarded arithmetic never
+    // runs (and never ANSI-throws) on the branch it would wrap in.
+    val noWrap = col("__xlo") >= 0L ||
+      col("__xhi") <= lit(Long.MaxValue) + col("__xlo")
     val safeRange = when(
-      col("__xhi") - col("__xlo") <= lit(Long.MaxValue / buckets),
+      noWrap &&
+        col("__xhi") - col("__xlo") <= lit(Long.MaxValue / buckets),
       col("__xhi")).otherwise(raise_error(lit(
       s"skyline2d: x range exceeds Long.MaxValue/$buckets — rescale x " +
         "or lower buckets")))

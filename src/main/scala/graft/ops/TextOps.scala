@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinOps
 
 /** Text-analysis operators for large-scale training-data pipelines
   * (north-star extension, BASELINE.json). All pure column expressions —
@@ -177,7 +178,7 @@ object TextOps {
     var vocab = wt.select(col("word"), col("n"),
         concat(lit(" "), concat_ws(" ", split(col("word"), "")),
           lit(" ")).as("seg"))
-      .localCheckpoint()
+      .pin()
     val merges = Seq.newBuilder[DataFrame]
     var r = 1
     while (r <= rounds) {
@@ -193,7 +194,7 @@ object TextOps {
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
         .limit(1)
-        .localCheckpoint()
+        .pin()
       // fail-loudly contract: an empty argmax (every word fully merged
       // to one symbol) would silently wipe the vocab through the cross
       // join below — a caller asking for more rounds than the corpus
@@ -211,7 +212,7 @@ object TextOps {
         .select(col("word"), col("n"),
           expr("replace(seg, concat(' ', ml, ' ', mr, ' '), " +
             "concat(' ', ml, mr, ' '))").as("seg"))
-        .localCheckpoint()
+        .pin()
       r += 1
     }
     BpeResult(merges.result().reduce(_ unionByName _), vocab)
@@ -239,10 +240,23 @@ object TextOps {
   def bpeApplyMerges(words: DataFrame, merges: DataFrame,
                      rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    // mirror the trainer's fail-loudly contract: a round with no merge
+    // row would crossJoin an EMPTY frame and silently empty the whole
+    // output. One 1-row aggregate up front (not a count per round)
+    // proves ranks 1..rounds are all present in the table.
+    val have = merges
+      .agg(count_distinct(when(col("rnk").between(1L, rounds.toLong),
+        col("rnk"))).as("k"))
+      .head().getLong(0)
+    if (have != rounds)
+      throw new IllegalStateException(
+        s"bpeApplyMerges: merge table covers $have of ranks 1..$rounds " +
+          "— a missing rank would silently empty the segmentation; " +
+          "retrain or lower rounds")
     var seg = words.select(col("word"),
         concat(lit(" "), concat_ws(" ", split(col("word"), "")),
           lit(" ")).as("seg"))
-      .localCheckpoint()
+      .pin()
     var r = 1
     while (r <= rounds) {
       val m = merges.where(col("rnk") === r).select(
@@ -251,7 +265,7 @@ object TextOps {
         .select(col("word"),
           expr("replace(seg, concat(' ', ml, ' ', mr, ' '), " +
             "concat(' ', ml, mr, ' '))").as("seg"))
-        .localCheckpoint()
+        .pin()
       r += 1
     }
     seg
@@ -468,7 +482,7 @@ object TextOps {
               "encoding"))).cast("long")).as("pos"),
         graft.expr.GraftFunctions.java_string_hash(col("g"))
           .cast("long").as("h"))
-      .localCheckpoint()
+      .pin()
     val enc = (lit((1L << 32) - 1L) - (col("h") + lit(1L << 31))) *
       lit(1L << 20) + col("pos")
     val wv = Window.partitionBy(idCol).orderBy("pos")

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinOps
 import graft.Tables
 import graft.ops.{Graph, Skyline}
 import Fixtures._
@@ -65,7 +66,7 @@ object Pipeline14Queries {
       // only ever shrink the frontier. Graded against the full-corpus
       // skyline oracle VERBATIM (the inc_tri_delta convention) — the
       // 10th inc_* identity.
-      val pts = docPoints(s, dir).localCheckpoint()
+      val pts = docPoints(s, dir).pin()
       val frontier = Skyline.skyline2d(
         pts.where(col("doc_id") % 7 =!= 0),
         col("n_chars"), col("n_toks"))
@@ -119,7 +120,7 @@ object Pipeline14Queries {
         .select(col("cust"),
           datediff(col("dmax"), col("last")).cast("long").as("r"),
           col("f"), col("m"))
-        .localCheckpoint() // referenced by 3 rank windows + the bucket join
+        .pin() // referenced by 3 rank windows + the bucket join
       def rn(c: String) = row_number()
         .over(Window.orderBy(col(c).asc, col("cust").asc))
         .cast("long")

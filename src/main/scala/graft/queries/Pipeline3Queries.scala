@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinOps
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.ops._
@@ -77,7 +78,7 @@ object Pipeline3Queries {
       // verification read the same frame, like fuzzyDedup
       val shAll = Par.fanOut(docs, col("doc_id")).select(col("doc_id"),
           explode(TextOps.shingles(col("text"), 3)).as("s"))
-        .localCheckpoint()
+        .pin()
       val signed = DedupText.signaturesFromShingles(shAll, "doc_id")
       val pairs = DedupText.lshCandidatesExact(signed, "doc_id",
         bands = 8, rows = 4)

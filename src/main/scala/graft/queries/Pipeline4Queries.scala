@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinOps
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.ops._
@@ -329,9 +330,9 @@ object Pipeline4Queries {
       // (doc_id is right there), so base and delta signatures share it
       val shAll = Par.fanOut(docs, col("doc_id")).select(col("doc_id"),
           explode(TextOps.shingles(col("text"), 3)).as("s"))
-        .localCheckpoint()
+        .pin()
       val baseSig = DedupText.signaturesFromShingles(
-        shAll.where(!isDelta), "doc_id").localCheckpoint()
+        shAll.where(!isDelta), "doc_id").pin()
       val basePairs = DedupText.lshCandidatesExact(baseSig, "doc_id", 8, 4)
       val baseCC = Cluster.connectedComponents(
         docs.where(!isDelta).select("doc_id"),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinOps
 import graft.Tables
 import Fixtures._
 
@@ -46,7 +47,7 @@ object Pipeline6Queries {
     * themselves are freed by bench's between-run unpersist sweep. */
   private[queries] def drainAndClean(s: org.apache.spark.sql.SparkSession,
       name: String, ckpt: String): org.apache.spark.sql.DataFrame = {
-    val out = s.table(name).localCheckpoint()
+    val out = s.table(name).pin()
     s.catalog.dropTempView(name)
     def del(f: java.io.File): Unit = {
       val kids = f.listFiles()
@@ -134,7 +135,7 @@ object Pipeline6Queries {
       // shuffle) run twice (the double-reference recompute hazard
       // Graph.hitsInt documents)
       val exact = Dedup.exactByPayload(gated, "text", "doc_id")
-        .localCheckpoint()
+        .pin()
       val canonIds = DedupText.fuzzyDedup(exact, "doc_id", "text",
           bands = 8, rows = 4, n = 3, num = 2, den = 3)
         .where(col("cluster") === col("id"))
@@ -172,7 +173,7 @@ object Pipeline6Queries {
         .where(col("n_tok").between(20L, 2000L))
         // pinned: gated feeds the bigram explode AND the coverage join
         // (the curate_funnel double-reference hazard, one stage earlier)
-        .localCheckpoint()
+        .pin()
       // bi feeds the model aggregate AND the coverage count, but is NOT
       // pinned: materializing corpus×tokens exploded rows is the wrong
       // trade — re-deriving the explode twice from the PINNED gate
@@ -197,7 +198,7 @@ object Pipeline6Queries {
         TextOps.redact(planted).as("text"), col("n_chars"), col("n_tok"))
       // pinned for the same two-consumer reason as curate_funnel
       val exact = Dedup.exactByPayload(red, "text", "doc_id")
-        .localCheckpoint()
+        .pin()
       val canonIds = DedupText.fuzzyDedup(exact, "doc_id", "text",
           bands = 8, rows = 4, n = 3, num = 2, den = 3)
         .where(col("cluster") === col("id"))
@@ -249,7 +250,7 @@ object Pipeline6Queries {
       val docs = PipelineQueries.docsWithDups(s, dir)
       val shAll = Par.fanOut(docs, col("doc_id")).select(col("doc_id"),
           explode(TextOps.shingles(col("text"), 3)).as("s"))
-        .localCheckpoint()
+        .pin()
       val signed = DedupText.signaturesFromShingles(shAll, "doc_id")
       val pairs = DedupText.lshCandidatesExact(signed, "doc_id", 8, 4)
       val counts = shAll.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -288,7 +289,7 @@ object Pipeline6Queries {
         .write.mode("overwrite").parquet(store)
       val out = graft.ops.Similarity.quantizedTopKOnSketch(
           s.read.parquet(store), emb.where(col("vec_id") % 50 === 0), 5)
-        .localCheckpoint()
+        .pin()
       def del(f: java.io.File): Unit = {
         val kids = f.listFiles()
         if (kids != null) kids.foreach(del)

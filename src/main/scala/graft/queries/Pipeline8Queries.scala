@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinOps
 import graft.Tables
 import Fixtures._
 
@@ -74,7 +75,7 @@ object Pipeline8Queries {
           s.read.parquet(store), emb.where(col("vec_id") % 50 === 0),
           cands = MmrCands, k = MmrK)
         .orderBy("query_id", "rnk")
-        .localCheckpoint()
+        .pin()
       def del(f: java.io.File): Unit = {
         val kids = f.listFiles()
         if (kids != null) kids.foreach(del)

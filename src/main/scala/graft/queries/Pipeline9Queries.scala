@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinOps
 import graft.Tables
 import Fixtures._
 
@@ -126,7 +127,7 @@ object Pipeline9Queries {
       val out = s.read.parquet(store)
         .select(col("o_orderkey"), col("shard").cast("long").as("shard"),
           col("pos"))
-        .localCheckpoint()
+        .pin()
       def del(f: java.io.File): Unit = {
         val kids = f.listFiles()
         if (kids != null) kids.foreach(del)
