@@ -12,6 +12,7 @@ import graft.runner._
   *   graft.Main --pages <dir> --target <path> --state <path>
   *     [--synctype fullSync|deltaSync|safeDeltaSync] [--dry-run]
   *     [--table <name>] [--cpus N]
+  *     [--listen <spoolDir> [--path <resourcePath>] [--listen-ms N]]
   */
 object Main {
 
@@ -27,11 +28,42 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val result = run(spark, opts)
-      println(s"synced: type=${result.syncType} rows=${result.rowsAfter} " +
-        s"watermark=${result.watermark.getOrElse("-")} " +
-        s"elapsedMs=${result.elapsedMs}")
+      if (opts.contains("listen")) {
+        val listener = runListen(spark, opts)
+        // bounded listen for drills/tests; the reference's --listen
+        // (bin/sri2db.js:59-62) runs until the process dies — default
+        val t = opts.get("listen-ms").map(_.toLong)
+        t match {
+          case Some(ms) => Thread.sleep(ms); listener.stop()
+          case None => Thread.currentThread().join()
+        }
+      } else {
+        val result = run(spark, opts)
+        println(s"synced: type=${result.syncType} rows=${result.rowsAfter} " +
+          s"watermark=${result.watermark.getOrElse("-")} " +
+          s"elapsedMs=${result.elapsedMs}")
+      }
     } finally spark.stop()
+  }
+
+  /** `--listen` mode — the reference CLI's broadcast-listener wiring
+    * (bin/sri2db.js:59-62: `client.installBroadCastListeners()` instead
+    * of a one-shot sync): start a [[graft.streaming.PushListener]] on
+    * the spool-directory transport, routing the configured resource
+    * path's room to one configured sync per (coalesced) event burst.
+    * Returns the STARTED listener; callers own stop(). */
+  def runListen(spark: SparkSession,
+                opts: Map[String, String]): graft.streaming.PushListener = {
+    import graft.streaming._
+    val spool = java.nio.file.Paths.get(opts("listen"))
+    val room = opts.getOrElse("path", "/")
+    val cadence = opts.getOrElse("reconnect-ms", "5000").toLong
+    val listener = new PushListener(
+      new SpoolDirEventSource(spool),
+      rooms = Map(room -> { _ => run(spark, opts); () }),
+      reconnectMs = cadence, retryMs = cadence)
+    listener.start()
+    listener
   }
 
   def run(spark: SparkSession, opts: Map[String, String]): SyncResult = {

@@ -362,7 +362,7 @@ object ByteOps {
   }
 }
 
-private[expr] object JsonSupport {
+private[graft] object JsonSupport {
   val mapper = new ObjectMapper()
 
   /** Recursive $$-prune, field order preserved (Jackson ObjectNode keeps

@@ -212,6 +212,34 @@ class PushListenerSpec extends SparkSuite {
     assert(src.poll(0L) === None)
   }
 
+  test("CLI --listen E2E: a dropped spool file drives one delta merge " +
+      "into the target through Main (bin/sri2db.js:59-62 parity)") {
+    val base = tmp("cli-listen")
+    java.nio.file.Files.writeString(base.resolve("page0.json"),
+      """{"results": [
+        |  {"href": "/a/1", "$$expanded": {"key": "1", "$$meta":
+        |    {"permalink": "/a/1", "type": "A",
+        |     "modified": "2024-01-10T00:00:00.000Z"}}},
+        |  {"href": "/a/2", "$$expanded": {"key": "2", "$$meta":
+        |    {"permalink": "/a/2", "type": "A",
+        |     "modified": "2024-01-12T00:00:00.000Z"}}}
+        |]}""".stripMargin)
+    val spool = tmp("cli-listen-spool")
+    val listener = Main.runListen(spark, Map(
+      "pages" -> base.toString, "target" -> s"$base/tbl",
+      "state" -> s"$base/state", "listen" -> spool.toString,
+      "path" -> "/a", "reconnect-ms" -> "10"))
+    try {
+      java.nio.file.Files.writeString(spool.resolve("e1"), "/a\n")
+      await() {
+        listener.syncsRun.get() >= 1 &&
+          new java.io.File(s"$base/tbl").exists()
+      }
+      assert(spark.read.parquet(s"$base/tbl").count() === 2)
+      assert(listener.syncFailures.get() === 0)
+    } finally listener.stop()
+  }
+
   test("spool-directory source delivers dropped files as events") {
     val spool = tmp("push-spool")
     val src = new SpoolDirEventSource(spool)

@@ -124,4 +124,53 @@ class RunnerSpec extends SparkSuite {
     assert(results(1).isFailure)
     assert(results(2).isSuccess && results(2).get === 42)
   }
+
+  test("MultiRunner derives configs via JSON-merge-patch: nested keys " +
+      "flatten, null deletes, each patch sees a fresh base") {
+    val base = """{"api": {"path": "/content"}, "db": {"table": "t"},
+                 | "dry-run": true}""".stripMargin
+    val got = MultiRunner.deriveConfigs(base, Seq(
+      "{}",
+      """{"api": {"path": "/persons"}, "dry-run": null}""",
+      """{"db": {"table": "u", "schema": "s"}}"""))
+    assert(got(0) === Map("api.path" -> "/content", "db.table" -> "t",
+      "dry-run" -> "true"))
+    assert(got(1) === Map("api.path" -> "/persons", "db.table" -> "t"),
+      s"null must DELETE dry-run (RFC 7386): ${got(1)}")
+    // patch 2 must not see patch 1's mutations (clonedeep semantics)
+    assert(got(2) === Map("api.path" -> "/content", "db.table" -> "u",
+      "db.schema" -> "s", "dry-run" -> "true"))
+  }
+
+  test("MultiRunner.runAll: one base + overwrites run N settled syncs " +
+      "through Main.run (Sri2DbMulti parity, client.js:2105)") {
+    val base = tmpDir()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/page0.json"),
+      """{"results": [
+        |  {"href": "/a/1", "$$expanded": {"key": "1", "$$meta":
+        |    {"permalink": "/a/1", "type": "A",
+        |     "modified": "2024-01-10T00:00:00.000Z"}}},
+        |  {"href": "/a/2", "$$expanded": {"key": "2", "$$meta":
+        |    {"permalink": "/a/2", "type": "A",
+        |     "modified": "2024-01-12T00:00:00.000Z"}}}
+        |]}""".stripMargin)
+    val baseJson =
+      s"""{"pages": "$base", "state": "$base/state",
+         | "synctype": "fullSync", "target": "$base/t0",
+         | "table": "t0"}""".stripMargin
+    val results = MultiRunner.runAll(baseJson, Seq(
+      "{}",
+      s"""{"target": "$base/t1", "table": "t1"}""",
+      """{"synctype": "bogusSync"}"""),
+      concurrency = 2)(opts => Main.run(spark, opts))
+    assert(results.length === 3)
+    assert(results(0).isSuccess && results(0).get.rowsAfter === 2)
+    assert(results(1).isSuccess && results(1).get.rowsAfter === 2)
+    assert(results(2).isFailure,
+      "the bad-pages stream must settle as rejected, not sink the batch")
+    // the two fulfilled streams really landed in their own targets
+    assert(spark.read.parquet(s"$base/t0").count() === 2)
+    assert(spark.read.parquet(s"$base/t1").count() === 2)
+  }
 }
