@@ -165,13 +165,30 @@ private[graft] object StreamDrains {
       java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory(prefix + "_ckpt")
       .toString
-    val q = df.writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", ckpt)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val batches = Option(q.lastProgress).map(_.batchId + 1L).getOrElse(0L)
+    // State-store partition count is a STATE-VOLUME knob, not a core
+    // count: every stateful operator commits one store per shuffle
+    // partition per microbatch (a stream-stream join commits FOUR), so
+    // at bench state sizes 32 partitions mean ~100+ near-empty state
+    // files fsync'd per batch — pure fixed overhead that was the whole
+    // cost of stream_join_final (r8's most expensive query). The count
+    // is baked into the checkpoint at first start, so it is set for the
+    // stream only (the cloned stream session) and restored immediately
+    // after the drain; batch queries never see it. Size it UP via
+    // graft.stream.statePartitions when keyed state is actually large
+    // (the 100 TB operating point), like any shuffle-partition choice.
+    val stateParts = s.conf.getOption("graft.stream.statePartitions")
+      .getOrElse("8")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", stateParts)
+    val batches = try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Option(q.lastProgress).map(_.batchId + 1L).getOrElse(0L)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     (Pipeline6Queries.drainAndClean(s, name, ckpt), batches)
   }
 
