@@ -32,7 +32,8 @@ object SparkEntry {
       Pipeline8Queries.queries ++ Pipeline9Queries.queries ++
       Pipeline10Queries.queries ++ Pipeline11Queries.queries ++
       Pipeline12Queries.queries ++ Pipeline13Queries.queries ++
-      Pipeline14Queries.queries ++ Pipeline15Queries.queries
+      Pipeline14Queries.queries ++ Pipeline15Queries.queries ++
+      Pipeline16Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
       Pipeline8Queries.oracles ++ Pipeline9Queries.oracles ++
       Pipeline10Queries.oracles ++ Pipeline11Queries.oracles ++
       Pipeline12Queries.oracles ++ Pipeline13Queries.oracles ++
-      Pipeline14Queries.oracles ++ Pipeline15Queries.oracles
+      Pipeline14Queries.oracles ++ Pipeline15Queries.oracles ++
+      Pipeline16Queries.oracles
 }

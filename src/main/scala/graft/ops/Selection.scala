@@ -66,4 +66,76 @@ object Selection {
     }
     chosen.select("rnk", "item", "gain")
   }
+
+  /** DSIR — Data Selection with Importance Resampling (Xie et al.,
+    * NeurIPS 2023): score every raw document by how target-like its
+    * hashed n-gram features are under two bag-of-features models, then
+    * keep the highest-importance slice. The published cheap-selection
+    * recipe for "make my web crawl look like Wikipedia": importance
+    * log-weight log p_target(x) − log p_raw(x) summed over the doc's
+    * hashed BIGRAM features (the paper's n-gram choice — on a corpus
+    * whose slices share vocabulary, word-order is what separates the
+    * target: measured on the fixtures, unigram features leave the
+    * en-target means inseparable while bigrams split them by 3-5
+    * nats).
+    *
+    * Engine-exact variant: probabilities are add-1-smoothed bucket
+    * frequencies and the log is the integer floor-log₂ of the
+    * 2^scalePow-scaled ratio — `ilog2(x) = length(bin(x)) − 1`, exact
+    * in both engines (no float ever decides; the resolution loss vs a
+    * real log is the documented trade for a hash-stable gate, same as
+    * txt_lm_coverage's count-not-perplexity form). Both count tables
+    * partial-aggregate map-side to ≤ `buckets` rows and the weight
+    * table broadcasts — the corpus is touched by exactly two
+    * token-explode passes (count, score), never shuffled on doc_id.
+    *
+    * Overflow fences (loud, in-plan): (c+1)·2^scalePow and the
+    * ilog2 argument's ≥ 1 bound both raise rather than silently wrap
+    * — at the default scalePow=40 that admits ~10¹² feature tokens
+    * per distribution, and lowering scalePow trades log resolution
+    * for headroom at larger corpora.
+    *
+    * @param isTarget row predicate naming the target slice (its
+    *                 complement is NOT the raw side: DSIR's raw
+    *                 distribution is the WHOLE corpus, so target docs
+    *                 score too and rank naturally high)
+    * @return (doc_id, score) for every doc with ≥2 tokens (a doc with
+    *         no bigram has no evidence and is excluded) */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: org.apache.spark.sql.Column,
+                 buckets: Int, scalePow: Int = 40): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    require(scalePow >= 1 && scalePow <= 62, "need 1 <= scalePow <= 62")
+    val hu = graft.expr.GraftFunctions.java_hash_u32 _
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    val feats = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("tgt"),
+        explode(TextOps.bigrams(col(textCol))).as("w"))
+      .withColumn("f", pmod(hu(col("w")), lit(buckets.toLong)))
+    val counts = feats.groupBy("f")
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+    val tot = counts.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val scaleLim = Long.MaxValue >> scalePow
+    def ilog2(x: org.apache.spark.sql.Column) =
+      (length(bin(x)) - 1).cast("long")
+    // smoothed scaled prob p̂ = (c+1)·2^s div (T+buckets); ilog2 needs
+    // p̂ >= 1, i.e. T+buckets <= 2^s — both fences raise loudly
+    def lg(c: org.apache.spark.sql.Column,
+           t: org.apache.spark.sql.Column) = {
+      val ok = c < lit(scaleLim) && t + lit(buckets.toLong) <=
+        lit(1L << scalePow)
+      ilog2(when(ok,
+          call_function("div",
+            (c + 1L) * lit(1L << scalePow), t + lit(buckets.toLong)))
+        .otherwise(raise_error(lit(
+          s"dsirScores: counts exceed the 2^$scalePow scale — lower " +
+            "scalePow or shard the corpus"))))
+    }
+    val w = counts.crossJoin(broadcast(tot))
+      .select(col("f"),
+        (lg(col("ct"), col("tt")) - lg(col("cr"), col("tr"))).as("wf"))
+    feats.join(broadcast(w), Seq("f"))
+      .groupBy("doc_id").agg(sum("wf").as("score"))
+  }
 }

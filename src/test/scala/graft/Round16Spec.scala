@@ -67,6 +67,94 @@ class Round16Spec extends SparkSuite {
       s"frontier with negative x wrong: $got")
   }
 
+  // ---- semDedup -----------------------------------------------------
+
+  test("semDedup: every dropped vector has a lower-id same-cell witness " +
+      "at or above tau; cell-minimum ids are always kept") {
+    val sk = graft.ops.Similarity.quantizeInt8(
+      Tables.embeddings(spark, sfDir))
+    val out = graft.ops.Similarity.semDedup(sk, k = 8, iters = 3,
+      tauNum = 2L, tauDen = 5L)
+    val ll = graft.expr.GraftFunctions.dot_ll _
+    val j = out.join(sk, "vec_id")
+    val lo = j.select(col("cell"), col("vec_id").as("a_id"),
+      col("q_emb").as("qa"), col("q_norm").as("na"))
+    val dropped = out.where(!col("kept"))
+    assert(dropped.count() > 0, "fixture must exercise the drop path")
+    // witness check: each dropped b joins SOME lower-id a in its cell
+    // passing the division-free threshold
+    val witnessed = j.where(!col("kept"))
+      .select(col("cell"), col("vec_id").as("b_id"),
+        col("q_emb").as("qb"), col("q_norm").as("nb"))
+      .join(lo, Seq("cell"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("qd", ll(col("qa"), col("qb")))
+      .where(col("qd") > 0 &&
+        col("qd") * col("qd") * lit(25L) >= lit(4L) * col("na") * col("nb"))
+      .select("b_id").distinct()
+    assert(witnessed.count() === dropped.count(),
+      "a dropped vector lacks its lower-id near-dup witness")
+    // the minimum id of every cell has no lower-id witness: always kept
+    val mins = out.groupBy("cell").agg(min("vec_id").as("vec_id"))
+    assert(out.join(mins, Seq("cell", "vec_id"))
+      .where(!col("kept")).count() === 0,
+      "cell-minimum ids can have no dominator and must be kept")
+  }
+
+  // ---- dsirScores ---------------------------------------------------
+
+  test("dsir: target-language documents score above every other " +
+      "language's mean (the importance-resampling ground truth)") {
+    val docs = Tables.documents(spark, sfDir)
+    val sc = graft.ops.Selection.dsirScores(docs, "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 8192)
+    val means = sc.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(avg(col("score")).as("m"))
+      .as[(String, Double)].collect().toMap
+    val en = means("en")
+    means.filterNot(_._1 == "en").foreach { case (l, m) =>
+      assert(en > m, s"en mean $en must beat $l mean $m")
+    }
+  }
+
+  test("dsir: the count-scale fence raises loudly instead of wrapping") {
+    val docs = Seq((1L, "a b", true), (2L, "a b", false))
+      .toDF("doc_id", "text", "tgt")
+    val e = intercept[Exception] {
+      // scalePow=1 makes T+buckets > 2^scalePow immediately
+      graft.ops.Selection.dsirScores(docs, "doc_id", "text",
+        isTarget = col("tgt"), buckets = 8192, scalePow = 1).collect()
+    }
+    assert(e.getMessage.contains("dsirScores"),
+      s"expected the loud scale fence, got: ${e.getMessage}")
+  }
+
+  // ---- ivf index maintenance ----------------------------------------
+
+  test("ivfIndex/ivfServeInt8: serving a base+delta merged index equals " +
+      "the one-shot ivfTopKInt8 under the same codebook") {
+    val sk = graft.ops.Similarity.quantizeInt8(
+      Tables.embeddings(spark, sfDir))
+    val isNew = col("vec_id") % 7 === 0
+    val km = graft.ops.Similarity.kmeansInt8(sk.where(!isNew), 8, 2)
+    val probes = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") % 50 === 0)
+    val merged = graft.ops.Similarity
+      .ivfIndex(sk.where(!isNew), km.centroids)
+      .unionByName(graft.ops.Similarity
+        .ivfIndex(sk.where(isNew), km.centroids))
+    val inc = graft.ops.Similarity
+      .ivfServeInt8(merged, km.centroids, probes, k = 5)
+      .orderBy("query_id", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val full = graft.ops.Similarity
+      .ivfTopKInt8(sk, km.centroids, probes, k = 5)
+      .orderBy("query_id", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(inc === full,
+      "merged-index serving diverged from the full rebuild")
+  }
+
   // ---- Pin: both modes ----------------------------------------------
 
   test("pin: defaults to localCheckpoint (no checkpoint dir) and " +
