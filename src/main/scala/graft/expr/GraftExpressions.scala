@@ -309,6 +309,65 @@ object ZOrderUtil {
     v
   }
   def interleave16(x: Long, y: Long): Long = spread(x) | (spread(y) << 1)
+
+  /** Hilbert-curve distance of a 16-bit (x, y) cell — the OTHER
+    * layout key ([[graft.expr.Hilbert16]]): unlike Z-order, every
+    * consecutive pair of d values is a Manhattan-adjacent cell pair,
+    * so key-range blocks cover tighter spatial boxes (no Z-shape
+    * diagonal jumps). Classic top-down quadrant walk (Hilbert 1891 as
+    * given in Warren, Hacker's Delight §16): per level, the quadrant
+    * index (3·rx)⊕ry advances d by s², then the frame rotates/reflects
+    * INTO the quadrant; coordinates are re-masked to the level each
+    * step so every intermediate stays in [0, s). */
+  def hilbert16(x0: Long, y0: Long): Long = {
+    var x = x0 & 0xFFFFL
+    var y = y0 & 0xFFFFL
+    var d = 0L
+    var s = 32768L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      // drop the consumed bit, then rotate/reflect within [0, s)
+      x &= s - 1
+      y &= s - 1
+      if (ry == 0) {
+        val xf = if (rx == 1) s - 1 - x else x
+        val yf = if (rx == 1) s - 1 - y else y
+        x = yf
+        y = xf
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+/** Hilbert-curve clustering key: `hilbert16(x, y)` maps two 16-bit
+  * bucket coordinates onto their distance along the order-16 Hilbert
+  * curve (a bijection of the 2^32 grid, like [[ZOrder16]]). The layout
+  * alternative to Z-order when both dimensions are range-queried:
+  * `layout_locality` grades the measured block-extent difference. */
+case class Hilbert16(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (bigint, bigint), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ZOrderUtil.hilbert16(l.asInstanceOf[Long], r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expr.ZOrderUtil.hilbert16($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+  : Hilbert16 = copy(left = l, right = r)
+  override def prettyName: String = "hilbert16"
 }
 
 /** Multimodal binary feature primitive: per-block unsigned-byte sums of
@@ -416,6 +475,7 @@ object GraftFunctions {
     "dot_ff" -> (es => DotProductFF(es.head, es(1))),
     "dot_ll" -> (es => DotProductLL(es.head, es(1))),
     "zorder16" -> (es => ZOrder16(es.head, es(1))),
+    "hilbert16" -> (es => Hilbert16(es.head, es(1))),
     "block_sums" -> (es => BlockSums(es.head, es(1))),
     // runtime bloom-join filtering — Spark ships these expressions for its
     // InjectRuntimeFilter rule but does not expose them; registering the
@@ -454,6 +514,8 @@ object GraftFunctions {
     call_function("dot_ll", a, b)
   def zorder16(x: Column, y: Column): Column =
     call_function("zorder16", x, y)
+  def hilbert16(x: Column, y: Column): Column =
+    call_function("hilbert16", x, y)
   def block_sums(payload: Column, blocks: Column): Column =
     call_function("block_sums", payload, blocks)
   def bloom_agg(key: Column, expectedItems: Column): Column =

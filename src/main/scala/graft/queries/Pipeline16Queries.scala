@@ -55,6 +55,58 @@ object Pipeline16Queries {
         .orderBy("doc_id")
     }),
 
+    "hilbert_cluster" -> ((s, dir) => {
+      // Hilbert-curve clustering key over the zorder_cluster bucket
+      // pair — the layout key a range-partitioned 100 TB table sorts
+      // by when BOTH dimensions are range-queried and block locality
+      // matters more than the bit-twiddle cost (Hilbert has no
+      // Z-shape diagonal jumps; layout_locality grades the measured
+      // difference). Pure codegen'd expression, no shuffle.
+      graft.expr.GraftFunctions.register(s)
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(65536L)).as("hx"),
+          pmod(expr("ts_ms div 60000"), lit(65536L)).as("hy"))
+        .withColumn("hkey",
+          graft.expr.GraftFunctions.hilbert16(col("hx"), col("hy")))
+        .orderBy("event_id")
+    }),
+
+    "layout_locality" -> ((s, dir) => {
+      // the layout-choice audit, graded: for each clustering scheme,
+      // key-RANGE blocks (the footer-stats prune unit, no global sort
+      // anywhere) and the total spatial extent those blocks cover
+      // (Σ dx, Σ dy over non-empty blocks). Tighter ⇒ fewer blocks
+      // overlap a 2-D range predicate ⇒ fewer files read. Block size
+      // 2^19, deliberately NOT a power of 4: power-of-4 key blocks
+      // are quadrant-subtree tiles for ANY quadrant-recursive curve,
+      // so hilbert and zorder measure IDENTICAL there (verified —
+      // both (43, 6382, 42834) at 2^20 on the fixture); real file
+      // boundaries are not tile-aligned, and at 2^19 the fixture
+      // measures hilbert (57, 8417) vs zorder (86, 12667) blocks/Σdx
+      // — the Z-shape diagonal jumps made visible. Round16Spec pins
+      // the direction.
+      graft.expr.GraftFunctions.register(s)
+      val e = Tables.events(s, dir)
+        .select(pmod(col("user_id"), lit(65536L)).as("zx"),
+          pmod(expr("ts_ms div 60000"), lit(65536L)).as("zy"))
+      def extent(key: org.apache.spark.sql.Column, name: String) =
+        e.select(col("zx"), col("zy"),
+            call_function("div", key, lit(1L << 19)).as("blk"))
+          .groupBy("blk")
+          .agg((max("zx") - min("zx")).as("dx"),
+            (max("zy") - min("zy")).as("dy"))
+          .agg(count(lit(1)).as("n_blocks"),
+            sum("dx").as("sum_dx"), sum("dy").as("sum_dy"))
+          .select(lit(name).as("scheme"), col("n_blocks"),
+            col("sum_dx"), col("sum_dy"))
+      extent(graft.expr.GraftFunctions
+          .hilbert16(col("zx"), col("zy")), "hilbert")
+        .unionByName(extent(graft.expr.GraftFunctions
+          .zorder16(col("zx"), col("zy")), "zorder"))
+        .orderBy("scheme")
+    }),
+
     "inc_ivf_delta" -> ((s, dir) => {
       // IVF index maintenance: the base corpus trains the codebook and
       // stores its index; the arriving 1-in-7 batch ASSIGNS against the
@@ -81,6 +133,26 @@ object Pipeline16Queries {
     val jh = PipelineQueries.javaHashSql(c)
     s"(CASE WHEN $jh < 0 THEN $jh + 4294967296 ELSE $jh END)"
   }
+
+  /** 16 unrolled Hilbert levels as chained CTEs `g1..g16` over `g0`
+    * (columns: carried `keep` cols + x, y, d) — the exact integer
+    * mirror of ZOrderUtil.hilbert16's loop (re-mask, then
+    * rotate/reflect into the quadrant). */
+  private def hilbertCtes(keep: String): String =
+    (0 until 16).map { i =>
+      val s = 1L << (15 - i)
+      s"""g${i + 1} AS (SELECT $keep,
+         |    CASE WHEN ry = 1 THEN xm
+         |         WHEN rx = 1 THEN ${s - 1} - ym ELSE ym END AS x,
+         |    CASE WHEN ry = 1 THEN ym
+         |         WHEN rx = 1 THEN ${s - 1} - xm ELSE xm END AS y,
+         |    d + ${s * s} *
+         |      (CASE WHEN rx = 0 THEN ry ELSE 3 - ry END) AS d
+         |  FROM (SELECT $keep,
+         |      (x // $s) % 2 AS rx, (y // $s) % 2 AS ry,
+         |      x % $s AS xm, y % $s AS ym, d
+         |    FROM g$i))""".stripMargin
+    }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
 
@@ -125,6 +197,41 @@ object Pipeline16Queries {
          |SELECT tok.doc_id, CAST(SUM(wf) AS BIGINT) AS score
          |FROM tok JOIN wt USING (f)
          |GROUP BY tok.doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "hilbert_cluster" ->
+      s"""WITH g0 AS (SELECT event_id,
+         |    (user_id % 65536) AS zx,
+         |    ((epoch_ms(ts) // 60000) % 65536) AS zy,
+         |    (user_id % 65536) AS x,
+         |    ((epoch_ms(ts) // 60000) % 65536) AS y,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM events),
+         |${hilbertCtes("event_id, zx, zy")}
+         |SELECT event_id, zx AS hx, zy AS hy, d AS hkey
+         |FROM g16 ORDER BY event_id""".stripMargin,
+
+    "layout_locality" -> {
+      val zx = "(user_id % 65536)"
+      val zy = "((epoch_ms(ts) // 60000) % 65536)"
+      s"""WITH g0 AS (SELECT $zx AS zx, $zy AS zy,
+         |    $zx AS x, $zy AS y, CAST(0 AS BIGINT) AS d
+         |  FROM events),
+         |${hilbertCtes("zx, zy")},
+         |hb AS (SELECT d // ${1L << 19} AS blk,
+         |    MAX(zx) - MIN(zx) AS dx, MAX(zy) - MIN(zy) AS dy
+         |  FROM g16 GROUP BY 1),
+         |zb AS (SELECT ${Pipeline2Queries.zorderSql("zx", "zy")}
+         |      // ${1L << 19} AS blk,
+         |    MAX(zx) - MIN(zx) AS dx, MAX(zy) - MIN(zy) AS dy
+         |  FROM g0 GROUP BY 1)
+         |SELECT 'hilbert' AS scheme, COUNT(*) AS n_blocks,
+         |  CAST(SUM(dx) AS BIGINT) AS sum_dx,
+         |  CAST(SUM(dy) AS BIGINT) AS sum_dy FROM hb
+         |UNION ALL
+         |SELECT 'zorder', COUNT(*),
+         |  CAST(SUM(dx) AS BIGINT), CAST(SUM(dy) AS BIGINT) FROM zb
+         |ORDER BY scheme""".stripMargin
     },
 
     "inc_ivf_delta" ->

@@ -18,7 +18,7 @@ object Pipeline2Queries {
 
   /** DuckDB spelling of ZOrderUtil.interleave16 for non-negative inputs:
     * Σ_b ((x//2^b)%2)·2^(2b) + ((y//2^b)%2)·2^(2b+1). */
-  private def zorderSql(x: String, y: String): String =
+  private[queries] def zorderSql(x: String, y: String): String =
     (0 until 16).map { b =>
       s"(($x // ${1L << b}) % 2) * ${1L << (2 * b)} + " +
         s"(($y // ${1L << b}) % 2) * ${1L << (2 * b + 1)}"

@@ -155,6 +155,56 @@ class Round16Spec extends SparkSuite {
       "merged-index serving diverged from the full rebuild")
   }
 
+  // ---- hilbert16 ----------------------------------------------------
+
+  /** Reference inverse (test-side only): walk d back to its cell. */
+  private def d2xy16(d0: Long): (Long, Long) = {
+    var (x, y) = (0L, 0L)
+    var d = d0
+    var s = 1L
+    while (s < 65536L) {
+      val rx = (d / 2) % 2
+      val ry = if (rx == 1L) 1L - d % 2 else d % 2
+      if (ry == 0) {
+        val (xf, yf) = if (rx == 1) (s - 1 - x, s - 1 - y) else (x, y)
+        x = yf; y = xf
+      }
+      x += s * rx
+      y += s * ry
+      d /= 4
+      s *= 2
+    }
+    (x, y)
+  }
+
+  test("hilbert16: consecutive curve positions are Manhattan-adjacent " +
+      "cells (the defining locality property Z-order lacks)") {
+    import graft.expr.ZOrderUtil
+    // spot ranges across the 2^32 domain, including quadrant seams
+    val starts = Seq(0L, 65535L, (1L << 30) - 100L, (1L << 31) + 7L,
+      (1L << 32) - 2000L)
+    for (st <- starts; d <- st until (st + 1000L)) {
+      val (x1, y1) = d2xy16(d)
+      val (x2, y2) = d2xy16(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"cells of d=$d and ${d + 1} not adjacent")
+      // and the forward map inverts the walk: bijectivity evidence
+      assert(ZOrderUtil.hilbert16(x1, y1) === d, s"xy2d(d2xy($d)) != $d")
+    }
+  }
+
+  test("layout_locality: hilbert key-range blocks cover fewer, tighter " +
+      "x-extents than zorder on the same bucket pairs") {
+    val got = graft.queries.Pipeline16Queries
+      .queries("layout_locality")(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val (hb, hdx) = got("hilbert")
+    val (zb, zdx) = got("zorder")
+    assert(hb < zb, s"hilbert blocks $hb !< zorder $zb")
+    assert(hdx < zdx, s"hilbert sum_dx $hdx !< zorder $zdx")
+  }
+
   // ---- Pin: both modes ----------------------------------------------
 
   test("pin: defaults to localCheckpoint (no checkpoint dir) and " +
