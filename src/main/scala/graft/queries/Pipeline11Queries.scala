@@ -179,7 +179,7 @@ object Pipeline11Queries {
   // Oracle SQL
   // ------------------------------------------------------------------
 
-  private val querySetSql: String =
+  private[queries] val querySetSql: String =
     QuerySet.map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
       .mkString(", ")
 

@@ -107,6 +107,31 @@ object Pipeline16Queries {
         .orderBy("scheme")
     }),
 
+    "ret_chunk_bm25" -> ((s, dir) => {
+      // chunk-granular retrieval — the RAG serving unit: documents
+      // split into overlapping token windows ([[TextOps.chunkTokens]],
+      // 32 tokens, stride 24), each chunk an independent BM25 unit
+      // with (doc_id, chunk_idx) provenance riding in the unit id.
+      // Chunking is embarrassingly parallel (no shuffle); the BM25
+      // pass inherits txt_bm25's shape (query vocab semi-join before
+      // the tf shuffle, 1-row stats broadcast). Answer-bearing spans
+      // rank ABOVE their host documents' noise — which is the reason
+      // RAG indexes chunks, not documents.
+      import s.implicits._
+      val qdf = Pipeline11Queries.QuerySet.toDF("query_id", "term")
+      val ch = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.ops.TextOps.chunkTokens(col("text"),
+            chunk = 32, overlap = 8)).as("c"))
+        .select((col("doc_id") * 100000L + col("c.idx")).as("unit_id"),
+          col("c.chunk_text").as("ctext"))
+      graft.ops.Retrieval.bm25TopK(ch, "unit_id", "ctext", qdf, k = 10)
+        .select(col("query_id"), col("rnk"),
+          call_function("div", col("doc_id"), lit(100000L)).as("doc_id"),
+          pmod(col("doc_id"), lit(100000L)).as("chunk_idx"), col("score"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "inc_ivf_delta" -> ((s, dir) => {
       // IVF index maintenance: the base corpus trains the codebook and
       // stores its index; the arriving 1-in-7 batch ASSIGNS against the
@@ -233,6 +258,51 @@ object Pipeline16Queries {
          |  CAST(SUM(dx) AS BIGINT), CAST(SUM(dy) AS BIGINT) FROM zb
          |ORDER BY scheme""".stripMargin
     },
+
+    "ret_chunk_bm25" ->
+      // the txt_bm25 oracle over CHUNK units: documents window into
+      // 32-token chunks at stride 24 (chunkTokens' nChunks formula),
+      // unit_id packs (doc_id, chunk_idx); the chunk token lists feed
+      // the same BM25 contribution formula verbatim
+      s"""WITH q(query_id, term) AS
+         |  (VALUES ${Pipeline11Queries.querySetSql}),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |      FROM documents),
+         |nn AS (SELECT doc_id, ws,
+         |    CASE WHEN len(ws) <= 32 THEN 1
+         |         ELSE 1 + ((len(ws) - 32 + 23) // 24) END AS nc
+         |  FROM t),
+         |chk AS (SELECT doc_id * 100000 + k AS unit_id,
+         |    ws[k * 24 + 1 : k * 24 + 32] AS cw
+         |  FROM nn, unnest(range(0, nc)) AS u(k)),
+         |tk AS (SELECT unit_id AS doc_id, unnest(cw) AS term FROM chk),
+         |tk2 AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk2 GROUP BY doc_id),
+         |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS s_tok FROM dl),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk2
+         |       WHERE term IN (SELECT DISTINCT term FROM q)
+         |       GROUP BY doc_id, term),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT q.query_id, t.doc_id,
+         |    (CAST(1000000 AS HUGEINT)
+         |       * (2*st.n_docs - 2*d.df + 1) * 22 * t.tf * st.s_tok)
+         |    // (CAST(2*d.df + 1 AS HUGEINT)
+         |       * (10*st.s_tok*t.tf + 3*st.s_tok + 9*l.dl*st.n_docs))
+         |      AS contrib
+         |  FROM tf t
+         |  JOIN dfq d ON d.term = t.term
+         |  JOIN dl l ON l.doc_id = t.doc_id
+         |  JOIN q ON q.term = t.term, st),
+         |ps AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT)
+         |    AS score FROM sc GROUP BY query_id, doc_id),
+         |rk AS (SELECT query_id, doc_id, score,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id ASC) AS rnk FROM ps)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk,
+         |  doc_id // 100000 AS doc_id, doc_id % 100000 AS chunk_idx,
+         |  score
+         |FROM rk WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
 
     "inc_ivf_delta" ->
       // full recompute: train on base only (srcFilter), assign the
