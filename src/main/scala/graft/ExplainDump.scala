@@ -239,7 +239,27 @@ object ExplainDump {
         "collapse into ONE 1-row frame that broadcast-nested-loop " +
         "joins back — bucket assignment is a map-side compare, so at " +
         "any scale only the aggregate, not the assignment, costs a " +
-        "shuffle.")
+        "shuffle."),
+    "dd_semdedup" ->
+      ("SemDeDup: the k-means rounds sit below as broadcast-codebook " +
+        "argmin passes; the dedup pair join is an equi-join keyed on " +
+        "CELL — pair space is Σ|cell|², never a cartesian, and k is " +
+        "the knob that bounds it as the corpus grows."),
+    "curate_dsir" ->
+      ("DSIR: two token-explode passes over the corpus (count, " +
+        "score); the bucket-count table partial-aggregates map-side " +
+        "to ≤ buckets rows, the 1-row totals and the weight table " +
+        "broadcast — the corpus is never shuffled on doc_id."),
+    "layout_locality" ->
+      ("Layout audit: both curve keys are codegen'd expressions " +
+        "(hilbert16/zorder16) computed map-side; blocks come from " +
+        "key-RANGE division — one hash aggregate per scheme, no " +
+        "global sort anywhere in the plan."),
+    "ret_chunk_bm25" ->
+      ("Chunk retrieval: chunking is a per-row generator (no " +
+        "shuffle); the BM25 pass semi-joins the corpus token stream " +
+        "to the broadcast query vocabulary BEFORE the tf shuffle, so " +
+        "the exchange carries only query-relevant postings.")
   )
 
   def main(args: Array[String]): Unit = {
@@ -257,7 +277,22 @@ object ExplainDump {
     sb ++= "# EXPLAIN — headline query plans (generated by graft.ExplainDump)\n\n"
     sb ++= "Formatted physical plans at sf0.001; the properties called out\n"
     sb ++= "here are pinned as assertions in `PlanSpec`. Regenerate with\n"
-    sb ++= "`sbt \"runMain graft.ExplainDump\"`.\n"
+    sb ++= "`sbt \"runMain graft.ExplainDump\"`.\n\n"
+    sb ++= "## Lineage pinning (`Pin`, round 9)\n\n"
+    sb ++= "Every iterative operator (Graph, DedupText, Cluster, Selection,\n"
+    sb ++= "Skyline, TextOps, Similarity…) truncates lineage per round through\n"
+    sb ++= "`graft.ops.Pin` (`df.pin()`), not bare `localCheckpoint()`. With no\n"
+    sb ++= "checkpoint directory configured (local dev, this bench) `Pin` keeps\n"
+    sb ++= "the fast in-executor `localCheckpoint`; when\n"
+    sb ++= "`SparkContext.setCheckpointDir`/`spark.checkpoint.dir` points at a\n"
+    sb ++= "reliable store (HDFS/S3 on a real cluster) the SAME call sites switch\n"
+    sb ++= "to reliable `checkpoint()`, so a lost executor replays from the\n"
+    sb ++= "checkpoint instead of failing the whole iterative job —\n"
+    sb ++= "the r8-flagged cluster-scale fragility of local pins. Session conf\n"
+    sb ++= "`graft.pin.reliable=true|false` overrides either way (A/B'd in\n"
+    sb ++= "`Round16Spec`). Plans below are the local mode; in reliable mode the\n"
+    sb ++= "pinned subtree's scan node reads the checkpoint files instead of the\n"
+    sb ++= "in-memory blocks — everything above it is unchanged.\n"
     // queries that pin their result off a temp store (localCheckpoint)
     // hide the scoring plan behind an RDD scan — rebuild the interesting
     // plan here instead of taking the graded wrapper's

@@ -442,6 +442,45 @@ class PlanSpec extends SparkSuite {
         p.take(1500))
   }
 
+  test("dd_semdedup: the pair join is an equi-join on cell — no " +
+      "cartesian anywhere in the dedup plan") {
+    val df = q("dd_semdedup")
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      "semdedup pair space must stay cell-blocked:\n" + p.take(1500))
+  }
+
+  test("curate_dsir: the bucket weight table broadcasts into the " +
+      "scoring pass; the corpus is never shuffled on doc features") {
+    val df = q("curate_dsir")
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      "weight table must broadcast into the score join:\n" + p.take(1500))
+  }
+
+  test("layout_locality: both curve keys are map-side expressions — " +
+      "no Sort node anywhere (key-range blocks, not sorted files)") {
+    val df = q("layout_locality")
+    df.collect()
+    val p = plan(df)
+    // the only Sort allowed is the 2-row final orderBy(scheme)
+    val sorts = "(?m)^\\s*\\+?-?\\s*Sort ".r.findAllIn(p).length
+    assert(sorts <= 1, s"unexpected sorts in the layout audit plan:\n" +
+      p.take(1500))
+  }
+
+  test("ret_chunk_bm25: corpus postings semi-join the broadcast query " +
+      "vocabulary before the tf shuffle") {
+    val df = q("ret_chunk_bm25")
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "query-vocab semi-join must broadcast ahead of the tf agg:\n" +
+        p.take(1500))
+  }
+
   test("centroidStats: the (cell, d) sums partial-aggregate map-side " +
       "before the exchange; centroids broadcast into the assignment") {
     val sk = graft.ops.Similarity.quantizeInt8(
