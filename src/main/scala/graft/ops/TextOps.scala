@@ -122,6 +122,59 @@ object TextOps {
     * ties broken by term. Shape: explode → (doc,term) count → window df
     * over term → window rank over doc: two shuffles, both on small keys,
     * partial aggregation map-side. */
+  /** Integer bigram-LM log-probability — the CCNet perplexity stage in
+    * the engine's exact form (Wenzek et al. 2020 score documents with a
+    * KenLM 5-gram; the decision only needs a MONOTONE fluency score, so
+    * the graded form is an add-1-smoothed bigram model with the
+    * floor-log₂ convention: lw(w₁w₂) = ilog2((c₁₂+1)·2^s div (c₁+V))
+    * − s ≤ 0, ilog2(x) = length(bin(x)) − 1, exact in both engines —
+    * the [[graft.ops.Selection.dsirScores]] trick pointed at fluency
+    * instead of domain). A doc's lp = Σ lw over its bigram stream:
+    * closer to 0 = more predictable text; lp div n_bi is the
+    * per-token perplexity proxy a bucketing stage thresholds on.
+    *
+    * Scale: the model table is the corpus's distinct-bigram table
+    * (Heaps-sublinear but NOT broadcastable at 100 TB), so scoring
+    * joins model and stream on the (w1, w2) key — the model-parallel
+    * shape; hash the bigram into fixed buckets (dsirScores' layout)
+    * when a broadcastable model is worth the collision noise. Overflow
+    * fences mirror dsirScores (loud raise, never a wrap).
+    *
+    * @return (doc_id, n_bi, lp) for every doc with ≥ 2 tokens */
+  def lmLogProbScore(docs: DataFrame, idCol: String, textCol: String,
+                     scalePow: Int = 40): DataFrame = {
+    require(scalePow >= 1 && scalePow <= 62, "need 1 <= scalePow <= 62")
+    val pairT = "array<struct<w1:string,w2:string>>"
+    val pairs = docs
+      .select(col(idCol).as("doc_id"),
+        explode(bind(tokens(col(textCol))) { ws =>
+          when(size(ws) >= 2,
+            transform(sequence(lit(1), size(ws) - 1),
+              i => struct(element_at(ws, i).as("w1"),
+                element_at(ws, i + 1).as("w2"))))
+            .otherwise(array().cast(pairT))
+        }).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vv = pairs.agg(countDistinct(col("w1")).as("v"))
+    val scaleLim = Long.MaxValue >> scalePow
+    val ok = col("c12") < lit(scaleLim) &&
+      col("c1") + col("v") <= lit(1L << scalePow)
+    val lw = (length(bin(when(ok,
+        call_function("div", (col("c12") + 1L) * lit(1L << scalePow),
+          col("c1") + col("v")))
+      .otherwise(raise_error(lit(
+        s"lmLogProbScore: counts exceed the 2^$scalePow scale — lower " +
+          "scalePow or shard the corpus"))))) - 1 - lit(scalePow))
+      .cast("long")
+    val model = c12.join(c1, "w1").crossJoin(broadcast(vv))
+      .select(col("w1"), col("w2"), lw.as("lw"))
+    pairs.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bi"), sum("lw").as("lp"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, idCol: String, text: String, k: Int,
                     scale: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window

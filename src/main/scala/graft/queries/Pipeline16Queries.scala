@@ -107,6 +107,19 @@ object Pipeline16Queries {
         .orderBy("scheme")
     }),
 
+    "txt_lm_logprob" -> ((s, dir) => {
+      // the CCNet perplexity stage, integer-exact: add-1-smoothed
+      // bigram LM trained on the corpus, every document scored by its
+      // total floor-log₂ probability (lp ≤ 0, closer to 0 = more
+      // predictable). Upgrades txt_lm_coverage's count proxy to a real
+      // log-probability; the model joins the stream on the bigram key
+      // (model-parallel — the table is Heaps-sublinear but not
+      // broadcastable at corpus scale).
+      graft.ops.TextOps.lmLogProbScore(Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "ret_chunk_bm25" -> ((s, dir) => {
       // chunk-granular retrieval — the RAG serving unit: documents
       // split into overlapping token windows ([[TextOps.chunkTokens]],
@@ -258,6 +271,25 @@ object Pipeline16Queries {
          |  CAST(SUM(dx) AS BIGINT), CAST(SUM(dy) AS BIGINT) FROM zb
          |ORDER BY scheme""".stripMargin
     },
+
+    "txt_lm_logprob" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |      FROM documents),
+         |pr AS (SELECT doc_id, ws[ii] AS w1, ws[ii + 1] AS w2
+         |  FROM t, unnest(range(1, len(ws))) AS u(ii)
+         |  WHERE len(ws) >= 2),
+         |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pr GROUP BY 1, 2),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM pr GROUP BY 1),
+         |vv AS (SELECT COUNT(DISTINCT w1) AS v FROM pr),
+         |wt AS (SELECT w1, w2,
+         |    CAST(LENGTH(printf('%b',
+         |        ((c12 + 1) * ${1L << 40}) // (c1 + v))) - 1 - 40
+         |      AS BIGINT) AS lw
+         |  FROM c12 JOIN c1 USING (w1), vv)
+         |SELECT pr.doc_id, COUNT(*) AS n_bi,
+         |  CAST(SUM(lw) AS BIGINT) AS lp
+         |FROM pr JOIN wt USING (w1, w2)
+         |GROUP BY pr.doc_id ORDER BY doc_id""".stripMargin,
 
     "ret_chunk_bm25" ->
       // the txt_bm25 oracle over CHUNK units: documents window into

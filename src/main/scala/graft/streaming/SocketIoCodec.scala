@@ -177,6 +177,10 @@ final class FrameLogEventSource(frames: Seq[String]) extends EventSource {
         case None => // ping/pong/noop/other rooms: skip, like a live pump
       }
     }
+    // honor the blocking contract on exhaustion: the pump calls
+    // poll(retryMs) in a loop, and an instant None would busy-spin the
+    // listener thread at 100% CPU until stop()
+    if (timeoutMs > 0) Thread.sleep(math.min(timeoutMs, 20L))
     None
   }
 

@@ -129,6 +129,22 @@ class Round16Spec extends SparkSuite {
       s"expected the loud scale fence, got: ${e.getMessage}")
   }
 
+  // ---- lmLogProbScore -----------------------------------------------
+
+  test("lm log-prob: a document of corpus-frequent bigrams scores " +
+      "closer to zero than one of rare bigrams (fluency ground truth)") {
+    // 63x "a b" + 1x "a z": lw(ab) = ilog2(64·2^40/65)−40 = −1,
+    // lw(az) = ilog2(2·2^40/65)−40 = −6 (closed-form, checked below)
+    val docs = (1L to 63L).map(i => (i, "a b")) :+ (99L, "a z")
+    val got = TextOps.lmLogProbScore(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) === -1L && got(99L) === -6L,
+      s"closed-form lm scores wrong: ${got(1L)}, ${got(99L)}")
+    assert(got(1L) > got(99L),
+      "frequent-bigram doc must out-score the rare-bigram doc")
+  }
+
   // ---- ivf index maintenance ----------------------------------------
 
   test("ivfIndex/ivfServeInt8: serving a base+delta merged index equals " +
