@@ -56,6 +56,10 @@ object MultiRunner {
       val key = if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}"
       val v = e.getValue
       if (v.isObject) out ++= flatten(key, v)
+      // scalars render as their literal text; ARRAYS keep their JSON
+      // form (ArrayNode.asText is the empty string — a silent
+      // config-value loss, not a rendering)
+      else if (v.isArray) out += key -> v.toString
       else if (!v.isNull) out += key -> v.asText()
     }
     out.result()

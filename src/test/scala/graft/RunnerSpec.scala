@@ -140,6 +140,12 @@ class RunnerSpec extends SparkSuite {
     // patch 2 must not see patch 1's mutations (clonedeep semantics)
     assert(got(2) === Map("api.path" -> "/content", "db.table" -> "u",
       "db.schema" -> "s", "dry-run" -> "true"))
+    // arrays keep their JSON form (ArrayNode.asText is "" — a silent
+    // value loss the flattener must not commit)
+    val arr = MultiRunner.deriveConfigs(
+      """{"keys": ["href", "key"], "n": 2}""", Seq("{}"))
+    assert(arr.head === Map("keys" -> """["href","key"]""", "n" -> "2"),
+      s"array config values must survive flattening: ${arr.head}")
   }
 
   test("MultiRunner.runAll: one base + overwrites run N settled syncs " +
