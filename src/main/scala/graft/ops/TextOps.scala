@@ -143,9 +143,15 @@ object TextOps {
     * @return (doc_id, n_bi, lp) for every doc with ≥ 2 tokens */
   def lmLogProbScore(docs: DataFrame, idCol: String, textCol: String,
                      scalePow: Int = 40): DataFrame = {
-    require(scalePow >= 1 && scalePow <= 62, "need 1 <= scalePow <= 62")
+    val pairs = lmBigramPairs(docs, idCol, textCol)
+    lmScore(pairs, lmCounts(pairs), scalePow)
+  }
+
+  /** The bigram stream: (doc_id, w1, w2) per occurrence. */
+  def lmBigramPairs(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
     val pairT = "array<struct<w1:string,w2:string>>"
-    val pairs = docs
+    docs
       .select(col(idCol).as("doc_id"),
         explode(bind(tokens(col(textCol))) { ws =>
           when(size(ws) >= 2,
@@ -155,9 +161,33 @@ object TextOps {
             .otherwise(array().cast(pairT))
         }).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vv = pairs.agg(countDistinct(col("w1")).as("v"))
+  }
+
+  /** The LM's sufficient statistics: bigram counts (w1, w2, c12) and
+    * prefix counts (w1, c1). ADDITIVE over disjoint doc slices —
+    * counts(B ∪ D) = [[lmMergeCounts]](counts(B), counts(D)) — so the
+    * trained model is maintainable state, the bm25Index contract:
+    * an arriving batch contributes its own counts, the base corpus is
+    * never re-read (`inc_lm_delta` hash-gates the identity). V (the
+    * smoothing denominator's vocabulary) derives from c1's key set, so
+    * it needs no extra state. */
+  final case class LmCounts(c12: DataFrame, c1: DataFrame)
+
+  def lmCounts(pairs: DataFrame): LmCounts = LmCounts(
+    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12")),
+    pairs.groupBy("w1").agg(count(lit(1)).as("c1")))
+
+  def lmMergeCounts(a: LmCounts, b: LmCounts): LmCounts = LmCounts(
+    a.c12.unionByName(b.c12)
+      .groupBy("w1", "w2").agg(sum("c12").as("c12")),
+    a.c1.unionByName(b.c1)
+      .groupBy("w1").agg(sum("c1").as("c1")))
+
+  /** Score a bigram stream under a (possibly merged) count model. */
+  def lmScore(pairs: DataFrame, counts: LmCounts,
+              scalePow: Int = 40): DataFrame = {
+    require(scalePow >= 1 && scalePow <= 62, "need 1 <= scalePow <= 62")
+    val vv = counts.c1.agg(count(lit(1)).as("v"))
     val scaleLim = Long.MaxValue >> scalePow
     val ok = col("c12") < lit(scaleLim) &&
       col("c1") + col("v") <= lit(1L << scalePow)
@@ -165,10 +195,11 @@ object TextOps {
         call_function("div", (col("c12") + 1L) * lit(1L << scalePow),
           col("c1") + col("v")))
       .otherwise(raise_error(lit(
-        s"lmLogProbScore: counts exceed the 2^$scalePow scale — lower " +
+        s"lmScore: counts exceed the 2^$scalePow scale — lower " +
           "scalePow or shard the corpus"))))) - 1 - lit(scalePow))
       .cast("long")
-    val model = c12.join(c1, "w1").crossJoin(broadcast(vv))
+    val model = counts.c12.join(counts.c1, "w1")
+      .crossJoin(broadcast(vv))
       .select(col("w1"), col("w2"), lw.as("lw"))
     pairs.join(model, Seq("w1", "w2"))
       .groupBy("doc_id")

@@ -120,6 +120,25 @@ object Pipeline16Queries {
         .orderBy("doc_id")
     }),
 
+    "inc_lm_delta" -> ((s, dir) => {
+      // incremental LM maintenance: the bigram model's sufficient
+      // statistics are ADDITIVE over disjoint doc slices, so the
+      // merged base ⊎ delta counts score IDENTICALLY to a full
+      // retrain — the oracle is txt_lm_logprob's SQL verbatim (the
+      // inc_tri_delta oracle-reuse convention; 13th inc_* identity).
+      // The base corpus text is never re-read at merge time — only
+      // its count tables.
+      import graft.ops.TextOps
+      val docs = Tables.documents(s, dir)
+      val isNew = col("doc_id") % 7 === 0
+      val pB = TextOps.lmBigramPairs(docs.where(!isNew), "doc_id", "text")
+      val pD = TextOps.lmBigramPairs(docs.where(isNew), "doc_id", "text")
+      val merged = TextOps.lmMergeCounts(
+        TextOps.lmCounts(pB), TextOps.lmCounts(pD))
+      TextOps.lmScore(pB.unionByName(pD), merged)
+        .orderBy("doc_id")
+    }),
+
     "ret_chunk_bm25" -> ((s, dir) => {
       // chunk-granular retrieval — the RAG serving unit: documents
       // split into overlapping token windows ([[TextOps.chunkTokens]],
@@ -191,6 +210,25 @@ object Pipeline16Queries {
          |      x % $s AS xm, y % $s AS ym, d
          |    FROM g$i))""".stripMargin
     }.mkString(",\n")
+
+  private val lmLogProbSql: String =
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |      FROM documents),
+         |pr AS (SELECT doc_id, ws[ii] AS w1, ws[ii + 1] AS w2
+         |  FROM t, unnest(range(1, len(ws))) AS u(ii)
+         |  WHERE len(ws) >= 2),
+         |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pr GROUP BY 1, 2),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM pr GROUP BY 1),
+         |vv AS (SELECT COUNT(DISTINCT w1) AS v FROM pr),
+         |wt AS (SELECT w1, w2,
+         |    CAST(LENGTH(printf('%b',
+         |        ((c12 + 1) * ${1L << 40}) // (c1 + v))) - 1 - 40
+         |      AS BIGINT) AS lw
+         |  FROM c12 JOIN c1 USING (w1), vv)
+         |SELECT pr.doc_id, COUNT(*) AS n_bi,
+         |  CAST(SUM(lw) AS BIGINT) AS lp
+         |FROM pr JOIN wt USING (w1, w2)
+         |GROUP BY pr.doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -272,24 +310,11 @@ object Pipeline16Queries {
          |ORDER BY scheme""".stripMargin
     },
 
-    "txt_lm_logprob" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
-         |      FROM documents),
-         |pr AS (SELECT doc_id, ws[ii] AS w1, ws[ii + 1] AS w2
-         |  FROM t, unnest(range(1, len(ws))) AS u(ii)
-         |  WHERE len(ws) >= 2),
-         |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pr GROUP BY 1, 2),
-         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM pr GROUP BY 1),
-         |vv AS (SELECT COUNT(DISTINCT w1) AS v FROM pr),
-         |wt AS (SELECT w1, w2,
-         |    CAST(LENGTH(printf('%b',
-         |        ((c12 + 1) * ${1L << 40}) // (c1 + v))) - 1 - 40
-         |      AS BIGINT) AS lw
-         |  FROM c12 JOIN c1 USING (w1), vv)
-         |SELECT pr.doc_id, COUNT(*) AS n_bi,
-         |  CAST(SUM(lw) AS BIGINT) AS lp
-         |FROM pr JOIN wt USING (w1, w2)
-         |GROUP BY pr.doc_id ORDER BY doc_id""".stripMargin,
+    "txt_lm_logprob" -> lmLogProbSql,
+
+    // full recompute — merged-counts scoring must equal the retrain
+    "inc_lm_delta" -> lmLogProbSql,
+
 
     "ret_chunk_bm25" ->
       // the txt_bm25 oracle over CHUNK units: documents window into

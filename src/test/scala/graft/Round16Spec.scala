@@ -145,6 +145,23 @@ class Round16Spec extends SparkSuite {
       "frequent-bigram doc must out-score the rare-bigram doc")
   }
 
+  test("lm counts merge: scoring under merged slice counts equals the " +
+      "one-shot retrain on any split (the sufficient-statistics claim)") {
+    val docs = Tables.documents(spark, sfDir)
+    val isNew = col("doc_id") % 3 === 0
+    val all = TextOps.lmBigramPairs(docs, "doc_id", "text")
+    val merged = TextOps.lmMergeCounts(
+      TextOps.lmCounts(
+        TextOps.lmBigramPairs(docs.where(!isNew), "doc_id", "text")),
+      TextOps.lmCounts(
+        TextOps.lmBigramPairs(docs.where(isNew), "doc_id", "text")))
+    val inc = TextOps.lmScore(all, merged).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val full = TextOps.lmLogProbScore(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(inc === full, "merged-counts scoring diverged from retrain")
+  }
+
   // ---- ivf index maintenance ----------------------------------------
 
   test("ivfIndex/ivfServeInt8: serving a base+delta merged index equals " +
