@@ -39,7 +39,8 @@ class SriSource extends TableProvider
     SriSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new SriTable(properties.get("pages"))
+    new SriTable(properties.get("pages"),
+      HttpPageStore.parseHeaders(properties.get("api.headers")))
 }
 
 object SriSource {
@@ -55,10 +56,12 @@ object SriSource {
 trait PageStore extends Serializable {
   def listPages(): Seq[String]
   def fetch(page: String): String
-  /** Body already fetched during enumeration (e.g. an HTTP next-link walk
-    * downloads each page to find the next link). Returned bodies are
-    * embedded in their own InputPartition so executors don't re-fetch —
-    * each partition carries only ITS page. */
+  /** Body still resident from enumeration (e.g. an HTTP next-link walk
+    * downloads each page to find the next link and keeps a byte-bounded
+    * LRU of recent bodies). Returned bodies are embedded in their own
+    * InputPartition so those executors don't re-fetch — each partition
+    * carries only ITS page, and the store must NOT retain the whole
+    * corpus to answer this (see HttpPageStore's driver-memory bound). */
   def cachedBody(page: String): Option[String] = None
 }
 
@@ -74,7 +77,9 @@ final class LocalDirPageStore(dir: String) extends PageStore {
       java.nio.charset.StandardCharsets.UTF_8)
 }
 
-class SriTable(pagesDir: String) extends Table with SupportsRead {
+class SriTable(pagesDir: String,
+               apiHeaders: Map[String, String] = Map.empty)
+    extends Table with SupportsRead {
   override def name(): String = s"sri($pagesDir)"
   override def schema(): StructType = SriSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -84,10 +89,12 @@ class SriTable(pagesDir: String) extends Table with SupportsRead {
     val store: PageStore =
       if (pagesDir != null && (pagesDir.startsWith("http://") ||
           pagesDir.startsWith("https://")))
-        new HttpPageStore(pagesDir)
+        new HttpPageStore(pagesDir, headers = apiHeaders)
       else new LocalDirPageStore(pagesDir)
     new SriScanBuilder(store)
   }
+  /** Test hook: the headers threaded from the `api.headers` option. */
+  def headers: Map[String, String] = apiHeaders
 }
 
 class SriScanBuilder(store: PageStore) extends ScanBuilder
