@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Pin.PinOps
 import graft.Tables
-import graft.ops.{Graph, Skyline}
+import graft.ops.{Graph, Ranks, Skyline}
 import Fixtures._
 
 /** Round-8 batch 8: state, centrality, segmentation — the streaming
@@ -110,7 +110,8 @@ object Pipeline14Queries {
       // value-threshold bucketing, so assignment is a broadcast compare
       // at any scale (per-row ntile would drag every row through one
       // global window). Ranks over the customer-cardinality aggregate
-      // (the agg_median convention).
+      // come from Ranks.globalRowNumber — range-partitioned rank, P
+      // parallel sorts, never a whole-dimension single-task Window.
       val o = Tables.orders(s, dir)
       val horizon = o.agg(max(col("o_orderdate").cast("date")).as("dmax"))
       val met = o.groupBy(col("o_custkey").as("cust"))
@@ -120,15 +121,13 @@ object Pipeline14Queries {
         .select(col("cust"),
           datediff(col("dmax"), col("last")).cast("long").as("r"),
           col("f"), col("m"))
-        .pin() // referenced by 3 rank windows + the bucket join
-      def rn(c: String) = row_number()
-        .over(Window.orderBy(col(c).asc, col("cust").asc))
-        .cast("long")
-      val withRn = met
-        .withColumn("rn_r", rn("r"))
-        .withColumn("rn_f", rn("f"))
-        .withColumn("rn_m", rn("m"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .pin() // referenced by 3 rank passes + the bucket join
+      val nRow = met.agg(count(lit(1)).as("n"))
+      def rn(df: DataFrame, c: String) =
+        Ranks.globalRowNumber(df, s"rn_$c", numRanges = 8,
+          col(c).asc, col("cust").asc)
+      val withRn = rn(rn(rn(met, "r"), "f"), "m")
+        .crossJoin(broadcast(nRow))
       val q1 = call_function("div", col("n") + 3, lit(4L))
       val q2 = call_function("div", col("n") + 1, lit(2L))
       val q3 = call_function("div", lit(3L) * col("n") + 3, lit(4L))

@@ -414,11 +414,33 @@ class PlanSpec extends SparkSuite {
     df.collect() // settle AQE
     val p = plan(df)
     val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    assert(bnl <= 2, // horizon scalar + cuts row
-      s"more than the two scalar broadcasts appeared ($bnl):\n" +
+    assert(bnl <= 3, // horizon scalar + n scalar + cuts row
+      s"more than the three scalar broadcasts appeared ($bnl):\n" +
         p.take(2000))
     assert(!p.contains("CartesianProduct"),
       "rfm planned a cartesian:\n" + p.take(1500))
+  }
+
+  test("evt_rfm: no single-partition Window over the customer frame — " +
+      "ranks are range-partitioned (Ranks.globalRowNumber)") {
+    val df = q("evt_rfm")
+    df.collect() // settle AQE
+    // descend into AQE query stages, which collect() treats as leaves
+    def deepWins(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          deepWins(q.plan)
+      }.flatten
+    val globalWins = deepWins(unwrapped(df)).filter(_.partitionSpec.isEmpty)
+    // the only unpartitioned window allowed is the P-row range-offset
+    // prefix sum (bounded by numRanges, not the data) — it must not
+    // carry customer rows
+    globalWins.foreach { w =>
+      assert(!w.output.map(_.name).contains("cust"),
+        s"customer frame dragged through one task: $w")
+    }
   }
 
   test("sim_kcenter: the chosen set broadcasts into the distance " +
