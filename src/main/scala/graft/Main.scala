@@ -12,7 +12,8 @@ import graft.runner._
   *   graft.Main --pages <dir> --target <path> --state <path>
   *     [--synctype fullSync|deltaSync|safeDeltaSync] [--dry-run]
   *     [--table <name>] [--cpus N]
-  *     [--listen <spoolDir> [--path <resourcePath>] [--listen-ms N]]
+  *     [--listen <spoolDir> [--path <resourcePath>] [--listen-ms N]
+  *       [--reconnect-ms N]]
   */
 object Main {
 
@@ -35,7 +36,14 @@ object Main {
         val t = opts.get("listen-ms").map(_.toLong)
         t match {
           case Some(ms) => Thread.sleep(ms); listener.stop()
-          case None => Thread.currentThread().join()
+          case None =>
+            // block on a shutdown-hook-released latch (NOT a self-join,
+            // which never returns) so the finally spark.stop() runs on
+            // SIGTERM/SIGINT instead of relying on process kill
+            val done = new java.util.concurrent.CountDownLatch(1)
+            Runtime.getRuntime.addShutdownHook(
+              new Thread(() => { listener.stop(); done.countDown() }))
+            done.await()
         }
       } else {
         val result = run(spark, opts)

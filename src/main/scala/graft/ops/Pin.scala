@@ -22,6 +22,15 @@ import org.apache.spark.sql.Dataset
   * Both are EAGER (the default of both underlying calls): the pinned
   * plan is computed at the call, so per-round driver loops observe the
   * same execution order in either mode.
+  *
+  * Checkpoint-store hygiene: Spark never deletes reliable checkpoint
+  * files during an application unless
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
+  * SparkContext conf — set it BEFORE the context starts). Iterative
+  * operators pin once per round, so a long cluster job without that
+  * flag steadily fills the HDFS/S3 checkpoint store; set it (or point
+  * `spark.checkpoint.dir` at a TTL'd/auto-cleaned path) whenever
+  * reliable mode engages.
   */
 object Pin {
   /** True when pinning should go through reliable `checkpoint()`.

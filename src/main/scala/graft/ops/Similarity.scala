@@ -620,6 +620,13 @@ object Similarity {
                tauNum: Long, tauDen: Long,
                salt: String = "km"): DataFrame = {
     require(tauDen > 0 && tauNum >= 0, "need tauDen > 0, tauNum >= 0")
+    // overflow fence (the dsirScores convention — loud, never a wrap):
+    // the threshold compares qdot²·tauDen² vs tauNum²·na·nb with
+    // |qdot|, na, nb ≤ 64·127² < 2^20, so each side stays < 2^63 only
+    // while tau{Num,Den} ≤ 2000 (2000² · 2^40 < 2^62)
+    require(tauDen <= 2000 && tauNum <= 2000,
+      s"semDedup: tauNum/tauDen = $tauNum/$tauDen exceed the int64 " +
+        "threshold budget (<= 2000) — reduce the ratio's terms")
     graft.expr.GraftFunctions.register(sketch.sparkSession)
     val ll = graft.expr.GraftFunctions.dot_ll _
     val km = kmeansInt8(sketch, k, iters, salt)

@@ -183,25 +183,38 @@ object TextOps {
     a.c1.unionByName(b.c1)
       .groupBy("w1").agg(sum("c1").as("c1")))
 
-  /** Score a bigram stream under a (possibly merged) count model. */
+  /** Score a bigram stream under a (possibly merged) count model.
+    *
+    * Bigrams ABSENT from the model get the add-1-smoothed floor, not a
+    * silent drop — the CCNet use is scoring NEW documents under a
+    * trained model, which is exactly the unseen-bigram case: an unseen
+    * (w1, w2) under a seen prefix scores (0+1)·2^s / (c1+V); a fully
+    * unseen prefix scores 2^s / (0+V). `n_bi` therefore counts EVERY
+    * bigram of the stream and every doc with ≥ 2 tokens appears in the
+    * result. Costs one extra stream shuffle (the w1-keyed prefix join)
+    * vs the seen-only inner join — the price of the contract. */
   def lmScore(pairs: DataFrame, counts: LmCounts,
               scalePow: Int = 40): DataFrame = {
     require(scalePow >= 1 && scalePow <= 62, "need 1 <= scalePow <= 62")
     val vv = counts.c1.agg(count(lit(1)).as("v"))
     val scaleLim = Long.MaxValue >> scalePow
-    val ok = col("c12") < lit(scaleLim) &&
-      col("c1") + col("v") <= lit(1L << scalePow)
-    val lw = (length(bin(when(ok,
-        call_function("div", (col("c12") + 1L) * lit(1L << scalePow),
-          col("c1") + col("v")))
-      .otherwise(raise_error(lit(
-        s"lmScore: counts exceed the 2^$scalePow scale — lower " +
-          "scalePow or shard the corpus"))))) - 1 - lit(scalePow))
-      .cast("long")
-    val model = counts.c12.join(counts.c1, "w1")
+    def lw(c12: Column, c1: Column): Column = {
+      val ok = c12 < lit(scaleLim) && c1 + col("v") <= lit(1L << scalePow)
+      (length(bin(when(ok,
+          call_function("div", (c12 + 1L) * lit(1L << scalePow),
+            c1 + col("v")))
+        .otherwise(raise_error(lit(
+          s"lmScore: counts exceed the 2^$scalePow scale — lower " +
+            "scalePow or shard the corpus"))))) - 1 - lit(scalePow))
+        .cast("long")
+    }
+    pairs
+      .join(counts.c12, Seq("w1", "w2"), "left")
+      .join(counts.c1, Seq("w1"), "left")
       .crossJoin(broadcast(vv))
-      .select(col("w1"), col("w2"), lw.as("lw"))
-    pairs.join(model, Seq("w1", "w2"))
+      .select(col("doc_id"),
+        lw(coalesce(col("c12"), lit(0L)),
+           coalesce(col("c1"), lit(0L))).as("lw"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bi"), sum("lw").as("lp"))
   }

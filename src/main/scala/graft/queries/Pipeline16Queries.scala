@@ -155,7 +155,13 @@ object Pipeline16Queries {
         .select(col("doc_id"),
           explode(graft.ops.TextOps.chunkTokens(col("text"),
             chunk = 32, overlap = 8)).as("c"))
-        .select((col("doc_id") * 100000L + col("c.idx")).as("unit_id"),
+        .select(when(col("c.idx") < 100000L &&
+              col("doc_id") < lit(Long.MaxValue / 100000L),
+            col("doc_id") * 100000L + col("c.idx"))
+          .otherwise(raise_error(lit("ret_chunk_bm25: unit-id packing " +
+            "overflow — chunk_idx >= 100000 or doc_id >= 2^63/100000; " +
+            "widen the packing")))
+          .as("unit_id"),
           col("c.chunk_text").as("ctext"))
       graft.ops.Retrieval.bm25TopK(ch, "unit_id", "ctext", qdf, k = 10)
         .select(col("query_id"), col("rnk"),

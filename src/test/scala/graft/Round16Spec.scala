@@ -162,6 +162,28 @@ class Round16Spec extends SparkSuite {
     assert(inc === full, "merged-counts scoring diverged from retrain")
   }
 
+  test("lm scoring a NEW document: unseen bigrams get the add-1 " +
+      "smoothed floor instead of a silent drop (the CCNet case)") {
+    val train = ((1L to 63L).map(i => (i, "a b")) :+ (99L, "a z"))
+      .toDF("doc_id", "text")
+    val model = TextOps.lmCounts(
+      TextOps.lmBigramPairs(train, "doc_id", "text"))
+    val fresh = Seq((7L, "a q"), (8L, "x y"), (9L, "a b"))
+      .toDF("doc_id", "text")
+    val got = TextOps.lmScore(
+        TextOps.lmBigramPairs(fresh, "doc_id", "text"), model)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, (r._2, r._3))).toMap
+    assert(got.keySet === Set(7L, 8L, 9L),
+      "every >=2-token doc must appear in the result")
+    // unseen bigram, seen prefix a (c1=64, V=1): ilog2(2^40 div 65)-40
+    assert(got(7L) === ((1L, -7L)))
+    // fully unseen prefix: ilog2(2^40 div (0+1))-40 = 0
+    assert(got(8L) === ((1L, 0L)))
+    // seen bigram: identical to the trained-corpus score
+    assert(got(9L) === ((1L, -1L)))
+  }
+
   // ---- ivf index maintenance ----------------------------------------
 
   test("ivfIndex/ivfServeInt8: serving a base+delta merged index equals " +
