@@ -10,6 +10,35 @@ import org.apache.spark.sql.SparkSession
   * Queries run in sorted name order for stable attribution.
   */
 object Bench {
+
+  /** Load sentinel: fixed CPU work (xorshift loop × `threads`), timed.
+    * On a quiet box of this machine class it takes ~1 s regardless of
+    * thread count (each thread gets a core); on a contended box the
+    * wall time inflates with oversubscription. Run before AND after the
+    * query sweep and stamped into the JSON so a verdict can adjudicate
+    * "regression vs machine load" from the artifact alone: load_factor
+    * ≈ 1 means quiet, ≳ 1.5 means the box was loaded and the query
+    * times are suspect. */
+  private def calSeconds(threads: Int): Double = {
+    val iters = 500000000L // ~1 s of xorshift64 per thread, quiet
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { i =>
+      val t = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + i
+        var n = 0L
+        while (n < iters) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; n += 1
+        }
+        sink.addAndGet(x) // defeat dead-code elimination
+        ()
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -64,6 +93,9 @@ object Bench {
     // pauses), which is what round-5's machine-variance adjudication
     // asked for. SPARK_GRAFT_BENCH_RUNS overrides N for local iteration;
     // SPARK_GRAFT_BENCH_ONLY=<regex> restricts the query set.
+    // load sentinel, first leg (after warmup so JIT is settled)
+    val calBefore = calSeconds(cpus.toInt)
+
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3).max(1)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -106,6 +138,10 @@ object Bench {
       (name, median, times)
     }
     val results = resultsFull.map { case (n, m, _) => (n, m) }
+    // load sentinel, second leg: contention that began mid-sweep shows
+    // here even if the box was quiet at the start
+    val calAfter = calSeconds(cpus.toInt)
+    val loadFactor = math.max(calBefore, calAfter)
     // The driver captures a bounded tail (~2.4KB) of stdout and parses the
     // last line. Per-query detail grew past that window in r2 (96 queries
     // ≈ 2.4KB) and the line never parsed, so the stdout line now carries
@@ -129,7 +165,7 @@ object Bench {
         ",\"runs\":[" + ts.map(r3).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","nruns":$runs,"queries":$full,"detailed":$runsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","nruns":$runs,"load_factor":${r3(loadFactor)},"load_cal":{"before":${r3(calBefore)},"after":${r3(calAfter)},"threads":$cpus},"queries":$full,"detailed":$runsJson,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -147,7 +183,7 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$groups,"n":${results.size},"failed":$failed,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$groups,"n":${results.size},"failed":$failed,"load_factor":${r3(loadFactor)},"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
