@@ -56,18 +56,28 @@ object Main {
 
   /** `--listen` mode — the reference CLI's broadcast-listener wiring
     * (bin/sri2db.js:59-62: `client.installBroadCastListeners()` instead
-    * of a one-shot sync): start a [[graft.streaming.PushListener]] on
-    * the spool-directory transport, routing the configured resource
-    * path's room to one configured sync per (coalesced) event burst.
+    * of a one-shot sync): start a [[graft.streaming.PushListener]],
+    * routing the configured resource path's room to one configured sync
+    * per (coalesced) event burst. Transport: a `ws://`/`wss://` or
+    * `http(s)://` value dials the live socket.io websocket
+    * ([[graft.streaming.WebSocketEventSource]], the reference's actual
+    * broker channel); anything else is a spool directory.
     * Returns the STARTED listener; callers own stop(). */
   def runListen(spark: SparkSession,
                 opts: Map[String, String]): graft.streaming.PushListener = {
     import graft.streaming._
-    val spool = java.nio.file.Paths.get(opts("listen"))
+    val where = opts("listen")
     val room = opts.getOrElse("path", "/")
     val cadence = opts.getOrElse("reconnect-ms", "5000").toLong
+    val source: EventSource =
+      if (where.startsWith("ws://") || where.startsWith("wss://"))
+        new WebSocketEventSource(where, joinPath = room)
+      else if (where.startsWith("http://") || where.startsWith("https://"))
+        new WebSocketEventSource(WebSocketEventSource.uriFor(where),
+          joinPath = room)
+      else new SpoolDirEventSource(java.nio.file.Paths.get(where))
     val listener = new PushListener(
-      new SpoolDirEventSource(spool),
+      source,
       rooms = Map(room -> { _ => run(spark, opts); () }),
       reconnectMs = cadence, retryMs = cadence)
     listener.start()

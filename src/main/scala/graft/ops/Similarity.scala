@@ -605,20 +605,23 @@ object Similarity {
     * emb_kmeans codebook constants so the training trajectory is
     * already oracle-unrolled).
     *
-    * Dedup rule, engine-exact: vector x is DROPPED iff some lower-id
+    * Dedup rule, engine-exact: vector x is DROPPED iff some PRECEDING
     * vector y in the SAME cell has quantized-cosine(x, y) ≥ τ — the
     * comparison is division-free (qdot > 0 ∧ qdot²·τd² ≥ τn²·‖x‖²‖y‖²,
     * exact int64: |qdot| ≤ 64·127² so every product stays ≤ ~10¹⁶).
-    * Keeper choice is min-id, a deterministic stand-in for the paper's
-    * keep-farthest-from-centroid policy (a 1-line swap of the ORDER —
-    * min-id keeps the graded surface reproducible). y may itself be
-    * dropped (the greedy ε-cover, not transitive closure — closure is
-    * [[Cluster.connectedComponents]] composed downstream when wanted).
+    * Precedence IS the keeper policy: min-id by default (deterministic,
+    * reproducible), or the paper's keep-farthest-from-centroid when
+    * `keepFarthest` — y precedes x iff d²(y, centroid) > d²(x,
+    * centroid), ties by id, using kmAssign's exact integer dist2. y may
+    * itself be dropped (the greedy ε-cover, not transitive closure —
+    * closure is [[Cluster.connectedComponents]] composed downstream
+    * when wanted).
     *
     * @return every sketch row as (vec_id, cell, kept) */
   def semDedup(sketch: DataFrame, k: Int, iters: Int,
                tauNum: Long, tauDen: Long,
-               salt: String = "km"): DataFrame = {
+               salt: String = "km",
+               keepFarthest: Boolean = false): DataFrame = {
     require(tauDen > 0 && tauNum >= 0, "need tauDen > 0, tauNum >= 0")
     // overflow fence (the dsirScores convention — loud, never a wrap):
     // the threshold compares qdot²·tauDen² vs tauNum²·na·nb with
@@ -630,16 +633,23 @@ object Similarity {
     graft.expr.GraftFunctions.register(sketch.sparkSession)
     val ll = graft.expr.GraftFunctions.dot_ll _
     val km = kmeansInt8(sketch, k, iters, salt)
-    val a = km.assign.select("vec_id", "cell")
+    val a = km.assign.select("vec_id", "cell", "dist2")
       .join(sketch.select("vec_id", "q_emb", "q_norm"), "vec_id")
       .pin()
     val lo = a.select(col("cell"), col("vec_id").as("a_id"),
-      col("q_emb").as("qa"), col("q_norm").as("na"))
+      col("q_emb").as("qa"), col("q_norm").as("na"),
+      col("dist2").as("da"))
     val hi = a.select(col("cell"), col("vec_id").as("b_id"),
-      col("q_emb").as("qb"), col("q_norm").as("nb"))
+      col("q_emb").as("qb"), col("q_norm").as("nb"),
+      col("dist2").as("db"))
+    val precedes = // a before b in the keeper order ⇒ b is droppable
+      if (keepFarthest)
+        col("da") > col("db") ||
+          (col("da") === col("db") && col("a_id") < col("b_id"))
+      else col("a_id") < col("b_id")
     val qdot = ll(col("qa"), col("qb"))
     val dropped = lo.join(hi, Seq("cell"))
-      .where(col("a_id") < col("b_id"))
+      .where(precedes)
       .withColumn("qdot", qdot)
       .where(col("qdot") > 0 &&
         col("qdot") * col("qdot") * lit(tauDen * tauDen) >=
@@ -758,7 +768,7 @@ object Similarity {
       .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
 
   /** Hash-sample seeding: cells 0..k−1 in (hashU32, vec_id) order. */
-  private def kmSeed(sk: DataFrame, k: Int, salt: String): DataFrame = {
+  private[ops] def kmSeed(sk: DataFrame, k: Int, salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ll = graft.expr.GraftFunctions.dot_ll _
     val hu = graft.expr.GraftFunctions.java_hash_u32 _
@@ -777,7 +787,7 @@ object Similarity {
     * centroids, as a hash aggregate (min over (dist2, cell) structs —
     * q_emb rides along for the update but never decides: cell is unique
     * per candidate row). Returns (vec_id, cell, dist2, q_emb). */
-  private def kmAssign(sk: DataFrame, cent: DataFrame): DataFrame = {
+  private[ops] def kmAssign(sk: DataFrame, cent: DataFrame): DataFrame = {
     val ll = graft.expr.GraftFunctions.dot_ll _
     sk.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("q_emb"),
@@ -793,7 +803,7 @@ object Similarity {
   /** One centroid update: per-(cell, dim) truncated integer means,
     * partial-aggregated map-side; empty cells keep `prev`'s centroid.
     * Pinned (k rows) so later rounds never re-derive this one. */
-  private def kmUpdate(assign: DataFrame, prev: DataFrame): DataFrame = {
+  private[ops] def kmUpdate(assign: DataFrame, prev: DataFrame): DataFrame = {
     val ll = graft.expr.GraftFunctions.dot_ll _
     val sums = assign
       .select(col("cell"), posexplode(col("q_emb")).as(Seq("d", "q")))

@@ -22,6 +22,9 @@ object Pipeline16Queries {
   private val SdIters = 3   //   constants, so the oracle CTEs are shared
   private val SdTauNum = 2L // τ = 2/5 = 0.40 quantized cosine (the
   private val SdTauDen = 5L //   fixture's near-dup band; max pair 0.51)
+  private val KcIters = 10  // emb_kmeans_converged oracle unroll — past
+                            //   the fixture's fixpoint (3 rounds), so
+                            //   every extra unrolled round is a no-op
   private val IvK = 8       // inc_ivf cells — mirrors inc_kmeans_delta
   private val IvIters = 2
   private val DsirBuckets = 8192
@@ -39,6 +42,35 @@ object Pipeline16Queries {
           k = SdK, iters = SdIters,
           tauNum = SdTauNum, tauDen = SdTauDen)
         .orderBy("vec_id")
+    }),
+
+    "dd_semdedup_far" -> ((s, dir) => {
+      // the paper's keeper policy graded alongside min-id: keep the
+      // vector FARTHEST from its cell centroid (Abbas et al. §2 —
+      // the cluster's most distinct representative survives),
+      // precedence on kmAssign's exact integer d², ties by id. Same
+      // blocked Σ|cell|² pair space as dd_semdedup; only the keeper
+      // ORDER differs.
+      Similarity.semDedup(
+          Similarity.quantizeInt8(Tables.embeddings(s, dir)),
+          k = SdK, iters = SdIters,
+          tauNum = SdTauNum, tauDen = SdTauDen, keepFarthest = true)
+        .orderBy("vec_id")
+    }),
+
+    "emb_kmeans_converged" -> ((s, dir) => {
+      // the convergence-terminated production trajectory graded: Lloyd
+      // until assignment FIXPOINT (a 1-row changed-count read per
+      // round), failing loudly at maxIters instead of silently
+      // truncating. The 1-in-5 subset converges in 3 rounds at the
+      // graded fixture (10 at sf0.1), keeping the oracle's unrolled
+      // CTE bounded at KcIters rounds — past the fixpoint every
+      // unrolled round repeats, so a$KcIters IS the converged answer.
+      Similarity.kmeansInt8Converged(
+          Similarity.quantizeInt8(Tables.embeddings(s, dir)
+            .where(col("vec_id") % 5 === 0)),
+          k = SdK, maxIters = 40)
+        .assign.orderBy("vec_id")
     }),
 
     "curate_dsir" -> ((s, dir) => {
@@ -253,6 +285,35 @@ object Pipeline16Queries {
          |    ${SdTauNum * SdTauNum} * na * nb)
          |SELECT a.vec_id, a.cell, (dr.b_id IS NULL) AS kept
          |FROM a$SdIters a LEFT JOIN dr ON a.vec_id = dr.b_id
+         |ORDER BY vec_id""".stripMargin,
+
+    "dd_semdedup_far" ->
+      s"""WITH ${Pipeline10Queries.kmeansCtes(SdK, SdIters, "km")},
+         |pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    CAST(list_sum(list_transform(list_zip(s1.qv, s2.qv),
+         |      z -> z[1] * z[2])) AS BIGINT) AS qd,
+         |    s1.qn AS na, s2.qn AS nb
+         |  FROM a$SdIters a JOIN a$SdIters b
+         |    ON a.cell = b.cell AND (a.dist2 > b.dist2
+         |      OR (a.dist2 = b.dist2 AND a.vec_id < b.vec_id))
+         |  JOIN sk s1 ON s1.vec_id = a.vec_id
+         |  JOIN sk s2 ON s2.vec_id = b.vec_id),
+         |dr AS (SELECT DISTINCT b_id FROM pr
+         |  WHERE qd > 0 AND qd * qd * ${SdTauDen * SdTauDen} >=
+         |    ${SdTauNum * SdTauNum} * na * nb)
+         |SELECT a.vec_id, a.cell, (dr.b_id IS NULL) AS kept
+         |FROM a$SdIters a LEFT JOIN dr ON a.vec_id = dr.b_id
+         |ORDER BY vec_id""".stripMargin,
+
+    "emb_kmeans_converged" ->
+      // MATERIALIZED: DuckDB inlines CTEs by default, and each Lloyd
+      // round references the previous round's CTEs more than once, so
+      // a 10-round inlined unroll explodes ~3^10× — materializing each
+      // round keeps the oracle linear in rounds (0.2 s at the fixture)
+      s"""WITH ${Pipeline10Queries.kmeansCtes(SdK, KcIters, "km",
+             Some("vec_id % 5 = 0"))
+           .replace("AS (SELECT", "AS MATERIALIZED (SELECT")}
+         |SELECT vec_id, cell, dist2 FROM a$KcIters
          |ORDER BY vec_id""".stripMargin,
 
     "curate_dsir" -> {

@@ -128,6 +128,14 @@ object SocketIoCodec {
     * connect acks, other rooms) map to None — the caller's pump skips
     * them. */
   def updateEvent(frame: String): Option[PushEvent] = decode(frame) match {
+    case e: Event => eventToPush(e)
+    case _ => None
+  }
+
+  /** The already-decoded form of [[updateEvent]] — live transports that
+    * decode once for handshake/keep-alive dispatch reuse the Event here
+    * instead of re-parsing the frame. */
+  def eventToPush(e: Event): Option[PushEvent] = e match {
     case Event(_, _, "update", args) =>
       val path = args.headOption.map { a =>
         if (a.isTextual) a.asText

@@ -184,6 +184,50 @@ class Round16Spec extends SparkSuite {
     assert(got(9L) === ((1L, -1L)))
   }
 
+  test("semDedup keeper policies: the precedence-maximal vector of " +
+      "every cell is always kept under its policy") {
+    val sk = graft.ops.Similarity.quantizeInt8(
+      Tables.embeddings(spark, sfDir))
+    def headAlwaysKept(keepFarthest: Boolean,
+                       headOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val r = graft.ops.Similarity.semDedup(sk, k = 8, iters = 3,
+        tauNum = 2L, tauDen = 5L, keepFarthest = keepFarthest)
+      // join the dedup verdicts back to the assignment's dist2
+      val km = graft.ops.Similarity.kmeansInt8(sk, 8, 3)
+      val withD = r.join(km.assign.select("vec_id", "dist2"), "vec_id")
+      val heads = headOf(withD)
+      assert(heads.where(!col("kept")).isEmpty,
+        s"a precedence-head was dropped (keepFarthest=$keepFarthest)")
+    }
+    import org.apache.spark.sql.expressions.Window
+    // min-id policy: the lowest id per cell has no predecessor
+    headAlwaysKept(keepFarthest = false, df => df.withColumn("rn",
+        row_number().over(Window.partitionBy("cell")
+          .orderBy(col("vec_id").asc)))
+      .where(col("rn") === 1))
+    // far policy: the farthest-from-centroid (ties min id) per cell
+    headAlwaysKept(keepFarthest = true, df => df.withColumn("rn",
+        row_number().over(Window.partitionBy("cell")
+          .orderBy(col("dist2").desc, col("vec_id").asc)))
+      .where(col("rn") === 1))
+  }
+
+  test("kmeansInt8Converged: converged assignment is a Lloyd fixpoint " +
+      "(one more fixed-iteration round changes nothing)") {
+    val sk = graft.ops.Similarity.quantizeInt8(
+      Tables.embeddings(spark, sfDir).where(col("vec_id") % 5 === 0))
+    val conv = graft.ops.Similarity.kmeansInt8Converged(sk, k = 8,
+      maxIters = 40)
+    // fixture converges by round 10 (the oracle's unroll depth): the
+    // 10-round and 11-round fixed trajectories agree with it exactly
+    val a10 = graft.ops.Similarity.kmeansInt8(sk, 8, 10).assign
+    val a11 = graft.ops.Similarity.kmeansInt8(sk, 8, 11).assign
+    def set(df: org.apache.spark.sql.DataFrame) = df.select("vec_id", "cell", "dist2")
+      .collect().map(_.toSeq).toSet
+    assert(set(conv.assign) === set(a10))
+    assert(set(a10) === set(a11), "10 rounds is not past the fixpoint")
+  }
+
   // ---- ivf index maintenance ----------------------------------------
 
   test("ivfIndex/ivfServeInt8: serving a base+delta merged index equals " +
