@@ -259,7 +259,21 @@ object ExplainDump {
       ("Chunk retrieval: chunking is a per-row generator (no " +
         "shuffle); the BM25 pass semi-joins the corpus token stream " +
         "to the broadcast query vocabulary BEFORE the tf shuffle, so " +
-        "the exchange carries only query-relevant postings.")
+        "the exchange carries only query-relevant postings."),
+    "samp_inverse_cdf" ->
+      ("Weighted multinomial draw: cumulative weights come from the " +
+        "range-partitioned prefix sum (P parallel sorts + a P-row " +
+        "offset window — no data-sized single-task window), and the " +
+        "interval lookup is a broadcast HASH join on the weight-mass " +
+        "bucket (B = max weight ⇒ ≤ 2 bucket rows per doc), never a " +
+        "nested loop over draws × corpus."),
+    "graph_modularity" ->
+      ("Community scoring: two endpoint→block hash joins + ONE " +
+        "block-keyed aggregate; the edge-count scalar rides a 1-row " +
+        "broadcast into the q_num projection — nothing in the plan " +
+        "scales past the edge scan, and the label-propagation rounds " +
+        "feeding it are pinned so the scoring pass never re-derives " +
+        "them.")
   )
 
   def main(args: Array[String]): Unit = {

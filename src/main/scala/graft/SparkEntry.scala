@@ -33,7 +33,8 @@ object SparkEntry {
       Pipeline10Queries.queries ++ Pipeline11Queries.queries ++
       Pipeline12Queries.queries ++ Pipeline13Queries.queries ++
       Pipeline14Queries.queries ++ Pipeline15Queries.queries ++
-      Pipeline16Queries.queries
+      Pipeline16Queries.queries ++ Pipeline17Queries.queries ++
+      Pipeline18Queries.queries ++ Pipeline19Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +49,6 @@ object SparkEntry {
       Pipeline10Queries.oracles ++ Pipeline11Queries.oracles ++
       Pipeline12Queries.oracles ++ Pipeline13Queries.oracles ++
       Pipeline14Queries.oracles ++ Pipeline15Queries.oracles ++
-      Pipeline16Queries.oracles
+      Pipeline16Queries.oracles ++ Pipeline17Queries.oracles ++
+      Pipeline18Queries.oracles ++ Pipeline19Queries.oracles
 }

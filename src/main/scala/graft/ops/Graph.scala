@@ -777,6 +777,213 @@ object Graph {
       col("n_cut"), col("volume"))
   }
 
+  /** Newman modularity per block over an UNDIRECTED canonical edge
+    * list and a vertex→block assignment — the score a community layer
+    * (label propagation, connected components, sharding) is judged by:
+    * Q = Σ_c (e_c/m − (d_c/2m)²). Emitted DIVISION-FREE as the exact
+    * integer numerator per block, q_num = 4m·e_c − d_c² (so
+    * Q = Σ q_num / 4m², formed downstream — no float ever leaves the
+    * engine): (block, n_nodes, e_in, d_sum, q_num).
+    *
+    * Shape: two endpoint→block joins + one block-keyed aggregate +
+    * a broadcast 1-row m — the blockConductance plan with one extra
+    * scalar ride-along; nothing scales past the edge scan.
+    *
+    * Overflow fence (loud, the dsirScores convention): q_num needs
+    * 4m·e_c ≤ 4m² < 2⁶³, so m is fenced at 2³⁰ edges; past that,
+    * rescale (sample edges or shard communities) before scoring.
+    * Vertices missing from `blocks` raise, as in [[blockConductance]]
+    * — map unassigned vertices to singleton blocks upstream when that
+    * is the intended semantics.
+    *
+    * @return (block, n_nodes, e_in, d_sum, q_num), one row per block
+    *         incident to ≥ 1 edge */
+  def modularityByBlock(edges: DataFrame, loCol: String, hiCol: String,
+                        blocks: DataFrame, nodeCol: String,
+                        blockCol: String): DataFrame = {
+    val e = canonEdges(edges, loCol, hiCol)
+    val b = blocks.select(col(nodeCol).cast("long").as("node"),
+      col(blockCol).as("blk")).distinct()
+    val lab = e
+      .join(b.select(col("node").as("lo"), col("blk").as("bl")),
+        Seq("lo"), "left")
+      .join(b.select(col("node").as("hi"), col("blk").as("bh")),
+        Seq("hi"), "left")
+      .select(col("lo"), col("hi"),
+        when(col("bl").isNull || col("bh").isNull,
+          raise_error(concat(lit("modularityByBlock: unassigned vertex "
+            + "on edge ("), col("lo"), lit(","), col("hi"), lit(")"))))
+          .otherwise(col("bl")).as("bl"), col("bh"))
+    val m = lab.agg(count(lit(1)).as("__m"))
+      .select(when(col("__m") <= (1L << 30), col("__m"))
+        .otherwise(raise_error(lit("modularityByBlock: m > 2^30 edges "
+          + "overflows the 4m·e_c int64 budget — rescale first")))
+        .as("__m"))
+    // per-block stats off the endpoint explode (each edge contributes
+    // one incidence to each endpoint's block; internal edges double)
+    val perBlock = lab.select(explode(array(
+        struct(col("bl").as("blk"), col("bh").as("other"),
+          col("lo").as("member")),
+        struct(col("bh").as("blk"), col("bl").as("other"),
+          col("hi").as("member")))).as("x"))
+      .select(col("x.blk").as("blk"), col("x.other").as("other"),
+        col("x.member").as("member"))
+      .groupBy("blk")
+      .agg(countDistinct(col("member")).as("n_nodes"),
+        call_function("div",
+          sum(when(col("blk") === col("other"), 1L).otherwise(0L)),
+          lit(2L)).as("e_in"),
+        count(lit(1)).as("d_sum"))
+    perBlock.crossJoin(broadcast(m))
+      .select(col("blk").as("block"), col("n_nodes"), col("e_in"),
+        col("d_sum"),
+        (lit(4L) * col("__m") * col("e_in") -
+          col("d_sum") * col("d_sum")).as("q_num"))
+  }
+
+  /** Per-block modularity SUFFICIENT STATISTICS — the mergeable form
+    * of [[modularityByBlock]]: (block, int_inc = incidences whose both
+    * endpoints share the block = 2·e_in, d_sum = Σ member degrees).
+    * Both are per-EDGE sums under a fixed partition, so stats of
+    * disjoint edge slices ADD: stats(B ∪ D) = stats(B) ⊎ stats(D) —
+    * an arriving edge batch contributes its own counts and the base
+    * edges are never re-scanned; m itself derives from the merged
+    * frame (m = Σ d_sum / 2). [[modularityFromStats]] forms the score. */
+  def modularityEdgeStats(edges: DataFrame, loCol: String, hiCol: String,
+                          blocks: DataFrame, nodeCol: String,
+                          blockCol: String): DataFrame = {
+    val e = canonEdges(edges, loCol, hiCol)
+    val b = blocks.select(col(nodeCol).cast("long").as("node"),
+      col(blockCol).as("blk")).distinct()
+    val lab = e
+      .join(b.select(col("node").as("lo"), col("blk").as("bl")),
+        Seq("lo"), "left")
+      .join(b.select(col("node").as("hi"), col("blk").as("bh")),
+        Seq("hi"), "left")
+      .select(
+        when(col("bl").isNull || col("bh").isNull,
+          raise_error(concat(lit("modularityEdgeStats: unassigned "
+            + "vertex on edge ("), col("lo"), lit(","), col("hi"),
+            lit(")"))))
+          .otherwise(col("bl")).as("bl"), col("bh"))
+    lab.select(explode(array(
+        struct(col("bl").as("blk"), col("bh").as("other")),
+        struct(col("bh").as("blk"), col("bl").as("other")))).as("x"))
+      .select(col("x.blk").as("blk"), col("x.other").as("other"))
+      .groupBy("blk")
+      .agg(sum(when(col("blk") === col("other"), 1L).otherwise(0L))
+          .as("int_inc"),
+        count(lit(1)).as("d_sum"))
+  }
+
+  /** Score merged [[modularityEdgeStats]]: m = Σ d_sum / 2 rides a
+    * broadcast 1-row frame (fenced at 2³⁰ like [[modularityByBlock]]);
+    * q_num = 4m·e_in − d_sum² with e_in = int_inc / 2.
+    * @return (block, e_in, d_sum, q_num) */
+  def modularityFromStats(stats: DataFrame): DataFrame = {
+    val m = stats
+      .agg(call_function("div", sum(col("d_sum")), lit(2L)).as("__m"))
+      .select(when(col("__m") <= (1L << 30), col("__m"))
+        .otherwise(raise_error(lit("modularityFromStats: m > 2^30 "
+          + "edges overflows the 4m·e_in int64 budget — rescale first")))
+        .as("__m"))
+    stats.crossJoin(broadcast(m))
+      .select(col("blk").as("block"),
+        call_function("div", col("int_inc"), lit(2L)).as("e_in"),
+        col("d_sum"),
+        (lit(4L) * col("__m") *
+          call_function("div", col("int_inc"), lit(2L)) -
+          col("d_sum") * col("d_sum")).as("q_num"))
+  }
+
+  /** One synchronous Louvain local-move round (Blondel et al. 2008 §2,
+    * the move step of phase 1): every vertex evaluates, against the
+    * CURRENT partition, the exact modularity gain of moving into each
+    * NEIGHBOR community and takes the best strictly-positive one —
+    * simultaneously, so the round is a pure function of (graph, old
+    * partition) and therefore engine-reproducible (classic Louvain
+    * sweeps sequentially, which no two engines replay identically; the
+    * synchronous variant is the standard distributed form).
+    *
+    * Gain, division-free at scale 4m²: moving i from its community a
+    * to c changes Q·4m² by
+    *   4m·(k_ic − k_ia) − 2·d_i·(d_c − d_a + d_i)
+    * with d_* the OLD community degree sums, k_ix = edges from i into
+    * x∖{i} — all exact longs (loud fence at m > 2³⁰, as
+    * [[modularityByBlock]]). Ties: smallest community id. Vertices
+    * with no strictly-positive move keep their community.
+    *
+    * Shape: one degree aggregate, one community-volume aggregate, the
+    * incidence explode (2 rows/edge) grouped to (node, nbr-community)
+    * — every stage keyed and partial-aggregated; the only scalar is
+    * the broadcast 1-row m.
+    *
+    * @param assign (nodeCol, commCol) — must cover every edge endpoint
+    *               (raise otherwise; map strays to singletons upstream)
+    * @return (node, comm) for every assigned vertex — the refined
+    *         partition after ONE synchronous move round */
+  def louvainMoveRound(edges: DataFrame, loCol: String, hiCol: String,
+                       assign: DataFrame, nodeCol: String,
+                       commCol: String): DataFrame = {
+    val e = canonEdges(edges, loCol, hiCol).pin()
+    val b = assign.select(col(nodeCol).cast("long").as("node"),
+      col(commCol).cast("long").as("comm")).distinct().pin()
+    val lab = e
+      .join(b.select(col("node").as("lo"), col("comm").as("cl")),
+        Seq("lo"), "left")
+      .join(b.select(col("node").as("hi"), col("comm").as("ch")),
+        Seq("hi"), "left")
+      .select(col("lo"), col("hi"),
+        when(col("cl").isNull || col("ch").isNull,
+          raise_error(concat(lit("louvainMoveRound: unassigned vertex "
+            + "on edge ("), col("lo"), lit(","), col("hi"), lit(")"))))
+          .otherwise(col("cl")).as("cl"), col("ch"))
+    val m = lab.agg(count(lit(1)).as("__m"))
+      .select(when(col("__m") <= (1L << 30), col("__m"))
+        .otherwise(raise_error(lit("louvainMoveRound: m > 2^30 edges "
+          + "overflows the 4m·k int64 budget — rescale first")))
+        .as("__m"))
+    // per-endpoint incidences: (node, its comm, the OTHER side's comm)
+    val inc = lab.select(explode(array(
+        struct(col("lo").as("node"), col("cl").as("own"),
+          col("ch").as("nbr")),
+        struct(col("hi").as("node"), col("ch").as("own"),
+          col("cl").as("nbr")))).as("x"))
+      .select(col("x.node").as("node"), col("x.own").as("own"),
+        col("x.nbr").as("nbr"))
+      .pin() // degrees, volumes, and k_ix all read it
+    val deg = inc.groupBy("node").agg(count(lit(1)).as("d_i"))
+    val vol = inc.groupBy(col("own").as("c"))
+      .agg(count(lit(1)).as("d_c"))
+    // k_ix: edge count from node into community x (self excluded by
+    // the simple-graph canon)
+    val kix = inc.groupBy("node", "nbr").agg(count(lit(1)).as("k"))
+      .join(b, Seq("node")) // attach the node's own community
+    val own = b.join(kix.where(col("nbr") === col("comm"))
+        .select(col("node"), col("k").as("k_ia")), Seq("node"), "left")
+      .select(col("node"), col("comm"),
+        coalesce(col("k_ia"), lit(0L)).as("k_ia"))
+      .join(deg, Seq("node"))
+      .join(vol.select(col("c").as("comm"), col("d_c").as("d_a")),
+        Seq("comm"))
+    val cand = own
+      .join(kix.where(col("nbr") =!= col("comm"))
+          .select(col("node"), col("nbr").as("c"), col("k").as("k_ic")),
+        Seq("node"))
+      .join(vol, Seq("c"))
+      .crossJoin(broadcast(m))
+      .select(col("node"), col("comm"), col("c"),
+        (lit(4L) * col("__m") * (col("k_ic") - col("k_ia")) -
+          lit(2L) * col("d_i") *
+            (col("d_c") - col("d_a") + col("d_i"))).as("gain"))
+    val best = cand.where(col("gain") > 0)
+      .groupBy("node")
+      .agg(min(struct((-col("gain")).as("ng"), col("c"))).as("__b"))
+      .select(col("node"), col("__b.c").as("moved"))
+    b.join(best, Seq("node"), "left")
+      .select(col("node"), coalesce(col("moved"), col("comm")).as("comm"))
+  }
+
   /** Degree-assortativity sufficient statistics of an undirected
     * canonical edge list (Newman 2002), as ONE row of exact integers:
     * m (edges), s1 = Σ_e d_u·d_v, s2 = Σ_e (d_u + d_v),

@@ -64,4 +64,45 @@ object IncrementalAgg {
     partial(rows, keys, valueCol)
       .select((keys.map(col) :+ (-col("cnt")).as("cnt")
         :+ (-col("sum")).as("sum")): _*)
+
+  /** Exact equi-depth quantile boundaries from a mergeable VALUE
+    * histogram — the quantile family's member of this file's identity:
+    * per-(group, value) counts are a commutative monoid under [[merge]],
+    * so boundaries from merge(hist(base), hist(delta)) EQUAL boundaries
+    * from hist(base ∪ delta) — the base data is never re-scanned when a
+    * delta lands. (The ntile-window exact form, agg_equidepth, has no
+    * such identity: ranks are not additive. This is the incremental
+    * twin for BOUNDED-DOMAIN value columns; unbounded domains graduate
+    * to the GK sketch, agg_equidepth_approx.)
+    *
+    * Boundary rule, division-free: boundary b (1..buckets−1) of a group
+    * with n rows is the smallest value whose inclusive cumulative count
+    * satisfies cum·buckets ≥ b·n — ⌈b·n/buckets⌉-th order statistic,
+    * pure integer comparisons.
+    *
+    * Scale: the histogram is |groups|·|domain| rows (the whole point of
+    * demanding a bounded domain); the cumulative window partitions by
+    * group and sorts the DOMAIN, not the data, and the boundary pick is
+    * a (buckets−1)-row broadcast cross + min aggregate.
+    *
+    * @param hist (groupCols..., valueCol, cntCol) value histogram
+    * @return (groupCols..., bucket, boundary) — bucket 1..buckets−1 */
+  def equidepthFromCounts(hist: DataFrame, groups: Seq[String],
+                          valueCol: String, cntCol: String,
+                          buckets: Int): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groups.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy(col(valueCol).asc)
+    val cum = hist
+      .withColumn("__cum", sum(col(cntCol)).over(w))
+      .withColumn("__n", sum(col(cntCol)).over(
+        Window.partitionBy(gcols: _*)))
+    val bs = hist.sparkSession.range(1L, buckets.toLong)
+      .select(col("id").as("bucket"))
+    cum.join(broadcast(bs),
+        col("__cum") * buckets >= col("bucket") * col("__n"))
+      .groupBy((gcols :+ col("bucket")): _*)
+      .agg(min(col(valueCol)).as("boundary"))
+  }
 }

@@ -21,6 +21,54 @@ object Quality {
     fact.join(dim.select(col(dk)).distinct(),
         fact(fk) === dim(dk), "left_anti")
 
+  /** Two-sample Kolmogorov–Smirnov distance between the `valueCol`
+    * distributions of `a` and `b`, exact and division-free — the
+    * distribution-drift gate between data vintages (old crawl vs new
+    * crawl, base vs delta) that catches shape changes a mean/rate
+    * monitor misses. D = max_x |F_a(x) − F_b(x)| is emitted as the
+    * integer numerator over the common denominator n_a·n_b:
+    * d_num = max |cumA·n_b − cumB·n_a|, with `at_value` the smallest
+    * value attaining it (so D = d_num/(n_a·n_b), formed downstream; the
+    * standard √((n_a+n_b)/(n_a·n_b)) critical-value comparison is a
+    * pure function of these integers).
+    *
+    * Scale: both sides pre-aggregate to per-VALUE counts, so the
+    * full-outer join and the cumulative window run over the value
+    * DOMAIN, not the rows — use on bounded-cardinality columns
+    * (categories, quantized measures); the window is unpartitioned by
+    * construction (one global CDF), bounded by |domain|, never by data.
+    * Unbounded domains: quantize first (the agg_equidepth_approx
+    * boundary trick), trading exactness you did not have anyway at
+    * continuous resolution.
+    *
+    * @return ONE row: (n_a, n_b, d_num, at_value) */
+  def ksStat(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ca = a.groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__ca"))
+    val cb = b.groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__cb"))
+    val joined = ca.join(cb, Seq("__v"), "full_outer")
+      .select(col("__v"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val cdf = joined
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__na", sum(col("__ca")).over(all))
+      .withColumn("__nb", sum(col("__cb")).over(all))
+      .withColumn("__d",
+        abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
+    cdf.select(struct(col("__d"), (-col("__v")).as("__nv"),
+          col("__na"), col("__nb"), col("__v")).as("__s"))
+      .agg(max(col("__s")).as("__m"))
+      .select(col("__m.__na").as("n_a"), col("__m.__nb").as("n_b"),
+        col("__m.__d").as("d_num"), col("__m.__v").as("at_value"))
+  }
+
   /** Key groups violating a uniqueness expectation: (keys, n_rows) for
     * every key appearing more than once. */
   def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =

@@ -24,6 +24,39 @@ import graft.ops.Pin.PinOps
   */
 object Ranks {
 
+  /** Append `out` = EXCLUSIVE global prefix sum of `weightCol` under
+    * `orderCols` (ascending lexicographic) — the cumulative-distribution
+    * primitive behind weighted inverse-CDF sampling and equi-weight
+    * sharding. Same distributed-rank construction as
+    * [[globalRowNumber]]: P parallel range sorts, a P-row per-range
+    * weight total, broadcast prefix-sum offsets — identical result to
+    * `sum(w).over(Window.orderBy(...))` minus the row's own weight, but
+    * never a single-task global sort. Order must be TOTAL for a
+    * deterministic result (pass a unique tiebreaker, e.g. the id). */
+  def globalCumSum(df: DataFrame, weightCol: String, out: String,
+                   numRanges: Int, orderCols: Column*): DataFrame = {
+    require(orderCols.nonEmpty, "globalCumSum needs >= 1 order column")
+    val ranged = df
+      .repartitionByRange(numRanges, orderCols: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .pin() // RangePartitioner samples → pid must not be re-derived
+    val offsets = ranged.groupBy("__pid")
+      .agg(sum(col(weightCol)).as("__wsum"))
+      .withColumn("__off",
+        coalesce(sum(col("__wsum")).over(
+          Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    val localCum = coalesce(
+      sum(col(weightCol)).over(
+        Window.partitionBy("__pid").orderBy(orderCols: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    ranged
+      .join(broadcast(offsets), "__pid")
+      .withColumn(out, col("__off") + localCum)
+      .drop("__pid", "__off")
+  }
+
   /** Append `out` = global `row_number()` under `orderCols` (ascending
     * lexicographic). `numRanges` bounds per-task sort size: rows/P per
     * task instead of all rows in one. */

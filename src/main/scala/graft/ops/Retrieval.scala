@@ -188,6 +188,65 @@ object Retrieval {
       .where(col("rnk") <= k)
   }
 
+  /** Boolean-AND relevance judgments: (query_id, doc_id) pairs where
+    * the document contains EVERY term of the query — the deterministic
+    * qrels a retrieval stack can self-audit against when no human
+    * judgments exist (conjunctive containment is the strictest lexical
+    * ground truth, so ranking errors against it are real errors).
+    * Shape: the token stream distincts to (doc, term), semi-joins the
+    * broadcast query vocabulary BEFORE the shuffle (the bm25TopK rule),
+    * and a doc is relevant when its matched-term count equals the
+    * query's term count (a broadcast k-row frame). */
+  def booleanQrels(docs: DataFrame, idCol: String, textCol: String,
+                   queries: DataFrame): DataFrame = {
+    val qterms = queries.select(col("query_id"), col("term")).distinct()
+    val qn = qterms.groupBy("query_id").agg(count(lit(1)).as("__nq"))
+    val dt = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .where(col("term") =!= "")
+      .join(broadcast(qterms.select("term").distinct()),
+        Seq("term"), "left_semi")
+      .distinct()
+    dt.join(broadcast(qterms), "term")
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("__hit"))
+      .join(broadcast(qn), "query_id")
+      .where(col("__hit") === col("__nq"))
+      .select("query_id", "doc_id")
+  }
+
+  /** Ranked-retrieval quality metrics per query, exact integers — the
+    * eval gate a retrieval pipeline runs on every index or scorer
+    * change: total relevant count, hits in the returned top-k, and MRR
+    * scaled by `mrrScale` (default 2520 = lcm(1..10), so scale/rank is
+    * EXACT integer division for any k ≤ 10 — no float reciprocal ever
+    * forms). Queries with no relevant result in the list score 0.
+    *
+    * Both inputs are query-bounded (top-k lists and judgments), so
+    * every join here is broadcast-sized next to the retrieval that
+    * produced them.
+    *
+    * @param ranked (query_id, rnk, doc_id) — 1-based rnk within query
+    * @param qrels  (query_id, doc_id) relevant pairs
+    * @return (query_id, n_rel, hits, mrr_scaled) per query in `ranked` */
+  def topKEval(ranked: DataFrame, qrels: DataFrame,
+               mrrScale: Long = 2520L): DataFrame = {
+    val rel = qrels.select(col("query_id"), col("doc_id"))
+      .withColumn("__rel", lit(1L))
+    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val hits = ranked
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("__rel"), lit(0L))).as("hits"),
+        min(when(col("__rel").isNotNull, col("rnk"))).as("__first"))
+    hits.join(nRel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("hits"),
+        when(col("__first").isNotNull,
+          call_function("div", lit(mrrScale), col("__first")))
+          .otherwise(lit(0L)).as("mrr_scaled"))
+  }
+
   /** Vocabulary-growth (Heaps' law) measurement: distinct-term count
     * and cumulative token count at each corpus-prefix checkpoint —
     * the curve that sizes a tokenizer's vocabulary budget before

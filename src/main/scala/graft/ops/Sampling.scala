@@ -48,6 +48,132 @@ object Sampling {
       .where(col("samp_rank") <= n)
   }
 
+  /** Weighted multinomial sampling (with replacement) by inverse-CDF
+    * lookup — the data-mixing draw a training pipeline runs when
+    * examples carry importance weights (DSIR scores, token counts,
+    * temperature-scaled source weights): draw `draws` positions
+    * u_j ∈ [0, W) deterministically (hash of `salt || j`, so the draw
+    * set is a pure function of the salt, reproducible anywhere), and
+    * return for each the unique row whose cumulative-weight interval
+    * [lo, lo+w) contains u_j.
+    *
+    * Scale shape — every stage is parallel and shuffle-bounded:
+    *   - the exclusive cumulative weight comes from
+    *     [[Ranks.globalCumSum]] (P range sorts + a P-row offset frame),
+    *     never a single-task global window;
+    *   - interval lookup is an EQUI-join, not an interval cross: with
+    *     bucket width B = max(w), a row's interval spans ≤ 2 buckets
+    *     (`sequence(lo div B, (lo+w-1) div B)` explodes each row into
+    *     at most ⌈w/B⌉+1 ≤ 2 bucket rows) and a draw probes exactly
+    *     bucket `u div B` — so corpus and draws hash-join on the bucket
+    *     key and the containment filter runs within buckets. No
+    *     broadcast-nested-loop, no N×M pair space; skew is bounded
+    *     because every bucket covers exactly B weight mass.
+    *   - W and B ride a broadcast 1-row frame (the scalar-crossJoin
+    *     convention); nothing collects to the driver.
+    *
+    * u_j = hash_u32(salt||j) mod W has the standard ≤ 1/2³²·W modulo
+    * bias — negligible for sampling and the price of an engine-exact
+    * oracle. Weights must be positive; zero/negative weights raise
+    * (a silent skip would shift every later interval).
+    *
+    * @return (draw_id, u, `idCol`) — one row per draw */
+  def inverseCdf(df: DataFrame, idCol: String, weight: Column,
+                 draws: Int, salt: String,
+                 numRanges: Int = 32): DataFrame = {
+    require(draws >= 1, "draws must be >= 1")
+    val spark = df.sparkSession
+    graft.expr.GraftFunctions.register(spark)
+    val wdf = df.select(col(idCol),
+      when(weight > 0, weight.cast("long"))
+        .otherwise(raise_error(concat(lit("inverseCdf: non-positive "
+          + "weight for id "), col(idCol).cast("string"))))
+        .as("__w"))
+    val cum = Ranks.globalCumSum(wdf, "__w", "__lo", numRanges,
+      col(idCol)).pin() // draws + corpus both read it; derive once
+    val tot = cum.agg(sum(col("__w")).as("__tot"),
+      max(col("__w")).as("__b"))
+    val probes = spark.range(draws.toLong)
+      .select(col("id").as("draw_id"))
+      .crossJoin(broadcast(tot))
+      .select(col("draw_id"),
+        pmod(hu(concat(lit(salt), col("draw_id"))), col("__tot")).as("u"),
+        col("__b"))
+    val buckets = cum.crossJoin(broadcast(tot.select("__b")))
+      .select(col(idCol), col("__lo"), col("__w"),
+        explode(sequence(
+          call_function("div", col("__lo"), col("__b")),
+          call_function("div", col("__lo") + col("__w") - 1, col("__b"))))
+          .as("__bkt"))
+    buckets
+      .join(broadcast(probes), // draws are query-sized; corpus streams
+        call_function("div", col("u"), col("__b")) === col("__bkt") &&
+          col("u") >= col("__lo") && col("u") < col("__lo") + col("__w"))
+      .select(col("draw_id"), col("u"), col(idCol))
+  }
+
+  /** Temperature-flattened source mixing at T = 2 (the multilingual /
+    * multi-source rebalance: sampling probability ∝ n_s^(1/T) so small
+    * sources are upweighted without drowning large ones — the mBERT /
+    * XLM-R exponent-smoothing recipe): per-source quotas from integer
+    * √n_s weights via LARGEST-REMAINDER apportionment (quotas sum to
+    * `total` exactly, deterministic ties by source id), rows chosen per
+    * source by ascending (hash(salt‖key), key) — reproducible anywhere.
+    *
+    * Integer-exact: ⌊√n⌋ from a correctly-rounded double sqrt is exact
+    * for n < 2⁵² (fenced loudly); apportionment is pure integer
+    * div/mod; selection rank is the stratifiedFixed window (one keyed
+    * window per source — the shuffle key is the source, so skewed
+    * sources AQE-split).
+    *
+    * Quota may exceed a source's row count only if weights invert the
+    * size order, which √ cannot do — but a short source is still
+    * possible at extreme skew, so it raises loudly rather than silently
+    * under-filling the mix.
+    *
+    * @return the selected rows + (w_s, quota) audit columns */
+  def temperatureMix(df: DataFrame, groupCol: String, key: Column,
+                     total: Long, salt: String): DataFrame = {
+    require(total >= 1, "total must be >= 1")
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n_s"))
+      .select(col(groupCol),
+        when(col("n_s") < (1L << 52),
+          floor(sqrt(col("n_s").cast("double"))).cast("long"))
+          .otherwise(raise_error(lit("temperatureMix: n_s >= 2^52 — "
+            + "double sqrt is no longer exact; pre-scale the counts")))
+          .as("w_s"), col("n_s"))
+    // largest-remainder apportionment over the (small) source frame:
+    // the windows are |sources|-row, never data-sized
+    val tw = Window.partitionBy()
+    val quota = counts
+      .withColumn("__wsum", sum(col("w_s")).over(tw))
+      .withColumn("__base",
+        call_function("div", lit(total) * col("w_s"), col("__wsum")))
+      .withColumn("__rem", pmod(lit(total) * col("w_s"), col("__wsum")))
+      .withColumn("__extra",
+        lit(total) - sum(col("__base")).over(tw))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, col(groupCol).asc)))
+      .select(col(groupCol), col("w_s"),
+        (col("__base") +
+          when(col("__rk") <= col("__extra"), 1L).otherwise(0L))
+          .as("quota"), col("n_s"))
+      .select(col(groupCol), col("w_s"),
+        when(col("quota") <= col("n_s"), col("quota"))
+          .otherwise(raise_error(concat(
+            lit("temperatureMix: quota exceeds source size for "),
+            col(groupCol))))
+          .as("quota"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(hu(concat(lit(salt), key)).asc, key.asc)
+    df.withColumn("__rank", row_number().over(w).cast("long"))
+      .join(broadcast(quota), Seq(groupCol))
+      .where(col("__rank") <= col("quota"))
+      .drop("__rank")
+  }
+
   /** Deterministic train/val/test (or any N-way) split assignment:
     * bucket = hash(key) mod m, and each (label, width) slab claims the
     * next `width` buckets in order. A row's split is a pure function of

@@ -325,11 +325,25 @@ object Similarity {
     * side never shuffles. Identical results to quantizedTopK on the same
     * corpus — parquet round-trips bigint arrays exactly. */
   def quantizedTopKOnSketch(sketch: DataFrame, probes: DataFrame, k: Int)
+  : DataFrame =
+    topKOnSketches(sketch,
+      quantizeInt8(probes).select(col("vec_id").as("query_id"),
+        col("q_emb"), col("q_norm")), k)
+
+  /** The generic both-sides-already-quantized ranking under
+    * [[quantizedTopKOnSketch]]: corpus sketch (vec_id, q_emb, q_norm)
+    * × broadcast probe sketch (query_id, q_emb, q_norm) → top-k per
+    * probe by quantized cosine (ties to the smaller neighbor id). The
+    * seam that lets DERIVED sketches rank with the same plan — e.g.
+    * matryoshka prefixes ([[prefixSketch]]) where probe vectors must be
+    * sliced under the CORPUS quantization scale, so re-quantizing raw
+    * probe floats (what quantizedTopKOnSketch does) would be wrong. */
+  def topKOnSketches(sketch: DataFrame, probeSketch: DataFrame, k: Int)
   : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.expr.GraftFunctions.register(probes.sparkSession)
+    graft.expr.GraftFunctions.register(sketch.sparkSession)
     val ll = graft.expr.GraftFunctions.dot_ll _
-    val q = quantizeInt8(probes).select(col("vec_id").as("query_id"),
+    val q = probeSketch.select(col("query_id"),
       col("q_emb").as("q_q"), col("q_norm").as("q_n"))
     val c = Par.fanOut(sketch)
       .select(col("vec_id").as("neighbor_id"),
@@ -346,6 +360,25 @@ object Similarity {
       .where(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("long").as("rnk"),
         col("neighbor_id"), col("qdot"))
+  }
+
+  /** Matryoshka prefix of an int8 sketch: keep the first `dims`
+    * dimensions and recompute the norm over the prefix — the
+    * MRL-serving trick (Kusupati et al. 2022: nested representations
+    * let you rank with a 4× shorter vector and re-rank survivors at
+    * full width). The prefix slice keeps the CORPUS quantization scale
+    * (slicing commutes with per-vector scaling), so prefix dot products
+    * stay exact integers comparable across vectors. Rows whose prefix
+    * is all-zero are dropped (no direction to compare — same fence as
+    * [[quantizeInt8]]'s zero-vector rule). */
+  def prefixSketch(sketch: DataFrame, dims: Int): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    graft.expr.GraftFunctions.register(sketch.sparkSession)
+    val ll = graft.expr.GraftFunctions.dot_ll _
+    sketch
+      .select(col("vec_id"), slice(col("q_emb"), 1, dims).as("q_emb"))
+      .withColumn("q_norm", ll(col("q_emb"), col("q_emb")))
+      .where(col("q_norm") > 0)
   }
 
   /** Exact integer Gram matrix of an int8 sketch — the accumulation
@@ -912,6 +945,70 @@ object Similarity {
         codes("sub") === table("sub") && codes("code") === table("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("tdist")).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("adist"))
+  }
+
+  /** IVF + PQ serving — the production ANN architecture (FAISS
+    * `IVFx,PQy` with `by_residual=false`): a coarse quantizer prunes
+    * the corpus to `nprobe` cells, and asymmetric PQ distance ranks
+    * ONLY the survivors from their 8-byte codes — at 100 TB the read
+    * path touches (vec_id, cell) + (vec_id, sub, code) and two
+    * broadcast KB codebooks; raw vectors never load at query time.
+    * Composes the graded IVF cell pick ([[ivfServeInt8]]'s probe
+    * stage) with the graded ADC ranking ([[pqTopK]]'s table join),
+    * both exact integers, so ids, ranks AND distances reproduce.
+    *
+    * @param cells    (vec_id, cell) — [[ivfIndex]]'s assignment (or
+    *                 any coarse partition)
+    * @param codes    (vec_id, sub, code) — [[pqEncode]] output
+    * @param codebook PQ codebook (sub, cell, c_emb, c_norm)
+    * @param coarse   coarse centroids (cell, c_emb, c_norm)
+    * @return (query_id, rnk 1..k, neighbor_id, adist) — ADC distance
+    *         ascending, ties to the smaller neighbor id */
+  def ivfpqTopK(cells: DataFrame, codes: DataFrame, codebook: DataFrame,
+                coarse: DataFrame, probes: DataFrame, k: Int,
+                nprobe: Int = 2, m: Int = 8, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && nprobe >= 1, "need k >= 1, nprobe >= 1")
+    graft.expr.GraftFunctions.register(probes.sparkSession)
+    val ll = graft.expr.GraftFunctions.dot_ll _
+    val pq = quantizeInt8(probes)
+    // probe → nprobe coarse cells (the ivfServeInt8 probe stage)
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("pdist"), col("cell"))
+    val pcell = pq.select(col("vec_id").as("query_id"),
+        col("q_emb").as("q_q"), col("q_norm").as("q_n"))
+      .crossJoin(broadcast(coarse))
+      .select(col("query_id"), col("cell"),
+        (col("q_n") - lit(2L) * ll(col("q_q"), col("c_emb"))
+          + col("c_norm")).as("pdist"))
+      .withColumn("pr", row_number().over(pw))
+      .where(col("pr") <= nprobe)
+      .select("query_id", "cell")
+    // survivors: corpus vectors in a probed cell (self excluded)
+    val cand = cells.join(broadcast(pcell), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    // probe ADC tables (the pqTopK table stage)
+    val psv = subVectors(pq, m, dims / m)
+      .select(col("vec_id").as("query_id"), col("sub"),
+        col("sv"), col("sv_norm"))
+    val table = psv.join(codebook, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cell"),
+        (col("sv_norm") - lit(2L) * ll(col("sv"), col("c_emb"))
+          + col("c_norm")).as("tdist"))
+    val scored = codes.join(cand, Seq("vec_id"))
+      .join(broadcast(table),
+        codes("sub") === table("sub") &&
+          codes("code") === table("cell") &&
+          cand("query_id") === table("query_id"))
+      .groupBy(cand("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("tdist")).as("adist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)

@@ -375,28 +375,41 @@ object Pipeline10Queries {
        |    FROM ${cn}u GROUP BY sub, cell) n
        |  ON p.sub = n.sub AND p.cell = n.cell)""".stripMargin
 
-  /** Full unrolled PQ training prefix: quantize → sub-vectors → shared
-    * hash seeding → `iters` rounds; exposes `pc$iters` and `pa$iters`. */
-  private def pqCtes(m: Int, ksub: Int, subDim: Int, iters: Int,
-                     salt: String): String = {
+  /** Full unrolled PQ training prefix: quantize → sub-vectors → hash
+    * seeding → `iters` rounds; exposes `pc$iters` (codebook) and
+    * `pa$iters` (codes), plus `svn` (the sub-vector frame probes read).
+    * Internal seed CTEs carry a `pq` prefix so the block composes into
+    * one WITH next to [[kmeansCtes]] (sim_ivfpq_topk); with `shared`
+    * the quantizer CTEs (`mx`, `qq`) are NOT re-emitted — the composer
+    * already has them. */
+  private[queries] def pqCtes(m: Int, ksub: Int, subDim: Int, iters: Int,
+                              salt: String,
+                              shared: Boolean = false): String = {
+    val quant =
+      if (shared) "" else s"${Pipeline7Queries.quantCtes},\n"
     val seed =
-      s"""${Pipeline7Queries.quantCtes},
-         |${seedHashCtes(salt)},
+      s"""${quant}pqh AS (SELECT vec_id, qv,
+         |  ${PipelineQueries.javaHashSql(
+               s"'$salt' || CAST(vec_id AS VARCHAR)")}
+         |    AS hh FROM qq),
+         |pqsk AS (SELECT vec_id, qv,
+         |  CASE WHEN hh < 0 THEN hh + 4294967296 ELSE hh END AS hu
+         |  FROM pqh),
          |subs AS (SELECT CAST(ss AS BIGINT) AS sub
          |         FROM unnest(range(0, $m)) AS t(ss)),
          |idx8 AS (SELECT CAST(ii AS BIGINT) AS d
          |         FROM unnest(range(1, ${subDim + 1})) AS t(ii)),
          |svn0 AS (SELECT s.vec_id, b.sub,
          |    s.qv[b.sub*$subDim+1 : b.sub*$subDim+$subDim] AS sv
-         |  FROM sk s, subs b),
+         |  FROM pqsk s, subs b),
          |svn AS (SELECT vec_id, sub, sv,
          |    CAST(list_sum(list_transform(sv, v -> v * v)) AS BIGINT)
          |      AS svn
          |  FROM svn0),
-         |sd AS (SELECT vec_id, qv, hu FROM sk
+         |pqsd AS (SELECT vec_id, qv, hu FROM pqsk
          |       ORDER BY hu, vec_id LIMIT $ksub),
          |r0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY hu, vec_id) - 1
-         |    AS BIGINT) AS cell, qv FROM sd),
+         |    AS BIGINT) AS cell, qv FROM pqsd),
          |pc0 AS (SELECT b.sub, r.cell,
          |    r.qv[b.sub*$subDim+1 : b.sub*$subDim+$subDim] AS cv
          |  FROM r0 r, subs b)""".stripMargin

@@ -361,10 +361,13 @@ object Pipeline8Queries {
        |ORDER BY side, node""".stripMargin
   }
 
-  /** Unrolled label-propagation oracle: [[LpIters]] layers of the
-    * plurality vote (count desc, label asc argmax per vertex), seeds
-    * clamped by the COALESCE. */
-  private lazy val labelPropOracle: String = {
+  /** Unrolled label-propagation CTE prefix ([[LpIters]] layers of the
+    * plurality vote — count desc, label asc argmax per vertex, seeds
+    * clamped by the COALESCE), exposing `e0` (canonical purchase
+    * edges), `e` (symmetric), and the final labels `l$LpIters` — so
+    * downstream oracles (graph_modularity) can compose the exact same
+    * trajectory without re-stating it. */
+  private[queries] lazy val labelPropCtes: String = {
     val iters = (1 to LpIters).map { t =>
       s"""l$t AS MATERIALIZED (SELECT n.node,
          |  COALESCE(sd.seed_label, w.win_label) AS label
@@ -379,7 +382,7 @@ object Pipeline8Queries {
          |      GROUP BY e.dst, l.label) WHERE rn = 1) w
          |    ON w.node = n.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+    s"""e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
        |    l_suppkey * 2 + 1 AS dst
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |e AS MATERIALIZED (SELECT src, dst FROM e0
@@ -393,10 +396,17 @@ object Pipeline8Queries {
        |  GROUP BY c_custkey * 2),
        |l0 AS MATERIALIZED (SELECT n.node, sd.seed_label AS label
        |  FROM n LEFT JOIN sd ON sd.node = n.node),
-       |$iters
-       |SELECT node, CAST(label AS BIGINT) AS label FROM l$LpIters
-       |ORDER BY node""".stripMargin
+       |$iters""".stripMargin
   }
+
+  /** The final labels of [[labelPropCtes]] — the graded row name
+    * downstream composers join on. */
+  private[queries] def labelPropFinal: String = s"l$LpIters"
+
+  private lazy val labelPropOracle: String =
+    s"""WITH $labelPropCtes
+       |SELECT node, CAST(label AS BIGINT) AS label FROM $labelPropFinal
+       |ORDER BY node""".stripMargin
 
   val oracles: Map[String, String] = Map(
 

@@ -519,4 +519,40 @@ class PlanSpec extends SparkSuite {
       "(cell, d) sums must partial-aggregate before the exchange:\n" +
         p.take(1500))
   }
+
+  test("samp_inverse_cdf: interval lookup is a broadcast HASH join on " +
+      "the weight-mass bucket — never a nested-loop over N×M; corpus " +
+      "rows never drag through an unpartitioned window") {
+    val df = q("samp_inverse_cdf")
+    df.collect() // settle AQE
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      "draws must hash-join the bucket key:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"),
+      "inverse-CDF planned a cartesian:\n" + p.take(1500))
+    // descend into AQE stages: the only unpartitioned window allowed is
+    // globalCumSum's P-row range-offset prefix sum
+    def deepWins(sp: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      sp.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          deepWins(s.plan)
+      }.flatten
+    deepWins(unwrapped(df)).filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(!w.output.map(_.name).contains("doc_id"),
+        s"corpus frame dragged through one task: $w")
+    }
+  }
+
+  test("graph_modularity: the edge-count scalar broadcasts; no " +
+      "cartesian anywhere in the community scoring") {
+    val df = q("graph_modularity")
+    df.collect() // settle AQE (runs the label-prop rounds)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      "modularity planned a cartesian:\n" + p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "1-row m must ride a broadcast:\n" + p.take(1500))
+  }
 }
