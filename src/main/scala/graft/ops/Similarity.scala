@@ -593,38 +593,50 @@ object Similarity {
   }
 
   /** Convergence-terminated [[kmeansInt8]]: Lloyd rounds until the
-    * assignment is a FIXPOINT (no vector changes cell — with it the
-    * centroids, so every later round repeats exactly; integer Lloyd
-    * cannot limit-cycle through the graded delta because each round's
-    * assignment is a pure function of the previous one). Fails LOUDLY
-    * after `maxIters` non-converged rounds — the
-    * pageRankIntConverged/ccStar contract: a 1-row changed-count read
-    * per round is the only driver-side state. */
+    * assignment REVISITS a state — a fixpoint (no vector changes cell,
+    * so every later round repeats exactly) or a limit cycle, which
+    * truncated integer centroid means CAN produce (assignments whose
+    * floor-averaged centroids map around a loop; the 10× synthetic
+    * corpus hits one past round 40). Each round's assignment is a pure
+    * function of the previous, so the FIRST revisit is deterministic
+    * and the returned (centroids, assignment) pair is consistent —
+    * engine-reproducible either way.
+    *
+    * Revisit detection is a commutative 64-bit fingerprint of the
+    * assignment (XOR of xxhash64(vec_id, cell) — order-free and
+    * overflow-free, so partial aggregation computes it map-side; pairs
+    * are unique per assignment, so XOR cancellation needs a hash
+    * collision first): ONE 1-row read per round and O(rounds) driver
+    * longs, instead of a join against every prior state. A fingerprint
+    * collision would only terminate a round early (≈ 2⁻⁶⁴ per pair,
+    * deterministic when it happens); correctness of the returned pair
+    * is unaffected. Fails LOUDLY after `maxIters` rounds without a
+    * revisit. */
   def kmeansInt8Converged(sketch: DataFrame, k: Int,
-                          maxIters: Int = 40,
+                          maxIters: Int = 100,
                           salt: String = "km"): KmeansInt8 = {
     require(k >= 1, "k must be >= 1")
     require(maxIters >= 1, "maxIters must be >= 1")
     graft.expr.GraftFunctions.register(sketch.sparkSession)
     val sk = sketch.select("vec_id", "q_emb", "q_norm").pin()
+    def fp(a: DataFrame): Long =
+      a.agg(call_function("bit_xor", xxhash64(col("vec_id"), col("cell"))))
+        .head().getLong(0) // 1-row read per round
     var cent = kmSeed(sk, k, salt)
     var assign = kmAssign(sk, cent).pin()
+    val seen = scala.collection.mutable.Set(fp(assign))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       cent = kmUpdate(assign, cent)
-      val next = kmAssign(sk, cent).pin()
-      val changed = next.select(col("vec_id"), col("cell").as("c2"))
-        .join(assign.select(col("vec_id"), col("cell").as("c1")), "vec_id")
-        .where(col("c1") =!= col("c2"))
-      converged = changed.isEmpty // 1-row existence read per round
-      assign = next
+      assign = kmAssign(sk, cent).pin()
+      converged = !seen.add(fp(assign)) // first revisited state
       i += 1
     }
     if (!converged)
       throw new IllegalStateException(
-        s"kmeansInt8Converged: no fixpoint after $maxIters rounds " +
-          s"(k=$k); raise maxIters or lower k")
+        s"kmeansInt8Converged: no revisited state after $maxIters " +
+          s"rounds (k=$k); raise maxIters or lower k")
     KmeansInt8(cent, assign.select("vec_id", "cell", "dist2"))
   }
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{Graph, IncrementalAgg, Quality, Retrieval, Sampling,
   Similarity}
+import graft.ops.Pin.PinOps
 
 /** Round-10 batch: the measurement-and-selection ring around the
   * existing curation operators — weighted inverse-CDF sampling (the
@@ -112,18 +113,19 @@ object Pipeline17Queries {
       // communities (comm = −node−1), the standard convention so every
       // edge endpoint is assigned and the fail-loudly join never fires
       // on a mere propagation gap.
-      val seeds = Tables.customer(s, dir)
-        .where(col("c_custkey") % 10 === 0)
-        .select((col("c_custkey") * 2).as("node"),
-          col("c_nationkey").as("lbl"))
-      val lp = Graph.labelPropagate(
-        Pipeline8Queries.purchaseEdges(s, dir, symmetric = true),
-        "src", "dst", seeds, "node", "lbl", iters = 3)
+      // one pinned canonical edge pass feeds BOTH the label-prop
+      // symmetrization and the scoring join — the purchase join
+      // (orders⋈lineitem + distinct) is the dominant cost and must not
+      // run twice (the Cluster.scala symmetrize rule, applied across
+      // the two consumers)
+      val e0 = Pipeline8Queries.purchaseEdges(s, dir, symmetric = false)
+        .pin()
+      val lp = Graph.labelPropagate(Pipeline8Queries.symmetrize(e0),
+        "src", "dst", Pipeline8Queries.lpSeeds(s, dir),
+        "node", "lbl", iters = 3)
       val comm = lp.select(col("node"),
         coalesce(col("label").cast("long"), -col("node") - 1).as("comm"))
-      Graph.modularityByBlock(
-          Pipeline8Queries.purchaseEdges(s, dir, symmetric = false),
-          "src", "dst", comm, "node", "comm")
+      Graph.modularityByBlock(e0, "src", "dst", comm, "node", "comm")
         .orderBy("block")
     }),
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{Graph, Sampling, Similarity}
+import graft.ops.Pin.PinOps
 
 /** Round-10 second batch: the refine/serve/mix ring — one synchronous
   * Louvain local-move round over the label-propagation partition (the
@@ -35,18 +36,17 @@ object Pipeline18Queries {
       // across engines). Gains are exact longs at scale 4m²;
       // unlabeled vertices enter as singletons (the graph_modularity
       // convention).
-      val seeds = Tables.customer(s, dir)
-        .where(col("c_custkey") % 10 === 0)
-        .select((col("c_custkey") * 2).as("node"),
-          col("c_nationkey").as("lbl"))
-      val lp = Graph.labelPropagate(
-        Pipeline8Queries.purchaseEdges(s, dir, symmetric = true),
-        "src", "dst", seeds, "node", "lbl", iters = 3)
+      // shared pinned edge pass — the graph_modularity convention: the
+      // purchase join runs ONCE and feeds both the label-prop
+      // symmetrization and the move round
+      val e0 = Pipeline8Queries.purchaseEdges(s, dir, symmetric = false)
+        .pin()
+      val lp = Graph.labelPropagate(Pipeline8Queries.symmetrize(e0),
+        "src", "dst", Pipeline8Queries.lpSeeds(s, dir),
+        "node", "lbl", iters = 3)
       val comm = lp.select(col("node"),
         coalesce(col("label").cast("long"), -col("node") - 1).as("comm"))
-      Graph.louvainMoveRound(
-          Pipeline8Queries.purchaseEdges(s, dir, symmetric = false),
-          "src", "dst", comm, "node", "comm")
+      Graph.louvainMoveRound(e0, "src", "dst", comm, "node", "comm")
         .orderBy("node")
     }),
 

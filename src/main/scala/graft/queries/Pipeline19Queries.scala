@@ -64,6 +64,57 @@ object Pipeline19Queries {
         .orderBy("rnk")
     }),
 
+    "sim_ivfpq_recall" -> ((s, dir) => {
+      // observability for the composed IVF+PQ trade: per-probe overlap
+      // of the IVF+PQ top-5 with the exact float top-5 — completes the
+      // measured-recall set (exact / LSH / quantized / PQ / IVF+PQ),
+      // so the serving architecture's recall is a graded number, not a
+      // hope. Mirrors sim_recall_quantized's shape.
+      val emb = Tables.embeddings(s, dir)
+      val sk = graft.ops.Similarity.quantizeInt8(emb)
+      val km = graft.ops.Similarity.kmeansInt8(sk, 8, 2)
+      val cells = graft.ops.Similarity.ivfIndex(sk, km.centroids)
+        .select("vec_id", "cell")
+      val pq = graft.ops.Similarity.pqTrainInt8(sk, m = 8, ksub = 8,
+        iters = 2)
+      val probes = emb.where(col("vec_id") % 50 === 0)
+      val approx = graft.ops.Similarity.ivfpqTopK(cells, pq.codes,
+          pq.codebook, km.centroids, probes, k = 5, nprobe = 2)
+        .select("query_id", "neighbor_id")
+      val exact = graft.ops.Similarity.bruteForceTopK(emb, probes, 5)
+        .select("query_id", "neighbor_id")
+      val common = exact.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n"))
+      exact.select("query_id").distinct()
+        .join(common, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n"), lit(0L)).as("n_common"))
+        .orderBy("query_id")
+    }),
+
+    "dq_ks_verdict" -> ((s, dir) => {
+      // the KS gate CLOSED: statistic + the α = 0.05 two-sample
+      // critical-value decision, all integers — reject iff
+      // D ≥ c(α)·√((n_a+n_b)/(n_a·n_b)), squared to
+      // d_num² · 1000000 ≥ c²ₓ10⁶ · n_a·n_b·(n_a+n_b) with
+      // c(0.05)² = 1.844082 (Smirnov's asymptotic c = 1.358 at 10⁻⁶
+      // resolution). The early/late quantity eras differ only by
+      // sampling noise, so the graded verdict is the NON-rejection —
+      // the gate passing on undrifted data is as load-bearing as it
+      // firing on drifted data.
+      val ks = graft.ops.Quality.ksStat(
+        Tables.lineitem(s, dir).where(year(col("l_shipdate")) < 1998),
+        Tables.lineitem(s, dir).where(year(col("l_shipdate")) >= 1998),
+        "l_quantity")
+      // decimal(38,0) carries the products exactly (d_num ≤ n_a·n_b
+      // ⇒ both sides stay under 28 digits at sf1) — int64 would wrap
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      ks.select(col("n_a"), col("n_b"), col("d_num"),
+        (dec(col("d_num")) * dec(col("d_num")) * dec(lit(1000000L)) >=
+          dec(lit(1844082L)) * dec(col("n_a")) * dec(col("n_b")) *
+            dec(col("n_a") + col("n_b"))).as("drifted"))
+    }),
+
     "inc_modularity_delta" -> ((s, dir) => {
       // the 15th inc_* identity, on the graph-metric family: per-block
       // modularity sufficient statistics (int_inc, d_sum) are per-EDGE
@@ -119,6 +170,33 @@ object Pipeline19Queries {
          |  FROM c)
          |SELECT CAST(rnk AS BIGINT) AS rnk, e1, e2, e3, n
          |FROM rk WHERE rnk <= $TriK ORDER BY rnk""".stripMargin,
+
+    "sim_ivfpq_recall" -> {
+      // composed from the two graded rankings' own oracles (the
+      // sim_recall_quantized pattern)
+      val ex = PipelineQueries.oracles("sim_cosine_topk")
+      val iv = Pipeline18Queries.oracles("sim_ivfpq_topk")
+      s"""WITH ex AS ($ex),
+         |iv AS ($iv),
+         |p AS (SELECT DISTINCT query_id FROM ex),
+         |c AS (SELECT ex.query_id, COUNT(*) AS n FROM ex
+         |  JOIN iv ON ex.query_id = iv.query_id
+         |    AND ex.neighbor_id = iv.neighbor_id
+         |  GROUP BY ex.query_id)
+         |SELECT p.query_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_common
+         |FROM p LEFT JOIN c ON p.query_id = c.query_id
+         |ORDER BY p.query_id""".stripMargin
+    },
+
+    "dq_ks_verdict" -> {
+      val ks = Pipeline17Queries.oracles("dq_ks_drift")
+      s"""WITH ks AS ($ks)
+         |SELECT n_a, n_b, d_num,
+         |  (CAST(d_num AS HUGEINT) * d_num * 1000000 >=
+         |   CAST(1844082 AS HUGEINT) * n_a * n_b * (n_a + n_b))
+         |    AS drifted
+         |FROM ks""".stripMargin
+    },
 
     "inc_modularity_delta" ->
       // full recompute: merged base ⊎ delta stats must score like the

@@ -54,6 +54,26 @@ object Pipeline8Queries {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
+  /** Both edge directions via EXPLODE of an already-materialized edge
+    * frame — for composers that hold a pinned `purchaseEdges(symmetric
+    * = false)` and need the symmetric view too without re-running the
+    * purchase join. */
+  private[queries] def symmetrize(e0: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame =
+    e0.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
+  /** The graph_label_prop seed frame (every 10th customer carrying its
+    * nation), shared by the community-scoring composers. */
+  private[queries] def lpSeeds(s: SparkSession, dir: String)
+  : org.apache.spark.sql.DataFrame =
+    Tables.customer(s, dir)
+      .where(col("c_custkey") % 10 === 0)
+      .select((col("c_custkey") * 2).as("node"),
+        col("c_nationkey").as("lbl"))
+
   val queries: Map[String, Q] = Map(
 
     "sim_mmr_rerank" -> ((s, dir) => {

@@ -93,7 +93,7 @@ class Round10Spec extends SparkSuite {
     val e = intercept[IllegalStateException] {
       Similarity.kmeansInt8Converged(sk, k = 8, maxIters = 1)
     }
-    assert(e.getMessage.contains("no fixpoint"), e.getMessage)
+    assert(e.getMessage.contains("no revisited state"), e.getMessage)
   }
 
   test("pq: encode-after-train reproduces the training assignment, and " +
