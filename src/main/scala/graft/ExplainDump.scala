@@ -273,7 +273,21 @@ object ExplainDump {
         "broadcast into the q_num projection — nothing in the plan " +
         "scales past the edge scan, and the label-propagation rounds " +
         "feeding it are pinned so the scoring pass never re-derives " +
-        "them.")
+        "them."),
+    "samp_systematic" ->
+      ("Systematic weighted sampling: after the range-partitioned " +
+        "cumulative sum the hit count is a pure codegen'd per-row " +
+        "min/div formula against the broadcast 1-row (step, offset) " +
+        "scalar — NO join against a probe side, no explode, no " +
+        "data-sized window anywhere; the draw count never appears as " +
+        "a plan dimension, so draws scale for free."),
+    "sim_ivfpq_refined" ->
+      ("The two-tier ANN read path: the IVF+PQ shortlist (cells + " +
+        "8-byte codes, candidate-restricted ADC) feeds a refine tier " +
+        "where the corpus sketch streams ONCE against the broadcast " +
+        "shortlist and probe sketches — exact int8 rerank with no " +
+        "corpus shuffle and no second scan; full vectors are read " +
+        "only for |probes| × 20 candidates.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -34,7 +34,8 @@ object SparkEntry {
       Pipeline12Queries.queries ++ Pipeline13Queries.queries ++
       Pipeline14Queries.queries ++ Pipeline15Queries.queries ++
       Pipeline16Queries.queries ++ Pipeline17Queries.queries ++
-      Pipeline18Queries.queries ++ Pipeline19Queries.queries
+      Pipeline18Queries.queries ++ Pipeline19Queries.queries ++
+      Pipeline20Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +51,6 @@ object SparkEntry {
       Pipeline12Queries.oracles ++ Pipeline13Queries.oracles ++
       Pipeline14Queries.oracles ++ Pipeline15Queries.oracles ++
       Pipeline16Queries.oracles ++ Pipeline17Queries.oracles ++
-      Pipeline18Queries.oracles ++ Pipeline19Queries.oracles
+      Pipeline18Queries.oracles ++ Pipeline19Queries.oracles ++
+      Pipeline20Queries.oracles
 }

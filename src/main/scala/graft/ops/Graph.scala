@@ -575,6 +575,33 @@ object Graph {
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Per-vertex local clustering coefficient, DIVISION-FREE: for each
+    * vertex the triangle count, the degree, and the exact rational
+    * lcc = lcc_num/lcc_den with lcc_num = 2·n_tri and
+    * lcc_den = deg·(deg−1) (Watts–Strogatz; lcc_den = 0 for
+    * degree-≤1 vertices, where the coefficient is undefined — emitted
+    * rather than divided so the artifact stays integer-exact). The
+    * transitivity/community-density audit run on kNN-association
+    * graphs next to [[triangleCounts]]'s raw counts.
+    *
+    * Scale shape is triangleCounts' own (degree-ordered wedges +
+    * closure semi-join — never open wedge enumeration on hubs); the
+    * degree frame reuses the same pinned canonical edge pass.
+    *
+    * @return (node, n_tri, deg, lcc_num, lcc_den) — every vertex */
+  def localClustering(edges: DataFrame, srcCol: String,
+                      dstCol: String): DataFrame = {
+    val canon = canonEdges(edges, srcCol, dstCol).pin()
+    val tri = triangleCounts(canon, "lo", "hi")
+    val deg = canon
+      .select(explode(array(col("lo"), col("hi"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    tri.join(deg, Seq("node"))
+      .select(col("node"), col("n_tri"), col("deg"),
+        (lit(2L) * col("n_tri")).as("lcc_num"),
+        (col("deg") * (col("deg") - lit(1L))).as("lcc_den"))
+  }
+
   /** Incremental per-vertex triangle maintenance: given base edges B
     * and a delta batch D (both canonicalized here; D edges already in B
     * are ignored), returns the per-vertex INCREMENT — every distinct

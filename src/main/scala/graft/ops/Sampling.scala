@@ -112,6 +112,64 @@ object Sampling {
       .select(col("draw_id"), col("u"), col(idCol))
   }
 
+  /** Systematic (equal-interval) weighted sampling: lay `draws` grid
+    * points offset + i·step (step = W div draws, offset =
+    * hash(salt) mod step) over the cumulative-weight axis and give
+    * each row as many hits as grid points land in its interval
+    * [lo, lo+w). The classic lower-variance alternative to the
+    * multinomial draw ([[inverseCdf]]): one point per equal weight
+    * stratum, so a row with w ≥ step is GUARANTEED selection and hit
+    * counts never vary by more than 1 from proportionality — the
+    * particle-filter / survey-sampling resampler.
+    *
+    * Even better scale shape than inverseCdf: after the
+    * range-partitioned cumulative sum ([[Ranks.globalCumSum]]) the hit
+    * count is a pure per-row CODEGEN'D formula —
+    * n_hits = min(f(lo+w−1−off), draws) − min(f(lo−1−off), draws),
+    * f(x) = (x+step) div step — no join, no explode, no per-draw
+    * probe side at all; `draws` can be millions for free. All
+    * arguments of the truncating div are ≥ 0 by construction
+    * (off < step), so floor ≡ truncate on both engines and the sample
+    * is a pure integer function of (salt, data).
+    *
+    * Weights must be positive (raises, as inverseCdf); draws must not
+    * exceed total weight (step would hit 0 — raises loudly in-plan).
+    *
+    * @return (`idCol`, w, lo, n_hits) for rows with n_hits ≥ 1;
+    *         Σ n_hits = draws exactly */
+  def systematic(df: DataFrame, idCol: String, weight: Column,
+                 draws: Int, salt: String,
+                 numRanges: Int = 32): DataFrame = {
+    require(draws >= 1, "draws must be >= 1")
+    val spark = df.sparkSession
+    graft.expr.GraftFunctions.register(spark)
+    val wdf = df.select(col(idCol),
+      when(weight > 0, weight.cast("long"))
+        .otherwise(raise_error(concat(lit("systematic: non-positive "
+          + "weight for id "), col(idCol).cast("string"))))
+        .as("w"))
+    val cum = Ranks.globalCumSum(wdf, "w", "lo", numRanges, col(idCol))
+    val tot = cum.agg(sum(col("w")).as("__tot"))
+      .select(col("__tot"),
+        when(call_function("div", col("__tot"), lit(draws.toLong)) > 0,
+          call_function("div", col("__tot"), lit(draws.toLong)))
+          .otherwise(raise_error(concat(
+            lit(s"systematic: draws = $draws exceeds total weight "),
+            col("__tot").cast("string"))))
+          .as("__step"))
+      .select(col("__step"),
+        pmod(hu(lit(salt)), col("__step")).as("__off"))
+    def hits(x: Column) = // #grid points ≤ x, capped at the draw count
+      least(call_function("div", x + col("__step"), col("__step")),
+        lit(draws.toLong))
+    cum.crossJoin(broadcast(tot)) // 1-row scalar frame, broadcast
+      .withColumn("n_hits",
+        hits(col("lo") + col("w") - 1 - col("__off"))
+          - hits(col("lo") - 1 - col("__off")))
+      .where(col("n_hits") > 0)
+      .select(col(idCol), col("w"), col("lo"), col("n_hits"))
+  }
+
   /** Temperature-flattened source mixing at T = 2 (the multilingual /
     * multi-source rebalance: sampling probability ∝ n_s^(1/T) so small
     * sources are upweighted without drowning large ones — the mBERT /

@@ -1030,6 +1030,50 @@ object Similarity {
         col("neighbor_id"), col("adist"))
   }
 
+  /** Refinement stage of a two-tier ANN read path (FAISS's
+    * `IndexRefine` / DiskANN's rerank step): take a per-query candidate
+    * SHORTLIST produced by a lossy ranker (PQ codes, IVF cells, LSH
+    * buckets) and re-rank it by the EXACT int8 squared-L2 distance
+    * d = ‖p‖² − 2·p·n + ‖n‖², keeping the top k. The production
+    * pattern at 100 TB: the lossy tier touches codes only (8 bytes per
+    * vector), and full vectors are read for the tiny shortlist — here
+    * the shortlist join streams the sketch ONCE against a broadcast
+    * candidate set (|probes|·kShort id pairs), so no shuffle of the
+    * corpus and no second scan for ranking.
+    *
+    * All distances are exact longs (|d| ≤ 4·64·127²), so ids, ranks
+    * AND rdist hash-match any engine.
+    *
+    * @param sketch      corpus int8 sketch — (vec_id, q_emb, q_norm)
+    *                    from [[quantizeInt8]]
+    * @param probeSketch probe int8 sketch, same shape (small: broadcast)
+    * @param shortlist   (query_id, neighbor_id) candidate pairs
+    * @return (query_id, rnk, neighbor_id, rdist), rnk ≤ k, ties by id */
+  def refineTopK(sketch: DataFrame, probeSketch: DataFrame,
+                 shortlist: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "refineTopK needs k >= 1")
+    graft.expr.GraftFunctions.register(sketch.sparkSession)
+    val ll = graft.expr.GraftFunctions.dot_ll _
+    val cand = sketch.select(col("vec_id").as("neighbor_id"),
+        col("q_emb").as("n_emb"), col("q_norm").as("n_norm"))
+      .join(broadcast(shortlist.select("query_id", "neighbor_id")),
+        Seq("neighbor_id"))
+    val scored = cand
+      .join(broadcast(probeSketch.select(col("vec_id").as("query_id"),
+        col("q_emb").as("p_emb"), col("q_norm").as("p_norm"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("p_norm") - lit(2L) * ll(col("p_emb"), col("n_emb"))
+          + col("n_norm")).as("rdist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rdist").asc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("rdist"))
+  }
+
   /** Johnson–Lindenstrauss sign projection of the int8 sketch:
     * out_j = Σ_i q_i · s_{j,i} with s ∈ {−1, +1} from the
     * deterministic [[planeSign]] mix — DATA-INDEPENDENT dense

@@ -631,8 +631,12 @@ object Pipeline10Queries {
     * orientation, so per-vertex counts match; zeros come from the
     * vertex-set left join. Shared verbatim by inc_tri_delta (full-
     * recompute identity). */
-  private lazy val trianglesOracle: String =
-    """WITH base AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS it
+  /** Shared CTE chain for the top-5 co-occurrence triangle queries —
+    * graph build (base…e), triangle close (tri), per-vertex counts
+    * (tv), vertex set (verts). Composed by graph_triangles,
+    * inc_tri_delta and graph_lcc (Pipeline20Queries). */
+  private[queries] lazy val triCtes: String =
+    """base AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS it
       |  FROM lineitem),
       |pr AS (SELECT a.it AS ia, b.it AS ib, COUNT(*) AS n_co
       |  FROM base a JOIN base b ON a.g = b.g AND a.it < b.it
@@ -653,10 +657,13 @@ object Pipeline10Queries {
       |    SELECT x AS node FROM tri
       |    UNION ALL SELECT y FROM tri
       |    UNION ALL SELECT z FROM tri) GROUP BY node),
-      |verts AS (SELECT lo AS node FROM e UNION SELECT hi FROM e)
-      |SELECT v.node, COALESCE(t.n_tri, CAST(0 AS BIGINT)) AS n_tri
-      |FROM verts v LEFT JOIN tv t ON v.node = t.node
-      |ORDER BY v.node""".stripMargin
+      |verts AS (SELECT lo AS node FROM e UNION SELECT hi FROM e)""".stripMargin
+
+  private lazy val trianglesOracle: String =
+    s"""WITH $triCtes
+       |SELECT v.node, COALESCE(t.n_tri, CAST(0 AS BIGINT)) AS n_tri
+       |FROM verts v LEFT JOIN tv t ON v.node = t.node
+       |ORDER BY v.node""".stripMargin
 
   /** ADC: probe sub-distance tables against the trained codebook,
     * corpus ranked by summing m code lookups; ties to the smaller

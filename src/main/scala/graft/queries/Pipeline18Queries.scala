@@ -16,12 +16,12 @@ object Pipeline18Queries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val IvK = 8      // coarse cells (inc_ivf constants)
-  private val IvIters = 2
-  private val PqM = 8      // PQ subspaces (sim_pq_topk constants)
-  private val PqK = 8
-  private val PqIters = 2
-  private val PqSd = 8
+  private[queries] val IvK = 8      // coarse cells (inc_ivf constants)
+  private[queries] val IvIters = 2
+  private[queries] val PqM = 8      // PQ subspaces (sim_pq_topk constants)
+  private[queries] val PqK = 8
+  private[queries] val PqIters = 2
+  private[queries] val PqSd = 8
   private val MixTotal = 300L // samp_temperature budget
   private val MixSalt = "tmix"
 
@@ -122,43 +122,7 @@ object Pipeline18Queries {
          |ORDER BY cm.node""".stripMargin,
 
     "sim_ivfpq_topk" ->
-      s"""WITH ${Pipeline10Queries.kmeansCtes(IvK, IvIters, "km")},
-         |${Pipeline10Queries.pqCtes(PqM, PqK, PqSd, PqIters, "pq",
-             shared = true)},
-         |cn AS (SELECT cell, cv,
-         |    CAST(list_sum(list_transform(cv, v -> v * v)) AS BIGINT)
-         |      AS cnorm FROM c$IvIters),
-         |pb AS (SELECT vec_id AS query_id, qv, qn FROM sk
-         |  WHERE vec_id % 50 = 0),
-         |pcl AS (SELECT query_id, cell FROM (
-         |  SELECT p.query_id, c.cell,
-         |    ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
-         |      p.qn - 2 * CAST(list_sum(list_transform(
-         |          list_zip(p.qv, c.cv), z -> z[1] * z[2])) AS BIGINT)
-         |        + c.cnorm,
-         |      c.cell) AS rn
-         |  FROM pb p CROSS JOIN cn c) WHERE rn <= 2),
-         |cand AS (SELECT pcl.query_id, a.vec_id
-         |  FROM pcl JOIN a$IvIters a ON a.cell = pcl.cell
-         |  WHERE a.vec_id <> pcl.query_id),
-         |pt AS (SELECT s.vec_id AS query_id, s.sub, c.cell,
-         |    s.svn
-         |      - 2 * CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
-         |          z -> z[1] * z[2])) AS BIGINT)
-         |      + CAST(list_sum(list_transform(c.cv, v -> v * v))
-         |          AS BIGINT) AS tdist
-         |  FROM svn s JOIN pc$PqIters c ON s.sub = c.sub
-         |  WHERE s.vec_id % 50 = 0),
-         |ad AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
-         |    CAST(SUM(t.tdist) AS BIGINT) AS adist
-         |  FROM cand cd
-         |  JOIN pa$PqIters a ON a.vec_id = cd.vec_id
-         |  JOIN pt t ON t.query_id = cd.query_id
-         |    AND t.sub = a.sub AND t.cell = a.cell
-         |  GROUP BY cd.query_id, cd.vec_id),
-         |rk AS (SELECT query_id, neighbor_id, adist,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY adist, neighbor_id) AS rnk FROM ad)
+      s"""WITH $ivfpqCtes
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
          |FROM rk WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
@@ -196,4 +160,48 @@ object Pipeline18Queries {
          |ORDER BY rk.doc_id""".stripMargin
     }
   )
+
+  /** CTE chain of the IVF+PQ serving path, through the ADC rank frame
+    * `rk` (query_id, neighbor_id, adist, rnk over ALL scored
+    * candidates) — composed by sim_ivfpq_topk (rnk ≤ 5) and by the
+    * refined read path sim_ivfpq_refined in Pipeline20Queries
+    * (shortlist rnk ≤ kShort, then exact int8 rerank against `sk`). */
+  private[queries] lazy val ivfpqCtes: String =
+    s"""${Pipeline10Queries.kmeansCtes(IvK, IvIters, "km")},
+       |${Pipeline10Queries.pqCtes(PqM, PqK, PqSd, PqIters, "pq",
+             shared = true)},
+         |cn AS (SELECT cell, cv,
+         |    CAST(list_sum(list_transform(cv, v -> v * v)) AS BIGINT)
+         |      AS cnorm FROM c$IvIters),
+         |pb AS (SELECT vec_id AS query_id, qv, qn FROM sk
+         |  WHERE vec_id % 50 = 0),
+         |pcl AS (SELECT query_id, cell FROM (
+         |  SELECT p.query_id, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+         |      p.qn - 2 * CAST(list_sum(list_transform(
+         |          list_zip(p.qv, c.cv), z -> z[1] * z[2])) AS BIGINT)
+         |        + c.cnorm,
+         |      c.cell) AS rn
+         |  FROM pb p CROSS JOIN cn c) WHERE rn <= 2),
+         |cand AS (SELECT pcl.query_id, a.vec_id
+         |  FROM pcl JOIN a$IvIters a ON a.cell = pcl.cell
+         |  WHERE a.vec_id <> pcl.query_id),
+         |pt AS (SELECT s.vec_id AS query_id, s.sub, c.cell,
+         |    s.svn
+         |      - 2 * CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
+         |          z -> z[1] * z[2])) AS BIGINT)
+         |      + CAST(list_sum(list_transform(c.cv, v -> v * v))
+         |          AS BIGINT) AS tdist
+         |  FROM svn s JOIN pc$PqIters c ON s.sub = c.sub
+         |  WHERE s.vec_id % 50 = 0),
+         |ad AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
+         |    CAST(SUM(t.tdist) AS BIGINT) AS adist
+         |  FROM cand cd
+         |  JOIN pa$PqIters a ON a.vec_id = cd.vec_id
+         |  JOIN pt t ON t.query_id = cd.query_id
+         |    AND t.sub = a.sub AND t.cell = a.cell
+         |  GROUP BY cd.query_id, cd.vec_id),
+         |rk AS (SELECT query_id, neighbor_id, adist,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adist, neighbor_id) AS rnk FROM ad)""".stripMargin
 }

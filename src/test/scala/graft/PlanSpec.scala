@@ -555,4 +555,41 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin"),
       "1-row m must ride a broadcast:\n" + p.take(1500))
   }
+
+  test("samp_systematic: after the range-partitioned cumsum the hit " +
+      "count is a pure map — no join against a probe side, no corpus " +
+      "rows through an unpartitioned window") {
+    val df = q("samp_systematic")
+    df.collect() // settle AQE
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      "systematic sampling planned a cartesian:\n" + p.take(1500))
+    // the only joins allowed: globalCumSum's P-row offset broadcast and
+    // the 1-row (step, off) scalar broadcast — never a shuffle join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a corpus-side shuffle join appeared:\n" + p.take(2000))
+    def deepWins(sp: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      sp.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          deepWins(s.plan)
+      }.flatten
+    deepWins(unwrapped(df)).filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(!w.output.map(_.name).contains("doc_id"),
+        s"corpus frame dragged through one task: $w")
+    }
+  }
+
+  test("sim_ivfpq_refined: the refine tier joins the corpus sketch " +
+      "against BROADCAST shortlist/probe sides — the sketch never " +
+      "shuffles for the rerank") {
+    val df = q("sim_ivfpq_refined")
+    df.collect() // settle AQE (trains the coarse + PQ codebooks)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      "shortlist must broadcast into the sketch scan:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"),
+      "the refine tier planned a cartesian:\n" + p.take(1500))
+  }
 }
