@@ -35,7 +35,8 @@ object SparkEntry {
       Pipeline14Queries.queries ++ Pipeline15Queries.queries ++
       Pipeline16Queries.queries ++ Pipeline17Queries.queries ++
       Pipeline18Queries.queries ++ Pipeline19Queries.queries ++
-      Pipeline20Queries.queries
+      Pipeline20Queries.queries ++ Pipeline21Queries.queries ++
+      Pipeline22Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +53,6 @@ object SparkEntry {
       Pipeline14Queries.oracles ++ Pipeline15Queries.oracles ++
       Pipeline16Queries.oracles ++ Pipeline17Queries.oracles ++
       Pipeline18Queries.oracles ++ Pipeline19Queries.oracles ++
-      Pipeline20Queries.oracles
+      Pipeline20Queries.oracles ++ Pipeline21Queries.oracles ++
+      Pipeline22Queries.oracles
 }

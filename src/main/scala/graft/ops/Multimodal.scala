@@ -97,6 +97,43 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Frame-energy voice-activity gate over a binary payload — the
+    * audio-curation analog of the text quality gates: split the payload
+    * into `frames` equal spans (one codegen'd [[graft.expr.ByteOps
+    * blockSums]] pass, the phash64 machinery), call a frame VOICED when
+    * its energy strictly exceeds the payload mean (cross-multiplied:
+    * frames·s_b > Σs — division-free, the phash decision convention),
+    * and emit the gate features a pipeline filters/trims on: voiced
+    * count, leading-silence length, and the peak frame.
+    *
+    * The real decode (PCM extraction) is the documented [[StubDecoder]]
+    * seam — here bytes ARE the samples; the Spark-side plumbing
+    * (binary column in, one narrow codegen'd map, no shuffle) is what
+    * carries to 100 TB of real audio.
+    *
+    * @return input row + (n_voiced, lead_silence ∈ [0, frames] with
+    *         `frames` meaning "no voiced frame", peak_b = smallest
+    *         index attaining the max energy, peak_energy) */
+  def audioVad(df: DataFrame, payload: String,
+               frames: Int = 16): DataFrame = {
+    require(frames >= 1, s"audioVad: frames must be >= 1, got $frames")
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    df.withColumn("__bs",
+        graft.expr.GraftFunctions.block_sums(col(payload), lit(frames)))
+      .withColumn("__tot", aggregate(col("__bs"), lit(0L), _ + _))
+      .withColumn("n_voiced", expr(
+        s"""aggregate(transform(__bs, s -> IF($frames * s > __tot,
+           |  1L, 0L)), 0L, (a, x) -> a + x)""".stripMargin))
+      .withColumn("lead_silence", (coalesce(
+        expr(s"array_position(transform(__bs, " +
+          s"s -> $frames * s > __tot), true)"),
+        lit(frames + 1L)) - 1L).cast("long"))
+      .withColumn("peak_energy", expr("array_max(__bs)"))
+      .withColumn("peak_b",
+        (expr("array_position(__bs, array_max(__bs))") - 1L).cast("long"))
+      .drop("__bs", "__tot")
+  }
+
   /** 64-bit block-energy fingerprint of a binary payload — the integer
     * skeleton of a perceptual hash (aHash/pHash family: block statistic
     * vs global mean → sign pattern). Bit b is set iff block b's

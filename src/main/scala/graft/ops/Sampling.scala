@@ -170,6 +170,37 @@ object Sampling {
       .select(col(idCol), col("w"), col("lo"), col("n_hits"))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: each row goes
+    * to the shard maximizing hash(salt‖shard‖"|"‖key) — Thaler &
+    * Ravishankar's HRW, the consistent-sharding rule training-data
+    * exports and distributed caches use. The property that matters:
+    * MINIMAL DISRUPTION — adding a shard moves exactly the keys the
+    * NEW shard wins (≈ 1/(n+1) of them) and nothing else, because
+    * existing shards' scores are untouched (spec-pinned); a mod-N
+    * assignment reshuffles nearly everything.
+    *
+    * Pure per-row codegen'd map over a plan-time shard list — no
+    * shuffle, no join, no state; the shard directory is configuration,
+    * not data. Deterministic anywhere the 32-bit Java string hash is
+    * computable (the engine's cross-checkable hash family); hash ties
+    * go to the lexicographically greatest shard (struct compare).
+    *
+    * @return input rows + `out` = winning shard id */
+  def rendezvousAssign(df: DataFrame, key: Column, shards: Seq[String],
+                       salt: String, out: String = "shard"): DataFrame = {
+    require(shards.nonEmpty, "rendezvousAssign needs >= 1 shard")
+    require(shards.distinct.size == shards.size,
+      "rendezvousAssign: duplicate shard ids")
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    val scored = shards.map { sh =>
+      struct(hu(concat(lit(salt), lit(sh), lit("|"),
+        key.cast("string"))).as("h"), lit(sh).as("s"))
+    }
+    val win =
+      if (scored.size == 1) scored.head else greatest(scored: _*)
+    df.withColumn(out, win.getField("s"))
+  }
+
   /** Temperature-flattened source mixing at T = 2 (the multilingual /
     * multi-source rebalance: sampling probability ∝ n_s^(1/T) so small
     * sources are upweighted without drowning large ones — the mBERT /

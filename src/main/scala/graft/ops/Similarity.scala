@@ -95,6 +95,54 @@ object Similarity {
         col("neighbor_id"), col("cos"))
   }
 
+  /** Multiprobe sign-LSH ANN (Lv et al. 2007): ONE hash table instead
+    * of [[lshTopK]]'s 4, with recall recovered by probing the query's
+    * bucket plus its `planes` one-bit-flip neighbors (the planes
+    * nearest the hyperplane boundary are exactly the likely
+    * misassignments). The production knob when index MEMORY is the
+    * constraint: multi-table OR-amplification multiplies the stored
+    * index; multiprobe multiplies only the query-side fan-out
+    * (|probes|·(planes+1) bucket keys — query-sized, broadcast).
+    *
+    * Corpus rows carry ONE bucket each (vs `tables` copies in lshTopK);
+    * the candidate join stays an equi-join on the bucket key; the exact
+    * cosine re-rank runs on deduplicated candidates only. Fully
+    * deterministic (plan-time hyperplanes), so oracle-checkable
+    * end-to-end like the single-probe variant.
+    *
+    * @return (query_id, rnk, neighbor_id, cos), rnk ≤ k */
+  def lshMultiprobeTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                        planes: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
+    val c = Par.fanOut(corpus).select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_n"),
+      bucketExpr(col("embedding"), planes, 0).as("bucket"))
+    val probeBuckets = (0 until planes)
+      .foldLeft(Seq(col("__b0"))) { (acc, p) =>
+        acc :+ col("__b0").bitwiseXOR(lit(1L << p))
+      }
+    val q = probes.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), norm(col("embedding")).as("q_n"),
+        bucketExpr(col("embedding"), planes, 0).as("__b0"))
+      .select(col("query_id"), col("q_emb"), col("q_n"),
+        explode(array(probeBuckets: _*)).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"),
+        col("c_emb"), col("q_n"), col("c_n"))
+      .distinct() // a candidate may surface from several probed buckets
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePre(col("q_emb"), col("c_emb"), col("q_n"), col("c_n"))
+          .as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("cos"))
+  }
+
   /** Deterministic ±1 hyperplane component for (plane j, dim i): a 64-bit
     * integer mix computed at PLAN time — the plane matrix ships to
     * executors as a literal array, zero per-row hashing. Exposed to the
