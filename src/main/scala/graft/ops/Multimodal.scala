@@ -124,9 +124,12 @@ object Multimodal {
       .withColumn("n_voiced", expr(
         s"""aggregate(transform(__bs, s -> IF($frames * s > __tot,
            |  1L, 0L)), 0L, (a, x) -> a + x)""".stripMargin))
+      // array_position returns 0 — not NULL — on a miss, so a fully
+      // unvoiced payload must be guarded explicitly to hit the
+      // documented `frames` sentinel (nullif turns the 0 into NULL)
       .withColumn("lead_silence", (coalesce(
-        expr(s"array_position(transform(__bs, " +
-          s"s -> $frames * s > __tot), true)"),
+        nullif(expr(s"array_position(transform(__bs, " +
+          s"s -> $frames * s > __tot), true)"), lit(0L)),
         lit(frames + 1L)) - 1L).cast("long"))
       .withColumn("peak_energy", expr("array_max(__bs)"))
       .withColumn("peak_b",

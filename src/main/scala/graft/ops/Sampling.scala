@@ -170,20 +170,44 @@ object Sampling {
       .select(col(idCol), col("w"), col("lo"), col("n_hits"))
   }
 
+  /** The 32-bit integer finalizer (the public-domain
+    * `(x>>16 ^ x) * 0x45d9f3b` double round — a murmur3-finalizer
+    * variant with constants small enough that every intermediate
+    * product fits in a signed 64-bit lane, so the SAME arithmetic runs
+    * in Spark codegen and in the SQL oracle). Maps u32 → u32 with full
+    * avalanche; pure +, *, %, xor, >> on BIGINT. */
+  private[graft] def mix32(x: Column): Column = {
+    def round(v: Column): Column =
+      (shiftright(v, 16).bitwiseXOR(v) * lit(0x45d9f3bL)) %
+        lit(4294967296L)
+    val a = round(round(x))
+    shiftright(a, 16).bitwiseXOR(a)
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment: each row goes
-    * to the shard maximizing hash(salt‖shard‖"|"‖key) — Thaler &
-    * Ravishankar's HRW, the consistent-sharding rule training-data
-    * exports and distributed caches use. The property that matters:
-    * MINIMAL DISRUPTION — adding a shard moves exactly the keys the
-    * NEW shard wins (≈ 1/(n+1) of them) and nothing else, because
-    * existing shards' scores are untouched (spec-pinned); a mod-N
-    * assignment reshuffles nearly everything.
+    * to the shard maximizing score = mix32(h(salt‖key) XOR
+    * h(salt‖shard)) — Thaler & Ravishankar's HRW, the
+    * consistent-sharding rule training-data exports and distributed
+    * caches use. The property that matters: MINIMAL DISRUPTION — adding
+    * a shard moves exactly the keys the NEW shard wins (≈ 1/(n+1) of
+    * them) and nothing else, because existing shards' scores are
+    * untouched (spec-pinned); a mod-N assignment reshuffles nearly
+    * everything.
+    *
+    * Why XOR-then-mix instead of hashing one concatenated string: the
+    * 31-polynomial string hash is AFFINE in any contiguous shard
+    * substring (h = C + Δshard·31^len(suffix)), so every key ranks the
+    * shards in the same per-length order and a handful of shards win
+    * everything — the r10 defect. XORing the key hash with the shard
+    * hash and running an avalanche finalizer makes every output bit
+    * depend on both inputs; the per-shard word is a plan-time Scala
+    * constant, so the whole score is one codegen'd integer expression.
     *
     * Pure per-row codegen'd map over a plan-time shard list — no
     * shuffle, no join, no state; the shard directory is configuration,
-    * not data. Deterministic anywhere the 32-bit Java string hash is
-    * computable (the engine's cross-checkable hash family); hash ties
-    * go to the lexicographically greatest shard (struct compare).
+    * not data. Deterministic anywhere 64-bit integer arithmetic and the
+    * 32-bit Java string hash are computable; hash ties go to the
+    * lexicographically greatest shard (struct compare).
     *
     * @return input rows + `out` = winning shard id */
   def rendezvousAssign(df: DataFrame, key: Column, shards: Seq[String],
@@ -192,9 +216,11 @@ object Sampling {
     require(shards.distinct.size == shards.size,
       "rendezvousAssign: duplicate shard ids")
     graft.expr.GraftFunctions.register(df.sparkSession)
+    val h1 = hu(concat(lit(salt), key.cast("string")))
     val scored = shards.map { sh =>
-      struct(hu(concat(lit(salt), lit(sh), lit("|"),
-        key.cast("string"))).as("h"), lit(sh).as("s"))
+      // g is plan-time: the same u32 Java hash, computed driver-side
+      val g = (salt + sh).hashCode.toLong & 0xFFFFFFFFL
+      struct(mix32(h1.bitwiseXOR(lit(g))).as("h"), lit(sh).as("s"))
     }
     val win =
       if (scored.size == 1) scored.head else greatest(scored: _*)

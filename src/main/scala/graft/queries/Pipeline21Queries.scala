@@ -25,10 +25,12 @@ object Pipeline21Queries {
 
     "samp_rendezvous" -> ((s, dir) => {
       // rendezvous (HRW) shard assignment of the corpus: each doc to
-      // argmax_shard hash(salt‖shard‖"|"‖doc_id) — pure codegen'd map,
-      // no shuffle; adding a shard later moves ONLY the docs the new
-      // shard wins (spec-pinned), which is why exports shard this way
-      // instead of doc_id % n.
+      // argmax_shard hash(shard‖"|"‖hash(salt‖doc_id)) — the two-round
+      // form that actually mixes shard and key (a one-round polynomial
+      // hash is affine in the shard). Pure codegen'd map, no shuffle;
+      // adding a shard later moves ONLY the docs the new shard wins
+      // (spec-pinned), which is why exports shard this way instead of
+      // doc_id % n.
       Sampling.rendezvousAssign(
           Tables.documents(s, dir).select("doc_id"),
           col("doc_id"), HrwShards, HrwSalt)
@@ -42,10 +44,16 @@ object Pipeline21Queries {
       // machinery), voiced = frame energy strictly above the payload
       // mean (division-free cross-multiply). Emits the curation
       // features: voiced-frame count, leading-silence length, peak
-      // frame + energy.
+      // frame + energy. One synthetic FLAT asset (media_id -1, all
+      // frames equal) is unioned in so the no-voiced-frame branch
+      // (lead_silence = frames sentinel) is graded, not just spec'd.
       Multimodal.audioVad(
-          Multimodal.mediaFromDocuments(s, dir).toDF(), "payload",
-          frames = VadFrames)
+          Multimodal.mediaFromDocuments(s, dir).toDF()
+            .select("media_id", "payload")
+            .unionByName(s.range(1).select(
+              lit(-1L).as("media_id"),
+              encode(lit("a" * VadFrames), "UTF-8").as("payload"))),
+          "payload", frames = VadFrames)
         .select("media_id", "n_voiced", "lead_silence", "peak_b",
           "peak_energy")
         .orderBy("media_id")
@@ -83,12 +91,25 @@ object Pipeline21Queries {
   val oracles: Map[String, String] = Map(
 
     "samp_rendezvous" -> {
-      val shardList = HrwShards.map(s => s"'$s'").mkString(", ")
-      s"""WITH sh AS (SELECT unnest([$shardList]) AS shard),
+      // per-shard u32 words are plan-time constants — inline them, so
+      // the oracle shares ONLY the integer mixer with the operator
+      val shardVals = HrwShards.map { sh =>
+        val g = (HrwSalt + sh).hashCode.toLong & 0xFFFFFFFFL
+        s"('$sh', CAST($g AS BIGINT))"
+      }.mkString(", ")
+      def mixSql(x: String): String = {
+        def round(v: String) =
+          s"((xor($v >> 16, $v) * 73244475) % 4294967296)"
+        val a = round(round(x))
+        s"xor($a >> 16, $a)"
+      }
+      s"""WITH sh AS (SELECT * FROM (VALUES $shardVals) t(shard, g)),
+         |h1 AS (SELECT doc_id,
+         |    ${huSql(s"'$HrwSalt' || CAST(doc_id AS VARCHAR)")} AS hk
+         |  FROM documents),
          |hx AS (SELECT d.doc_id, sh.shard,
-         |    ${huSql(s"'$HrwSalt' || sh.shard || '|' " +
-               "|| CAST(d.doc_id AS VARCHAR)")} AS h
-         |  FROM documents d, sh),
+         |    ${mixSql("xor(d.hk, sh.g)")} AS h
+         |  FROM h1 d, sh),
          |rk AS (SELECT doc_id, shard,
          |    ROW_NUMBER() OVER (PARTITION BY doc_id
          |      ORDER BY h DESC, shard DESC) AS rn FROM hx)
@@ -99,7 +120,10 @@ object Pipeline21Queries {
     "mm_audio_vad" ->
       // the phashCtes block machinery at 16 frames + the VAD decision
       s"""WITH ch AS (SELECT doc_id, string_split_regex(text, '') AS s
-         |       FROM documents),
+         |       FROM documents
+         |     UNION ALL
+         |     SELECT CAST(-1 AS BIGINT),
+         |       string_split_regex(repeat('a', $VadFrames), '')),
          |tok AS (SELECT doc_id, CAST(ii - 1 AS BIGINT) AS i0,
          |    CAST(unicode(s[ii]) AS BIGINT) AS code,
          |    CAST(len(s) AS BIGINT) AS n
