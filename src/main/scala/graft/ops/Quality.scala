@@ -88,9 +88,13 @@ object Quality {
       .withColumn("__nb", sum(col("__cb")).over(all))
       .withColumn("__d",
         abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
-    cdf.select(struct(col("__d"), (-col("__v")).as("__nv"),
-          col("__na"), col("__nb"), col("__v")).as("__s"))
-      .agg(max(col("__s")).as("__m"))
+    // argmax via struct-MIN on (−d, v): negating d (always a LONG) is
+    // order-safe, while negating v would NULL out string domains and
+    // silently pick the LARGEST value instead of the documented
+    // smallest (string categories are explicitly in scope)
+    cdf.select(struct((-col("__d")).as("__nd"), col("__v"),
+          col("__na"), col("__nb"), col("__d")).as("__s"))
+      .agg(min(col("__s")).as("__m"))
       .select(col("__m.__na").as("n_a"), col("__m.__nb").as("n_b"),
         col("__m.__d").as("d_num"), col("__m.__v").as("at_value"))
   }

@@ -91,8 +91,19 @@ object Sampling {
         .as("__w"))
     val cum = Ranks.globalCumSum(wdf, "__w", "__lo", numRanges,
       col(idCol)).pin() // draws + corpus both read it; derive once
+    // the draw is a u32 hash, so mass past 2^32 would be silently
+    // unsampleable — fence loudly (the modularity-fence convention);
+    // pre-scale weights (e.g. div 1024) for larger totals
     val tot = cum.agg(sum(col("__w")).as("__tot"),
       max(col("__w")).as("__b"))
+      .select(
+        when(col("__tot") < (1L << 32), col("__tot"))
+          .otherwise(raise_error(concat(
+            lit("inverseCdf: total weight "), col("__tot").cast("string"),
+            lit(" >= 2^32 — the u32 draw cannot reach it; " +
+              "pre-scale the weights"))))
+          .as("__tot"),
+        col("__b"))
     val probes = spark.range(draws.toLong)
       .select(col("id").as("draw_id"))
       .crossJoin(broadcast(tot))
@@ -433,7 +444,10 @@ object Sampling {
     * watermark scalar), the driver prefix-sums them to find the marginal
     * score class, whole classes above it pass with zero further work,
     * and only the marginal class — bounded by one score's population —
-    * runs a windowed cumsum (partitioned BY the class, ordered by id).
+    * runs a RANGE-PARTITIONED global cumsum ([[Ranks.globalCumSum]],
+    * ordered by id): rows/P per task even when the marginal class is a
+    * large corpus fraction, which the coarse-score contract makes the
+    * common case.
     *
     * Rows with a NULL score or cost are excluded up front (they cannot
     * be ranked); require the caller to coalesce if they belong in. A
@@ -511,13 +525,17 @@ object Sampling {
       case None => rows // everything fits
       case Some((s, spent)) =>
         val kept = rows.where(sCls > s)
-        val w = Window.partitionBy(sCls)
-          .orderBy(col(idCol).asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val margin = rows.where(sCls === s)
-          .withColumn("__cum", sum(cLong).over(w))
-          .where(col("__cum") + spent <= budget)
-          .drop("__cum")
+        // the marginal class is one score's population — but the coarse-
+        // score CONTRACT makes classes data-sized (few classes ⇒ each a
+        // large corpus fraction), so its cumsum must NOT run through one
+        // window partition. Range-partitioned global cumsum instead:
+        // rows/numRanges per task, P-row offset frame.
+        val margin = Ranks.globalCumSum(
+            rows.where(sCls === s).withColumn("__w", cLong),
+            "__w", "__pre", numRanges = 32, col(idCol).asc)
+          // __pre is the EXCLUSIVE prefix; inclusive cum = __pre + cost
+          .where(col("__pre") + col("__w") + spent <= budget)
+          .drop("__w", "__pre")
         kept.unionByName(margin)
     }
   }

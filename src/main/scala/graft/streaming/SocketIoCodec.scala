@@ -120,6 +120,10 @@ object SocketIoCodec {
   /** Keep-alive answer to a server [[Ping]]. */
   def encodePong: String = "3"
 
+  /** Client-originated keep-alive — engine.io v3 inverts the ping
+    * direction (the client sends `2`, the server answers `3`). */
+  def encodeClientPing: String = "2"
+
   /** An `update`-room frame → the [[PushListener]] event it routes.
     * The reference treats ANY update payload as "run one delta sync for
     * my path" (client.js:2023-2027) — the data's `path` field (or a bare

@@ -36,6 +36,7 @@ final class WebSocketEventSource(
   @volatile private var ws: WebSocket = _
   @volatile private var failure: Throwable = _
   @volatile private var joined: CountDownLatch = new CountDownLatch(1)
+  @volatile private var pinger: java.util.concurrent.ScheduledExecutorService = _
 
   override def connect(): Unit = {
     events.clear(); failure = null
@@ -82,10 +83,11 @@ final class WebSocketEventSource(
   /** One decoded inbound frame: handshake steps, keep-alives, events. */
   private def handleFrame(w: WebSocket, frame: String): Unit =
     try SocketIoCodec.decode(frame) match {
-      case SocketIoCodec.Open(_, _) =>
+      case SocketIoCodec.Open(_, pingIntervalMs) =>
         // v4: the client requests the default-namespace connect; a v2
         // server acks without being asked
         if (protocolV4) { w.sendText("40", true); () }
+        else startPinger(w, pingIntervalMs)
       case SocketIoCodec.Connect(_) =>
         // the reference's post-connect room join (client.js:2006)
         w.sendText(SocketIoCodec.encodeJoin(joinPath), true)
@@ -105,6 +107,28 @@ final class WebSocketEventSource(
       case t: Throwable => failure = t // undecodable frame → reconnect
     }
 
+  /** engine.io v3 inverts the keep-alive direction: the CLIENT
+    * originates `2` pings at the handshake's pingInterval and the
+    * server answers `3` — without them a real v2/v3 server times the
+    * connection out after pingTimeout and the listener reconnect-loops.
+    * (v4 servers ping the client; [[handleFrame]] answers those.) */
+  private def startPinger(w: WebSocket, intervalMs: Long): Unit = {
+    stopPinger()
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      r => { val t = new Thread(r, "graft-eio3-ping"); t.setDaemon(true); t })
+    val period = math.max(1000L, intervalMs)
+    ex.scheduleAtFixedRate(
+      () => try { w.sendText(SocketIoCodec.encodeClientPing, true); () }
+            catch { case _: Throwable => () },
+      period, period, TimeUnit.MILLISECONDS)
+    pinger = ex
+  }
+
+  private def stopPinger(): Unit = {
+    val p = pinger
+    if (p != null) { p.shutdownNow(); pinger = null }
+  }
+
   override def poll(timeoutMs: Long): Option[PushEvent] = {
     // deliver buffered events before surfacing a drop: the frames
     // arrived before the failure, losing them would violate
@@ -119,6 +143,7 @@ final class WebSocketEventSource(
   }
 
   override def close(): Unit = {
+    stopPinger()
     val w = ws
     if (w != null) {
       try { w.sendClose(WebSocket.NORMAL_CLOSURE, "bye"); () }

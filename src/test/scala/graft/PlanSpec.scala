@@ -443,6 +443,33 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("samp_token_budget: the marginal class never runs through one " +
+      "window partition — its cumsum is range-partitioned " +
+      "(Ranks.globalCumSum)") {
+    val df = q("samp_token_budget")
+    df.collect() // settle AQE; the 20k budget forces a marginal class
+    def deepWins(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          deepWins(q.plan)
+      }.flatten
+    val wins = deepWins(unwrapped(df))
+    wins.foreach { w =>
+      // every data-carrying window must be partitioned by the range
+      // pid; the only unpartitioned window allowed is the P-row offset
+      // frame (bounded by numRanges, not the data) — it must not carry
+      // document rows
+      if (w.partitionSpec.isEmpty)
+        assert(!w.output.map(_.name).contains("doc_id"),
+          s"marginal class dragged through one task: $w")
+      else
+        assert(w.partitionSpec.map(_.toString).exists(_.contains("__pid")),
+          s"marginal-class window keyed on the data-sized class: $w")
+    }
+  }
+
   test("sim_kcenter: the chosen set broadcasts into the distance " +
       "pass — the corpus sketch never shuffles for it") {
     val df = q("sim_kcenter")

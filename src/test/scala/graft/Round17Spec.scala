@@ -59,6 +59,24 @@ class Round17Spec extends SparkSuite {
     assert(e.getMessage != null)
   }
 
+  test("inverseCdf fences total weight >= 2^32 — the u32 draw could " +
+      "never reach the mass past it, so rows there would be silently " +
+      "unsampleable") {
+    val docs = Seq((1L, 1L << 31), (2L, 1L << 31), (3L, 7L))
+      .toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.inverseCdf(docs, "id", col("w"), draws = 3, salt = "t")
+        .collect()
+    }
+    assert(e.getMessage.contains("2^32"),
+      s"expected the 2^32 fence, got: ${e.getMessage}")
+    // just under the fence still works
+    val ok = Sampling.inverseCdf(
+      Seq((1L, (1L << 32) - 1)).toDF("id", "w"), "id", col("w"),
+      draws = 2, salt = "t").collect()
+    assert(ok.length === 2)
+  }
+
   // ---- equidepthFromCounts -------------------------------------------
 
   test("equidepthFromCounts: boundaries from merged base+delta " +

@@ -159,6 +159,19 @@ class Round20Spec extends SparkSuite {
     assert(same.where($"dev_num" =!= 0L).isEmpty)
   }
 
+  test("ksStat on a STRING domain: at_value is the smallest value " +
+      "attaining D (negating a string would NULL the tiebreak and " +
+      "flip it to the largest)") {
+    // both 'a' and 'c' attain d_num = 2·|cum diff| ... construct ties:
+    // a = [a, b], b = [b, c] → cum diffs at a:(1·2−0·2)=2, b:(2·2−1·2)=2,
+    // c:(2·2−2·2)=0 → D attained at 'a' AND 'b'; smallest is 'a'
+    val a = Seq("a", "b").toDF("v")
+    val b = Seq("b", "c").toDF("v")
+    val got = Quality.ksStat(a, b, "v")
+      .as[(Long, Long, Long, String)].collect().head
+    assert(got === ((2L, 2L, 2L, "a")))
+  }
+
   test("ksCounts additivity: the KS verdict from merged disjoint-slice " +
       "histograms equals the full-rebuild ksStat") {
     val li = Tables.lineitem(spark, sfDir)

@@ -175,6 +175,33 @@ class WebSocketEventSourceSpec extends SparkSuite {
     } finally src.close()
   }
 
+  test("v3 mode: the CLIENT originates keep-alive pings at the " +
+      "handshake's pingInterval (engine.io v3 inverts the direction)") {
+    val srv = new StubWsServer
+    srv.start()
+    val script = new Thread(() => {
+      srv.awaitUpgrade()
+      // v3 open: tight pingInterval so the test observes a ping fast;
+      // a v2/v3 server acks the namespace UNPROMPTED (no '40' expected)
+      srv.send("""0{"sid":"s1","pingInterval":1000,"pingTimeout":5000}""")
+      srv.send("""40""")
+      assert(srv.awaitClient() === """42["join","/persons"]""")
+    }, "stub-ws-script-v3")
+    script.start()
+    val src = new WebSocketEventSource(
+      s"ws://127.0.0.1:${srv.port}/socket.io/?EIO=3&transport=websocket",
+      joinPath = "/persons", protocolV4 = false)
+    try {
+      src.connect()
+      script.join(10000)
+      // the client must send '2' within ~pingInterval; answer '3' and
+      // expect the NEXT one too (periodic, not one-shot)
+      assert(srv.awaitClient() === "2")
+      srv.send("3")
+      assert(srv.awaitClient() === "2")
+    } finally { src.close(); srv.stop() }
+  }
+
   test("uriFor builds both protocol majors' endpoints") {
     assert(WebSocketEventSource.uriFor("http://h:5000") ===
       "ws://h:5000/socket.io/?EIO=4&transport=websocket")
