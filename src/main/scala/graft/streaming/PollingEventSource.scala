@@ -1,0 +1,193 @@
+package graft.streaming
+
+import java.util.concurrent.{CountDownLatch, LinkedBlockingQueue, TimeUnit}
+
+/** socket.io HTTP long-polling transport — the fallback both socket.io
+  * client majors take when the websocket upgrade is blocked (strict
+  * proxies, TLS-terminating middleboxes; the library default behind the
+  * reference's client.js:1987-2006). Same [[EventSource]] seam as
+  * [[WebSocketEventSource]], same [[SocketIoCodec]] frame grammar — the
+  * only transport-specific part is the carry: GET drains queued server
+  * packets (one in-flight long poll at a time, per the engine.io
+  * contract), POST sends client packets, and request/response bodies
+  * batch packets via [[SocketIoCodec.encodePayload]] (0x1E-separated in
+  * v4, length-prefixed in v3).
+  *
+  * Handshake over polling: GET (no sid) → `0{"sid":...}` open; v4 then
+  * POSTs `40` and polls for the connect ack, a v2/v3 server acks
+  * unprompted; then the room join POSTs and the poll pump starts. v3
+  * keep-alive is client-originated `2` pings at the handshake's
+  * pingInterval (the same inversion [[WebSocketEventSource]] handles);
+  * v4 servers ping first and the pump answers.
+  *
+  * Failure contract is the listener's: any HTTP error, non-200, or
+  * engine.io close lands in `failure` and the next `poll` throws after
+  * draining buffered events — [[PushListener]] closes and reconnects on
+  * its cadence.
+  */
+final class PollingEventSource(
+    httpBase: String,
+    joinPath: String,
+    protocolV4: Boolean = true,
+    connectTimeoutMs: Long = 10000L,
+    requestTimeoutMs: Long = 30000L) extends EventSource {
+
+  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+  private val events = new LinkedBlockingQueue[PushEvent]()
+  @volatile private var failure: Throwable = _
+  @volatile private var sid: String = _
+  @volatile private var running = false
+  @volatile private var pump: Thread = _
+  @volatile private var pinger: java.util.concurrent.ScheduledExecutorService = _
+  // engine.io's cache-buster `t=` param — monotonic, not a clock
+  private val tick = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
+    .build()
+
+  private def baseUri: String = {
+    val u = java.net.URI.create(httpBase)
+    val eio = if (protocolV4) 4 else 3
+    s"${u.getScheme}://${u.getAuthority}/socket.io/?EIO=$eio&transport=polling"
+  }
+
+  private def uri(withSid: Boolean): java.net.URI = {
+    val s = if (withSid) s"&sid=$sid" else ""
+    java.net.URI.create(s"$baseUri$s&t=${tick.incrementAndGet()}")
+  }
+
+  private def get(): Seq[String] = {
+    val resp = http.send(
+      HttpRequest.newBuilder(uri(withSid = sid != null))
+        .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new java.io.IOException(
+        s"polling GET ${resp.statusCode()}: ${resp.body().take(200)}")
+    SocketIoCodec.decodePayload(resp.body(), protocolV4)
+  }
+
+  private def post(frames: String*): Unit = {
+    val resp = http.send(
+      HttpRequest.newBuilder(uri(withSid = true))
+        .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          SocketIoCodec.encodePayload(frames, protocolV4)))
+        .header("Content-Type", "text/plain;charset=UTF-8")
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new java.io.IOException(
+        s"polling POST ${resp.statusCode()}: ${resp.body().take(200)}")
+  }
+
+  override def connect(): Unit = {
+    events.clear(); failure = null; sid = null
+    val deadline = System.nanoTime() + connectTimeoutMs * 1000000L
+    def remaining(): Unit =
+      if (System.nanoTime() > deadline)
+        throw new java.io.IOException(
+          s"socket.io polling handshake timed out after ${connectTimeoutMs}ms")
+    // open: first GET carries no sid
+    var pending = get().toList
+    val open = pending.headOption.map(SocketIoCodec.decode) match {
+      case Some(o: SocketIoCodec.Open) => pending = pending.tail; o
+      case other => throw new java.io.IOException(
+        s"polling handshake did not open with an engine.io Open: $other")
+    }
+    sid = open.sid
+    if (protocolV4) post("40") // request the default-namespace connect
+    else startPinger(open.pingIntervalMs)
+    // drain until the namespace connect ack, then join the room
+    var connected = false
+    while (!connected) {
+      remaining()
+      if (pending.isEmpty) pending = get().toList
+      else pending.head match {
+        case f =>
+          pending = pending.tail
+          SocketIoCodec.decode(f) match {
+            case _: SocketIoCodec.Connect => connected = true
+            case SocketIoCodec.ConnectError(_, reason) =>
+              throw new java.io.IOException(
+                s"namespace connect error: $reason")
+            case SocketIoCodec.Ping => post(SocketIoCodec.encodePong)
+            case e: SocketIoCodec.Event =>
+              // an update racing the handshake still counts
+              // (at-least-once) — never drop it
+              SocketIoCodec.eventToPush(e).foreach(events.put)
+            case _ => () // opens/noops/keep-alives before the ack
+          }
+      }
+    }
+    post(SocketIoCodec.encodeJoin(joinPath))
+    // leftover frames from the handshake GETs are real traffic
+    pending.foreach(handleFrame)
+    running = true
+    val t = new Thread(() => pumpLoop(), "graft-polling-pump")
+    t.setDaemon(true)
+    t.start()
+    pump = t
+  }
+
+  private def pumpLoop(): Unit =
+    try while (running) get().foreach(handleFrame)
+    catch {
+      case _: Throwable if !running => () // closed under the pump
+      case t: Throwable => failure = t
+    }
+
+  private def handleFrame(frame: String): Unit =
+    try SocketIoCodec.decode(frame) match {
+      case SocketIoCodec.Ping => post(SocketIoCodec.encodePong)
+      case e: SocketIoCodec.Event =>
+        SocketIoCodec.eventToPush(e).foreach(events.put)
+      case SocketIoCodec.Close =>
+        failure = new java.io.IOException("server sent engine.io close")
+      case _ => () // opens, pongs, noops, acks, disconnects
+    } catch {
+      case t: Throwable => failure = t // undecodable frame → reconnect
+    }
+
+  private def startPinger(intervalMs: Long): Unit = {
+    stopPinger()
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      r => { val t = new Thread(r, "graft-eio3-poll-ping")
+             t.setDaemon(true); t })
+    val period = math.max(1000L, intervalMs)
+    ex.scheduleAtFixedRate(
+      () => try post(SocketIoCodec.encodeClientPing)
+            catch { case t: Throwable => failure = t },
+      period, period, TimeUnit.MILLISECONDS)
+    pinger = ex
+  }
+
+  private def stopPinger(): Unit = {
+    val p = pinger
+    if (p != null) { p.shutdownNow(); pinger = null }
+  }
+
+  override def poll(timeoutMs: Long): Option[PushEvent] = {
+    // buffered events drain before a failure surfaces (at-least-once)
+    val buffered = events.poll()
+    if (buffered != null) return Some(buffered)
+    if (failure != null) {
+      val f = failure; failure = null
+      throw new java.io.IOException("socket.io polling transport dropped", f)
+    }
+    Option(events.poll(math.max(0L, timeoutMs), TimeUnit.MILLISECONDS))
+  }
+
+  override def close(): Unit = {
+    running = false
+    stopPinger()
+    val t = pump
+    if (t != null) t.interrupt()
+    // best-effort engine.io close packet so the server frees the session
+    if (sid != null) {
+      try post("1") catch { case _: Throwable => () }
+    }
+  }
+}

@@ -124,6 +124,35 @@ object SocketIoCodec {
     * direction (the client sends `2`, the server answers `3`). */
   def encodeClientPing: String = "2"
 
+  /** HTTP long-polling carries BATCHES of engine.io packets per
+    * request/response body. v4 joins packets with the ASCII record
+    * separator 0x1E; v3 length-prefixes each as `<charCount>:<packet>`
+    * (the XHR framing both socket.io client majors fall back to when
+    * the websocket upgrade is blocked). */
+  val RecordSep: Char = '\u001e'
+
+  def encodePayload(frames: Seq[String], v4: Boolean): String =
+    if (v4) frames.mkString(RecordSep.toString)
+    else frames.map(f => s"${f.length}:$f").mkString
+
+  def decodePayload(body: String, v4: Boolean): Seq[String] =
+    if (body.isEmpty) Nil
+    else if (v4) body.split(RecordSep).toSeq.filter(_.nonEmpty)
+    else {
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < body.length) {
+        val colon = body.indexOf(':', i)
+        require(colon > i, s"malformed v3 polling payload at $i: $body")
+        val len = body.substring(i, colon).toInt
+        require(colon + 1 + len <= body.length,
+          s"v3 polling payload truncated: wanted $len chars at $colon")
+        out += body.substring(colon + 1, colon + 1 + len)
+        i = colon + 1 + len
+      }
+      out.result()
+    }
+
   /** An `update`-room frame → the [[PushListener]] event it routes.
     * The reference treats ANY update payload as "run one delta sync for
     * my path" (client.js:2023-2027) — the data's `path` field (or a bare

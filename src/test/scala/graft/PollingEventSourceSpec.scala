@@ -1,0 +1,226 @@
+package graft
+
+import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+import org.apache.spark.sql.functions._
+import graft.runner.{ParquetTarget, SyncConfig, SyncRunner}
+import graft.streaming.{PollingEventSource, PushListener, SocketIoCodec}
+
+/** The HTTP long-polling fallback transport against a REAL localhost
+  * HTTP server: a minimal engine.io polling endpoint (GET drains an
+  * outbound frame queue, POST records client packets) speaks the
+  * socket.io handshake/event grammar at
+  * [[graft.streaming.PollingEventSource]], and the full [[PushListener]]
+  * loop lands an actual delta merge — the polling twin of
+  * `WebSocketEventSourceSpec`, covering the transport the reference's
+  * socket.io client falls back to behind strict proxies
+  * (client.js:1987-2006). */
+class PollingEventSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Loopback engine.io polling stub. GET with a sid long-polls the
+    * outbound queue (2 s slices, `6` noop on empty so the client
+    * re-polls); GET without a sid serves the scripted handshake
+    * payload; POST bodies are payload-decoded into `clientPackets`. */
+  private final class StubPollServer(v4: Boolean,
+      handshakeFrames: Seq[String]) {
+    private val server = new java.net.ServerSocket(
+      0, 16, java.net.InetAddress.getLoopbackAddress)
+    def port: Int = server.getLocalPort
+    def base: String = s"http://127.0.0.1:$port"
+    val clientPackets = new LinkedBlockingQueue[String]()
+    private val outbound = new LinkedBlockingQueue[String]()
+    @volatile private var running = true
+    /** Called with every decoded client packet (before queueing) —
+      * tests hook the v4 `40` connect request here. */
+    @volatile var onClientPacket: String => Unit = _ => ()
+
+    def send(frame: String): Unit = outbound.put(frame)
+    def awaitClient(): String = {
+      val f = clientPackets.poll(10, TimeUnit.SECONDS)
+      assert(f != null, "expected a client packet"); f
+    }
+
+    private val acceptor = new Thread(() => {
+      try while (running) {
+        val s = server.accept()
+        val t = new Thread(() => serve(s), "stub-poll-conn")
+        t.setDaemon(true); t.start()
+      } catch { case _: Throwable => () }
+    }, "stub-poll-accept")
+
+    private def serve(sock: java.net.Socket): Unit = {
+      try {
+        val in = sock.getInputStream
+        val out = sock.getOutputStream
+        while (running) {
+          // request line + headers
+          val head = new StringBuilder
+          while (!head.endsWith("\r\n\r\n")) {
+            val c = in.read()
+            if (c < 0) return
+            head.append(c.toChar)
+          }
+          val lines = head.toString.split("\r\n")
+          val Array(method, path, _) = lines(0).split(" ", 3)
+          val len = lines.find(_.toLowerCase.startsWith("content-length:"))
+            .map(_.split(":", 2)(1).trim.toInt).getOrElse(0)
+          val body = new Array[Byte](len)
+          var off = 0
+          while (off < len) {
+            val n = in.read(body, off, len - off)
+            if (n < 0) return
+            off += n
+          }
+          val resp: String = method match {
+            case "POST" =>
+              SocketIoCodec.decodePayload(new String(body, "UTF-8"), v4)
+                .foreach { p => onClientPacket(p); clientPackets.put(p) }
+              "ok"
+            case "GET" if !path.contains("sid=") =>
+              SocketIoCodec.encodePayload(handshakeFrames, v4)
+            case "GET" =>
+              val f = outbound.poll(2, TimeUnit.SECONDS)
+              SocketIoCodec.encodePayload(
+                if (f == null) Seq("6") else Seq(f), v4)
+          }
+          val bytes = resp.getBytes("UTF-8")
+          out.write(("HTTP/1.1 200 OK\r\n" +
+            "Content-Type: text/plain;charset=UTF-8\r\n" +
+            s"Content-Length: ${bytes.length}\r\n\r\n").getBytes("UTF-8"))
+          out.write(bytes); out.flush()
+        }
+      } catch { case _: Throwable => () }
+      finally { try sock.close() catch { case _: Throwable => () } }
+    }
+
+    def start(): Unit = acceptor.start()
+    def stop(): Unit = {
+      running = false
+      try server.close() catch { case _: Throwable => () }
+    }
+  }
+
+  private val OpenV4 =
+    """0{"sid":"p1","pingInterval":25000,"pingTimeout":20000}"""
+
+  /** v4 stub that acks the namespace when the client POSTs `40`. */
+  private def v4Server(): StubPollServer = {
+    val srv = new StubPollServer(v4 = true, Seq(OpenV4))
+    srv.onClientPacket = p => if (p == "40") srv.send("""40{"sid":"n1"}""")
+    srv
+  }
+
+  test("v4 polling handshake, room join, server ping/pong, and update " +
+      "delivery over real localhost HTTP") {
+    val srv = v4Server()
+    srv.start()
+    val src = new PollingEventSource(srv.base, joinPath = "/persons?limit=5")
+    try {
+      src.connect()
+      assert(srv.awaitClient() === "40")
+      assert(srv.awaitClient() === """42["join","/persons"]""")
+      // server ping → client pong (v4 direction)
+      srv.send("2")
+      assert(srv.awaitClient() === "3")
+      // update frame surfaces as a PushEvent
+      srv.send("""42["update",{"path":"/persons","type":"UPDATE"}]""")
+      val got = src.poll(5000)
+      assert(got.contains(graft.streaming.PushEvent("/persons", "update")))
+      // non-update rooms do not surface
+      srv.send("""42["other",{"path":"/persons"}]""")
+      assert(src.poll(200).isEmpty)
+    } finally { src.close(); srv.stop() }
+  }
+
+  test("v3 polling: length-prefixed payloads, unprompted connect ack, " +
+      "and CLIENT-originated pings at the handshake interval") {
+    // v3 handshake: open + namespace ack in ONE payload, tight interval
+    val srv = new StubPollServer(v4 = false, Seq(
+      """0{"sid":"p3","pingInterval":1000,"pingTimeout":5000}""", "40"))
+    srv.start()
+    val src = new PollingEventSource(srv.base, joinPath = "/persons",
+      protocolV4 = false)
+    try {
+      src.connect()
+      assert(srv.awaitClient() === """42["join","/persons"]""")
+      // the client must originate '2' pings periodically in v3
+      assert(srv.awaitClient() === "2")
+      srv.send("3")
+      assert(srv.awaitClient() === "2")
+      // events flow over the v3 framing too
+      srv.send("""42["update",{"path":"/persons"}]""")
+      assert(src.poll(5000)
+        .contains(graft.streaming.PushEvent("/persons", "update")))
+    } finally { src.close(); srv.stop() }
+  }
+
+  test("server drop surfaces on poll as a transport error so the " +
+      "listener reconnects") {
+    val srv = v4Server()
+    srv.start()
+    val src = new PollingEventSource(srv.base, joinPath = "/persons",
+      requestTimeoutMs = 3000)
+    try {
+      src.connect()
+      srv.send("""42["update",{"path":"/persons"}]""")
+      assert(src.poll(5000)
+        .contains(graft.streaming.PushEvent("/persons", "update")))
+      srv.stop()
+      intercept[java.io.IOException] {
+        var n = 0
+        while (n < 100) { src.poll(100); n += 1 }
+      }
+    } finally src.close()
+  }
+
+  test("payload codec golden frames: v4 record separator, v3 length " +
+      "prefixes, round-trip") {
+    val frames = Seq("2", """42["update",{"path":"/p"}]""", "6")
+    val v4 = SocketIoCodec.encodePayload(frames, v4 = true)
+    assert(v4 === frames.mkString("\u001e"))
+    assert(SocketIoCodec.decodePayload(v4, v4 = true) === frames)
+    val v3 = SocketIoCodec.encodePayload(frames, v4 = false)
+    assert(v3 === "1:2" + "26:" + """42["update",{"path":"/p"}]""" + "1:6")
+    assert(SocketIoCodec.decodePayload(v3, v4 = false) === frames)
+    assert(SocketIoCodec.decodePayload("", v4 = true).isEmpty)
+    assert(SocketIoCodec.decodePayload("", v4 = false).isEmpty)
+    intercept[IllegalArgumentException] {
+      SocketIoCodec.decodePayload("5:ab", v4 = false)
+    }
+  }
+
+  test("full loop: a frame from the live polling transport drives a " +
+      "REAL delta merge through PushListener") {
+    val dir = java.nio.file.Files.createTempDirectory("poll-push")
+    val target = new ParquetTarget(spark, s"$dir/apptable")
+    val runner = new SyncRunner(spark, SyncConfig("apptable", s"$dir/state"))
+    target.overwrite(Seq(("/persons/1", 100L, "a"))
+      .toDF("href", "modified_ms", "jsondata"))
+    val delta = Seq(("/persons/1", 200L, "b"), ("/persons/2", 200L, "c"))
+      .toDF("href", "modified_ms", "jsondata")
+    val none = Seq.empty[String].toDF("href")
+
+    val srv = v4Server()
+    srv.start()
+    val src = new PollingEventSource(srv.base, joinPath = "/persons")
+    val listener = new PushListener(src,
+      rooms = Map("/persons" ->
+        (_ => { runner.deltaSync(delta, none, target); () })),
+      reconnectMs = 50L, retryMs = 50L)
+    listener.start()
+    try {
+      // wait for the transport to join the room, then broadcast
+      assert(srv.awaitClient() === "40")
+      assert(srv.awaitClient() === """42["join","/persons"]""")
+      srv.send("""42["update",{"path":"/persons"}]""")
+      val end = System.currentTimeMillis() + 15000
+      while (listener.syncsRun.get() < 1 && System.currentTimeMillis() < end)
+        Thread.sleep(10)
+      assert(listener.syncsRun.get() >= 1, "merge never ran")
+      val got = target.read(spark)
+        .as[(String, Long, String)].collect().toSet
+      assert(got === Set(("/persons/1", 200L, "b"),
+        ("/persons/2", 200L, "c")))
+    } finally { listener.stop(); srv.stop() }
+  }
+}
