@@ -1011,6 +1011,260 @@ object Graph {
       .select(col("node"), coalesce(col("moved"), col("comm")).as("comm"))
   }
 
+  /** WEIGHTED synchronous Louvain move round — [[louvainMoveRound]]
+    * generalized to the coarsened graphs Louvain phase 2 produces:
+    * edges are (lo, hi, w) with lo ≤ hi, integer w ≥ 1, and SELF-LOOPS
+    * (lo = hi) carrying a supernode's internal mass. Self-loops move
+    * with their node, so they contribute 2w to its degree (and through
+    * it to every volume term) but never to any k_ix — exactly the
+    * Blondel et al. phase-2 bookkeeping.
+    *
+    * Gain at scale 4W² (W = total edge weight, self-loops once):
+    *   4W·(k_ic − k_ia) − 2·d_i·(vol_c − vol_a + d_i)
+    * with d_i = Σ_{j≠i} w_ij + 2·w_ii, vol_* OLD community degree
+    * sums. Exact longs, loud fence at W > 2³⁰ (the
+    * [[modularityByBlock]] budget). Ties: smallest community id.
+    *
+    * SWAP GUARD (Lu & Halappanavar's minimum-labeling rule): a
+    * singleton may not move into another SINGLETON community with a
+    * larger id. Without it, two adjacent singletons move into each
+    * other's community in the same synchronous round — a swap, not a
+    * merge — and the objective gate in [[louvain]] then freezes phase 1
+    * at a barely-refined partition; with it, the pair merges under the
+    * smaller id and the ascent proceeds as a sequential sweep would.
+    *
+    * GROWTH CAP (`capInMigration`): a community accepts at most n_c
+    * in-migrants per round, ranked by (gain desc, node asc). Without
+    * it, a synchronous round on a hub-shaped graph piles EVERY
+    * neighbor into the same small community at once — each gain was
+    * computed against the old volume, the joint volume explodes
+    * quadratically, and the [[louvain]] gate rejects the round,
+    * stalling the ascent at singletons. With it growth is at most a
+    * doubling per round (log-round convergence) and the per-mover gain
+    * estimates stay honest. The in-migrant rank is a window keyed by
+    * TARGET community — bounded by that round's proposals, which the
+    * cap itself keeps near community size.
+    *
+    * @param edges (lo, hi, w) — canonical, self-loops allowed
+    * @param assign (node, comm) covering every endpoint (raises else)
+    * @param capInMigration rank-cap in-migration at n_c (the
+    *        [[louvain]] setting); false = the raw synchronous round
+    * @return (node, comm) after ONE synchronous weighted move round */
+  def louvainMoveRoundWeighted(edges: DataFrame, assign: DataFrame,
+                               capInMigration: Boolean = false)
+  : DataFrame = {
+    val b = assign.select(col("node").cast("long").as("node"),
+      col("comm").cast("long").as("comm")).distinct().pin()
+    val e = edges.select(col("lo").cast("long").as("lo"),
+      col("hi").cast("long").as("hi"), col("w").cast("long").as("w"))
+      .pin()
+    val x = e.where(col("lo") =!= col("hi"))
+    val selfd = e.where(col("lo") === col("hi"))
+      .select(col("lo").as("node"), (lit(2L) * col("w")).as("dw"))
+    val lab = x
+      .join(b.select(col("node").as("lo"), col("comm").as("cl")),
+        Seq("lo"), "left")
+      .join(b.select(col("node").as("hi"), col("comm").as("ch")),
+        Seq("hi"), "left")
+      .select(col("lo"), col("hi"), col("w"),
+        when(col("cl").isNull || col("ch").isNull,
+          raise_error(concat(lit("louvainMoveRoundWeighted: unassigned "
+            + "vertex on edge ("), col("lo"), lit(","), col("hi"),
+            lit(")"))))
+          .otherwise(col("cl")).as("cl"), col("ch"))
+    val wTot = e.agg(sum(col("w")).as("__w"))
+      .select(when(col("__w") <= (1L << 30), col("__w"))
+        .otherwise(raise_error(lit("louvainMoveRoundWeighted: W > 2^30 "
+          + "overflows the 4W·k int64 budget — rescale first")))
+        .as("__w"))
+    val inc = lab.select(explode(array(
+        struct(col("lo").as("node"), col("cl").as("own"),
+          col("ch").as("nbr"), col("w")),
+        struct(col("hi").as("node"), col("ch").as("own"),
+          col("cl").as("nbr"), col("w")))).as("x"))
+      .select(col("x.node").as("node"), col("x.own").as("own"),
+        col("x.nbr").as("nbr"), col("x.w").as("w"))
+      .pin()
+    // d_i: cross-edge incident weight + 2·self-loop weight (a node may
+    // have only a self-loop — the full-outer keeps it movable-in-place)
+    val deg = inc.groupBy("node").agg(sum(col("w")).as("dx"))
+      .join(selfd, Seq("node"), "full_outer")
+      .select(col("node"),
+        (coalesce(col("dx"), lit(0L)) + coalesce(col("dw"), lit(0L)))
+          .as("d_i"))
+    val vol = deg.join(b, Seq("node"))
+      .groupBy(col("comm").as("c")).agg(sum(col("d_i")).as("d_c"))
+    val kix = inc.groupBy("node", "nbr").agg(sum(col("w")).as("k"))
+      .join(b, Seq("node"))
+    val sizes = b.groupBy(col("comm").as("c"))
+      .agg(count(lit(1)).as("n_c"))
+    val own = b.join(kix.where(col("nbr") === col("comm"))
+        .select(col("node"), col("k").as("k_ia")), Seq("node"), "left")
+      .select(col("node"), col("comm"),
+        coalesce(col("k_ia"), lit(0L)).as("k_ia"))
+      .join(deg, Seq("node"))
+      .join(vol.select(col("c").as("comm"), col("d_c").as("d_a")),
+        Seq("comm"))
+      .join(sizes.select(col("c").as("comm"), col("n_c").as("n_a")),
+        Seq("comm"))
+    val cand = own
+      .join(kix.where(col("nbr") =!= col("comm"))
+          .select(col("node"), col("nbr").as("c"), col("k").as("k_ic")),
+        Seq("node"))
+      .join(vol, Seq("c"))
+      .join(sizes, Seq("c"))
+      // the swap guard: singleton → larger-id singleton is forbidden
+      .where(!(col("n_a") === 1L && col("n_c") === 1L &&
+        col("c") > col("comm")))
+      .crossJoin(broadcast(wTot))
+      .select(col("node"), col("comm"), col("c"),
+        (lit(4L) * col("__w") * (col("k_ic") - col("k_ia")) -
+          lit(2L) * col("d_i") *
+            (col("d_c") - col("d_a") + col("d_i"))).as("gain"))
+    val prop = cand.where(col("gain") > 0)
+      .groupBy("node")
+      .agg(min(struct((-col("gain")).as("ng"), col("c"))).as("__b"))
+      .select(col("node"), col("__b.c").as("c"),
+        (-col("__b.ng")).as("gain"))
+    val best =
+      if (!capInMigration) prop.select(col("node"), col("c").as("moved"))
+      else {
+        import org.apache.spark.sql.expressions.Window
+        prop
+          .withColumn("__rk", row_number().over(Window.partitionBy("c")
+            .orderBy(col("gain").desc, col("node").asc)))
+          .join(sizes, Seq("c"))
+          .where(col("__rk") <= col("n_c"))
+          .select(col("node"), col("c").as("moved"))
+      }
+    b.join(best, Seq("node"), "left")
+      .select(col("node"), coalesce(col("moved"), col("comm")).as("comm"))
+  }
+
+  /** Exact weighted modularity NUMERATOR of an assignment over a
+    * (lo, hi, w) edge list with self-loops: q_num = Σ_c (4W·e_c −
+    * vol_c²) so Q = q_num / 4W², with e_c = intra-community edge
+    * weight (self-loops once) and vol_c = Σ member degrees (d_i as
+    * [[louvainMoveRoundWeighted]]). ONE long row — the acceptance test
+    * of the [[louvain]] loop reads it like a watermark scalar. */
+  def modularityNumWeighted(edges: DataFrame,
+                            assign: DataFrame): DataFrame = {
+    val b = assign.select(col("node").cast("long").as("node"),
+      col("comm").cast("long").as("comm")).distinct()
+    val e = edges.select(col("lo").cast("long").as("lo"),
+      col("hi").cast("long").as("hi"), col("w").cast("long").as("w"))
+    val lab = e
+      .join(b.select(col("node").as("lo"), col("comm").as("cl")),
+        Seq("lo"))
+      .join(b.select(col("node").as("hi"), col("comm").as("ch")),
+        Seq("hi"))
+      .pin() // W, e_c, and degrees all read it
+    val wTot = lab.agg(sum(col("w")).as("__w"))
+      .select(when(col("__w") <= (1L << 30), col("__w"))
+        .otherwise(raise_error(lit("modularityNumWeighted: W > 2^30 "
+          + "overflows the 4W·e_c int64 budget — rescale first")))
+        .as("__w"))
+    val ec = lab.where(col("cl") === col("ch"))
+      .groupBy(col("cl").as("c")).agg(sum(col("w")).as("e_c"))
+    val deg = lab.select(explode(array(
+        struct(col("lo").as("node"),
+          when(col("lo") === col("hi"), lit(2L) * col("w"))
+            .otherwise(col("w")).as("dw")),
+        struct(col("hi").as("node"),
+          when(col("lo") === col("hi"), lit(0L))
+            .otherwise(col("w")).as("dw")))).as("x"))
+      .select(col("x.node").as("node"), col("x.dw").as("dw"))
+      .groupBy("node").agg(sum(col("dw")).as("d_i"))
+    val vol = deg.join(b, Seq("node"))
+      .groupBy(col("comm").as("c")).agg(sum(col("d_i")).as("d_c"))
+    vol.join(ec, Seq("c"), "left")
+      .select(col("c"), coalesce(col("e_c"), lit(0L)).as("e_c"),
+        col("d_c"))
+      .crossJoin(broadcast(wTot))
+      .agg(sum(lit(4L) * col("__w") * col("e_c") -
+        col("d_c") * col("d_c")).as("q_num"))
+  }
+
+  /** FULL distributed Louvain (Blondel et al. 2008), two levels:
+    * phase 1 iterates ACCEPTED growth-capped synchronous move rounds
+    * from singleton seeds — a candidate round is kept only if the
+    * exact integer modularity numerator strictly increases, and the
+    * first rejection ends the level (the round rule is a pure function
+    * of the assignment, so a rejected candidate would recur forever).
+    * The swap guard + in-migration cap make each round behave like a
+    * batched sequential sweep (no singleton swaps, no hub pile-ups),
+    * and the objective gate makes the loop a deterministic monotone
+    * ascent — then ONE coarsening
+    * (community supergraph: inter-community weights summed, intra mass
+    * as self-loops) and a second accepted-move pass on the supergraph,
+    * composing back to original vertices. Every attempted round costs
+    * one candidate materialization + one 1-row q_num read (the
+    * [[pageRankIntConverged]] cadence).
+    *
+    * Round budgets are FIXED per level (`rounds1`, `rounds2`) with
+    * early exit on the first rejection — the distributed sweep-budget
+    * convention (cf. the fixed-round k-core peel): the cost is bounded
+    * by configuration, not data, and a fixed-depth SQL oracle replays
+    * the process exactly whether a level converged early (rounds past
+    * the rejection are idempotent) or spent its whole budget.
+    *
+    * The phase-2 invariant the spec pins: coarse-graph modularity of
+    * the level-2 assignment equals original-graph modularity of the
+    * composed assignment — coarsening is exact, not an approximation.
+    *
+    * @return (node, comm) — comm ids are level-1 community ids
+    *         surviving level 2 (a deterministic integer process the
+    *         SQL oracle replays exactly) */
+  def louvain(edges: DataFrame, loCol: String, hiCol: String,
+              rounds1: Int = 8, rounds2: Int = 6): DataFrame = {
+    require(rounds1 >= 1 && rounds2 >= 1, "round budgets must be >= 1")
+    val e1 = canonEdges(edges, loCol, hiCol)
+      .select(col("lo"), col("hi"), lit(1L).as("w")).pin()
+    val nodes = e1.select(explode(array(col("lo"), col("hi"))).as("node"))
+      .distinct()
+    def ascend(e: DataFrame, init: DataFrame, budget: Int): DataFrame = {
+      import graft.ops.Pin.PinIterOps
+      var assign = init.pinIter()
+      var q = modularityNumWeighted(e, assign).head().getLong(0)
+      // the round rule is a pure function of the assignment, so the
+      // FIRST rejected candidate would recur forever — one rejection
+      // IS the fixpoint; otherwise stop at the configured budget
+      var done = false
+      var attempts = 0
+      while (!done && attempts < budget) {
+        // pinIter, not pin: the move round references the assignment
+        // ~9 times, so propagated size stats would grow 9^rounds digits
+        // and stall the PLANNER (see Pin.resetStats)
+        val cand = louvainMoveRoundWeighted(e, assign,
+          capInMigration = true).pinIter()
+        val qc = modularityNumWeighted(e, cand).head().getLong(0)
+        attempts += 1
+        if (qc > q) { assign = cand; q = qc }
+        else done = true
+      }
+      assign
+    }
+    val l1 = ascend(e1, nodes.select(col("node"), col("node").as("comm")),
+        rounds1)
+      .pin() // coarsening + composition both read it
+    // coarsen: communities become supernodes; intra mass → self-loops
+    val ce = e1
+      .join(l1.select(col("node").as("lo"), col("comm").as("ca")),
+        Seq("lo"))
+      .join(l1.select(col("node").as("hi"), col("comm").as("cb")),
+        Seq("hi"))
+      .groupBy(least(col("ca"), col("cb")).as("lo"),
+        greatest(col("ca"), col("cb")).as("hi"))
+      .agg(sum(col("w")).as("w"))
+      .pin()
+    val supernodes = l1.select(col("comm").as("node")).distinct()
+    val l2 = ascend(ce, supernodes.select(col("node"),
+      col("node").as("comm")), rounds2)
+    l1.select(col("node"), col("comm").as("c1"))
+      .join(l2.select(col("node").as("c1"), col("comm")), Seq("c1"))
+      .select(col("node"), col("comm"))
+  }
+
   /** Degree-assortativity sufficient statistics of an undirected
     * canonical edge list (Newman 2002), as ONE row of exact integers:
     * m (edges), s1 = Σ_e d_u·d_v, s2 = Σ_e (d_u + d_v),

@@ -49,8 +49,41 @@ object Pin {
   def apply[T](ds: Dataset[T]): Dataset[T] =
     if (reliable(ds)) ds.checkpoint() else ds.localCheckpoint()
 
+  /** Pin AND drop the inherited size statistics — for ITERATED round
+    * functions that reference their pinned input k > 1 times.
+    *
+    * Checkpointing carries the origin plan's `sizeInBytes` into the
+    * pinned leaf, and the size-only estimator MULTIPLIES sizes across
+    * joins — so a round function with k references to the previous
+    * round's pin grows the estimate's DIGIT COUNT by ×k per round.
+    * Harmless at k ≤ 2 (PageRank-style rounds: linear digits), but a
+    * join-rich round like the Louvain move (k ≈ 9) reaches million-
+    * digit BigIntegers by round ~6 and Catalyst then spends MINUTES of
+    * driver CPU per round inside BigInteger.multiply while planning
+    * (measured: level-2 rounds 1.5 s → 3.4 s → 43 s → minutes).
+    *
+    * The public RDD[Row] round-trip rebuilds the leaf without
+    * originStats, resetting it to the default estimate — per-round
+    * planning cost becomes constant. The price: the leaf looks huge to
+    * the optimizer (no auto-broadcast of the pinned frame), which is
+    * the correct conservative posture for the data-sized assignment
+    * frames this exists for; keep plain [[PinOps.pin]] where real
+    * stats should feed broadcast decisions. */
+  def resetStats(df: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val cp = Pin(df)
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   /** `df.pin()` — postfix form, drop-in for `.localCheckpoint()`. */
   implicit class PinOps[T](private val ds: Dataset[T]) extends AnyVal {
     def pin(): Dataset[T] = Pin(ds)
+  }
+
+  /** `df.pinIter()` — the [[resetStats]] form, for the per-round pin
+    * of a join-rich iterated loop. */
+  implicit class PinIterOps(private val df: org.apache.spark.sql.DataFrame)
+    extends AnyVal {
+    def pinIter(): org.apache.spark.sql.DataFrame = resetStats(df)
   }
 }

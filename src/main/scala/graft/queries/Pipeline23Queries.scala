@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Graph
+
+/** Round-11 first batch: FULL two-level Louvain (Blondel et al. 2008) —
+  * phase 1 as a monotone ascent of objective-GATED synchronous move
+  * rounds from singleton seeds, one exact coarsening, and a second
+  * gated pass on the community supergraph. The oracle replays the whole
+  * deterministic integer process: each unrolled round computes the
+  * candidate partition AND its exact modularity numerator, and accepts
+  * the round only if the numerator strictly increases — so unrolling
+  * MORE rounds than the engine accepted is idempotent (a rejected
+  * round recomputes the same rejected candidate forever), which is what
+  * makes a convergence loop gradable by a fixed-depth SQL oracle. */
+object Pipeline23Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // fixed gated-round budgets per level, shared by engine and oracle:
+  // the oracle unrolls EXACTLY this many gated rounds, which matches
+  // the engine whether it converged early (post-rejection rounds are
+  // idempotent) or ran out of budget (both stop at R).
+  private val L1Rounds = 8
+  private val L2Rounds = 6
+
+  val queries: Map[String, Q] = Map(
+
+    "graph_louvain" -> ((s, dir) => {
+      // full Louvain over the nation-1 slice of the customer–supplier
+      // purchase graph (the ppr-style seed-scoped fixture — each
+      // attempted round is a whole distributed pass, so the graded
+      // fixture bounds the round count × round cost product):
+      // singleton seeds → growth-capped gated move rounds (accept only
+      // strict exact-modularity increase — the deterministic,
+      // oscillation-proof form of phase 1) → exact coarsening with
+      // self-loop mass → gated rounds on the supergraph → compose.
+      val cust = Tables.customer(s, dir)
+        .where(col("c_nationkey") === 1)
+        .select(col("c_custkey"))
+      val edges = Tables.orders(s, dir)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      Graph.louvain(edges, "src", "dst",
+          rounds1 = L1Rounds, rounds2 = L2Rounds)
+        .orderBy("node")
+    })
+  )
+
+  /** One gated weighted move round in DuckDB SQL: from accepted
+    * assignment `a$p` (+ its numerator `qa$p`) over edges `$ew` with
+    * per-node degrees `$dg` and total weight `$wt`, emit CTEs
+    * `...$r` producing `a$r` / `qa$r`. Mirrors
+    * [[graft.ops.Graph.louvainMoveRoundWeighted]] +
+    * [[graft.ops.Graph.modularityNumWeighted]] exactly. */
+  private def gatedRoundSql(pfx: String, r: Int, ew: String, dg: String,
+                            wt: String): String = {
+    val p = r - 1
+    s"""${pfx}x$r AS (SELECT w.lo, w.hi, w.w, pa.comm AS cl, pb.comm AS ch
+       |  FROM $ew w JOIN $pfx$p pa ON pa.node = w.lo
+       |  JOIN $pfx$p pb ON pb.node = w.hi WHERE w.lo <> w.hi),
+       |${pfx}i$r AS (SELECT lo AS node, cl AS own, ch AS nbr, w
+       |    FROM ${pfx}x$r
+       |  UNION ALL SELECT hi, ch, cl, w FROM ${pfx}x$r),
+       |${pfx}v$r AS (SELECT a.comm AS c, SUM(d.d_i) AS d_c
+       |  FROM $dg d JOIN $pfx$p a ON a.node = d.node GROUP BY 1),
+       |${pfx}k$r AS (SELECT node, nbr, SUM(w) AS k FROM ${pfx}i$r
+       |  GROUP BY 1, 2),
+       |${pfx}s$r AS (SELECT comm AS c, COUNT(*) AS n_c FROM $pfx$p
+       |  GROUP BY 1),
+       |${pfx}o$r AS (SELECT a.node, a.comm, COALESCE(ka.k, 0) AS k_ia,
+       |    d.d_i, va.d_c AS d_a, sa.n_c AS n_a
+       |  FROM $pfx$p a JOIN $dg d ON d.node = a.node
+       |  JOIN ${pfx}v$r va ON va.c = a.comm
+       |  JOIN ${pfx}s$r sa ON sa.c = a.comm
+       |  LEFT JOIN ${pfx}k$r ka ON ka.node = a.node
+       |    AND ka.nbr = a.comm),
+       |${pfx}g$r AS (SELECT o.node, kx.nbr AS c,
+       |    4 * $wt.w * (kx.k - o.k_ia)
+       |      - 2 * o.d_i * (vc.d_c - o.d_a + o.d_i) AS gain
+       |  FROM ${pfx}o$r o
+       |  JOIN ${pfx}k$r kx ON kx.node = o.node AND kx.nbr <> o.comm
+       |  JOIN ${pfx}v$r vc ON vc.c = kx.nbr
+       |  JOIN ${pfx}s$r sc ON sc.c = kx.nbr, $wt
+       |  WHERE NOT (o.n_a = 1 AND sc.n_c = 1 AND kx.nbr > o.comm)),
+       |${pfx}p$r AS (SELECT node, c, gain FROM (SELECT node, c, gain,
+       |    ROW_NUMBER() OVER (PARTITION BY node
+       |      ORDER BY gain DESC, c ASC) AS rn
+       |  FROM ${pfx}g$r WHERE gain > 0) WHERE rn = 1),
+       |${pfx}b$r AS (SELECT node, c FROM (SELECT p.node, p.c, s.n_c,
+       |    ROW_NUMBER() OVER (PARTITION BY p.c
+       |      ORDER BY p.gain DESC, p.node ASC) AS rk
+       |  FROM ${pfx}p$r p JOIN ${pfx}s$r s ON s.c = p.c)
+       |  WHERE rk <= n_c),
+       |${pfx}c$r AS MATERIALIZED (SELECT a.node,
+       |    CAST(COALESCE(b.c, a.comm) AS BIGINT) AS comm
+       |  FROM $pfx$p a LEFT JOIN ${pfx}b$r b ON b.node = a.node),
+       |${qnumSql(s"${pfx}qc$r", s"${pfx}c$r", ew, dg, wt)},
+       |$pfx$r AS MATERIALIZED (SELECT c.node,
+       |    CASE WHEN (SELECT q FROM ${pfx}qc$r)
+       |           > (SELECT q FROM ${pfx}qa$p)
+       |      THEN c.comm ELSE a.comm END AS comm
+       |  FROM ${pfx}c$r c JOIN $pfx$p a ON a.node = c.node),
+       |${pfx}qa$r AS MATERIALIZED (SELECT
+       |    CASE WHEN (SELECT q FROM ${pfx}qc$r)
+       |           > (SELECT q FROM ${pfx}qa$p)
+       |      THEN (SELECT q FROM ${pfx}qc$r)
+       |      ELSE (SELECT q FROM ${pfx}qa$p) END AS q)""".stripMargin
+  }
+
+  /** q_num of assignment `a` over `$ew`/`$dg`/`$wt` as CTE `$name`:
+    * Σ_c (4W·e_c − vol_c²), e_c intra weight w/ self-loops once. */
+  private def qnumSql(name: String, a: String, ew: String, dg: String,
+                      wt: String): String =
+    s"""${name}e AS (SELECT ca.comm AS c, SUM(w.w) AS ec
+       |  FROM $ew w JOIN $a ca ON ca.node = w.lo
+       |  JOIN $a cb ON cb.node = w.hi
+       |  WHERE ca.comm = cb.comm GROUP BY 1),
+       |${name}v AS (SELECT a.comm AS c, SUM(d.d_i) AS dc
+       |  FROM $dg d JOIN $a a ON a.node = d.node GROUP BY 1),
+       |$name AS MATERIALIZED (SELECT COALESCE(SUM(
+       |    4 * $wt.w * COALESCE(e.ec, 0) - v.dc * v.dc), 0) AS q
+       |  FROM ${name}v v LEFT JOIN ${name}e e ON e.c = v.c, $wt)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "graph_louvain" -> {
+      val l1 = (1 to L1Rounds).map(r =>
+        gatedRoundSql("la", r, "ew1", "dg1", "wt1")).mkString(",\n")
+      val l2 = (1 to L2Rounds).map(r =>
+        gatedRoundSql("lb", r, "ew2", "dg2", "wt2")).mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+         |    l_suppkey * 2 + 1 AS dst
+         |  FROM orders
+         |  JOIN customer ON c_custkey = o_custkey AND c_nationkey = 1
+         |  JOIN lineitem ON l_orderkey = o_orderkey),
+         |ew1 AS MATERIALIZED (SELECT LEAST(src, dst) AS lo,
+         |    GREATEST(src, dst) AS hi, CAST(1 AS BIGINT) AS w
+         |  FROM e0),
+         |dg1 AS MATERIALIZED (SELECT node, SUM(dw) AS d_i FROM (
+         |    SELECT lo AS node,
+         |      CASE WHEN lo = hi THEN 2 * w ELSE w END AS dw FROM ew1
+         |    UNION ALL
+         |    SELECT hi, CASE WHEN lo = hi THEN 0 ELSE w END FROM ew1)
+         |  GROUP BY 1),
+         |wt1 AS MATERIALIZED (SELECT SUM(w) AS w FROM ew1),
+         |la0 AS MATERIALIZED (SELECT node, node AS comm FROM dg1),
+         |${qnumSql("laqa0", "la0", "ew1", "dg1", "wt1")},
+         |$l1,
+         |ew2 AS MATERIALIZED (SELECT LEAST(pa.comm, pb.comm) AS lo,
+         |    GREATEST(pa.comm, pb.comm) AS hi, SUM(w.w) AS w
+         |  FROM ew1 w JOIN la$L1Rounds pa ON pa.node = w.lo
+         |  JOIN la$L1Rounds pb ON pb.node = w.hi GROUP BY 1, 2),
+         |dg2 AS MATERIALIZED (SELECT node, SUM(dw) AS d_i FROM (
+         |    SELECT lo AS node,
+         |      CASE WHEN lo = hi THEN 2 * w ELSE w END AS dw FROM ew2
+         |    UNION ALL
+         |    SELECT hi, CASE WHEN lo = hi THEN 0 ELSE w END FROM ew2)
+         |  GROUP BY 1),
+         |wt2 AS MATERIALIZED (SELECT SUM(w) AS w FROM ew2),
+         |lb0 AS MATERIALIZED (SELECT node, node AS comm FROM dg2),
+         |${qnumSql("lbqa0", "lb0", "ew2", "dg2", "wt2")},
+         |$l2
+         |SELECT a.node, b.comm
+         |FROM la$L1Rounds a JOIN lb$L2Rounds b ON b.node = a.comm
+         |ORDER BY a.node""".stripMargin
+    }
+  )
+}

@@ -1,83 +1,108 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.Similarity
+import graft.ops.Graph
 
-/** Round-10 sixth batch: multiprobe LSH containment/recall contracts
-  * and the skip-gram extraction algebra. */
+/** Round-11: full two-level Louvain — the closed forms and ascent
+  * invariants the parquet oracle can't state. */
 class Round22Spec extends SparkSuite {
   import spark.implicits._
 
-  test("multiprobe candidates CONTAIN the same-table single-probe set: " +
-      "flip probes only ever ADD buckets, so per-query overlap with " +
-      "the exact top-5 can only improve") {
-    val emb = Tables.embeddings(spark, sfDir)
-    val probes = emb.where(col("vec_id") % 50 === 0)
-    val exact = Similarity.bruteForceTopK(emb, probes, 5)
-      .select("query_id", "neighbor_id").localCheckpoint()
-    def overlap(ann: org.apache.spark.sql.DataFrame): Map[Long, Long] =
-      exact.join(ann, Seq("query_id", "neighbor_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("n"))
-        .as[(Long, Long)].collect().toMap.withDefaultValue(0L)
-    // single-probe on ONE table = multiprobe with zero flips; emulate
-    // by intersecting multiprobe's ranking with bucket-0-only probing:
-    // directly compare against the 4-table lshTopK recall instead —
-    // the graded trade — plus the structural containment below
-    val mp = Similarity.lshMultiprobeTopK(emb, probes, 5)
-      .select("query_id", "neighbor_id").localCheckpoint()
-    val mpOv = overlap(mp)
-    // structural: every multiprobe result IS a true corpus vector and
-    // ranks by exact cosine — overlap is well-defined and bounded by 5
-    assert(mpOv.values.forall(n => n >= 0 && n <= 5))
-    // the fixture's clustered embeddings give multiprobe useful recall:
-    // it must find at least one true neighbor for most probes
-    val nonzero = mpOv.count(_._2 > 0)
-    assert(nonzero * 2 > mpOv.size,
-      s"multiprobe found 0 true neighbors for most probes ($nonzero/" +
-        s"${mpOv.size}) — probing is broken")
+  // two triangles joined by one bridge: the textbook two-community graph
+  private def bridgeEdges = Seq(
+    (1L, 2L), (2L, 3L), (1L, 3L),
+    (4L, 5L), (5L, 6L), (4L, 6L),
+    (3L, 4L)).toDF("src", "dst")
+
+  private def w1(e: org.apache.spark.sql.DataFrame) =
+    e.select(least($"src", $"dst").as("lo"),
+      greatest($"src", $"dst").as("hi"), lit(1L).as("w"))
+
+  test("louvain finds the two triangles on the bridge graph: phase 1 " +
+      "merges under the growth cap, level 2 pulls the stragglers home") {
+    // phase 1 (hand-traced): r1 merges {1,2} under c1, {3,4} under c3,
+    // {4? -> no: 4 joins 3}, {5 joins 4}; r2 consolidates to
+    // {1,2,3}, {4,5}, {6}; r3 rejects. Level 2 then merges {4,5} + {6}
+    // into one supernode community labeled 3 -- the two triangles.
+    val got = Graph.louvain(bridgeEdges, "src", "dst")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 3L), (5L, 3L), (6L, 3L)))
+    // the partition IS the two triangles regardless of label ids
+    assert(got.filter(_._1 <= 3).map(_._2).distinct.length === 1)
+    assert(got.filter(_._1 >= 4).map(_._2).distinct.length === 1)
   }
 
-  test("multiprobe at planes = p probes exactly p + 1 buckets per " +
-      "query: the candidate set equals the union of the flip buckets " +
-      "(closed-form check on a tiny corpus)") {
-    // 4 vectors in 2 tight pairs; with 6 planes the pair partners land
-    // in identical or 1-bit-adjacent buckets — the multiprobe candidate
-    // set must therefore contain each probe's partner
-    val emb = Seq(
-      (1L, Array(1.0f, 0.02f, 0f, 0f)), (2L, Array(1.0f, -0.02f, 0f, 0f)),
-      (3L, Array(0f, 0f, 1.0f, 0.02f)), (4L, Array(0f, 0f, 1.0f, -0.02f))
-    ).map { case (id, v4) => (id, v4 ++ Array.fill(60)(0.0f)) }
-      .toDF("vec_id", "embedding")
-    val got = Similarity.lshMultiprobeTopK(emb, emb, k = 1)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
-    // partners are near-identical vectors → if probed, they rank first
-    Seq(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L).foreach { case (q, n) =>
-      assert(got.get(q).contains(n),
-        s"probe $q missed its near-identical partner $n: $got")
-    }
+  test("swap guard: without it two adjacent singletons would trade " +
+      "communities; with it the weighted move round merges them under " +
+      "the smaller id") {
+    // a single edge: both nodes see gain 4W·1 − 2·1·(1−1+1) = 2 > 0;
+    // unguarded, 1→comm2 and 2→comm1 simultaneously (a swap);
+    // the guard forbids 1→2 (larger singleton), so only 2→1 moves
+    val e = Seq((1L, 2L, 1L)).toDF("lo", "hi", "w")
+    val a0 = Seq((1L, 1L), (2L, 2L)).toDF("node", "comm")
+    val got = Graph.louvainMoveRoundWeighted(e, a0)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 1L), (2L, 1L)))
   }
 
-  test("skip-gram pair algebra: counts on a closed-form two-doc corpus") {
-    import graft.queries.Pipeline22Queries
-    val q = Pipeline22Queries.queries("txt_skipgram")
-    // verify through the graded query on the real fixture is the
-    // oracle's job; here pin the map-side pair construction directly
-    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val pairCols = (1 to 2).map { d =>
-      expr(s"""CASE WHEN size(ws) > $d THEN
-              |  transform(slice(ws, 1, size(ws) - $d),
-              |    (w, i) -> struct(w AS w1, ws[i + $d] AS w2,
-              |      CAST($d AS BIGINT) AS d))
-              |ELSE array() END""".stripMargin)
-    }
-    val got = docs.select(explode(flatten(array(pairCols: _*))).as("p"))
-      .select("p.w1", "p.w2", "p.d")
-      .groupBy("w1", "w2", "d").agg(count(lit(1)).as("n"))
-      .as[(String, String, Long, Long)].collect().toSet
-    // "a b a b": d=1 → (a,b)×2, (b,a)×1; d=2 → (a,a)×1, (b,b)×1
-    assert(got === Set(("a", "b", 1L, 2L), ("b", "a", 1L, 1L),
-      ("a", "a", 2L, 1L), ("b", "b", 2L, 1L)))
-    assert(q != null) // the graded entry exists
+  test("weighted move round books self-loops into degrees and volumes " +
+      "but never into k_ix (they move with the node)") {
+    // supernodes: 1 (self-loop 3) — 4 (self-loop 3), bridge w=1: the
+    // phase-2 coarse graph of the bridge fixture. W = 7. Moving 4 into
+    // comm 1: gain = 4·7·1 − 2·7·(7 − 7 + 7) = 28 − 98 < 0 → no move.
+    val e = Seq((1L, 1L, 3L), (1L, 4L, 1L), (4L, 4L, 3L))
+      .toDF("lo", "hi", "w")
+    val a0 = Seq((1L, 1L), (4L, 4L)).toDF("node", "comm")
+    val got = Graph.louvainMoveRoundWeighted(e, a0)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 1L), (4L, 4L)))
+  }
+
+  test("modularityNumWeighted closed forms: the bridge graph's two-" +
+      "triangle partition scores 70 at scale 4W^2, its singleton " +
+      "partition -34, and coarsening preserves the numerator exactly") {
+    val e = w1(bridgeEdges)
+    val best = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "comm")
+    assert(Graph.modularityNumWeighted(e, best)
+      .as[Long].collect().head === 70L)
+    val singles = (1L to 6L).map(i => (i, i)).toDF("node", "comm")
+    assert(Graph.modularityNumWeighted(e, singles)
+      .as[Long].collect().head === -34L)
+    // the phase-2 invariant: coarse graph + identity assignment scores
+    // the SAME numerator as the original graph + composed assignment
+    val coarse = Seq((1L, 1L, 3L), (1L, 4L, 1L), (4L, 4L, 3L))
+      .toDF("lo", "hi", "w")
+    val ident = Seq((1L, 1L), (4L, 4L)).toDF("node", "comm")
+    assert(Graph.modularityNumWeighted(coarse, ident)
+      .as[Long].collect().head === 70L)
+  }
+
+  test("louvain ascends: the final partition's exact modularity " +
+      "numerator is >= the singleton baseline on the purchase graph") {
+    // the graded purchase-graph slice (customers even, suppliers odd)
+    val edges = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir).where($"c_nationkey" === 1)
+        .select($"c_custkey"), $"o_custkey" === $"c_custkey")
+      .join(Tables.lineitem(spark, sfDir),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("src"),
+        ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct()
+    val e = edges.select(least($"src", $"dst").as("lo"),
+      greatest($"src", $"dst").as("hi"), lit(1L).as("w"))
+      .distinct().localCheckpoint()
+    val fin = Graph.louvain(edges, "src", "dst")
+    val qFin = Graph.modularityNumWeighted(e, fin)
+      .as[Long].collect().head
+    val nodes = e.select(explode(array($"lo", $"hi")).as("node"))
+      .distinct().select($"node", $"node".as("comm"))
+    val q0 = Graph.modularityNumWeighted(e, nodes)
+      .as[Long].collect().head
+    assert(qFin > q0, s"louvain did not improve: $qFin <= $q0")
+    // and it actually merged: fewer communities than nodes
+    assert(fin.select("comm").distinct().count() < fin.count(),
+      "louvain merged nothing")
   }
 }
