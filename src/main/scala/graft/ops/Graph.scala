@@ -1265,6 +1265,54 @@ object Graph {
       .select(col("node"), col("comm"))
   }
 
+  /** Jaccard link prediction over a bipartite group–item incidence
+    * (Liben-Nowell & Kleinberg's common-neighbor family): for each
+    * item, the k most similar co-items by Jaccard over their GROUP
+    * sets — J(a,b) = |G_a ∩ G_b| / |G_a ∪ G_b| — the normalized form
+    * of [[coOccurrenceTopK]]'s raw counts (raw counts rank hubs first;
+    * Jaccard ranks genuine affinity). Ranking is DIVISION-SAFE: the
+    * score rides as j_scaled = (common·scale) div union — integer
+    * division, deterministic on any engine — with (j_scaled desc,
+    * co-item asc) ties.
+    *
+    * Scale: the pair space is Σ_g |g|² — bounded by the GROUP size
+    * (baskets, sessions, orders), never by item degree; the per-item
+    * top-k window is keyed on the item. No hub blowup because groups,
+    * not item neighborhoods, generate the wedges.
+    *
+    * @return (item, rnk, co_item, common, uni, j_scaled), rnk ≤ k */
+  def jaccardLinks(df: DataFrame, groupCol: String, itemCol: String,
+                   k: Int, scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(scale >= 1L, "scale must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val gi = df.select(col(groupCol).cast("long").as("g"),
+      col(itemCol).cast("long").as("i"))
+      .where(col("g").isNotNull && col("i").isNotNull)
+      .distinct().pin() // degree pass + both wedge sides read it
+    val deg = gi.groupBy(col("i")).agg(count(lit(1)).as("d"))
+    val pairs = gi.as("a")
+      .join(gi.as("b"),
+        col("a.g") === col("b.g") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("ia"), col("b.i").as("ib"))
+      .agg(count(lit(1)).as("common"))
+    val sym = pairs.select(col("ia"), col("ib"), col("common"))
+      .unionByName(pairs.select(col("ib").as("ia"), col("ia").as("ib"),
+        col("common")))
+    val scored = sym
+      .join(deg.select(col("i").as("ia"), col("d").as("da")), Seq("ia"))
+      .join(deg.select(col("i").as("ib"), col("d").as("db")), Seq("ib"))
+      .withColumn("uni", col("da") + col("db") - col("common"))
+      .withColumn("j_scaled",
+        call_function("div", col("common") * lit(scale), col("uni")))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("ia"))
+        .orderBy(col("j_scaled").desc, col("ib").asc)).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("ia").as("item"), col("rnk"), col("ib").as("co_item"),
+        col("common"), col("uni"), col("j_scaled"))
+  }
+
   /** Degree-assortativity sufficient statistics of an undirected
     * canonical edge list (Newman 2002), as ONE row of exact integers:
     * m (edges), s1 = Σ_e d_u·d_v, s2 = Σ_e (d_u + d_v),

@@ -137,6 +137,34 @@ object Multimodal {
       .drop("__bs", "__tot")
   }
 
+  /** Voiced/unvoiced ENERGY split of a binary payload — the SNR-style
+    * sufficient statistics next to [[audioVad]]'s frame counts: total
+    * energy of voiced frames vs the rest (the VAD decision is the same
+    * division-free frames·s > Σs cross-multiply), so the
+    * signal-to-noise proxy forms downstream as voiced_energy /
+    * max(silence_energy, 1) without a float in the artifact. Same
+    * plumbing contract: one codegen'd block_sums pass per row, binary
+    * in, no shuffle.
+    *
+    * @return input row + (n_voiced, voiced_energy, silence_energy) */
+  def audioEnergySplit(df: DataFrame, payload: String,
+                       frames: Int = 16): DataFrame = {
+    require(frames >= 1,
+      s"audioEnergySplit: frames must be >= 1, got $frames")
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    df.withColumn("__bs",
+        graft.expr.GraftFunctions.block_sums(col(payload), lit(frames)))
+      .withColumn("__tot", aggregate(col("__bs"), lit(0L), _ + _))
+      .withColumn("n_voiced", expr(
+        s"""aggregate(transform(__bs, s -> IF($frames * s > __tot,
+           |  1L, 0L)), 0L, (a, x) -> a + x)""".stripMargin))
+      .withColumn("voiced_energy", expr(
+        s"""aggregate(transform(__bs, s -> IF($frames * s > __tot,
+           |  s, 0L)), 0L, (a, x) -> a + x)""".stripMargin))
+      .withColumn("silence_energy", col("__tot") - col("voiced_energy"))
+      .drop("__bs", "__tot")
+  }
+
   /** 64-bit block-energy fingerprint of a binary payload — the integer
     * skeleton of a perceptual hash (aHash/pHash family: block statistic
     * vs global mean → sign pattern). Bit b is set iff block b's

@@ -247,6 +247,43 @@ object Retrieval {
           .otherwise(lit(0L)).as("mrr_scaled"))
   }
 
+  /** Average Precision per query, exact integers — the MAP half of the
+    * retrieval eval gate next to [[topKEval]]'s MRR: AP = (1/R)·Σ_{hit
+    * at rank r} P@r, emitted as the scaled numerator ap_num =
+    * Σ_{hit at r} (scale·h_r) div r with h_r = hits within the top r.
+    * `scale` = 2520 = lcm(1..10) makes the division EXACT for any
+    * r ≤ 10, so ap_num is a true integer rational — AP itself is
+    * ap_num / (scale·n_rel), formed downstream; no float leaves the
+    * engine. Queries with no hit score 0.
+    *
+    * Shape: the cumulative-hit window is per (query, ≤ k rows) — the
+    * inputs are query-bounded top-k lists, broadcast-sized next to the
+    * retrieval that produced them.
+    *
+    * @param ranked (query_id, rnk, doc_id) — 1-based rnk, rnk ≤ 10
+    *               for the default scale
+    * @param qrels  (query_id, doc_id) relevant pairs
+    * @return (query_id, n_rel, ap_num) per query in `ranked` */
+  def apEval(ranked: DataFrame, qrels: DataFrame,
+             scale: Long = 2520L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rel = qrels.select(col("query_id"), col("doc_id"))
+      .withColumn("__rel", lit(1L))
+    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val w = Window.partitionBy("query_id").orderBy(col("rnk").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .withColumn("__h", sum(coalesce(col("__rel"), lit(0L))).over(w))
+      .groupBy("query_id")
+      .agg(sum(when(col("__rel").isNotNull,
+          call_function("div", lit(scale) * col("__h"), col("rnk")))
+        .otherwise(lit(0L))).as("ap_num"))
+      .join(nRel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"), col("ap_num"))
+  }
+
   /** Vocabulary-growth (Heaps' law) measurement: distinct-term count
     * and cumulative token count at each corpus-prefix checkpoint —
     * the curve that sizes a tokenizer's vocabulary budget before

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.Graph
+import graft.ops.{Graph, Multimodal, Retrieval}
 
 /** Round-11 first batch: FULL two-level Louvain (Blondel et al. 2008) —
   * phase 1 as a monotone ascent of objective-GATED synchronous move
@@ -25,6 +25,7 @@ object Pipeline23Queries {
   // idempotent) or ran out of budget (both stop at R).
   private val L1Rounds = 8
   private val L2Rounds = 6
+  private val VadFrames = 16 // the mm_audio_vad frame grid
 
   val queries: Map[String, Q] = Map(
 
@@ -50,6 +51,52 @@ object Pipeline23Queries {
       Graph.louvain(edges, "src", "dst",
           rounds1 = L1Rounds, rounds2 = L2Rounds)
         .orderBy("node")
+    }),
+
+    "graph_jaccard_links" -> ((s, dir) => {
+      // Jaccard link prediction over the order–supplier incidence:
+      // top-3 co-suppliers per supplier by exact-integer scaled
+      // Jaccard over their ORDER sets (the normalized successor to
+      // raw co-occurrence counts — hubs stop winning by volume). Pair
+      // space is order-size-bounded, never degree-bounded.
+      Graph.jaccardLinks(
+          Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+          "l_orderkey", "l_suppkey", k = 3)
+        .orderBy("item", "rnk")
+    }),
+
+    "ret_map" -> ((s, dir) => {
+      // the MAP half of the retrieval eval gate (next to ret_mrr):
+      // scaled Average Precision of the graded BM25 top-10 against the
+      // boolean-AND qrels — ap_num = Σ_{hit at r} (2520·h_r) div r is
+      // exact (2520 = lcm(1..10) divides every rank), AP assembles
+      // downstream as ap_num / (2520·n_rel).
+      import s.implicits._
+      val qdf = Pipeline11Queries.QuerySet.toDF("query_id", "term")
+      val docs = Tables.documents(s, dir)
+      val ranked = Retrieval.bm25TopK(docs, "doc_id", "text", qdf, k = 10)
+        .select("query_id", "rnk", "doc_id")
+      val qrels = Retrieval.booleanQrels(docs, "doc_id", "text", qdf)
+      Retrieval.apEval(ranked, qrels)
+        .orderBy("query_id")
+    }),
+
+    "mm_audio_snr" -> ((s, dir) => {
+      // voiced/unvoiced energy split per media asset — the SNR-proxy
+      // statistics an audio-curation gate thresholds on, as exact
+      // BIGINTs (the VAD frame machinery with energy sums instead of
+      // frame counts). Same synthetic flat asset as mm_audio_vad so
+      // the all-silence branch is graded.
+      Multimodal.audioEnergySplit(
+          Multimodal.mediaFromDocuments(s, dir).toDF()
+            .select("media_id", "payload")
+            .unionByName(s.range(1).select(
+              lit(-1L).as("media_id"),
+              encode(lit("a" * VadFrames), "UTF-8").as("payload"))),
+          "payload", frames = VadFrames)
+        .select("media_id", "n_voiced", "voiced_energy",
+          "silence_energy")
+        .orderBy("media_id")
     })
   )
 
@@ -170,6 +217,89 @@ object Pipeline23Queries {
          |SELECT a.node, b.comm
          |FROM la$L1Rounds a JOIN lb$L2Rounds b ON b.node = a.comm
          |ORDER BY a.node""".stripMargin
-    }
+    },
+
+    "graph_jaccard_links" ->
+      """WITH gi AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS g,
+        |    CAST(l_suppkey AS BIGINT) AS i FROM lineitem),
+        |dg AS (SELECT i, COUNT(*) AS d FROM gi GROUP BY 1),
+        |pr AS (SELECT a.i AS ia, b.i AS ib, COUNT(*) AS common
+        |  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2),
+        |sym AS (SELECT ia, ib, common FROM pr
+        |  UNION ALL SELECT ib, ia, common FROM pr),
+        |sc AS (SELECT s.ia, s.ib, s.common,
+        |    da.d + db.d - s.common AS uni,
+        |    (s.common * 1000000) // (da.d + db.d - s.common) AS j_scaled
+        |  FROM sym s JOIN dg da ON da.i = s.ia
+        |  JOIN dg db ON db.i = s.ib),
+        |rk AS (SELECT ia, ib, common, uni, j_scaled,
+        |    ROW_NUMBER() OVER (PARTITION BY ia
+        |      ORDER BY j_scaled DESC, ib ASC) AS rnk FROM sc)
+        |SELECT ia AS item, CAST(rnk AS BIGINT) AS rnk, ib AS co_item,
+        |  common, uni, j_scaled
+        |FROM rk WHERE rnk <= 3 ORDER BY item, rnk""".stripMargin,
+
+    "ret_map" -> {
+      val bm = Pipeline11Queries.oracles("txt_bm25")
+      s"""WITH bm AS ($bm),
+         |q(query_id, term) AS (VALUES ${Pipeline11Queries.querySetSql}),
+         |qn AS (SELECT query_id, COUNT(DISTINCT term) AS nq
+         |       FROM q GROUP BY 1),
+         |dt AS (SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents)
+         |  WHERE term <> '' AND term IN (SELECT term FROM q)),
+         |rel AS (SELECT x.query_id, x.doc_id
+         |  FROM (SELECT q.query_id, dt.doc_id, COUNT(*) AS h
+         |        FROM q JOIN dt USING (term) GROUP BY 1, 2) x
+         |  JOIN qn USING (query_id) WHERE x.h = qn.nq),
+         |nr AS (SELECT query_id, COUNT(*) AS n_rel FROM rel GROUP BY 1),
+         |cum AS (SELECT bm.query_id, bm.rnk,
+         |    CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit,
+         |    SUM(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY bm.query_id ORDER BY bm.rnk) AS h
+         |  FROM bm LEFT JOIN rel ON bm.query_id = rel.query_id
+         |    AND bm.doc_id = rel.doc_id),
+         |ap AS (SELECT query_id,
+         |    CAST(SUM(CASE WHEN hit = 1 THEN (2520 * h) // rnk
+         |      ELSE 0 END) AS BIGINT) AS ap_num
+         |  FROM cum GROUP BY 1)
+         |SELECT ap.query_id,
+         |  CAST(COALESCE(nr.n_rel, 0) AS BIGINT) AS n_rel, ap.ap_num
+         |FROM ap LEFT JOIN nr ON ap.query_id = nr.query_id
+         |ORDER BY ap.query_id""".stripMargin
+    },
+
+    "mm_audio_snr" ->
+      // the mm_audio_vad block machinery, energy sums instead of the
+      // lead-silence/peak features
+      s"""WITH ch AS (SELECT doc_id, string_split_regex(text, '') AS s
+         |       FROM documents
+         |     UNION ALL
+         |     SELECT CAST(-1 AS BIGINT),
+         |       string_split_regex(repeat('a', $VadFrames), '')),
+         |tok AS (SELECT doc_id, CAST(ii - 1 AS BIGINT) AS i0,
+         |    CAST(unicode(s[ii]) AS BIGINT) AS code,
+         |    CAST(len(s) AS BIGINT) AS n
+         |  FROM ch, unnest(range(1, len(s) + 1)) AS u(ii)),
+         |bs0 AS (SELECT doc_id, i0 * $VadFrames // n AS b,
+         |    SUM(code) AS sm FROM tok GROUP BY 1, 2),
+         |sp AS (SELECT d.doc_id, bb.b
+         |  FROM (SELECT DISTINCT doc_id FROM tok) d,
+         |    (SELECT CAST(x AS BIGINT) AS b
+         |     FROM unnest(range(0, $VadFrames)) t(x)) bb),
+         |bs AS (SELECT sp.doc_id, sp.b, COALESCE(bs0.sm, 0) AS sm
+         |  FROM sp LEFT JOIN bs0 ON sp.doc_id = bs0.doc_id
+         |    AND sp.b = bs0.b),
+         |tt AS (SELECT doc_id, SUM(sm) AS tot FROM bs GROUP BY 1)
+         |SELECT bs.doc_id AS media_id,
+         |  CAST(SUM(CASE WHEN $VadFrames * bs.sm > tt.tot
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_voiced,
+         |  CAST(SUM(CASE WHEN $VadFrames * bs.sm > tt.tot
+         |    THEN bs.sm ELSE 0 END) AS BIGINT) AS voiced_energy,
+         |  CAST(MAX(tt.tot) - SUM(CASE WHEN $VadFrames * bs.sm > tt.tot
+         |    THEN bs.sm ELSE 0 END) AS BIGINT) AS silence_energy
+         |FROM bs JOIN tt USING (doc_id) GROUP BY 1
+         |ORDER BY media_id""".stripMargin
   )
 }

@@ -79,6 +79,45 @@ class Round22Spec extends SparkSuite {
       .as[Long].collect().head === 70L)
   }
 
+  test("jaccardLinks closed form: scaled-integer Jaccard, hub " +
+      "normalization, deterministic tie-break by co-item id") {
+    // groups g1={1,2,3}, g2={1,2}, g3={2,4} → J(1,2)=2/3, J(1,3)=1/2,
+    // J(2,3)=1/3, J(2,4)=1/3 (tie → co-item asc)
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
+      (30L, 2L), (30L, 4L)).toDF("g", "i")
+    val got = graft.ops.Graph.jaccardLinks(df, "g", "i", k = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(got.filter(_._1 == 2L).toSeq === Seq(
+      (2L, 1L, 1L, 2L, 3L, 666666L),   // J(2,1) = 2/3
+      (2L, 2L, 3L, 1L, 3L, 333333L)))  // tie 1/3 with 4 → 3 wins by id
+    assert(got.filter(_._1 == 1L).map(_._3).toSeq === Seq(2L, 3L))
+  }
+
+  test("apEval closed form: ap_num = sum of (2520*h_r) div r at hit " +
+      "ranks, exactly lcm-scaled; no-hit queries score 0") {
+    val ranked = Seq((1L, 1L, 101L), (1L, 2L, 102L), (1L, 3L, 103L),
+      (2L, 1L, 104L)).toDF("query_id", "rnk", "doc_id")
+    val qrels = Seq((1L, 101L), (1L, 103L), (2L, 999L))
+      .toDF("query_id", "doc_id")
+    val got = graft.ops.Retrieval.apEval(ranked, qrels)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // q1: hit@1 (h=1): 2520; hit@3 (h=2): 5040 div 3 = 1680 → 4200
+    // q2: no hit in the list → 0 (n_rel = 1 from the unseen judgment)
+    assert(got.toSeq === Seq((1L, 2L, 4200L), (2L, 1L, 0L)))
+  }
+
+  test("audioEnergySplit closed forms: half-silent payload splits " +
+      "energy exactly; a flat payload is all silence") {
+    val df = Seq((1L, Array[Byte](0, 0, 0, 0, 8, 8, 8, 8)),
+      (2L, Array.fill[Byte](16)(5))).toDF("media_id", "payload")
+    val got = graft.ops.Multimodal.audioEnergySplit(df, "payload",
+        frames = 4)
+      .select("media_id", "n_voiced", "voiced_energy", "silence_energy")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 2L, 32L, 0L), (2L, 0L, 0L, 80L)))
+  }
+
   test("louvain ascends: the final partition's exact modularity " +
       "numerator is >= the singleton baseline on the purchase graph") {
     // the graded purchase-graph slice (customers even, suppliers odd)
