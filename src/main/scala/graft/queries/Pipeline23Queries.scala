@@ -23,8 +23,8 @@ object Pipeline23Queries {
   // the oracle unrolls EXACTLY this many gated rounds, which matches
   // the engine whether it converged early (post-rejection rounds are
   // idempotent) or ran out of budget (both stop at R).
-  private val L1Rounds = 8
-  private val L2Rounds = 6
+  private val L1Rounds = 4
+  private val L2Rounds = 3
   private val VadFrames = 16 // the mm_audio_vad frame grid
 
   val queries: Map[String, Q] = Map(
