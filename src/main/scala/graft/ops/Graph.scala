@@ -1285,19 +1285,47 @@ object Graph {
     * @return (item, rnk, co_item, common, uni, j_scaled), rnk ≤ k */
   def jaccardLinks(df: DataFrame, groupCol: String, itemCol: String,
                    k: Int, scale: Long = 1000000L): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    require(scale >= 1L, "scale must be >= 1")
-    import org.apache.spark.sql.expressions.Window
     val gi = df.select(col(groupCol).cast("long").as("g"),
       col(itemCol).cast("long").as("i"))
       .where(col("g").isNotNull && col("i").isNotNull)
       .distinct().pin() // degree pass + both wedge sides read it
-    val deg = gi.groupBy(col("i")).agg(count(lit(1)).as("d"))
-    val pairs = gi.as("a")
+    jaccardTopKFromStats(jaccardPairCounts(gi), jaccardDegrees(gi),
+      k, scale)
+  }
+
+  /** The pair-count SUFFICIENT STATISTICS of [[jaccardLinks]]:
+    * (ia, ib, common) over canonical pairs ia < ib. ADDITIVE over
+    * DISJOINT GROUP SLICES — a wedge lives entirely inside its group,
+    * so pair counts of a base and a delta batch of NEW groups sum:
+    * counts(B ∪ D) = counts(B) ⊎ counts(D), the inc_* contract (split
+    * by group key, never by row). Expects the deduped (g, i) incidence. */
+  def jaccardPairCounts(gi: DataFrame): DataFrame =
+    gi.as("a")
       .join(gi.as("b"),
         col("a.g") === col("b.g") && col("a.i") < col("b.i"))
       .groupBy(col("a.i").as("ia"), col("b.i").as("ib"))
       .agg(count(lit(1)).as("common"))
+
+  /** Per-item degree statistics (i, d) — additive over disjoint group
+    * slices like [[jaccardPairCounts]]. */
+  def jaccardDegrees(gi: DataFrame): DataFrame =
+    gi.groupBy(col("i")).agg(count(lit(1)).as("d"))
+
+  /** Merge pair-count / degree stats from disjoint group slices (the ⊎
+    * of the additivity contract): keyed sums. */
+  def jaccardMergeStats(x: DataFrame, y: DataFrame,
+                        keys: Seq[String], cnt: String): DataFrame =
+    x.unionByName(y).groupBy(keys.map(col): _*)
+      .agg(sum(col(cnt)).as(cnt))
+
+  /** The rank stage of [[jaccardLinks]] over (possibly merged) stats —
+    * the maintenance read path: feed it base⊎delta counts and the
+    * top-k equals the full rebuild. */
+  def jaccardTopKFromStats(pairs: DataFrame, deg: DataFrame, k: Int,
+                           scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(scale >= 1L, "scale must be >= 1")
+    import org.apache.spark.sql.expressions.Window
     val sym = pairs.select(col("ia"), col("ib"), col("common"))
       .unionByName(pairs.select(col("ib").as("ia"), col("ia").as("ib"),
         col("common")))

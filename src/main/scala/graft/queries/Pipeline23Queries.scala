@@ -65,6 +65,28 @@ object Pipeline23Queries {
         .orderBy("item", "rnk")
     }),
 
+    "inc_jaccard_delta" -> ((s, dir) => {
+      // the 17th inc_* identity, on the link-prediction read path:
+      // pair counts and degrees are ADDITIVE over disjoint GROUP
+      // slices (a wedge lives entirely inside its order), so merging
+      // the base stats with an arriving order-batch's stats and
+      // ranking equals the full rebuild — the base incidence is never
+      // rescanned. Split by the GROUP key (orders), never by row.
+      val gi = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").cast("long").as("g"),
+          col("l_suppkey").cast("long").as("i"))
+        .distinct()
+      val isNew = col("g") % 3 === 0
+      def stats(d: DataFrame) =
+        (Graph.jaccardPairCounts(d), Graph.jaccardDegrees(d))
+      val (pB, dB) = stats(gi.where(!isNew))
+      val (pD, dD) = stats(gi.where(isNew))
+      Graph.jaccardTopKFromStats(
+          Graph.jaccardMergeStats(pB, pD, Seq("ia", "ib"), "common"),
+          Graph.jaccardMergeStats(dB, dD, Seq("i"), "d"), k = 3)
+        .orderBy("item", "rnk")
+    }),
+
     "ret_map" -> ((s, dir) => {
       // the MAP half of the retrieval eval gate (next to ret_mrr):
       // scaled Average Precision of the graded BM25 top-10 against the
@@ -175,6 +197,26 @@ object Pipeline23Queries {
        |    4 * $wt.w * COALESCE(e.ec, 0) - v.dc * v.dc), 0) AS q
        |  FROM ${name}v v LEFT JOIN ${name}e e ON e.c = v.c, $wt)""".stripMargin
 
+  private val JaccardLinksOracle: String =
+      """WITH gi AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS g,
+        |    CAST(l_suppkey AS BIGINT) AS i FROM lineitem),
+        |dg AS (SELECT i, COUNT(*) AS d FROM gi GROUP BY 1),
+        |pr AS (SELECT a.i AS ia, b.i AS ib, COUNT(*) AS common
+        |  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2),
+        |sym AS (SELECT ia, ib, common FROM pr
+        |  UNION ALL SELECT ib, ia, common FROM pr),
+        |sc AS (SELECT s.ia, s.ib, s.common,
+        |    da.d + db.d - s.common AS uni,
+        |    (s.common * 1000000) // (da.d + db.d - s.common) AS j_scaled
+        |  FROM sym s JOIN dg da ON da.i = s.ia
+        |  JOIN dg db ON db.i = s.ib),
+        |rk AS (SELECT ia, ib, common, uni, j_scaled,
+        |    ROW_NUMBER() OVER (PARTITION BY ia
+        |      ORDER BY j_scaled DESC, ib ASC) AS rnk FROM sc)
+        |SELECT ia AS item, CAST(rnk AS BIGINT) AS rnk, ib AS co_item,
+        |  common, uni, j_scaled
+        |FROM rk WHERE rnk <= 3 ORDER BY item, rnk""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "graph_louvain" -> {
@@ -219,25 +261,11 @@ object Pipeline23Queries {
          |ORDER BY a.node""".stripMargin
     },
 
-    "graph_jaccard_links" ->
-      """WITH gi AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS g,
-        |    CAST(l_suppkey AS BIGINT) AS i FROM lineitem),
-        |dg AS (SELECT i, COUNT(*) AS d FROM gi GROUP BY 1),
-        |pr AS (SELECT a.i AS ia, b.i AS ib, COUNT(*) AS common
-        |  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2),
-        |sym AS (SELECT ia, ib, common FROM pr
-        |  UNION ALL SELECT ib, ia, common FROM pr),
-        |sc AS (SELECT s.ia, s.ib, s.common,
-        |    da.d + db.d - s.common AS uni,
-        |    (s.common * 1000000) // (da.d + db.d - s.common) AS j_scaled
-        |  FROM sym s JOIN dg da ON da.i = s.ia
-        |  JOIN dg db ON db.i = s.ib),
-        |rk AS (SELECT ia, ib, common, uni, j_scaled,
-        |    ROW_NUMBER() OVER (PARTITION BY ia
-        |      ORDER BY j_scaled DESC, ib ASC) AS rnk FROM sc)
-        |SELECT ia AS item, CAST(rnk AS BIGINT) AS rnk, ib AS co_item,
-        |  common, uni, j_scaled
-        |FROM rk WHERE rnk <= 3 ORDER BY item, rnk""".stripMargin,
+    "graph_jaccard_links" -> JaccardLinksOracle,
+
+    // the inc_tri_delta oracle-reuse convention: the merged-stats path
+    // must equal the FULL REBUILD, so the rebuild's SQL IS the oracle
+    "inc_jaccard_delta" -> JaccardLinksOracle,
 
     "ret_map" -> {
       val bm = Pipeline11Queries.oracles("txt_bm25")

