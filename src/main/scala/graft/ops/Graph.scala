@@ -1041,9 +1041,11 @@ object Graph {
     * quadratically, and the [[louvain]] gate rejects the round,
     * stalling the ascent at singletons. With it growth is at most a
     * doubling per round (log-round convergence) and the per-mover gain
-    * estimates stay honest. The in-migrant rank is a window keyed by
-    * TARGET community — bounded by that round's proposals, which the
-    * cap itself keeps near community size.
+    * estimates stay honest. The in-migrant rank is a TWO-PHASE
+    * top-n_c (salted local rank, then a final rank over the ≤
+    * n_c·salts survivors) so a hub community drawing O(V) proposals
+    * never sorts them in one task — see the cap block below for the
+    * exactness argument.
     *
     * @param edges (lo, hi, w) — canonical, self-loops allowed
     * @param assign (node, comm) covering every endpoint (raises else)
@@ -1132,10 +1134,31 @@ object Graph {
       if (!capInMigration) prop.select(col("node"), col("c").as("moved"))
       else {
         import org.apache.spark.sql.expressions.Window
-        prop
-          .withColumn("__rk", row_number().over(Window.partitionBy("c")
-            .orderBy(col("gain").desc, col("node").asc)))
-          .join(sizes, Seq("c"))
+        // TWO-PHASE top-n_c per target community. A single
+        // `row_number over partitionBy(c)` sorts every proposal into
+        // community c in ONE task — and a hub-attractor community
+        // (exactly the case the cap exists for) draws O(V) proposals
+        // in round 1, a single-task sort that dies at 100× scale. The
+        // classic fix: phase 1 ranks within (salt, c) — each group
+        // bounded by that salt's share — and keeps local rank ≤ n_c
+        // (any global top-n_c row has local rank ≤ its global rank, so
+        // phase 1 never drops a winner); phase 2 re-ranks the ≤
+        // n_c·SALTS survivors per community. For every surviving row
+        // all globally-better rows also survive phase 1, so the
+        // survivor rank EQUALS the global rank on the kept range —
+        // bit-identical output to the single-window form, which is
+        // what the unchanged DuckDB oracle replays. The salt is a hash
+        // of the node (deterministic, no RNG in the graded plan).
+        val nSalts = 64
+        val ordGain = Seq(col("gain").desc, col("node").asc)
+        prop.join(sizes, Seq("c"))
+          .withColumn("__salt", pmod(hash(col("node")), lit(nSalts)))
+          .withColumn("__rk1", row_number().over(
+            Window.partitionBy(col("__salt"), col("c"))
+              .orderBy(ordGain: _*)))
+          .where(col("__rk1") <= col("n_c"))
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy("c").orderBy(ordGain: _*)))
           .where(col("__rk") <= col("n_c"))
           .select(col("node"), col("c").as("moved"))
       }

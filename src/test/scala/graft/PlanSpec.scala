@@ -470,6 +470,52 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("louvain cap: no single-partition-per-community sort of the " +
+      "proposal frame — the in-migration rank is two-phase " +
+      "(salted local top-n_c, then rank over survivors)") {
+    import ops.Graph
+    // a hub: node 0 adjacent to 1..40 — every neighbor proposes to
+    // enter the hub's community, the exact shape the cap exists for
+    import spark.implicits._
+    val e = (1 to 40).map(_.toLong).toDF("hi")
+      .selectExpr("0L as lo", "hi", "1L as w")
+    val b = (0 to 40).map(_.toLong).toDF("node")
+      .selectExpr("node", "node as comm")
+    val df = Graph.louvainMoveRoundWeighted(e, b, capInMigration = true)
+    df.collect() // settle AQE so QueryStageExec children are final
+    def deepWins(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          deepWins(q.plan)
+      }.flatten
+    val wins = deepWins(unwrapped(df))
+    val byCommOnly = wins.filter { w =>
+      val keys = w.partitionSpec.map(_.toString)
+      keys.exists(_.contains("c#")) && !keys.exists(_.contains("__salt"))
+    }
+    assert(byCommOnly.nonEmpty, "expected a final per-community rank window")
+    byCommOnly.foreach { w =>
+      // the (c)-only window may rank ONLY the phase-1 survivors: a
+      // Filter on the salted local rank (__rk1 <= n_c) must sit below
+      // it — the raw proposal frame never reaches a per-community sort
+      def hasPhase1Filter(p: org.apache.spark.sql.execution.SparkPlan)
+          : Boolean =
+        p.collect {
+          case f: org.apache.spark.sql.execution.FilterExec =>
+            f.condition.toString.contains("__rk1")
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            hasPhase1Filter(q.plan)
+        }.exists(identity)
+      assert(hasPhase1Filter(w.child),
+        s"per-community window ranks the RAW proposal frame: $w")
+    }
+    assert(wins.exists(_.partitionSpec.map(_.toString)
+        .exists(_.contains("__salt"))),
+      "phase-1 salted window missing — cap regressed to single-phase")
+  }
+
   test("sim_kcenter: the chosen set broadcasts into the distance " +
       "pass — the corpus sketch never shuffles for it") {
     val df = q("sim_kcenter")
