@@ -13,6 +13,123 @@ import graft.ops.{Dedup, Merge}
   *   sbt "runMain graft.ScaleProbe minhash 500000"            # dedup path
   */
 object ScaleProbe {
+  /** Per-phase timing of the graded Louvain fixture — where do the
+    * seconds of `graph_louvain` actually go (setup / level-1 rounds /
+    * coarsen / level-2 rounds / compose), and what does AQE cost on
+    * latency-bound tiny-round jobs? Usage:
+    *   sbt "runMain graft.ScaleProbe louvain /root/testdata/sf0.1 [noaqe]"
+    */
+  private def louvainProbe(args: Array[String]): Unit = {
+    val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val aqe = !args.contains("noaqe")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", aqe.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm codegen/parquet paths so the probe times the loop, not JIT
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val t00 = System.nanoTime()
+    var tLast = t00
+    def lap(tag: String): Unit = {
+      val now = System.nanoTime()
+      println(f"[louvain] $tag%-22s ${(now - tLast) / 1e9}%6.2fs " +
+        f"(total ${(now - t00) / 1e9}%6.2fs)")
+      tLast = now
+    }
+    val cust = Tables.customer(spark, dir)
+      .where(col("c_nationkey") === 1).select(col("c_custkey"))
+    val edges = Tables.orders(spark, dir)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    lap("fixture-plan")
+    // replicate Graph.louvain's fused ascend with a lap per action so
+    // the per-round cost structure is visible (same code path:
+    // canonEdges + degreesWeighted + moveFromLabeled)
+    import graft.ops.Pin.{PinOps, PinIterOps}
+    import graft.ops.Graph
+    val e1 = Graph.canonEdges(edges, "src", "dst")
+      .select(col("lo"), col("hi"), lit(1L).as("w")).pin()
+    val nodes = e1.select(explode(array(col("lo"), col("hi"))).as("node"))
+      .distinct()
+    lap("e1-pin")
+    def ascend(e: org.apache.spark.sql.DataFrame,
+               init: org.apache.spark.sql.DataFrame,
+               budget: Int, tag: String): org.apache.spark.sql.DataFrame = {
+      val parts = e.agg(sum(col("w")).as("__w"),
+        sum(when(col("lo") === col("hi"), col("w")).otherwise(lit(0L)))
+          .as("__s")).head()
+      val wL = parts.getLong(0); val sL = parts.getLong(1)
+      val wTot = e.sparkSession.range(1).select(lit(wL).as("__w"))
+      val x = e.where(col("lo") =!= col("hi"))
+      val deg = Graph.degreesWeighted(e).pin()
+      lap(s"$tag invariants")
+      def label(b: org.apache.spark.sql.DataFrame) = x
+        .join(b.select(col("node").as("lo"), col("comm").as("cl")), Seq("lo"))
+        .join(b.select(col("node").as("hi"), col("comm").as("ch")), Seq("hi"))
+      def qNum(lab: org.apache.spark.sql.DataFrame,
+               b: org.apache.spark.sql.DataFrame): Long = {
+        val intra = lab.where(col("cl") === col("ch"))
+          .agg(coalesce(sum(col("w")), lit(0L)).as("__i"))
+        val volsq = deg.join(b, Seq("node"))
+          .groupBy(col("comm")).agg(sum(col("d_i")).as("d_c"))
+          .agg(coalesce(sum(col("d_c") * col("d_c")), lit(0L)).as("__v"))
+        intra.crossJoin(broadcast(volsq))
+          .select((lit(4L * wL) * (col("__i") + lit(sL)) - col("__v"))
+            .as("q_num")).head().getLong(0)
+      }
+      var assign = init
+      var q = deg.agg((lit(4L * wL * sL) -
+          coalesce(sum(col("d_i") * col("d_i")), lit(0L))).as("q_num"))
+        .head().getLong(0)
+      lap(s"$tag init-q")
+      var done = false; var attempts = 0; var isIdentity = true
+      while (!done && attempts < budget) {
+        val labA =
+          if (isIdentity) x.select(col("lo"), col("hi"), col("w"),
+            col("lo").as("cl"), col("hi").as("ch"))
+          else label(assign)
+        val cand = Graph.moveFromLabeled(labA, assign, deg, wTot,
+          capInMigration = true).pinIter()
+        lap(s"$tag r${attempts + 1} cand-pin")
+        val qc = qNum(label(cand), cand)
+        lap(s"$tag r${attempts + 1} q-read")
+        attempts += 1
+        if (qc > q) { assign = cand; q = qc; isIdentity = false }
+        else done = true
+      }
+      assign
+    }
+    val l1 = ascend(e1, nodes.select(col("node"), col("node").as("comm")),
+      4, "L1").pin()
+    lap("l1-pin")
+    val ce = e1
+      .join(l1.select(col("node").as("lo"), col("comm").as("ca")), Seq("lo"))
+      .join(l1.select(col("node").as("hi"), col("comm").as("cb")), Seq("hi"))
+      .groupBy(least(col("ca"), col("cb")).as("lo"),
+        greatest(col("ca"), col("cb")).as("hi"))
+      .agg(sum(col("w")).as("w"))
+      .pin()
+    lap("coarsen-pin")
+    val supernodes = l1.select(col("comm").as("node")).distinct()
+    val l2 = ascend(ce, supernodes.select(col("node"),
+      col("node").as("comm")), 3, "L2")
+    val n = l1.select(col("node"), col("comm").as("c1"))
+      .join(l2.select(col("node").as("c1"), col("comm")), Seq("c1"))
+      .select(col("node"), col("comm")).count()
+    lap("compose-count")
+    println(s"[louvain] rows=$n aqe=$aqe")
+    spark.stop()
+  }
+
   /** Decade probe for the round-8 batch-4/5 iterative graph ops: walk
     * corpus generation and Borůvka contraction on a synthetic bounded-
     * degree graph (the top-k-association shape both are documented to
@@ -151,6 +268,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("decide")) { decideProbe(args); return }
+    if (args.headOption.contains("louvain")) { louvainProbe(args); return }
     if (args.headOption.contains("walkmst")) { walkMstProbe(args); return }
     if (args.headOption.contains("minhash")) { minhashProbe(args); return }
     if (args.headOption.contains("cc")) { ccProbe(args); return }
