@@ -230,7 +230,10 @@ object Retrieval {
     * @return (query_id, n_rel, hits, mrr_scaled) per query in `ranked` */
   def topKEval(ranked: DataFrame, qrels: DataFrame,
                mrrScale: Long = 2520L): DataFrame = {
-    val rel = qrels.select(col("query_id"), col("doc_id"))
+    // defensive dedup (the jaccardLinks convention): duplicate qrel
+    // pairs would double-count n_rel AND duplicate ranked rows through
+    // the left join — silently wrong recall/MRR, not an error
+    val rel = qrels.select(col("query_id"), col("doc_id")).distinct()
       .withColumn("__rel", lit(1L))
     val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
     val hits = ranked
@@ -267,7 +270,10 @@ object Retrieval {
   def apEval(ranked: DataFrame, qrels: DataFrame,
              scale: Long = 2520L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rel = qrels.select(col("query_id"), col("doc_id"))
+    // defensive dedup: duplicate qrel pairs would double-count n_rel
+    // and, worse, duplicate ranked rows through the left join —
+    // inflating the cumulative-hit window and ap_num silently
+    val rel = qrels.select(col("query_id"), col("doc_id")).distinct()
       .withColumn("__rel", lit(1L))
     val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
     val w = Window.partitionBy("query_id").orderBy(col("rnk").asc)

@@ -25,9 +25,12 @@ object Pipeline21Queries {
 
     "samp_rendezvous" -> ((s, dir) => {
       // rendezvous (HRW) shard assignment of the corpus: each doc to
-      // argmax_shard hash(shard‖"|"‖hash(salt‖doc_id)) — the two-round
-      // form that actually mixes shard and key (a one-round polynomial
-      // hash is affine in the shard). Pure codegen'd map, no shuffle;
+      // argmax_shard mix32(hash(salt‖doc_id) XOR hash(salt‖shard)) —
+      // XOR of the two independently-hashed halves, then a final
+      // avalanche, the construction Sampling.rendezvousAssign measured
+      // as non-degenerate (a one-round polynomial hash is affine in
+      // the shard, and even re-hashing the concatenation kept the
+      // per-shard ordering correlated). Pure codegen'd map, no shuffle;
       // adding a shard later moves ONLY the docs the new shard wins
       // (spec-pinned), which is why exports shard this way instead of
       // doc_id % n.

@@ -57,10 +57,10 @@ final class PollingEventSource(
     java.net.URI.create(s"$baseUri$s&t=${tick.incrementAndGet()}")
   }
 
-  private def get(): Seq[String] = {
+  private def get(timeoutMs: Long = requestTimeoutMs): Seq[String] = {
     val resp = http.send(
       HttpRequest.newBuilder(uri(withSid = sid != null))
-        .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+        .timeout(java.time.Duration.ofMillis(math.max(1L, timeoutMs)))
         .GET().build(),
       HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200)
@@ -84,14 +84,37 @@ final class PollingEventSource(
   }
 
   override def connect(): Unit = {
+    // terminate any PRIOR session first: a handleFrame-signaled failure
+    // (server Close, undecodable frame) leaves the old pump thread
+    // looping — it reads the shared @volatile sid, so a reconnect
+    // without this would run TWO concurrent long-polls against the new
+    // session (engine.io forbids poll overlap; the server errors both,
+    // forcing a reconnect storm) and double-deliver into `events`
+    running = false
+    stopPinger()
+    locally {
+      val t = pump
+      if (t != null) {
+        t.interrupt() // wakes an in-flight HttpClient.send
+        t.join(5000L)
+        pump = null
+      }
+    }
     events.clear(); failure = null; sid = null
     val deadline = System.nanoTime() + connectTimeoutMs * 1000000L
-    def remaining(): Unit =
-      if (System.nanoTime() > deadline)
+    // remaining handshake budget, as the per-request timeout cap: a
+    // server that keeps answering noops without ever acking must not
+    // stretch connect() past connectTimeoutMs by up to a full
+    // requestTimeoutMs per in-flight long poll
+    def remainingMs(): Long = {
+      val ms = (deadline - System.nanoTime()) / 1000000L
+      if (ms <= 0)
         throw new java.io.IOException(
           s"socket.io polling handshake timed out after ${connectTimeoutMs}ms")
+      ms
+    }
     // open: first GET carries no sid
-    var pending = get().toList
+    var pending = get(math.min(requestTimeoutMs, remainingMs())).toList
     val open = pending.headOption.map(SocketIoCodec.decode) match {
       case Some(o: SocketIoCodec.Open) => pending = pending.tail; o
       case other => throw new java.io.IOException(
@@ -103,8 +126,8 @@ final class PollingEventSource(
     // drain until the namespace connect ack, then join the room
     var connected = false
     while (!connected) {
-      remaining()
-      if (pending.isEmpty) pending = get().toList
+      if (pending.isEmpty)
+        pending = get(math.min(requestTimeoutMs, remainingMs())).toList
       else pending.head match {
         case f =>
           pending = pending.tail
@@ -133,7 +156,10 @@ final class PollingEventSource(
   }
 
   private def pumpLoop(): Unit =
-    try while (running) get().foreach(handleFrame)
+    // a handleFrame-signaled failure (Close frame, undecodable frame)
+    // ends the pump too — the listener reconnects with a fresh pump,
+    // and a zombie pump would long-poll the next session concurrently
+    try while (running && failure == null) get().foreach(handleFrame)
     catch {
       case _: Throwable if !running => () // closed under the pump
       case t: Throwable => failure = t

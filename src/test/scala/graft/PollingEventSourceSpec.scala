@@ -173,6 +173,44 @@ class PollingEventSourceSpec extends SparkSuite {
     } finally src.close()
   }
 
+  test("reconnect after a server Close terminates the old pump — " +
+      "exactly one live poll pump, no concurrent long-polls on the " +
+      "new session") {
+    import scala.jdk.CollectionConverters._
+    def livePumps(): Int = Thread.getAllStackTraces.keySet.asScala
+      .count(t => t.getName == "graft-polling-pump" && t.isAlive)
+    val srv = v4Server()
+    srv.start()
+    val src = new PollingEventSource(srv.base, joinPath = "/persons")
+    try {
+      src.connect()
+      assert(srv.awaitClient() === "40")
+      assert(srv.awaitClient() === """42["join","/persons"]""")
+      // engine.io Close → handleFrame signals failure; the pump loop
+      // must EXIT (pre-fix it kept long-polling until close())
+      srv.send("1")
+      intercept[java.io.IOException] {
+        var n = 0
+        while (n < 100) { src.poll(100); n += 1 }
+      }
+      // the listener's reconnect path: connect() again on the same
+      // source — it must terminate any prior pump before starting one
+      src.connect()
+      assert(srv.awaitClient() === "40")
+      assert(srv.awaitClient() === """42["join","/persons"]""")
+      val end = System.currentTimeMillis() + 5000
+      while (livePumps() > 1 && System.currentTimeMillis() < end)
+        Thread.sleep(20)
+      assert(livePumps() === 1,
+        "old pump still long-polling after reconnect — engine.io " +
+          "forbids poll overlap")
+      // the new session still delivers
+      srv.send("""42["update",{"path":"/persons","type":"UPDATE"}]""")
+      assert(src.poll(5000)
+        .contains(graft.streaming.PushEvent("/persons", "update")))
+    } finally { src.close(); srv.stop() }
+  }
+
   test("payload codec golden frames: v4 record separator, v3 length " +
       "prefixes, round-trip") {
     val frames = Seq("2", """42["update",{"path":"/p"}]""", "6")
