@@ -24,21 +24,32 @@ import java.util.concurrent.{CountDownLatch, LinkedBlockingQueue, TimeUnit}
   * engine.io close lands in `failure` and the next `poll` throws after
   * draining buffered events — [[PushListener]] closes and reconnects on
   * its cadence.
+  *
+  * In-session UPGRADE (`upgrade = true`): when the handshake's
+  * `upgrades` offers `websocket`, the client probes the same session
+  * over a websocket (`2probe` → `3probe`), pauses the (quiescent)
+  * polling channel, and commits with `5` — the engine.io upgrade flow
+  * the socket.io client performs by default (polling first for
+  * proxy-safety, websocket once proven). After the `5`, all frames ride
+  * the websocket through the same decode path and v3 client pings move
+  * onto it; a failed or timed-out probe falls back to the polling pump.
   */
 final class PollingEventSource(
     httpBase: String,
     joinPath: String,
     protocolV4: Boolean = true,
     connectTimeoutMs: Long = 10000L,
-    requestTimeoutMs: Long = 30000L) extends EventSource {
+    requestTimeoutMs: Long = 30000L,
+    upgrade: Boolean = false) extends EventSource {
 
-  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+  import java.net.http.{HttpClient, HttpRequest, HttpResponse, WebSocket}
 
   private val events = new LinkedBlockingQueue[PushEvent]()
   @volatile private var failure: Throwable = _
   @volatile private var sid: String = _
   @volatile private var running = false
   @volatile private var pump: Thread = _
+  @volatile private var ws: WebSocket = _
   @volatile private var pinger: java.util.concurrent.ScheduledExecutorService = _
   // engine.io's cache-buster `t=` param — monotonic, not a clock
   private val tick = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -92,6 +103,7 @@ final class PollingEventSource(
     // forcing a reconnect storm) and double-deliver into `events`
     running = false
     stopPinger()
+    abortWs()
     locally {
       val t = pump
       if (t != null) {
@@ -149,10 +161,99 @@ final class PollingEventSource(
     // leftover frames from the handshake GETs are real traffic
     pending.foreach(handleFrame)
     running = true
-    val t = new Thread(() => pumpLoop(), "graft-polling-pump")
-    t.setDaemon(true)
-    t.start()
-    pump = t
+    // in-session upgrade (engine.io): when the handshake offered
+    // `websocket` and the caller opted in, probe the websocket on the
+    // SAME session before the poll pump starts — 2probe → 3probe → `5`.
+    // The pause-and-drain step of the contract is trivially satisfied
+    // here: no pump is running yet and the join POST has completed, so
+    // the polling channel is quiescent when `5` is sent; the server
+    // flushes anything it queued meanwhile to the websocket and answers
+    // later polls (none from us) with noop. A failed probe falls back
+    // to the polling pump — exactly the client library's behavior.
+    if (upgrade && open.upgrades.contains("websocket") &&
+        tryUpgrade(open.pingIntervalMs)) {
+      () // transport switched: the websocket listener delivers
+    } else {
+      val t = new Thread(() => pumpLoop(), "graft-polling-pump")
+      t.setDaemon(true)
+      t.start()
+      pump = t
+    }
+  }
+
+  /** The engine.io websocket endpoint for THIS session: same authority,
+    * `transport=websocket` and the polling handshake's sid. */
+  private def wsUri: java.net.URI = {
+    val u = java.net.URI.create(httpBase)
+    val scheme = if (u.getScheme == "https") "wss" else "ws"
+    val eio = if (protocolV4) 4 else 3
+    java.net.URI.create(s"$scheme://${u.getAuthority}/socket.io/" +
+      s"?EIO=$eio&transport=websocket&sid=$sid")
+  }
+
+  /** Probe + upgrade: `2probe` over a fresh websocket on the session,
+    * expect `3probe`, then commit with `5`. True = the websocket is the
+    * transport from here on (v3 client pings move onto it); false = any
+    * step failed or timed out and polling stays authoritative. */
+  private def tryUpgrade(pingIntervalMs: Long): Boolean = {
+    val probed = new CountDownLatch(1)
+    val probeOk = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val upgraded = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new WebSocket.Listener {
+      private val partial = new StringBuilder
+      override def onText(w: WebSocket, data: CharSequence, last: Boolean)
+      : java.util.concurrent.CompletionStage[_] = {
+        partial.append(data)
+        if (last) {
+          val frame = partial.toString; partial.setLength(0)
+          if (frame == "3probe") { probeOk.set(true); probed.countDown() }
+          else handleFrame(frame)
+        }
+        w.request(1)
+        null
+      }
+      override def onError(w: WebSocket, err: Throwable): Unit = {
+        if (upgraded.get) failure = err
+        probed.countDown()
+      }
+      override def onClose(w: WebSocket, code: Int, reason: String)
+      : java.util.concurrent.CompletionStage[_] = {
+        if (upgraded.get)
+          failure = new java.io.IOException(
+            s"websocket closed by server: $code $reason")
+        probed.countDown()
+        null
+      }
+    }
+    try {
+      val w = HttpClient.newHttpClient().newWebSocketBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
+        .buildAsync(wsUri, listener)
+        .join()
+      w.sendText("2probe", true).join()
+      if (!probed.await(connectTimeoutMs, TimeUnit.MILLISECONDS) ||
+          !probeOk.get) {
+        w.abort(); false
+      } else {
+        w.sendText("5", true).join()
+        upgraded.set(true)
+        ws = w
+        // v3 keep-alive moves onto the websocket; the polling POST
+        // channel is closed by the upgrade and must not carry pings
+        if (!protocolV4) startPinger(pingIntervalMs)
+        true
+      }
+    } catch { case _: Throwable => false }
+  }
+
+  private def abortWs(): Unit = {
+    val w = ws
+    if (w != null) {
+      try { w.sendClose(WebSocket.NORMAL_CLOSURE, "bye"); () }
+      catch { case _: Throwable => () }
+      w.abort()
+      ws = null
+    }
   }
 
   private def pumpLoop(): Unit =
@@ -165,9 +266,16 @@ final class PollingEventSource(
       case t: Throwable => failure = t
     }
 
+  /** Keep-alives ride the ACTIVE transport: the websocket once the
+    * session upgraded (the polling channel is closed then), POST before. */
+  private def sendKeepAlive(frame: String): Unit = {
+    val w = ws
+    if (w != null) { w.sendText(frame, true); () } else post(frame)
+  }
+
   private def handleFrame(frame: String): Unit =
     try SocketIoCodec.decode(frame) match {
-      case SocketIoCodec.Ping => post(SocketIoCodec.encodePong)
+      case SocketIoCodec.Ping => sendKeepAlive(SocketIoCodec.encodePong)
       case e: SocketIoCodec.Event =>
         SocketIoCodec.eventToPush(e).foreach(events.put)
       case SocketIoCodec.Close =>
@@ -184,7 +292,7 @@ final class PollingEventSource(
              t.setDaemon(true); t })
     val period = math.max(1000L, intervalMs)
     ex.scheduleAtFixedRate(
-      () => try post(SocketIoCodec.encodeClientPing)
+      () => try sendKeepAlive(SocketIoCodec.encodeClientPing)
             catch { case t: Throwable => failure = t },
       period, period, TimeUnit.MILLISECONDS)
     pinger = ex
@@ -211,8 +319,12 @@ final class PollingEventSource(
     stopPinger()
     val t = pump
     if (t != null) t.interrupt()
-    // best-effort engine.io close packet so the server frees the session
-    if (sid != null) {
+    val upgradedWs = ws != null
+    abortWs()
+    // best-effort engine.io close packet so the server frees the
+    // session — over POST only while polling was still authoritative
+    // (the upgrade closed that channel; the ws close frame covers it)
+    if (sid != null && !upgradedWs) {
       try post("1") catch { case _: Throwable => () }
     }
   }

@@ -32,8 +32,11 @@ import graft.expr.JsonSupport
 object SocketIoCodec {
 
   sealed trait Frame
-  /** Engine.io handshake: sid + ping cadence as sent by the server. */
-  final case class Open(sid: String, pingIntervalMs: Long) extends Frame
+  /** Engine.io handshake: sid + ping cadence + the transports the
+    * server will accept an in-session upgrade to (v4 handshakes list
+    * `["websocket"]` when the probe is allowed). */
+  final case class Open(sid: String, pingIntervalMs: Long,
+                        upgrades: Seq[String] = Nil) extends Frame
   case object Close extends Frame
   /** Server ping; a live client answers with [[encodePong]]. */
   case object Ping extends Frame
@@ -58,7 +61,10 @@ object SocketIoCodec {
       case '0' =>
         val j = JsonSupport.mapper.readTree(body)
         Open(Option(j.get("sid")).map(_.asText).getOrElse(""),
-          Option(j.get("pingInterval")).map(_.asLong).getOrElse(25000L))
+          Option(j.get("pingInterval")).map(_.asLong).getOrElse(25000L),
+          Option(j.get("upgrades")).filter(_.isArray)
+            .map(a => (0 until a.size()).map(a.get(_).asText))
+            .getOrElse(Nil))
       case '1' => Close
       case '2' => Ping
       case '3' => Pong
@@ -196,7 +202,7 @@ final class FrameLogEventSource(frames: Seq[String]) extends EventSource {
     val it = frames.iterator
     val open = it.nextOption().map(SocketIoCodec.decode)
     open match {
-      case Some(SocketIoCodec.Open(_, _)) =>
+      case Some(SocketIoCodec.Open(_, _, _)) =>
       case other => sys.error(s"recorded session must start with an " +
         s"engine.io open frame, got: $other")
     }

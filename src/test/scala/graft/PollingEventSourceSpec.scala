@@ -30,6 +30,13 @@ class PollingEventSourceSpec extends SparkSuite {
     val clientPackets = new LinkedBlockingQueue[String]()
     private val outbound = new LinkedBlockingQueue[String]()
     @volatile private var running = true
+    /** True once a websocket connection on this stub has completed the
+      * engine.io upgrade (client committed with `5`). */
+    @volatile var wsUpgraded = false
+    /** False = the ws endpoint accepts the connection but never answers
+      * the `2probe` — the stalled-middlebox shape the probe exists to
+      * detect; the client must fall back to polling. */
+    @volatile var answerProbe = true
     /** Called with every decoded client packet (before queueing) —
       * tests hook the v4 `40` connect request here. */
     @volatile var onClientPacket: String => Unit = _ => ()
@@ -62,6 +69,23 @@ class PollingEventSourceSpec extends SparkSuite {
           }
           val lines = head.toString.split("\r\n")
           val Array(method, path, _) = lines(0).split(" ", 3)
+          // RFC6455 upgrade request → minimal websocket endpoint for
+          // the engine.io in-session upgrade (probe / commit / events)
+          if (lines.exists(_.toLowerCase.startsWith("upgrade: websocket"))) {
+            val key = lines
+              .find(_.toLowerCase.startsWith("sec-websocket-key:"))
+              .map(_.split(":", 2)(1).trim).getOrElse("")
+            val guid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+            val accept = java.util.Base64.getEncoder.encodeToString(
+              java.security.MessageDigest.getInstance("SHA-1")
+                .digest((key + guid).getBytes("UTF-8")))
+            out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+              "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+              s"Sec-WebSocket-Accept: $accept\r\n\r\n").getBytes("UTF-8"))
+            out.flush()
+            serveWs(in, out)
+            return
+          }
           val len = lines.find(_.toLowerCase.startsWith("content-length:"))
             .map(_.split(":", 2)(1).trim.toInt).getOrElse(0)
           val body = new Array[Byte](len)
@@ -93,6 +117,74 @@ class PollingEventSourceSpec extends SparkSuite {
       finally { try sock.close() catch { case _: Throwable => () } }
     }
 
+    /** Post-101 loop: read masked client text frames, answer the
+      * engine.io probe, and after the `5` commit flush the SAME
+      * outbound queue over the websocket (the server-side flush the
+      * upgrade contract promises for packets queued mid-switch). */
+    private def serveWs(in: java.io.InputStream,
+        out: java.io.OutputStream): Unit = {
+      val wlock = new Object
+      def writeText(s: String): Unit = wlock.synchronized {
+        val b = s.getBytes("UTF-8")
+        require(b.length < 126, "stub ws frames stay short")
+        out.write(0x81); out.write(b.length); out.write(b); out.flush()
+      }
+      def readFully(buf: Array[Byte]): Boolean = {
+        var off = 0
+        while (off < buf.length) {
+          val n = in.read(buf, off, buf.length - off)
+          if (n < 0) return false
+          off += n
+        }
+        true
+      }
+      @volatile var open = true
+      var sender: Thread = null
+      try {
+        while (running && open) {
+          val b0 = in.read(); if (b0 < 0) return
+          val b1 = in.read(); if (b1 < 0) return
+          val op = b0 & 0x0f
+          var len = b1 & 0x7f
+          if (len == 126) {
+            val ext = new Array[Byte](2)
+            if (!readFully(ext)) return
+            len = ((ext(0) & 0xff) << 8) | (ext(1) & 0xff)
+          }
+          val mask = new Array[Byte](if ((b1 & 0x80) != 0) 4 else 0)
+          if (!readFully(mask)) return
+          val payload = new Array[Byte](len)
+          if (!readFully(payload)) return
+          if (mask.nonEmpty)
+            (0 until len).foreach(i =>
+              payload(i) = (payload(i) ^ mask(i % 4)).toByte)
+          op match {
+            case 0x8 => open = false // close
+            case 0x1 =>
+              new String(payload, "UTF-8") match {
+                case "2probe" => if (answerProbe) writeText("3probe")
+                case "5" =>
+                  wsUpgraded = true
+                  sender = new Thread(() => {
+                    try while (running && open) {
+                      val f = outbound.poll(200, TimeUnit.MILLISECONDS)
+                      if (f != null) writeText(f)
+                    } catch { case _: Throwable => () }
+                  }, "stub-ws-send")
+                  sender.setDaemon(true); sender.start()
+                case "2" => writeText("3") // v3 client ping
+                case "1" => open = false // engine.io close
+                case p => onClientPacket(p); clientPackets.put(p)
+              }
+            case _ => () // pings/pongs/continuations: not exercised
+          }
+        }
+      } finally {
+        open = false
+        if (sender != null) sender.interrupt()
+      }
+    }
+
     def start(): Unit = acceptor.start()
     def stop(): Unit = {
       running = false
@@ -102,10 +194,13 @@ class PollingEventSourceSpec extends SparkSuite {
 
   private val OpenV4 =
     """0{"sid":"p1","pingInterval":25000,"pingTimeout":20000}"""
+  private val OpenV4Upgrade =
+    """0{"sid":"p1","upgrades":["websocket"],""" +
+      """"pingInterval":25000,"pingTimeout":20000}"""
 
   /** v4 stub that acks the namespace when the client POSTs `40`. */
-  private def v4Server(): StubPollServer = {
-    val srv = new StubPollServer(v4 = true, Seq(OpenV4))
+  private def v4Server(open: String = OpenV4): StubPollServer = {
+    val srv = new StubPollServer(v4 = true, Seq(open))
     srv.onClientPacket = p => if (p == "40") srv.send("""40{"sid":"n1"}""")
     srv
   }
@@ -171,6 +266,106 @@ class PollingEventSourceSpec extends SparkSuite {
         while (n < 100) { src.poll(100); n += 1 }
       }
     } finally src.close()
+  }
+
+  test("engine.io in-session upgrade: polling handshake → 2probe/" +
+      "3probe → '5' commit — events and keep-alives ride the " +
+      "websocket, no poll pump runs") {
+    import scala.jdk.CollectionConverters._
+    val srv = v4Server(OpenV4Upgrade)
+    srv.start()
+    val src = new PollingEventSource(srv.base, joinPath = "/persons",
+      upgrade = true)
+    try {
+      src.connect()
+      assert(srv.awaitClient() === "40")
+      assert(srv.awaitClient() === """42["join","/persons"]""")
+      val end = System.currentTimeMillis() + 5000
+      while (!srv.wsUpgraded && System.currentTimeMillis() < end)
+        Thread.sleep(10)
+      assert(srv.wsUpgraded, "client never committed the upgrade")
+      assert(!Thread.getAllStackTraces.keySet.asScala.exists(t =>
+          t.getName == "graft-polling-pump" && t.isAlive),
+        "poll pump running after a successful upgrade — the polling " +
+          "channel must go quiet")
+      // events flow over the websocket now
+      srv.send("""42["update",{"path":"/persons","type":"UPDATE"}]""")
+      assert(src.poll(5000)
+        .contains(graft.streaming.PushEvent("/persons", "update")))
+      // server ping → client pong, both over the websocket
+      srv.send("2")
+      assert(srv.awaitClient() === "3")
+    } finally { src.close(); srv.stop() }
+  }
+
+  test("upgrade probe unanswered → clean fallback to the polling pump") {
+    val srv = v4Server(OpenV4Upgrade)
+    srv.answerProbe = false
+    srv.start()
+    val src = new PollingEventSource(srv.base, joinPath = "/persons",
+      upgrade = true, connectTimeoutMs = 1500)
+    try {
+      src.connect()
+      assert(srv.awaitClient() === "40")
+      assert(srv.awaitClient() === """42["join","/persons"]""")
+      assert(!srv.wsUpgraded)
+      // polling stayed authoritative: events arrive via the pump
+      srv.send("""42["update",{"path":"/persons","type":"UPDATE"}]""")
+      assert(src.poll(8000)
+        .contains(graft.streaming.PushEvent("/persons", "update")))
+    } finally { src.close(); srv.stop() }
+  }
+
+  test("delta merges across the upgrade boundary: an update queued " +
+      "DURING the switch is flushed to the websocket and a post-" +
+      "upgrade update lands too — both drive real merges") {
+    val dir = java.nio.file.Files.createTempDirectory("upg-push")
+    val target = new ParquetTarget(spark, s"$dir/apptable")
+    val runner = new SyncRunner(spark, SyncConfig("apptable", s"$dir/state"))
+    target.overwrite(Seq(("/persons/1", 100L, "a"))
+      .toDF("href", "modified_ms", "jsondata"))
+    val delta = Seq(("/persons/1", 200L, "b"), ("/persons/2", 200L, "c"))
+      .toDF("href", "modified_ms", "jsondata")
+    val none = Seq.empty[String].toDF("href")
+
+    val srv = v4Server(OpenV4Upgrade)
+    // the mid-switch race: an update enqueued right behind the connect
+    // ack — whichever side of the `5` the transfer lands on, the
+    // contract (server flushes its queue to the websocket) delivers it
+    srv.onClientPacket = p => if (p == "40") {
+      srv.send("""40{"sid":"n1"}""")
+      srv.send("""42["update",{"path":"/persons","type":"UPDATE"}]""")
+    }
+    srv.start()
+    val src = new PollingEventSource(srv.base, joinPath = "/persons",
+      upgrade = true)
+    val listener = new PushListener(src,
+      rooms = Map("/persons" ->
+        (_ => { runner.deltaSync(delta, none, target); () })),
+      reconnectMs = 50L, retryMs = 50L)
+    listener.start()
+    try {
+      val end = System.currentTimeMillis() + 15000
+      while ((!srv.wsUpgraded || listener.syncsRun.get() < 1) &&
+          System.currentTimeMillis() < end)
+        Thread.sleep(10)
+      assert(srv.wsUpgraded, "upgrade never committed")
+      assert(listener.syncsRun.get() >= 1,
+        "the mid-switch update never drove a merge")
+      // and a post-upgrade update drives another
+      val before = listener.syncsRun.get()
+      srv.send("""42["update",{"path":"/persons","type":"UPDATE"}]""")
+      val end2 = System.currentTimeMillis() + 15000
+      while (listener.syncsRun.get() < before + 1 &&
+          System.currentTimeMillis() < end2)
+        Thread.sleep(10)
+      assert(listener.syncsRun.get() >= before + 1,
+        "post-upgrade update never drove a merge")
+      val got = target.read(spark)
+        .as[(String, Long, String)].collect().toSet
+      assert(got === Set(("/persons/1", 200L, "b"),
+        ("/persons/2", 200L, "c")))
+    } finally { listener.stop(); srv.stop() }
   }
 
   test("reconnect after a server Close terminates the old pump — " +
