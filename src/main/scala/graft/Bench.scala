@@ -179,17 +179,38 @@ object Bench {
     val loadFactor = probes.map(_._3).max
     val quietFloor = probes.map(_._3).min
 
-    // auto-retry: any query whose run spread exceeded 2× was measured
-    // through noise (one run 3×+ another); re-measure it on the
-    // then-quietest window we can find and keep the better (lower)
-    // median — load only ever inflates a fixed workload, so the lower
-    // of two medians is strictly closer to the quiet-box truth.
+    // auto-retry, two triggers:
+    //  (a) run spread > 2× — a TRANSIENT burst hit one run of the
+    //      query (one run 3×+ another);
+    //  (b) the query's probe WINDOW read loaded — a SUSTAINED burst
+    //      inflates every run equally, so the spread stays small and
+    //      (a) never fires (measured: a full sweep at lf 2.08 retried
+    //      nothing by spread alone); the probes bracketing the query's
+    //      position tell the truth instead.
+    // Either way, re-measure on the then-quietest window we can find
+    // and keep the better (lower) median — load only ever inflates a
+    // fixed workload, so the lower of two medians is strictly closer
+    // to the quiet-box truth.
     val spreadLimit =
       sys.env.get("SPARK_GRAFT_BENCH_RETRY_SPREAD").map(_.toDouble).getOrElse(2.0)
-    val flagged = sweepFull.filter { case (_, m, ts) => m > 0 && spreadOf(ts, m) > spreadLimit }
+    val windowLimit =
+      sys.env.get("SPARK_GRAFT_BENCH_RETRY_WINDOW").map(_.toDouble).getOrElse(1.5)
+    // bracketing-probe load for query index i: the last probe at or
+    // before it and the first after it (probes are (at, t, sec))
+    def windowLoad(i: Int): Double = {
+      val before = probes.filter(_._1 <= i).map(_._3)
+      val after = probes.find(_._1 > i).map(_._3)
+      math.max(if (before.nonEmpty) before.last else 0.0,
+        after.getOrElse(0.0))
+    }
+    val windowFloor = math.max(windowLimit, quietFloor * 1.3)
+    val flagged = sweepFull.zipWithIndex.filter { case ((_, m, ts), i) =>
+      m > 0 && (spreadOf(ts, m) > spreadLimit || windowLoad(i) > windowFloor)
+    }.map(_._1)
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     if (flagged.nonEmpty) {
-      System.err.println(s"[bench] retrying ${flagged.size} noisy queries (spread > $spreadLimit)")
+      System.err.println(f"[bench] retrying ${flagged.size}%d noisy queries " +
+        f"(spread > $spreadLimit%.1f or probe window > $windowFloor%.2f)")
       // wait-for-quiet: up to 8 short probes 5 s apart; proceed on the
       // first that reads near the sweep's quietest point (or give up
       // and retry anyway — the min() guard below makes it harmless)
@@ -198,7 +219,13 @@ object Bench {
       while (quietProbe > math.max(1.15, quietFloor * 1.15) && attempts < 8) {
         Thread.sleep(5000); attempts += 1; quietProbe = probe(selected.size)
       }
-      flagged.foreach { case (name, origMedian, _) =>
+      // a fully-loaded box flags most of the suite; if no quiet window
+      // ever appeared, a second sweep under the SAME load buys nothing
+      // — keep the honest loaded numbers and let load_factor say so
+      if (quietProbe > windowFloor && flagged.size > selected.size / 2)
+        System.err.println("[bench] box still loaded and most of the " +
+          "suite flagged — skipping retries, artifact stays marked")
+      else flagged.foreach { case (name, origMedian, _) =>
         val fn = SparkEntry.queries(name)
         val retryTimes = timeQuery(name, fn)
         val retryMedian = medianOf(retryTimes)
