@@ -130,6 +130,55 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Decade probe for the r12 two-phase in-migration cap on the exact
+    * shape it exists for: a star graph where EVERY spoke proposes into
+    * the hub's community in round 1. The old
+    * `row_number over partitionBy(c)` sorted all n proposals in ONE
+    * task (data-sized straggler); the salted two-phase bounds every
+    * sort at ~n/64 and must scale near-linearly from n to 4n spokes.
+    *   sbt "runMain graft.ScaleProbe hubcap [spokes]"
+    */
+  private def hubCapProbe(args: Array[String]): Unit = {
+    val n = args.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def run(sz: Long): (Double, Long) = {
+      // star: hub 0 — (0, i) canonical, weight 1
+      val e = spark.range(1, sz + 1)
+        .select(lit(0L).as("lo"), col("id").as("hi"), lit(1L).as("w"))
+        .localCheckpoint()
+      val b = spark.range(0, sz + 1)
+        .select(col("id").as("node"), col("id").as("comm"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val moved = ops.Graph.louvainMoveRoundWeighted(e, b,
+          capInMigration = true)
+        .where(col("node") =!= col("comm")).count()
+      ((System.nanoTime() - t0) / 1e9, moved)
+    }
+    run(10000) // warm codegen so the n point is not charged JIT
+    val (w1, m1) = run(n)
+    val (w4, m4) = run(n * 4)
+    println(f"[hubcap] n=$n%d wall=$w1%.1fs moved=$m1%d | 4x " +
+      f"wall=$w4%.1fs (${w4 / w1}%.1fx) moved=$m4%d")
+    // every spoke proposes into the hub; the swap guard forbids the
+    // singleton hub moving into a LARGER-id singleton, so the hub
+    // stays and the cap admits exactly n_c(hub) = 1 spoke
+    require(m1 == 1 && m4 == 1,
+      s"hub cap must admit exactly 1 in-migrant, got $m1 / $m4")
+    require(w4 / w1 < 8.0,
+      f"4x hub proposals cost ${w4 / w1}%.1fx wall — the cap has a " +
+        "data-sized straggler again")
+    spark.stop()
+  }
+
   /** Decade probe for the round-8 batch-4/5 iterative graph ops: walk
     * corpus generation and Borůvka contraction on a synthetic bounded-
     * degree graph (the top-k-association shape both are documented to
@@ -269,6 +318,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("decide")) { decideProbe(args); return }
     if (args.headOption.contains("louvain")) { louvainProbe(args); return }
+    if (args.headOption.contains("hubcap")) { hubCapProbe(args); return }
     if (args.headOption.contains("walkmst")) { walkMstProbe(args); return }
     if (args.headOption.contains("minhash")) { minhashProbe(args); return }
     if (args.headOption.contains("cc")) { ccProbe(args); return }
