@@ -1337,6 +1337,12 @@ object Graph {
       var isIdentity = true // labels of the identity assignment are the
                             // endpoints themselves — round 1 skips both
                             // labeling joins outright
+      // (Speculative next-round pinning — materializing cand_{r+1} on a
+      // second thread while this one reads cand_r's score — was tried
+      // and MEASURED SLOWER at local[32]: the concurrent jobs contend
+      // for the same scheduler and the two label(cand) subtrees don't
+      // share exchanges across jobs, so graph_louvain went 10.8 →
+      // 13.5 s. Sequential is the right shape here.)
       while (!done && attempts < budget) {
         val labA =
           if (isIdentity) x.select(col("lo"), col("hi"), col("w"),
