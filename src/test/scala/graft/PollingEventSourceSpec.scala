@@ -37,6 +37,9 @@ class PollingEventSourceSpec extends SparkSuite {
       * the `2probe` — the stalled-middlebox shape the probe exists to
       * detect; the client must fall back to polling. */
     @volatile var answerProbe = true
+    /** Count of client `2` pings received ON THE WEBSOCKET — the v3
+      * keep-alive-inversion assertion (POST-side pings don't count). */
+    @volatile var wsPings = 0
     /** Called with every decoded client packet (before queueing) —
       * tests hook the v4 `40` connect request here. */
     @volatile var onClientPacket: String => Unit = _ => ()
@@ -172,7 +175,8 @@ class PollingEventSourceSpec extends SparkSuite {
                     } catch { case _: Throwable => () }
                   }, "stub-ws-send")
                   sender.setDaemon(true); sender.start()
-                case "2" => writeText("3") // v3 client ping
+                case "2" => // v3 client ping over the websocket
+                  wsPings += 1; writeText("3")
                 case "1" => open = false // engine.io close
                 case p => onClientPacket(p); clientPackets.put(p)
               }
@@ -295,6 +299,38 @@ class PollingEventSourceSpec extends SparkSuite {
       // server ping → client pong, both over the websocket
       srv.send("2")
       assert(srv.awaitClient() === "3")
+    } finally { src.close(); srv.stop() }
+  }
+
+  test("v3 upgrade: the client-originated keep-alive moves ONTO the " +
+      "websocket after the '5' commit (the polling POST channel is " +
+      "closed by the upgrade)") {
+    // v3 handshake: open (with upgrades) + namespace ack in ONE
+    // payload; tight pingInterval so the post-upgrade ping arrives fast
+    val srv = new StubPollServer(v4 = false, Seq(
+      """0{"sid":"p3","upgrades":["websocket"],""" +
+        """"pingInterval":1000,"pingTimeout":5000}""", "40"))
+    srv.start()
+    val src = new PollingEventSource(srv.base, joinPath = "/persons",
+      protocolV4 = false, upgrade = true)
+    try {
+      src.connect()
+      assert(srv.awaitClient() === """42["join","/persons"]""")
+      val end = System.currentTimeMillis() + 5000
+      while (!srv.wsUpgraded && System.currentTimeMillis() < end)
+        Thread.sleep(10)
+      assert(srv.wsUpgraded, "v3 client never committed the upgrade")
+      // the stub counts pings received ON the websocket separately —
+      // POST-side pings (pre-upgrade) cannot satisfy this
+      val deadline = System.currentTimeMillis() + 8000
+      while (srv.wsPings < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(srv.wsPings >= 1,
+        "no client keep-alive arrived over the websocket after the upgrade")
+      // and events still flow over the websocket in v3 framing
+      srv.send("""42["update",{"path":"/persons"}]""")
+      assert(src.poll(5000)
+        .contains(graft.streaming.PushEvent("/persons", "update")))
     } finally { src.close(); srv.stop() }
   }
 
