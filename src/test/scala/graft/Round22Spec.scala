@@ -164,4 +164,79 @@ class Round22Spec extends SparkSuite {
     assert(fin.select("comm").distinct().count() < fin.count(),
       "louvain merged nothing")
   }
+
+  test("capped move round ≡ brute-force reference on seeded random " +
+      "graphs — the exactness net under the two-phase cap and the " +
+      "fused-round refactors (self-loops, multi-edges, isolated " +
+      "members, swap-guard ties all drawn)") {
+    // a straight-line Scala model of the documented semantics: exact
+    // gains at scale 4W², swap guard, argmax (max gain, tie min c),
+    // cap = per-community (gain desc, node asc) top-n_c
+    def reference(raw: Seq[(Long, Long, Long)],
+                  assign: Map[Long, Long]): Map[Long, Long] = {
+      val bigW = raw.map(_._3).sum
+      val cross = raw.filter(t => t._1 != t._2)
+      val d = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      cross.foreach { case (a, b, w) => d(a) += w; d(b) += w }
+      raw.filter(t => t._1 == t._2)
+        .foreach { case (a, _, w) => d(a) += 2 * w }
+      val members = assign.keys.toSeq.groupBy(assign)
+      val dc = members.map { case (c, ns) => c -> ns.map(d).sum }
+      val nc = members.map { case (c, ns) => c -> ns.size.toLong }
+      val k = scala.collection.mutable.Map.empty[(Long, Long), Long]
+        .withDefaultValue(0L)
+      cross.foreach { case (a, b, w) =>
+        k((a, assign(b))) += w; k((b, assign(a))) += w
+      }
+      val props = assign.keys.toSeq.sorted.flatMap { i =>
+        val a = assign(i)
+        val nbrs = cross.flatMap { case (x, y, _) =>
+          if (x == i) Some(assign(y))
+          else if (y == i) Some(assign(x)) else None
+        }.distinct.filter(_ != a)
+        val cands = nbrs.flatMap { c =>
+          if (nc(a) == 1L && nc(c) == 1L && c > a) None
+          else {
+            val gain = 4L * bigW * (k((i, c)) - k((i, a))) -
+              2L * d(i) * (dc(c) - dc(a) + d(i))
+            if (gain > 0L) Some((c, gain)) else None
+          }
+        }
+        if (cands.isEmpty) None
+        else {
+          val g = cands.map(_._2).max
+          Some((i, cands.filter(_._2 == g).map(_._1).min, g))
+        }
+      }
+      val kept = props.groupBy(_._2).flatMap { case (c, ps) =>
+        ps.sortBy(p => (-p._3, p._1)).take(nc(c).toInt)
+          .map(p => p._1 -> c)
+      }
+      assign.map { case (nd, cm) => nd -> kept.getOrElse(nd, cm) }
+    }
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 8) {
+      val n = 8 + rnd.nextInt(13)
+      val nEdges = n + rnd.nextInt(2 * n)
+      val raw = ((1 to nEdges).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b), 1L + rnd.nextInt(3))
+      } ++ Seq.fill(rnd.nextInt(3))(
+        { val s = rnd.nextInt(n).toLong; (s, s, 1L + rnd.nextInt(2).toLong) })
+      ).toVector
+      // few labels → multi-member communities AND singleton swaps both
+      // occur; two extra edge-less nodes cover the isolated-member path
+      val labels = Vector.fill(3 + rnd.nextInt(3))(rnd.nextInt(50).toLong)
+      val assign = (0L until (n + 2).toLong)
+        .map(v => v -> labels(rnd.nextInt(labels.size))).toMap
+      val expected = reference(raw, assign)
+      val got = Graph.louvainMoveRoundWeighted(
+          raw.toDF("lo", "hi", "w"),
+          assign.toSeq.toDF("node", "comm"), capInMigration = true)
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected,
+        s"trial $trial diverged (n=$n, edges=${raw.size})")
+    }
+  }
 }
