@@ -65,6 +65,19 @@ object Bench {
     if (ok.size < 2 || median <= 0) 0.0 else (ok.max - ok.min) / median
   }
 
+  /** Bracketing-probe load for the query at sweep index `i`: the last
+    * probe at or before it and the first after it. `probes` are
+    * (queries-completed, sweep-offset-s, normalized value) — the same
+    * triple the artifact's `load_probes` carries, so
+    * tools/benchdiff.py mirrors this exactly. */
+  private[graft] def windowLoadOf(probes: Seq[(Int, Double, Double)],
+                                  i: Int): Double = {
+    val before = probes.filter(_._1 <= i).map(_._3)
+    val after = probes.find(_._1 > i).map(_._3)
+    math.max(if (before.nonEmpty) before.last else 0.0,
+      after.getOrElse(0.0))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -195,14 +208,7 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_RETRY_SPREAD").map(_.toDouble).getOrElse(2.0)
     val windowLimit =
       sys.env.get("SPARK_GRAFT_BENCH_RETRY_WINDOW").map(_.toDouble).getOrElse(1.5)
-    // bracketing-probe load for query index i: the last probe at or
-    // before it and the first after it (probes are (at, t, sec))
-    def windowLoad(i: Int): Double = {
-      val before = probes.filter(_._1 <= i).map(_._3)
-      val after = probes.find(_._1 > i).map(_._3)
-      math.max(if (before.nonEmpty) before.last else 0.0,
-        after.getOrElse(0.0))
-    }
+    def windowLoad(i: Int): Double = windowLoadOf(probes.toSeq, i)
     val windowFloor = math.max(windowLimit, quietFloor * 1.3)
     val flagged = sweepFull.zipWithIndex.filter { case ((_, m, ts), i) =>
       m > 0 && (spreadOf(ts, m) > spreadLimit || windowLoad(i) > windowFloor)

@@ -28,4 +28,15 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(Bench.spreadOf(Seq(5.0), 5.0) === 0.0)
     assert(Bench.spreadOf(Seq(1.0, 2.0), -1.0) === 0.0)
   }
+
+  test("windowLoadOf: max of the last probe at/before the index and " +
+      "the first after it — the retry trigger AND benchdiff.py's mirror") {
+    // probes at queries-completed 0, 25, 50 with values 1.0, 2.0, 1.1
+    val ps = Seq((0, 0.0, 1.0), (25, 60.0, 2.0), (50, 120.0, 1.1))
+    assert(Bench.windowLoadOf(ps, 10) === 2.0)  // before=1.0, after=2.0
+    assert(Bench.windowLoadOf(ps, 25) === 2.0)  // before=2.0, after=1.1
+    assert(Bench.windowLoadOf(ps, 40) === 2.0)  // before=2.0, after=1.1
+    assert(Bench.windowLoadOf(ps, 60) === 1.1)  // past the last probe
+    assert(Bench.windowLoadOf(Nil, 5) === 0.0)
+  }
 }
