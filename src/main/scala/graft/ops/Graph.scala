@@ -1175,6 +1175,12 @@ object Graph {
         // bit-identical output to the single-window form, which is
         // what the unchanged DuckDB oracle replays. The salt is a hash
         // of the node (deterministic, no RNG in the graded plan).
+        // Phase 2's per-community task is bounded by n_c·SALTS — and
+        // the cap's OUTPUT for that community is itself n_c rows, so
+        // the residual single-task work is within a constant factor of
+        // the result size, not the proposal count (the hub case goes
+        // O(V) → ≤ SALTS rows; see ScaleProbe hubcap for the measured
+        // 2M→8M-spoke decade point).
         val nSalts = 64
         val ordGain = Seq(col("gain").desc, col("node").asc)
         prop.join(cs.select(col("c"), col("n_c")), Seq("c"))
