@@ -36,7 +36,8 @@ object SparkEntry {
       Pipeline16Queries.queries ++ Pipeline17Queries.queries ++
       Pipeline18Queries.queries ++ Pipeline19Queries.queries ++
       Pipeline20Queries.queries ++ Pipeline21Queries.queries ++
-      Pipeline22Queries.queries ++ Pipeline23Queries.queries
+      Pipeline22Queries.queries ++ Pipeline23Queries.queries ++
+      Pipeline24Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -54,5 +55,6 @@ object SparkEntry {
       Pipeline16Queries.oracles ++ Pipeline17Queries.oracles ++
       Pipeline18Queries.oracles ++ Pipeline19Queries.oracles ++
       Pipeline20Queries.oracles ++ Pipeline21Queries.oracles ++
-      Pipeline22Queries.oracles ++ Pipeline23Queries.oracles
+      Pipeline22Queries.oracles ++ Pipeline23Queries.oracles ++
+      Pipeline24Queries.oracles
 }

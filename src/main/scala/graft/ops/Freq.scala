@@ -136,4 +136,74 @@ object Freq {
       .groupBy("k")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  // ------------------------------------------------------------------
+  // KMV (k-minimum-values / bottom-k) distinct sketch — Bar-Yossef et
+  // al. 2002 (RANDOM), Beyer et al. 2007 (SIGMOD): keep the k SMALLEST
+  // hash values of the distinct keys per group. The k-th smallest
+  // (unsigned, normalized) estimates the distinct count as
+  // (k−1)·2³²/h_k, and the k survivors are simultaneously a uniform
+  // sample of the distinct keys. The sketch is a join-SEMILATTICE:
+  // bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)) exactly — the
+  // mergeability that makes it the per-partition / per-day / per-shard
+  // distinct sketch at 100 TB (union the k-row summaries, never the
+  // data). Hash = the engine's one cross-checkable idiom
+  // (java_hash_u32), so the whole sketch is oracle-exact in SQL.
+  // ------------------------------------------------------------------
+
+  /** Bottom-k sketch per group: (grp, rnk, hu, k_key) — rnk 1..k by
+    * ascending unsigned hash, k_key = the surviving key (the uniform-
+    * sample read path). Keys are deduplicated FIRST (KMV is a
+    * distinct sketch); 32-bit hash collisions between distinct keys
+    * survive as separate rows ordered by (hu, k_key) — identically on
+    * both engines. The per-group cut is a
+    * window top-k, but the window input is already ≤ |distinct keys in
+    * group| rows of (grp, hu) — and because the sketch is mergeable,
+    * a skewed group graduates to the two-phase per-partition pre-cut
+    * ([[knnMerge]]-style semilattice folding) without changing one
+    * output bit. */
+  def bottomK(df: DataFrame, grpCol: String, keyCol: String, k: Int)
+  : DataFrame = {
+    require(k >= 2, "KMV needs k >= 2 (estimate uses k-1)")
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    bottomKMerge(
+      df.select(col(grpCol).as("grp"), col(keyCol).cast("string")
+          .as("k_key"))
+        .distinct()
+        .withColumn("hu",
+          graft.expr.GraftFunctions.java_hash_u32(col("k_key"))),
+      k)
+  }
+
+  /** The semilattice fold: cut (grp, hu, k_key) rows back to the k
+    * smallest hashes per group. Feeding unions of [[bottomK]] outputs
+    * through this equals rebuilding from the raw union — the
+    * inc_bottomk_delta identity. Ties: two distinct keys may share a
+    * 32-bit hash, so the order is (hu, k_key) — total and identical on
+    * both engines. */
+  def bottomKMerge(sketch: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("grp")
+      .orderBy(col("hu").asc, col("k_key").asc)
+    sketch.select(col("grp"), col("hu"), col("k_key")).distinct()
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("grp"), col("rnk").cast("long").as("rnk"),
+        col("hu"), col("k_key"))
+  }
+
+  /** Distinct-count estimate terms from a [[bottomK]] sketch: one row
+    * per group with n_sketch (< k ⇒ the group is EXACT: every distinct
+    * key survived), and the (k−1)/h_k estimate as exact integer terms
+    * est_num = (k−1)·2³², est_den = h_k (0/0-fenced to the exact count
+    * when n_sketch < k). The division happens downstream — no float
+    * leaves the engine. */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.groupBy("grp")
+      .agg(count(lit(1)).as("n_sketch"), max("hu").as("h_k"))
+      .select(col("grp"), col("n_sketch"),
+        when(col("n_sketch") < k, col("n_sketch"))
+          .otherwise(lit((k - 1).toLong * 4294967296L)).as("est_num"),
+        when(col("n_sketch") < k, lit(1L))
+          .otherwise(col("h_k")).as("est_den"))
 }

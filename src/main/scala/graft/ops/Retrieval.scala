@@ -290,6 +290,43 @@ object Retrieval {
         coalesce(col("n_rel"), lit(0L)).as("n_rel"), col("ap_num"))
   }
 
+  /** Expected Reciprocal Rank per query, exact integers (Chapelle et
+    * al. 2009, CIKM — the cascade-model metric next to MRR/MAP): with
+    * binary relevance the stop probability at a relevant rank is
+    * R = 1/2, so ERR = Σ_{hit at rank r} (1/r)·(1/2)^{h_r} with h_r =
+    * hits within the top r (the (1/2)^{h_r−1} survival mass times the
+    * R = 1/2 stop). Every term has denominator r·2^{h_r} ≤ 10·2¹⁰, so
+    * `scale` = lcm(1..10)·2¹⁰ = 2 580 480 makes each division exact —
+    * err_num is a true integer rational and ERR = err_num/scale forms
+    * downstream; no float leaves the engine. Same cumulative-hit
+    * window shape (query-bounded top-k lists) as [[apEval]].
+    *
+    * @param ranked (query_id, rnk, doc_id) — 1-based rnk, rnk ≤ 10 and
+    *               ≤ 10 relevant hits per list for the default scale
+    * @param qrels  (query_id, doc_id) relevant pairs
+    * @return (query_id, n_rel, err_num) per query in `ranked` */
+  def errEval(ranked: DataFrame, qrels: DataFrame,
+              scale: Long = 2580480L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rel = qrels.select(col("query_id"), col("doc_id")).distinct()
+      .withColumn("__rel", lit(1L))
+    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val w = Window.partitionBy("query_id").orderBy(col("rnk").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .withColumn("__h", sum(coalesce(col("__rel"), lit(0L))).over(w))
+      .groupBy("query_id")
+      .agg(sum(when(col("__rel").isNotNull,
+          call_function("div", lit(scale),
+            col("rnk") * call_function("shiftleft", lit(1L),
+              col("__h").cast("int"))))
+        .otherwise(lit(0L))).as("err_num"))
+      .join(nRel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"), col("err_num"))
+  }
+
   /** Vocabulary-growth (Heaps' law) measurement: distinct-term count
     * and cumulative token count at each corpus-prefix checkpoint —
     * the curve that sizes a tokenizer's vocabulary budget before

@@ -387,8 +387,18 @@ object Similarity {
     * sliced under the CORPUS quantization scale, so re-quantizing raw
     * probe floats (what quantizedTopKOnSketch does) would be wrong. */
   def topKOnSketches(sketch: DataFrame, probeSketch: DataFrame, k: Int)
-  : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  : DataFrame =
+    topKScoredOnSketches(sketch, probeSketch, k)
+      .select("query_id", "rnk", "neighbor_id", "qdot")
+
+  /** [[topKOnSketches]] keeping the norm pair (qna, qnb) next to each
+    * ranked row. Carrying the norms makes ranked lists MERGEABLE: the
+    * ranking key cos = qdot/(√qna·√qnb) can be re-evaluated on any
+    * union of scored rows, so top-k lists form a join-semilattice under
+    * [[knnMerge]] — the property every incremental k-NN maintenance
+    * path rests on (top-k(A ∪ B) = top-k(top-k(A) ∪ top-k(B))). */
+  private[graft] def topKScoredOnSketches(sketch: DataFrame,
+      probeSketch: DataFrame, k: Int): DataFrame = {
     graft.expr.GraftFunctions.register(sketch.sparkSession)
     val ll = graft.expr.GraftFunctions.dot_ll _
     val q = probeSketch.select(col("query_id"),
@@ -400,6 +410,16 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         ll(col("q_q"), col("c_q")).as("qdot"),
         (col("q_n")).as("qna"), col("c_n").as("qnb"))
+    rankScored(scored, k)
+  }
+
+  /** The one ranking rule every quantized-cosine list in this file uses:
+    * cos = qdot/(√qna·√qnb) descending (double — the GAP between
+    * distinct quantized cosines is FP-stable cross-engine, proven by
+    * sim_quantized_topk), ties to the smaller neighbor id. Input must
+    * carry (query_id, neighbor_id, qdot, qna, qnb). */
+  private def rankScored(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy((col("qdot").cast("double") /
         (sqrt(col("qna").cast("double")) * sqrt(col("qnb").cast("double"))))
@@ -407,7 +427,152 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("long").as("rnk"),
-        col("neighbor_id"), col("qdot"))
+        col("neighbor_id"), col("qdot"), col("qna"), col("qnb"))
+  }
+
+  /** Exact k-NN lists for EVERY vector of an int8 sketch (query set =
+    * corpus): the building block under mutual-kNN graphs, SemDeDup-style
+    * pruning, and kNN-graph clustering. This brute form is the
+    * N²-bounded BASELINE and the oracle anchor; the scale path for the
+    * same artifact is [[nnDescentRound]] (O(N·k²) scored pairs per
+    * round) seeded by [[nnDescentInit]] — the recall audit between the
+    * two is sim_recall_nnd. */
+  def knnListsOnSketch(sketch: DataFrame, k: Int): DataFrame =
+    topKScoredOnSketches(sketch,
+      sketch.select(col("vec_id").as("query_id"), col("q_emb"),
+        col("q_norm")), k)
+
+  /** Mutual-kNN graph: an undirected edge (a, b) exists iff a ranks in
+    * b's top-k AND b ranks in a's top-k — the standard symmetrization
+    * that kills hub vertices (a hub lands in everyone's list, but its
+    * own list holds only k entries, so its degree stays ≤ k). Connected
+    * components of THIS graph are the usual embedding-cluster /
+    * near-dup-group definition. One self-semi-join of the k-NN lists on
+    * the swapped key pair; qdot is symmetric (integer dot), so the edge
+    * weight is well-defined from either direction.
+    *
+    * @return (a_id, b_id, qdot) with a_id < b_id */
+  def mutualKnnGraph(sketch: DataFrame, k: Int): DataFrame = {
+    val l = knnListsOnSketch(sketch, k)
+      .select("query_id", "neighbor_id", "qdot").pin()
+    val swapped = l.select(col("neighbor_id").as("query_id"),
+      col("query_id").as("neighbor_id"))
+    l.join(swapped, Seq("query_id", "neighbor_id"), "left_semi")
+      .where(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("a_id"),
+        col("neighbor_id").as("b_id"), col("qdot"))
+  }
+
+  /** Semilattice merge of scored k-NN lists (outputs of
+    * [[topKScoredOnSketches]] over DISJOINT or overlapping corpus
+    * slices): union, dedup identical scored rows (a pair surfacing from
+    * two lists carries identical integer qdot/qna/qnb), re-rank with
+    * the shared rule, cut at k. Because ranking is a total order per
+    * query (cos desc, id asc), merge(top-k per slice) ≡ top-k(union of
+    * slices) EXACTLY — ranks included. */
+  def knnMerge(k: Int, lists: DataFrame*): DataFrame =
+    rankScored(
+      lists.map(_.select("query_id", "neighbor_id", "qdot", "qna", "qnb"))
+        .reduce(_.unionByName(_)).distinct(), k)
+
+  /** Incremental k-NN list maintenance for a corpus batch arrival:
+    * base ∪ delta lists WITHOUT rescanning base × base. Old queries
+    * merge their STORED base lists with fresh top-k over the delta
+    * slice only (B·D scored pairs); new queries scan everything once
+    * (D·(B+D) — unavoidable: a new vector must see the whole corpus).
+    * The B² term never recomputes — at 100 TB, where B ≫ D, that is
+    * the whole cost. Equals [[knnListsOnSketch]] of the full sketch
+    * exactly (the inc_knn_delta identity): per-vector max-abs
+    * quantization is split-invariant, and [[knnMerge]] preserves the
+    * total ranking order. */
+  def knnListsMergedDelta(base: DataFrame, delta: DataFrame, k: Int)
+  : DataFrame = {
+    val bProbes = base.select(col("vec_id").as("query_id"),
+      col("q_emb"), col("q_norm"))
+    val dProbes = delta.select(col("vec_id").as("query_id"),
+      col("q_emb"), col("q_norm"))
+    val oldOld = topKScoredOnSketches(base, bProbes, k) // the stored lists
+    val oldNew = topKScoredOnSketches(delta, bProbes, k)
+    val newAll = topKScoredOnSketches(base.unionByName(delta), dProbes, k)
+    knnMerge(k, oldOld, oldNew).unionByName(newAll)
+  }
+
+  /** Deterministic sign-LSH bucket over an int8 sketch vector — the
+    * [[bucketExpr]] construction on EXACT integer arithmetic: plane p's
+    * bit is sign(Σᵢ sᵢ·qᵢ) with sᵢ = ±1 from [[planeSign]], so bucket
+    * assignment is bit-reproducible in SQL (integer sums, no FP). */
+  private[graft] def bucketExprInt(qEmb: Column, planes: Int,
+      seedOffset: Int = 0, dims: Int = 64): Column = {
+    val dots = (0 until planes).map { p =>
+      val signs = typedlit((0 until dims)
+        .map(i => if (planeSign(seedOffset + p, i) > 0) 1L else -1L))
+      graft.expr.GraftFunctions.dot_ll(qEmb, signs)
+    }
+    dots.zipWithIndex.map { case (d, p) =>
+      when(d > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** NN-descent seeding (Dong et al. 2011, WWW — the LSH-seeded
+    * variant): initial neighbor lists = exact top-k WITHIN each
+    * sign-LSH bucket. Candidate space is Σ_b |b|² — the cheap, blocked
+    * start NN-descent refines; lists may hold fewer than k rows (or
+    * none, for a vector alone in its bucket), which the round repairs
+    * through reverse edges. Fully deterministic (plan-time planes),
+    * oracle-checkable. */
+  def nnDescentInit(sketch: DataFrame, k: Int, planes: Int = 4)
+  : DataFrame = {
+    graft.expr.GraftFunctions.register(sketch.sparkSession)
+    val ll = graft.expr.GraftFunctions.dot_ll _
+    val b = sketch
+      .withColumn("bucket", bucketExprInt(col("q_emb"), planes)).pin()
+    val q = b.select(col("vec_id").as("query_id"),
+      col("q_emb").as("q_q"), col("q_norm").as("q_n"), col("bucket"))
+    val c = b.select(col("vec_id").as("neighbor_id"),
+      col("q_emb").as("c_q"), col("q_norm").as("c_n"), col("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        ll(col("q_q"), col("c_q")).as("qdot"),
+        col("q_n").as("qna"), col("c_n").as("qnb"))
+    rankScored(scored, k)
+  }
+
+  /** One NN-descent refinement round (Dong et al. 2011): candidates =
+    * current neighbors ∪ neighbors-of-neighbors ∪ reverse neighbors,
+    * scored EXACTLY (integer dot on the sketch) and cut back to top-k
+    * per query. Per-round cost is O(N·k²) scored pairs — independent of
+    * N² — which is what makes the kNN-graph artifact buildable at
+    * 100 TB where [[knnListsOnSketch]]'s brute scan is not: every stage
+    * is an equi-join on vector ids (the id-keyed shuffle), no
+    * broadcast of the corpus, no windows over data-sized partitions
+    * (the per-query candidate set is ≤ k² + 2k rows).
+    *
+    * The round is monotone: current lists ride in the candidate set, so
+    * a query's rank-r cosine never decreases (spec-pinned). */
+  def nnDescentRound(sketch: DataFrame, lists: DataFrame, k: Int)
+  : DataFrame = {
+    graft.expr.GraftFunctions.register(sketch.sparkSession)
+    val ll = graft.expr.GraftFunctions.dot_ll _
+    val l = lists.select("query_id", "neighbor_id").pin()
+    val non = l.as("a").join(l.as("b"),
+        col("a.neighbor_id") === col("b.query_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("b.neighbor_id").as("neighbor_id"))
+    val rev = l.select(col("neighbor_id").as("query_id"),
+      col("query_id").as("neighbor_id"))
+    val cand = l.unionByName(non).unionByName(rev)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .distinct()
+    val sq = sketch.select(col("vec_id").as("query_id"),
+      col("q_emb").as("q_q"), col("q_norm").as("q_n"))
+    val sc = sketch.select(col("vec_id").as("neighbor_id"),
+      col("q_emb").as("c_q"), col("q_norm").as("c_n"))
+    val scored = cand.join(sq, "query_id").join(sc, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        ll(col("q_q"), col("c_q")).as("qdot"),
+        col("q_n").as("qna"), col("c_n").as("qnb"))
+    rankScored(scored, k)
   }
 
   /** Matryoshka prefix of an int8 sketch: keep the first `dims`

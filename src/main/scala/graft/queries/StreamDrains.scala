@@ -129,6 +129,24 @@ private[graft] object StreamDrains {
       stream.select(col("user_id")), "user_id",
       depth = 4, width = 64, salt = "cms")
 
+  /** Streaming KMV bottom-k distinct sketch per event type: the
+    * [[graft.expr.KmvBottomK]] Aggregator's buffer IS the per-group
+    * state — hard-bounded at k entries per group like the cms grid
+    * (state sized by the SKETCH, not the distinct-user space), and
+    * because merge is the semilattice join, the complete-mode final
+    * emission equals the batch [[graft.ops.Freq.bottomK]] for ANY
+    * batching of the input (Round23/StreamSplitDrain contract). */
+  def kmvPipeline(stream: DataFrame): DataFrame = {
+    graft.expr.GraftFunctions.register(stream.sparkSession)
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.expr.KmvBottomK(8))
+    stream.select(col("event_type").as("grp"),
+        graft.expr.GraftFunctions
+          .java_hash_u32(col("user_id").cast("string")).as("hu"),
+        col("user_id").cast("string").as("k_key"))
+      .groupBy("grp").agg(agg(col("hu"), col("k_key")).as("sk"))
+  }
+
   /** Streaming CUSUM monitor over per-user spend (cents), preset
     * reference 5000 — O(1) state per key, the recursive fold whose
     * equality with the window-closed batch form the oracle gates. */

@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{Freq, Retrieval, Similarity}
+
+/** Round-12 batch 2: k-NN graph family (mutual-kNN, semilattice list
+  * merge, NN-descent), ERR, and the KMV bottom-k sketch — the closed
+  * forms and algebraic identities the parquet oracle can't state. */
+class Round23Spec extends SparkSuite {
+  import spark.implicits._
+
+  // a tiny 4-dim corpus with an unambiguous neighborhood structure:
+  // 1↔2 near-parallel, 3↔4 near-parallel, the pairs near-orthogonal
+  private def tinyEmb: DataFrame = Seq(
+    (1L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.2f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.1f)),
+    (4L, Array(0.0f, 0.1f, 0.9f, 0.0f)),
+    (5L, Array(0.5f, 0.5f, 0.5f, 0.5f))
+  ).toDF("vec_id", "embedding")
+
+  private def sk = Similarity.quantizeInt8(tinyEmb)
+
+  test("knnListsOnSketch ranks the parallel partner first on the tiny " +
+      "corpus") {
+    val top1 = Similarity.knnListsOnSketch(sk, 1)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toMap
+    assert(top1(1L) === 2L)
+    assert(top1(2L) === 1L)
+    assert(top1(3L) === 4L)
+    assert(top1(4L) === 3L)
+  }
+
+  test("mutualKnnGraph: edges are mutual, deduplicated to a_id < b_id, " +
+      "and every vertex degree is bounded by k") {
+    val edges = Similarity.mutualKnnGraph(sk, 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(edges.forall { case (a, b) => a < b })
+    assert(edges.distinct.length === edges.length)
+    // k = 2 caps each vertex's mutual degree at 2 even for vector 5,
+    // which sits equidistant from everyone (the hub-killing property)
+    val deg = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map(_._2.length)
+    assert(deg.forall(_ <= 2))
+    // the two parallel pairs must survive symmetrization
+    assert(edges.contains((1L, 2L)))
+    assert(edges.contains((3L, 4L)))
+  }
+
+  test("inc identity: knnListsMergedDelta equals the full rebuild for " +
+      "every split class on the sf0.001 fixture — ranks, ids, and " +
+      "integer dots included") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val full = Similarity.quantizeInt8(emb)
+    val rebuild = Similarity.knnListsOnSketch(full, 3)
+      .select("query_id", "rnk", "neighbor_id", "qdot")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    for (m <- Seq(2L, 5L)) {
+      val isNew = col("vec_id") % m === 0
+      val merged = Similarity.knnListsMergedDelta(
+          full.where(!isNew), full.where(isNew), 3)
+        .select("query_id", "rnk", "neighbor_id", "qdot")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(merged === rebuild, s"split mod $m diverged from rebuild")
+    }
+  }
+
+  test("nnDescentRound is monotone: every query's worst kept cosine " +
+      "never decreases from the seed lists to the refined lists") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val s = Similarity.quantizeInt8(emb)
+    val init = Similarity.nnDescentInit(s, 3, planes = 4)
+    val round = Similarity.nnDescentRound(s, init, 3)
+    def worst(df: DataFrame): Map[Long, Double] = df
+      .withColumn("cos", col("qdot").cast("double") /
+        (sqrt(col("qna").cast("double")) * sqrt(col("qnb").cast("double"))))
+      .groupBy("query_id").agg(min("cos").as("w"), count(lit(1)).as("n"))
+      .select("query_id", "w", "n")
+      .as[(Long, Double, Long)].collect()
+      .map { case (q, w, _) => q -> w }.toMap
+    val wi = worst(init)
+    val wr = worst(round)
+    // seeds ride in the candidate set, so no query loses ground; reverse
+    // edges can only ADD queries (a vector alone in its bucket gains a
+    // list from its reverse neighbors)
+    assert(wi.keySet.subsetOf(wr.keySet))
+    wi.foreach { case (q, w) =>
+      assert(wr(q) >= w - 1e-12, s"query $q regressed: ${wr(q)} < $w")
+    }
+  }
+
+  test("errEval closed forms: hits at ranks 1 and 3 score " +
+      "1290240 + 215040; a missed list scores 0 with n_rel intact") {
+    val ranked = Seq(
+      (10L, 1L, 100L), (10L, 2L, 101L), (10L, 3L, 102L),
+      (20L, 1L, 200L), (20L, 2L, 201L)
+    ).toDF("query_id", "rnk", "doc_id")
+    val qrels = Seq(
+      (10L, 100L), (10L, 102L), // hits at ranks 1 and 3
+      (20L, 999L) // relevant doc never retrieved
+    ).toDF("query_id", "doc_id")
+    val got = Retrieval.errEval(ranked, qrels)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // rank 1, first hit  (h=1): 2580480 / (1·2) = 1290240
+    // rank 3, second hit (h=2): 2580480 / (3·4) =  215040
+    assert(got === Seq((10L, 2L, 1505280L), (20L, 1L, 0L)))
+  }
+
+  test("errEval dedups duplicate qrel pairs (the apEval convention)") {
+    val ranked = Seq((1L, 1L, 7L)).toDF("query_id", "rnk", "doc_id")
+    val qrels = Seq((1L, 7L), (1L, 7L)).toDF("query_id", "doc_id")
+    val got = Retrieval.errEval(ranked, qrels)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L, 1290240L)))
+  }
+
+  test("bottomK keeps the k smallest unsigned hashes of the DISTINCT " +
+      "keys and kmvEstimate flags exact groups") {
+    val df = Seq(
+      ("a", "k1"), ("a", "k1"), ("a", "k2"), // dup occurrences collapse
+      ("b", "k1"), ("b", "k2"), ("b", "k3"), ("b", "k4")
+    ).toDF("g", "key")
+    val s2 = Freq.bottomK(df, "g", "key", 3)
+    val rows = s2.select("grp", "rnk", "k_key")
+      .as[(String, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(rows.count(_._1 == "a") === 2) // group a is exact (2 < k)
+    assert(rows.count(_._1 == "b") === 3) // group b cut at k = 3
+    // hashes ascend with rank inside each group
+    val hus = s2.select("grp", "rnk", "hu")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).values
+    hus.foreach { g =>
+      val sorted = g.sortBy(_._2).map(_._3)
+      assert(sorted.sameElements(sorted.sorted))
+    }
+    val est = Freq.kmvEstimate(s2, 3)
+      .select("grp", "n_sketch", "est_num", "est_den")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(est.head === (("a", 2L, 2L, 1L))) // exact: 2 distinct keys
+    val b = est(1)
+    assert(b._2 === 3L && b._3 === 2L * 4294967296L) // (k−1)·2³² / h_k
+  }
+
+  test("KmvBottomK aggregator (partial-aggregate form) equals the " +
+      "window bottomK exactly — dedup, collision order, and cap") {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus").as("g"), col("o_custkey").as("key"))
+    val window = Freq.bottomK(o, "g", "key", 8)
+      .as[(String, Long, Long, String)].collect().sorted.toSeq
+    graft.expr.GraftFunctions.register(spark)
+    val agg = udaf(new graft.expr.KmvBottomK(8))
+    val viaAgg = o
+      .select(col("g").as("grp"),
+        graft.expr.GraftFunctions.java_hash_u32(col("key").cast("string"))
+          .as("hu"),
+        col("key").cast("string").as("k_key"))
+      .groupBy("grp").agg(agg(col("hu"), col("k_key")).as("sk"))
+      .select(col("grp"), posexplode(col("sk.entries")))
+      .select(col("grp"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.hu").as("hu"), col("col.k_key").as("k_key"))
+      .as[(String, Long, Long, String)].collect().sorted.toSeq
+    assert(viaAgg === window)
+  }
+
+  test("inc identity: bottomKMerge of per-slice sketches equals the " +
+      "rebuild for every split class on the orders fixture") {
+    val o = Tables.orders(spark, sfDir)
+      .select(substring(col("o_orderdate").cast("date").cast("string"),
+          1, 7).as("mo"),
+        col("o_custkey"), col("o_orderkey"))
+    val rebuild = Freq.bottomK(o, "mo", "o_custkey", 8)
+      .as[(String, Long, Long, String)].collect().sorted.toSeq
+    for (m <- Seq(2L, 3L)) {
+      val isNew = col("o_orderkey") % m === 0
+      val merged = Freq.bottomKMerge(
+          Freq.bottomK(o.where(!isNew), "mo", "o_custkey", 8)
+            .unionByName(
+              Freq.bottomK(o.where(isNew), "mo", "o_custkey", 8)), 8)
+        .as[(String, Long, Long, String)].collect().sorted.toSeq
+      assert(merged === rebuild, s"split mod $m diverged from rebuild")
+    }
+  }
+}

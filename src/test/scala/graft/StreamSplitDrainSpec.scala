@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.queries.{Pipeline6Queries, Pipeline7Queries,
-  Pipeline12Queries, Pipeline14Queries, Pipeline15Queries, StreamDrains}
+  Pipeline12Queries, Pipeline14Queries, Pipeline15Queries,
+  Pipeline24Queries, StreamDrains}
 
 /** The multi-microbatch streaming CONTRACT (VERDICT r7 #1): each of the
   * four graded stream_* pipelines must produce its graded (one-batch)
@@ -66,7 +67,7 @@ class StreamSplitDrainSpec extends SparkSuite {
   private def gradedAnswer(name: String): Seq[String] = {
     val qs = Pipeline6Queries.queries ++ Pipeline7Queries.queries ++
       Pipeline12Queries.queries ++ Pipeline14Queries.queries ++
-      Pipeline15Queries.queries
+      Pipeline15Queries.queries ++ Pipeline24Queries.queries
     rows(qs(name)(spark, sfDir))
   }
 
@@ -117,6 +118,16 @@ class StreamSplitDrainSpec extends SparkSuite {
     val (out, n) = StreamDrains.drainCounted(spark,
       StreamDrains.cmsPipeline(splitStream), "complete", "scm_split")
     assertSplitEqualsGraded("stream_cms", out, n)
+  }
+
+  test("stream_kmv: per-group bottom-k state merges across batches — a " +
+      "split complete-mode drain lands on the batch sketch exactly") {
+    val (out, n) = StreamDrains.drainCounted(spark,
+      StreamDrains.kmvPipeline(splitStream), "complete", "skmv_split")
+    val exploded = out.select(col("grp"), posexplode(col("sk.entries")))
+      .select(col("grp"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.hu").as("hu"), col("col.k_key").as("k_key"))
+    assertSplitEqualsGraded("stream_kmv", exploded, n)
   }
 
   test("stream_cusum: the O(1) per-key recursion folds across batch " +
