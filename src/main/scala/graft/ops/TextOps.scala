@@ -607,4 +607,39 @@ object TextOps {
           lit(dims)).cast("long").as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
   }
+
+  /** Corpus-trained piece vocabulary for
+    * [[graft.expr.MinPieces min_pieces]]: every single character seen in
+    * the corpus (the coverage floor — any token stays segmentable) plus
+    * the `topM` most frequent character n-grams of length 2..`maxLen`,
+    * counted over TOKEN OCCURRENCES and cut with the deterministic
+    * (count DESC, piece ASC) tie-break. The train half of the tokenizer
+    * pair whose apply half is a broadcast-literal codegen'd expression:
+    * training is one aggregate over exploded n-grams (partial-combined
+    * map-side; the n-gram domain, not the corpus, reaches the shuffle)
+    * and an in-plan top-M cut — the same shape at 100 TB.
+    *
+    * @return one `piece` column; ≤ distinct-chars + topM rows */
+  def pieceVocab(docs: DataFrame, textCol: String, topM: Int,
+                 maxLen: Int): DataFrame = {
+    require(topM >= 1 && maxLen >= 2, s"bad vocab shape $topM x $maxLen")
+    val toks = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+    val singles = toks.select(
+        explode(transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))).as("piece"))
+      .distinct()
+    val grams = toks.select(explode(flatten(transform(
+        sequence(lit(2), lit(maxLen)),
+        n => when(length(col("w")) >= n,
+            transform(sequence(lit(1), length(col("w")) - n + 1),
+              i => col("w").substr(i, n)))
+          .otherwise(array().cast("array<string>"))))).as("piece"))
+    val top = grams.groupBy("piece").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(topM)
+      .select("piece")
+    singles.unionByName(top).distinct()
+  }
 }

@@ -125,6 +125,38 @@ object Pipeline24Queries {
         .orderBy("grp", "rnk")
     }),
 
+    "txt_min_pieces" -> ((s, dir) => {
+      // OPTIMAL tokenization count: train the piece vocab on the corpus
+      // (all singles + top-64 n-grams of length 2..4, deterministic
+      // tie-break), then count the MINIMUM pieces per token with the
+      // codegen'd min_pieces DP — the exact token-budget number that
+      // txt_bpe_encode's greedy replay only upper-bounds. The vocab is
+      // a fence-bounded driver literal (≤ 1024 pieces, loud require —
+      // the tokenBudget-histogram collect convention); application is
+      // one broadcast-literal expression pass, embarrassingly parallel
+      // at any scale. Oracle: the DP replayed as a BFS-layered
+      // recursive CTE (states are (word, pos, k) — O(len²) per word,
+      // never per-path).
+      graft.expr.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val vrows = graft.ops.TextOps.pieceVocab(docs, "text",
+          topM = 64, maxLen = 4)
+        .limit(1025).collect().map(_.getString(0))
+      require(vrows.length <= 1024,
+        s"piece vocab exceeded the 1024 fence (${vrows.length} rows) — " +
+          "raise deliberately, don't stream an unbounded set to the driver")
+      val vlit = typedlit(vrows.sorted.toSeq)
+      docs.select(col("doc_id"),
+          explode(graft.ops.TextOps.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .select(col("doc_id"),
+          graft.expr.GraftFunctions.min_pieces(col("w"), vlit).as("p"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("p").cast("long")).as("n_pieces"))
+        .orderBy("doc_id")
+    }),
+
     "stream_kmv" -> ((s, dir) => {
       // the KMV sketch as STREAMING state: bottom-8 distinct-user
       // sketch per event type, maintained by the KmvBottomK Aggregator
@@ -359,6 +391,46 @@ object Pipeline24Queries {
 
     "approx_bottomk" -> kmvOracle,
     "inc_bottomk_delta" -> kmvOracle,
+
+    "txt_min_pieces" ->
+      // vocab mirror: singles ∪ top-64 n-grams (count DESC, piece ASC);
+      // DP mirror: BFS layers over (word, pos, k) — pos strictly grows
+      // by ≥ 1 per step so the recursion terminates at len(w); UNION
+      // (not UNION ALL) dedups states, bounding the frontier at
+      // O(len²) per word instead of the exponential path count
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, t AS w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |sg AS (SELECT DISTINCT substr(w, CAST(i AS INTEGER), 1) AS piece
+        |  FROM tok, unnest(range(1, len(w) + 1)) AS u(i)),
+        |ng AS (SELECT piece, COUNT(*) AS cnt FROM (
+        |    SELECT substr(w, CAST(i AS INTEGER), CAST(n AS INTEGER))
+        |      AS piece
+        |    FROM tok, (VALUES (2),(3),(4)) AS nn(n),
+        |      unnest(range(1, len(w) - n + 2)) AS u(i)
+        |    WHERE len(w) >= n) GROUP BY 1),
+        |top AS (SELECT piece FROM (
+        |    SELECT piece, ROW_NUMBER() OVER
+        |      (ORDER BY cnt DESC, piece ASC) AS r
+        |    FROM ng) WHERE r <= 64),
+        |vocab AS (SELECT piece FROM sg UNION SELECT piece FROM top),
+        |wd AS (SELECT DISTINCT w FROM tok),
+        |seg AS (
+        |  SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS k
+        |  FROM wd
+        |  UNION
+        |  SELECT s.w, s.pos + len(v.piece), s.k + 1
+        |  FROM seg s JOIN vocab v
+        |    ON substr(s.w, CAST(s.pos + 1 AS INTEGER),
+        |         len(v.piece)) = v.piece
+        |  WHERE s.pos < len(s.w)),
+        |mp AS (SELECT w, MIN(k) AS pieces FROM seg
+        |  WHERE pos = len(w) GROUP BY 1)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(mp.pieces) AS BIGINT) AS n_pieces
+        |FROM tok t JOIN mp ON mp.w = t.w
+        |GROUP BY 1 ORDER BY t.doc_id""".stripMargin,
 
     "stream_kmv" -> {
       val jh = PipelineQueries.javaHashSql("k_key")

@@ -111,6 +111,48 @@ class ExprSpec extends SparkSuite {
     assert(!gen.exists(t => t._1 >= 3L)) // short/empty/null → no rows
   }
 
+  test("min_pieces: optimal DP count, strictly below greedy where " +
+      "greedy longest-match is suboptimal; -1 when uncoverable") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // vocab {a, ab, bc, abc}: "abbc" greedy-longest eats "ab" then must
+    // cover "bc" → 2 (optimal too); "abcbc": greedy "abc"+"bc" = 2;
+    // BUT vocab {aa, aab, b}: "aab" optimal is 1 where greedy
+    // "aa"+"b" = 2 — the case that separates optimal from greedy
+    val v1 = typedlit(Seq("a", "ab", "bc", "abc"))
+    val v2 = typedlit(Seq("aa", "aab", "b"))
+    def mp(w: String, v: org.apache.spark.sql.Column): Int =
+      Seq(1).toDF("x")
+        .select(GraftFunctions.min_pieces(lit(w), v).as("r"))
+        .collect().head.getInt(0)
+    assert(mp("abc", v1) === 1)
+    assert(mp("abbc", v1) === 2)
+    assert(mp("aabc", v1) === 2) // a + abc (not a + a + bc)
+    assert(mp("aab", v2) === 1) // optimal beats greedy's 2
+    assert(mp("", v1) === 0) // empty word needs no pieces
+    assert(mp("xyz", v1) === -1) // uncoverable
+    assert(mp("abx", v1) === -1) // partial cover is no cover
+  }
+
+  test("min_pieces: non-foldable vocab column works per-row (the " +
+      "uncached path), null word/vocab propagate null") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      ("aab", Seq("aa", "aab", "b")),
+      ("aab", Seq("a", "b"))
+    ).toDF("w", "v")
+    val got = df.select(GraftFunctions.min_pieces(col("w"), col("v")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(1, 3))
+    val n = Seq(1).toDF("x").select(
+      GraftFunctions.min_pieces(lit(null).cast("string"),
+        typedlit(Seq("a"))).as("a"),
+      GraftFunctions.min_pieces(lit("a"),
+        lit(null).cast("array<string>")).as("b")).collect().head
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   test("dot_ff rejects non-float arrays at analysis time") {
     GraftFunctions.register(spark)
     // getFloat reads 4 of 8 bytes on a double array — must be an analysis
