@@ -320,7 +320,33 @@ object ExplainDump {
         "from the SHARED degree pin — replacing the naive " +
         "modularityNumWeighted pass that re-derived degrees and " +
         "re-labeled edges from scratch every attempted round (the " +
-        "r11→r12 fusion that roughly halved the graded query's wall).")
+        "r11→r12 fusion that roughly halved the graded query's wall)."),
+    "sim_nn_descent" ->
+      ("kNN-graph construction without the N² scan: seed lists come " +
+        "from an equi-join on the integer sign-LSH bucket; the descent " +
+        "round's candidate expansion is a self-join of the ≤k-row " +
+        "lists on neighbor=query (O(N·k²) pairs), and exact re-scoring " +
+        "joins candidates to the sketch on VECTOR IDS — ordinary " +
+        "shuffle equi-joins end to end, no corpus broadcast, no " +
+        "cartesian. The rank windows partition by query_id " +
+        "(PlanSpec-pinned), so no data-sized single task exists " +
+        "anywhere. This is the 100 TB path to the same artifact " +
+        "sim_knn_graph builds brute-force at fixture scale."),
+    "txt_min_pieces" ->
+      ("The tokenizer pair: vocab training is one exploded-n-gram " +
+        "aggregate (partial-combined map-side — the n-gram domain, not " +
+        "the corpus, reaches the shuffle) cut by an in-plan top-M; " +
+        "application is the codegen'd min_pieces DP over a broadcast " +
+        "vocab literal inside WholeStageCodegen (PlanSpec-pinned) — " +
+        "a single narrow pass, embarrassingly parallel at any scale."),
+    "approx_bottomk" ->
+      ("KMV bottom-k distinct sketch: per-group window top-k over " +
+        "pre-deduplicated (group, hash) pairs. The window partitions " +
+        "by group (months — high cardinality); a skewed group " +
+        "graduates to the KmvBottomK Aggregator form, whose PARTIAL " +
+        "aggregation ships ≤ k entries per partition per group " +
+        "(PlanSpec-pinned via partial_kmvbottomk) — the same " +
+        "semilattice the inc_bottomk_delta identity grades.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -620,6 +620,56 @@ object Similarity {
       .agg(sum(col("p")).as("gram"), count(lit(1)).as("n"))
   }
 
+  /** Integer power iteration for the TOP PRINCIPAL DIRECTION of the
+    * int8 Gram matrix — the distributed eigen path that upgrades
+    * [[gramInt8]]'s "driver-side O(d³) afterthought": v ← G·v with a
+    * deterministic integer renormalization each round, so the whole
+    * trajectory is engine-reproducible (sign(w)·(|w| div q) with q =
+    * max(1, max|w| div 2^keepBits) — only non-negative divisions, where
+    * truncation and floor agree across engines). The direction converges
+    * at the usual (λ₂/λ₁)^r rate; magnitude is normalized to ~2^keepBits
+    * per round, never a float.
+    *
+    * Shape: G is d² rows (d = 64 → 4096) regardless of corpus size —
+    * the matvec is a d²-row join against a d-row frame, and the renorm
+    * scalar rides a 1-row broadcast; the corpus is touched ONCE, inside
+    * [[gramInt8]]'s map-side-combined pass. Overflow fence: |Σ_j G_ij·v_j|
+    * ≤ d·max|G|·2^(keepBits+1), so max|G| is required < 2^36 (loud) —
+    * at bigger corpora compute G over a hash sample or pre-scale,
+    * deliberately, instead of silently wrapping.
+    *
+    * @return (i, v) — 1-based dim index, integer direction estimate */
+  def powerIterInt(sketch: DataFrame, rounds: Int,
+                   keepBits: Int = 20): DataFrame = {
+    require(rounds >= 1 && keepBits >= 4 && keepBits <= 40,
+      s"bad power-iteration shape $rounds x $keepBits")
+    val g = gramInt8(sketch)
+    val full = g.select(col("i"), col("j"), col("gram"))
+      .unionByName(g.where(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("gram")))
+      .pin()
+    val maxG = full.agg(max(abs(col("gram")))).head().getLong(0)
+    require(maxG < (1L << 36),
+      s"gram magnitude $maxG risks matvec overflow at keepBits=$keepBits" +
+        " — compute the gram over a sample or pre-scale, deliberately")
+    var v = full.select(col("i")).distinct()
+      .select(col("i").as("j"), lit(1L).as("v"))
+    for (_ <- 0 until rounds) {
+      val w = full.join(v, "j")
+        .groupBy("i").agg(sum(col("gram") * col("v")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("i").as("j"),
+          (when(col("w") < 0, lit(-1L)).otherwise(lit(1L)) *
+            call_function("div", abs(col("w")),
+              greatest(lit(1L),
+                call_function("div", col("m"),
+                  lit(1L << keepBits))))).as("v"))
+        .pin()
+    }
+    v.select(col("j").as("i"), col("v"))
+  }
+
   /** Per-dimension profile of an int8 sketch (1-based dim index):
     * (i, n, s = Σ_v q_i, q_min, q_max) — the mean-vector side of the
     * covariance computation and the standard feature-scaling probe.

@@ -22,6 +22,8 @@ object Pipeline24Queries {
   private val K = 5 // the k of every k-NN list in this file
   private val NndPlanes = 4 // 16 LSH seed buckets for NN-descent
   private val KmvK = 32 // bottom-k sketch width
+  private val PowerRounds = 4 // emb_power_iter matvec rounds
+  private val PowerKeep = 20 // renorm target magnitude = 2^20
 
   val queries: Map[String, Q] = Map(
 
@@ -89,6 +91,23 @@ object Pipeline24Queries {
         .crossJoin(broadcast(exact.agg(count(lit(1)).as("total"))))
     }),
 
+    "sim_knn_components" -> ((s, dir) => {
+      // embedding-cluster extraction END-TO-END: int8 sketch →
+      // mutual-kNN edges → connected components → canonical min id —
+      // the semantic-dedup grouping read path (SemDeDup keeps one doc
+      // per component). Composes two already-graded operators; edges
+      // derive from the sketch's own ids, so the CC endpoint fence is
+      // skipped (the dd_cluster_cc convention).
+      val sk = Similarity.quantizeInt8(Tables.embeddings(s, dir))
+      graft.ops.Cluster.connectedComponents(
+          sk.select(col("vec_id")), "vec_id",
+          Similarity.mutualKnnGraph(sk, K), "a_id", "b_id",
+          edgesCovered = true)
+        .select(col("id").as("vec_id"), col("cluster").as("cluster_id"),
+          (col("cluster") === col("id")).as("is_canonical"))
+        .orderBy("vec_id")
+    }),
+
     "ret_err" -> ((s, dir) => {
       // Expected Reciprocal Rank (Chapelle et al. 2009) of the graded
       // BM25 top-10 against the boolean-AND qrels — the cascade-model
@@ -123,6 +142,18 @@ object Pipeline24Queries {
         .select(col("grp"), col("rnk"), col("hu"), col("k_key"),
           col("n_sketch"), col("est_num"), col("est_den"))
         .orderBy("grp", "rnk")
+    }),
+
+    "emb_power_iter" -> ((s, dir) => {
+      // the distributed eigen path over the int8 Gram matrix: 4 integer
+      // power-iteration rounds with deterministic renormalization —
+      // PCA/whitening prep where the corpus is touched once (inside the
+      // map-side-combined gram pass) and each round is a d²-row matvec
+      // + a 1-row broadcast renorm, corpus-size-independent.
+      Similarity.powerIterInt(
+          Similarity.quantizeInt8(Tables.embeddings(s, dir)),
+          rounds = PowerRounds)
+        .orderBy("i")
     }),
 
     "txt_min_pieces" -> ((s, dir) => {
@@ -333,6 +364,26 @@ object Pipeline24Queries {
          |FROM rk WHERE rnk <= $K
          |ORDER BY query_id, rnk""".stripMargin,
 
+    "sim_knn_components" ->
+      // transitive closure of the mutual-kNN graph via recursive CTE
+      // (the dd_cluster_cc convention: min reachable id == the label
+      // min-propagation converges to)
+      s"""WITH RECURSIVE $knnListsCtes,
+         |me AS (SELECT a.query_id AS a_id, a.neighbor_id AS b_id
+         |  FROM lists a JOIN lists b ON b.query_id = a.neighbor_id
+         |    AND b.neighbor_id = a.query_id
+         |  WHERE a.query_id < a.neighbor_id),
+         |cedges AS (SELECT a_id AS u, b_id AS v FROM me
+         |           UNION SELECT b_id, a_id FROM me),
+         |reach(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM qn
+         |  UNION
+         |  SELECT e.v, r.lbl FROM reach r JOIN cedges e ON e.u = r.id)
+         |SELECT id AS vec_id, MIN(lbl) AS cluster_id,
+         |  MIN(lbl) = id AS is_canonical
+         |FROM reach GROUP BY id
+         |ORDER BY vec_id""".stripMargin,
+
     "sim_nn_descent" ->
       s"""WITH $nndCtes
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, qdot
@@ -391,6 +442,41 @@ object Pipeline24Queries {
 
     "approx_bottomk" -> kmvOracle,
     "inc_bottomk_delta" -> kmvOracle,
+
+    "emb_power_iter" -> {
+      // gram directly as the FULL matrix (G is symmetric, so the
+      // engine's triangle+mirror equals qv[a.i]*qv[b.j] both orders);
+      // each unrolled round = matvec + 1-row max + renorm — the
+      // sign(w)·(|w| div q) form keeps every division non-negative,
+      // where DuckDB // and Spark div agree
+      def round(r: Int): String = {
+        val p = r - 1
+        s"""w$r AS (SELECT g.i, SUM(g.gram * v$p.v) AS w
+           |  FROM g0 g JOIN v$p ON v$p.j = g.j GROUP BY 1),
+           |m$r AS (SELECT MAX(abs(w)) AS m FROM w$r),
+           |v$r AS (SELECT w$r.i AS j,
+           |    CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END) *
+           |      (abs(w) // GREATEST(CAST(1 AS BIGINT),
+           |        m$r.m // ${1L << PowerKeep})) AS BIGINT) AS v
+           |  FROM w$r, m$r)""".stripMargin
+      }
+      s"""WITH mx AS (SELECT vec_id, embedding,
+         |  CAST(list_max(list_transform(embedding, x -> abs(x)))
+         |    AS DOUBLE) AS ma FROM embeddings),
+         |qq AS (SELECT vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 127 / ma) AS BIGINT))
+         |    AS qv
+         |  FROM mx WHERE ma > 0 AND NOT isnan(ma)),
+         |idx AS (SELECT CAST(ii AS BIGINT) AS i
+         |        FROM unnest(range(1, 65)) AS t(ii)),
+         |g0 AS (SELECT a.i AS i, b.i AS j,
+         |    CAST(SUM(qv[a.i] * qv[b.i]) AS BIGINT) AS gram
+         |  FROM qq, idx a, idx b GROUP BY 1, 2),
+         |v0 AS (SELECT i AS j, CAST(1 AS BIGINT) AS v FROM idx),
+         |${(1 to PowerRounds).map(round).mkString(",\n")}
+         |SELECT j AS i, v FROM v$PowerRounds ORDER BY i""".stripMargin
+    },
 
     "txt_min_pieces" ->
       // vocab mirror: singles ∪ top-64 n-grams (count DESC, piece ASC);

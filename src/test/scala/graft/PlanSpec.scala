@@ -654,6 +654,64 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("sim_nn_descent: every stage is an id-keyed equi-join — no " +
+      "cartesian, and no window runs unpartitioned (per-query candidate " +
+      "sets rank inside their query partition)") {
+    val df = q("sim_nn_descent")
+    df.collect() // settle AQE
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      "nn-descent planned a cartesian:\n" + p.take(1500))
+    def deepWins(sp: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      sp.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          deepWins(s.plan)
+      }.flatten
+    val wins = deepWins(unwrapped(df))
+    assert(wins.nonEmpty, "expected the rank windows in the plan")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"an unpartitioned (single-task) window appeared: $w")
+    }
+  }
+
+  test("txt_min_pieces: the DP expression runs inside whole-stage " +
+      "codegen (no interpreted fallback in the per-token hot path)") {
+    val df = q("txt_min_pieces")
+    df.collect() // settle AQE (also runs the vocab-training collect)
+    def deepWSCG(sp: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.WholeStageCodegenExec] =
+      sp.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+          Seq(w)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          deepWSCG(s.plan)
+      }.flatten
+    val hot = deepWSCG(unwrapped(df))
+      .filter(_.child.toString.contains("min_pieces"))
+    assert(hot.nonEmpty,
+      "min_pieces fell out of whole-stage codegen:\n" + plan(df).take(2000))
+  }
+
+  test("KmvBottomK batch form: the aggregation is PARTIAL before the " +
+      "exchange — each partition ships at most k entries per group") {
+    graft.expr.GraftFunctions.register(spark)
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.expr.KmvBottomK(8))
+    val df = Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus").as("grp"),
+        graft.expr.GraftFunctions
+          .java_hash_u32(col("o_custkey").cast("string")).as("hu"),
+        col("o_custkey").cast("string").as("k_key"))
+      .groupBy("grp").agg(agg(col("hu"), col("k_key")).as("sk"))
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("partial_kmvbottomk"),
+      "no map-side partial aggregate in the KMV plan:\n" + p.take(2000))
+  }
+
   test("sim_ivfpq_refined: the refine tier joins the corpus sketch " +
       "against BROADCAST shortlist/probe sides — the sketch never " +
       "shuffles for the rerank") {

@@ -91,6 +91,43 @@ class Round23Spec extends SparkSuite {
     }
   }
 
+  test("powerIterInt finds the dominant axis of an anisotropic corpus " +
+      "and keeps the renorm magnitude bound") {
+    // variance concentrated on dim 1 (values ±1 with a small dim-2
+    // wobble): the top principal direction is e1 up to sign
+    val emb = Seq(
+      (1L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(-1.0f, 0.05f, 0.0f, 0.0f)),
+      (3L, Array(0.9f, -0.1f, 0.05f, 0.0f)),
+      (4L, Array(-0.95f, 0.0f, 0.0f, 0.05f)),
+      (5L, Array(1.0f, 0.05f, -0.05f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val v = Similarity.powerIterInt(Similarity.quantizeInt8(emb),
+        rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(v.keySet === Set(1L, 2L, 3L, 4L))
+    val absMax = v.values.map(math.abs).max
+    assert(math.abs(v(1L)) === absMax, s"dominant axis missed: $v")
+    // renorm keeps the trajectory near 2^20: the max component is at
+    // least 2^19 and no component exceeds 2^21
+    assert(absMax >= (1L << 19) && absMax <= (1L << 21), s"renorm: $v")
+  }
+
+  test("powerIterInt refuses a gram magnitude that could overflow the " +
+      "matvec (the loud fence, not a silent wrap)") {
+    // 127² per vector per dim pair ⇒ need ≥ 2^36/127² ≈ 4.3M rows to
+    // trip the fence for real — fake it with a pre-inflated sketch
+    import org.apache.spark.sql.functions.{array, lit => L}
+    val big = spark.range(1, 3)
+      .select(col("id").as("vec_id"),
+        array(Seq.fill(4)(L(3000000L)): _*).as("q_emb"),
+        L(4L * 3000000L * 3000000L).as("q_norm"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.powerIterInt(big, rounds = 1)
+    }
+    assert(e.getMessage.contains("overflow"))
+  }
+
   test("errEval closed forms: hits at ranks 1 and 3 score " +
       "1290240 + 215040; a missed list scores 0 with n_rel intact") {
     val ranked = Seq(
