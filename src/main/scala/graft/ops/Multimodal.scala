@@ -165,6 +165,47 @@ object Multimodal {
       .drop("__bs", "__tot")
   }
 
+  /** Shot-boundary (scene-cut) detection over a binary payload — the
+    * video-curation gate's integer skeleton: treat the payload's
+    * `frames` proportional blocks as frame energies (one codegen'd
+    * block_sums pass, the audioVad plumbing) and flag a CUT between
+    * consecutive frames whose energy jump exceeds TWICE THE MEAN jump
+    * — the standard adaptive threshold for shot detection, division-
+    * free as (frames−1)·|Δe_i| > 2·Σ|Δe|. (An absolute mean-ENERGY
+    * threshold is scale-blind on near-uniform payloads — builder-
+    * measured all-zero on the whole fixture — where the jump-relative
+    * form fires exactly on the outlier boundaries.) The real decode →
+    * per-frame-histogram step is stubbed per the multimodal contract;
+    * every Spark-side shape (one pass per row, no per-byte rows,
+    * binary never shuffles) is what a production shot detector runs.
+    *
+    * @return input row + (n_cuts, first_cut — 1-based boundary index
+    *         before frame i+1, sentinel `frames` when none — and
+    *         max_jump) */
+  def sceneCuts(df: DataFrame, payload: String,
+                frames: Int = 16): DataFrame = {
+    require(frames >= 2, s"sceneCuts: frames must be >= 2, got $frames")
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    df.withColumn("__bs",
+        graft.expr.GraftFunctions.block_sums(col(payload), lit(frames)))
+      .withColumn("__d", expr(
+        s"""transform(sequence(1, ${frames - 1}),
+           |  i -> abs(element_at(__bs, i + 1) - element_at(__bs, i)))"""
+          .stripMargin))
+      .withColumn("__sd", aggregate(col("__d"), lit(0L), _ + _))
+      .withColumn("n_cuts", expr(
+        s"""aggregate(transform(__d, d -> IF(${frames - 1} * d > 2 * __sd,
+           |  1L, 0L)), 0L, (a, x) -> a + x)""".stripMargin))
+      // array_position returns 0 on a miss (the audioVad lesson):
+      // nullif→coalesce maps "no cut" to the documented sentinel
+      .withColumn("first_cut", coalesce(
+        nullif(expr(s"array_position(transform(__d, " +
+          s"d -> ${frames - 1} * d > 2 * __sd), true)"), lit(0L)),
+        lit(frames.toLong)).cast("long"))
+      .withColumn("max_jump", expr("array_max(__d)"))
+      .drop("__bs", "__d", "__sd")
+  }
+
   /** 64-bit block-energy fingerprint of a binary payload — the integer
     * skeleton of a perceptual hash (aHash/pHash family: block statistic
     * vs global mean → sign pattern). Bit b is set iff block b's

@@ -288,4 +288,52 @@ object TimeSeries {
       .withColumn("flag", col("n_gaps") >= minGaps.toLong &&
         lit(2L) * col("sum_sq") > col("n_gaps") * col("n_gaps"))
   }
+
+  /** SAX symbolization (Lin et al. 2003 — Symbolic Aggregate
+    * approXimation, the motif/novelty-mining prep): each key's ordered
+    * series splits into `windows` equal-index segments; the segment's
+    * Piecewise Aggregate Approximation is the EXACT scaled mean
+    * paa = (1 000 000·Σx) div n (truncation — deterministic on both
+    * engines for non-negative x); symbols come from EQUI-DEPTH ntile
+    * buckets over all (paa, key, window) triples — the data-driven
+    * breakpoint variant (classic SAX uses Gaussian breakpoints, which
+    * are irrational; equal-occupancy cuts are the exact-arithmetic
+    * analogue with the same alphabet-balance property) — and the key's
+    * SAX word is its symbols a..z concatenated in window order.
+    *
+    * Shape: one window pass keyed on the series (calendar-bounded per
+    * key — the acfExact justification), one keyed aggregate for the
+    * PAAs (keys×windows rows), and the ntile runs over that aggregate
+    * frame, never the raw series.
+    *
+    * @return (keys..., w, paa, n, sym, word) — w 0-based */
+  def saxWords(df: DataFrame, keys: Seq[String], order: Seq[Column],
+               xCol: String, windows: Int, alphabet: Int): DataFrame = {
+    require(windows >= 2 && alphabet >= 2 && alphabet <= 26,
+      s"bad SAX shape $windows x $alphabet")
+    val k = keys.map(col)
+    val wk = Window.partitionBy(k: _*).orderBy(order: _*)
+    val seg = df
+      .withColumn("__rn", row_number().over(wk).cast("long"))
+      .withColumn("__t", count(lit(1)).over(Window.partitionBy(k: _*)))
+      .withColumn("w", call_function("div",
+        (col("__rn") - 1L) * windows, col("__t")))
+    val paa = seg.groupBy((k :+ col("w")): _*)
+      .agg(sum(col(xCol).cast("long")).as("__s"),
+        count(lit(1)).as("n"))
+      .withColumn("paa",
+        call_function("div", col("__s") * 1000000L, col("n")))
+      .drop("__s")
+    val sym = paa.withColumn("sym",
+      ntile(alphabet).over(Window.orderBy(
+        (col("paa") +: k :+ col("w")): _*)))
+    val letters = ('a' to 'z').take(alphabet).mkString
+    val word = sym.groupBy(k: _*)
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(struct(col("w"), col("sym")))),
+          s => lit(letters).substr(s.getField("sym"), lit(1)))).as("word"))
+    sym.join(word, keys)
+      .select((k :+ col("w") :+ col("paa") :+ col("n") :+
+        col("sym").cast("long").as("sym") :+ col("word")): _*)
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Freq, Retrieval, Similarity}
+import graft.ops.{Freq, Multimodal, Retrieval, Similarity, TimeSeries}
 import graft.ops.Pin.PinOps
 
 /** Round-12 second batch: the k-NN-graph family (exact mutual-kNN
@@ -142,6 +142,37 @@ object Pipeline24Queries {
         .select(col("grp"), col("rnk"), col("hu"), col("k_key"),
           col("n_sketch"), col("est_num"), col("est_den"))
         .orderBy("grp", "rnk")
+    }),
+
+    "ts_sax" -> ((s, dir) => {
+      // SAX symbolization (Lin et al. 2003) of the daily order-count
+      // series per priority — 8 PAA windows, 4-letter equi-depth
+      // alphabet (the exact-arithmetic breakpoint variant), plus the
+      // concatenated SAX word per series: the motif/novelty-mining prep
+      // next to ts_acf's seasonality probe.
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("pri"),
+          col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      TimeSeries.saxWords(daily, Seq("pri"), Seq(col("day")), "x",
+          windows = 8, alphabet = 4)
+        .orderBy("pri", "w")
+    }),
+
+    "mm_scene_cuts" -> ((s, dir) => {
+      // shot-boundary detection over media payloads: frame-energy jumps
+      // exceeding the mean frame energy, division-free — the
+      // video-curation gate beside mm_audio_vad/mm_audio_snr, with the
+      // same synthetic flat asset grading the no-cut branch.
+      Multimodal.sceneCuts(
+          Multimodal.mediaFromDocuments(s, dir).toDF()
+            .select("media_id", "payload")
+            .unionByName(s.range(1).select(
+              lit(-1L).as("media_id"),
+              encode(lit("a" * 16), "UTF-8").as("payload"))),
+          "payload", frames = 16)
+        .select("media_id", "n_cuts", "first_cut", "max_jump")
+        .orderBy("media_id")
     }),
 
     "emb_power_iter" -> ((s, dir) => {
@@ -442,6 +473,64 @@ object Pipeline24Queries {
 
     "approx_bottomk" -> kmvOracle,
     "inc_bottomk_delta" -> kmvOracle,
+
+    "ts_sax" ->
+      """WITH daily AS (SELECT o_orderpriority AS pri,
+        |    CAST(o_orderdate AS DATE) AS day, COUNT(*) AS x
+        |  FROM orders GROUP BY 1, 2),
+        |seg AS (SELECT pri, x,
+        |    (CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY day)
+        |      AS BIGINT) - 1) * 8
+        |      // (COUNT(*) OVER (PARTITION BY pri)) AS w
+        |  FROM daily),
+        |paa AS (SELECT pri, w, SUM(x) * 1000000 // COUNT(*) AS paa,
+        |    COUNT(*) AS n
+        |  FROM seg GROUP BY 1, 2),
+        |sym AS (SELECT pri, w, paa, n,
+        |    NTILE(4) OVER (ORDER BY paa, pri, w) AS sym
+        |  FROM paa),
+        |wrd AS (SELECT pri,
+        |    string_agg(substr('abcd', sym, 1), '' ORDER BY w) AS word
+        |  FROM sym GROUP BY 1)
+        |SELECT sym.pri, sym.w, CAST(sym.paa AS BIGINT) AS paa, sym.n,
+        |  CAST(sym.sym AS BIGINT) AS sym, wrd.word
+        |FROM sym JOIN wrd ON wrd.pri = sym.pri
+        |ORDER BY sym.pri, sym.w""".stripMargin,
+
+    "mm_scene_cuts" ->
+      // the mm_audio_snr block machinery with consecutive-frame diffs
+      """WITH ch AS (SELECT doc_id, string_split_regex(text, '') AS s
+        |       FROM documents
+        |     UNION ALL
+        |     SELECT CAST(-1 AS BIGINT),
+        |       string_split_regex(repeat('a', 16), '')),
+        |tok AS (SELECT doc_id, CAST(ii - 1 AS BIGINT) AS i0,
+        |    CAST(unicode(s[ii]) AS BIGINT) AS code,
+        |    CAST(len(s) AS BIGINT) AS n
+        |  FROM ch, unnest(range(1, len(s) + 1)) AS u(ii)),
+        |bs0 AS (SELECT doc_id, i0 * 16 // n AS b, SUM(code) AS sm
+        |  FROM tok GROUP BY 1, 2),
+        |sp AS (SELECT d.doc_id, bb.b
+        |  FROM (SELECT DISTINCT doc_id FROM tok) d,
+        |    (SELECT CAST(x AS BIGINT) AS b
+        |     FROM unnest(range(0, 16)) t(x)) bb),
+        |bs AS (SELECT sp.doc_id, sp.b, COALESCE(bs0.sm, 0) AS sm
+        |  FROM sp LEFT JOIN bs0 ON sp.doc_id = bs0.doc_id
+        |    AND sp.b = bs0.b),
+        |dd AS (SELECT doc_id, b, d FROM (
+        |    SELECT doc_id, b,
+        |      abs(sm - LAG(sm) OVER (PARTITION BY doc_id ORDER BY b))
+        |        AS d
+        |    FROM bs) WHERE b >= 1),
+        |sd AS (SELECT doc_id, SUM(d) AS sumd FROM dd GROUP BY 1)
+        |SELECT dd.doc_id AS media_id,
+        |  CAST(SUM(CASE WHEN 15 * dd.d > 2 * sd.sumd THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cuts,
+        |  CAST(COALESCE(MIN(CASE WHEN 15 * dd.d > 2 * sd.sumd
+        |    THEN dd.b END), 16) AS BIGINT) AS first_cut,
+        |  CAST(MAX(dd.d) AS BIGINT) AS max_jump
+        |FROM dd JOIN sd ON sd.doc_id = dd.doc_id
+        |GROUP BY 1 ORDER BY media_id""".stripMargin,
 
     "emb_power_iter" -> {
       // gram directly as the FULL matrix (G is symmetric, so the

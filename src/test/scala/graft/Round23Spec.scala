@@ -201,6 +201,37 @@ class Round23Spec extends SparkSuite {
     assert(viaAgg === window)
   }
 
+  test("saxWords closed form: per-key PAA means, cross-key equi-depth " +
+      "symbols, and window-ordered words") {
+    val df = ((1 to 8).map(t => ("A", t, t)) ++
+      (1 to 8).map(t => ("B", t, t + 8))).toDF("k", "t", "x")
+    val got = graft.ops.TimeSeries.saxWords(df, Seq("k"),
+        Seq(col("t")), "x", windows = 4, alphabet = 2)
+      .select("k", "w", "paa", "sym", "word")
+      .as[(String, Long, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    // A's PAAs: 1.5M, 3.5M, 5.5M, 7.5M; B's: 9.5M..15.5M — equi-depth
+    // over all 8 puts every A window in bucket 1 and every B in 2
+    assert(got.map(_._3).take(4) ===
+      Seq(1500000L, 3500000L, 5500000L, 7500000L))
+    assert(got.filter(_._1 == "A").forall(r => r._4 == 1 && r._5 == "aaaa"))
+    assert(got.filter(_._1 == "B").forall(r => r._4 == 2 && r._5 == "bbbb"))
+  }
+
+  test("sceneCuts closed forms: a step payload cuts once at the step " +
+      "with the adaptive 2x-mean-jump threshold; a flat payload " +
+      "reports the sentinel") {
+    val step = "a" * 8 + " " * 8
+    val df = Seq((1L, step), (2L, "a" * 16)).toDF("media_id", "txt")
+      .select(col("media_id"), encode(col("txt"), "UTF-8").as("payload"))
+    val got = graft.ops.Multimodal.sceneCuts(df, "payload", frames = 4)
+      .select("media_id", "n_cuts", "first_cut", "max_jump")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // blocks of 4 bytes: 388, 388, 128, 128 → diffs 0, 260, 0;
+    // Σd = 260; 3·260 > 2·260 → one cut at boundary 2
+    assert(got === Seq((1L, 1L, 2L, 260L), (2L, 0L, 4L, 0L)))
+  }
+
   test("inc identity: bottomKMerge of per-slice sketches equals the " +
       "rebuild for every split class on the orders fixture") {
     val o = Tables.orders(spark, sfDir)
