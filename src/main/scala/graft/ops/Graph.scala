@@ -1763,4 +1763,48 @@ object Graph {
     }
     chosen.select("lo", "hi", "w")
   }
+
+  /** Fixed-round k-truss peeling (Cohen 2008): each synchronous round
+    * drops every edge supported by fewer than k−2 triangles WITHIN the
+    * surviving subgraph; at the fixpoint the survivors are exactly the
+    * k-truss (every edge in ≥ k−2 triangles of the subgraph) — the
+    * cohesion notion one step stronger than k-core (kCore counts
+    * NEIGHBORS; truss counts triangles, so loose hub spokes die even
+    * when degree is high). Peeling only removes, so running MORE rounds
+    * past convergence is idempotent — the property that makes the
+    * fixed-depth unrolled SQL oracle exact whether or not the fixture
+    * converged early (the Louvain gated-round convention).
+    *
+    * Per round: support(lo,hi) = |N(lo) ∩ N(hi)| via two id-keyed
+    * equi-joins over the symmetrized adjacency (wedge rows bounded by
+    * Σ_v deg²(v) — run this on degree-bounded graphs, the
+    * graph_triangles top-k-cut argument), one keyed count, one filter;
+    * survivors pinned per round (the prRound double-reference rule).
+    *
+    * @return surviving canonical edges (lo, hi) after `rounds` rounds */
+  def ktrussRounds(edges: DataFrame, srcCol: String, dstCol: String,
+                   k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1, s"bad truss shape k=$k r=$rounds")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct()
+      .pin()
+    for (_ <- 0 until rounds) {
+      val adj = e.select(col("lo").as("a"), col("hi").as("x"))
+        .unionByName(e.select(col("hi").as("a"), col("lo").as("x")))
+      val sup = e
+        .join(adj.select(col("a").as("lo"), col("x")), "lo")
+        .join(adj.select(col("a").as("hi"), col("x")), Seq("hi", "x"))
+        .groupBy("lo", "hi").agg(count(lit(1)).as("sup"))
+      // an edge in zero triangles never reaches `sup` — the inner join
+      // drops it, which IS the support < k−2 rule for k ≥ 3
+      e = e.join(sup, Seq("lo", "hi"))
+        .where(col("sup") >= (k - 2).toLong)
+        .select("lo", "hi")
+        .pin()
+    }
+    e
+  }
 }

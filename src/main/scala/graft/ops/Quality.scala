@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinOps
 
 /** Data-quality gates — the assertions a pipeline runs BEFORE training
   * data ships. The reference trusts its source and re-checks nothing
@@ -203,5 +204,47 @@ object Quality {
       .withColumn("flagged", col("dev") > col("__n") * lit(100000L))
       .select((k :+ col("digit")) ++
         Seq(col("cnt"), col("dev"), col("flagged")): _*)
+  }
+
+  /** t-closeness audit (Li et al. 2007 — the third privacy gate after
+    * k-anonymity and l-diversity): for each quasi-identifier class E,
+    * the total-variation distance between E's sensitive-attribute
+    * distribution and the GLOBAL one, as exact cross-multiplied
+    * integers: tv(E) = ½·Σ_s |p_s − q_s| with p = c_es/n_e,
+    * q = c_s/N, so tv(E) > t ⟺ tDen·tv_num > 2·tNum·n_e·N with
+    * tv_num = Σ_s |c_es·N − n_e·c_s| — division-free, bit-stable.
+    * (k-anonymity hides WHO is in a class; l-diversity forces variety;
+    * t-closeness stops the class's sensitive MIX itself from leaking —
+    * a 5-anonymous, 3-diverse class that is 95% one diagnosis still
+    * discloses.)
+    *
+    * Shape: two keyed aggregates over the (class × value) cell table;
+    * the global value distribution (|domain| rows) and the 1-row total
+    * ride broadcasts into the class grid — absent cells materialize
+    * via the class × domain cross of AGGREGATED frames, never raw
+    * rows.
+    *
+    * @return (classCols..., n_e, tv_num, n_tot, flagged) */
+  def tClosenessTV(df: DataFrame, classCols: Seq[String],
+                   sensCol: String, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum >= 1 && tDen > tNum, s"bad threshold $tNum/$tDen")
+    val cls = classCols.map(col)
+    val cell = df.groupBy((cls :+ col(sensCol)): _*)
+      .agg(count(lit(1)).as("c_es"))
+      .pin() // referenced three ways below
+    val perE = cell.groupBy(cls: _*).agg(sum("c_es").as("n_e"))
+    val glob = cell.groupBy(col(sensCol)).agg(sum("c_es").as("c_s"))
+    val nTot = cell.agg(sum("c_es").as("n_tot"))
+    perE.crossJoin(broadcast(glob))
+      .join(cell, classCols :+ sensCol, "left")
+      .crossJoin(broadcast(nTot))
+      .groupBy((cls :+ col("n_e") :+ col("n_tot")): _*)
+      .agg(sum(abs(coalesce(col("c_es"), lit(0L)) * col("n_tot") -
+        col("n_e") * col("c_s"))).as("tv_num"))
+      .withColumn("flagged",
+        lit(tDen.toLong) * col("tv_num") >
+          lit(2L * tNum) * col("n_e") * col("n_tot"))
+      .select((cls ++ Seq(col("n_e"), col("tv_num"), col("n_tot"),
+        col("flagged"))): _*)
   }
 }

@@ -144,6 +144,32 @@ object Pipeline24Queries {
         .orderBy("grp", "rnk")
     }),
 
+    "dq_t_closeness" -> ((s, dir) => {
+      // the third privacy gate (k-anonymity → l-diversity →
+      // t-closeness): per-nation total-variation distance between the
+      // class's market-segment mix and the global one, flagged at
+      // t = 1/5 — exact cross-multiplied integers throughout.
+      graft.ops.Quality.tClosenessTV(
+          Tables.customer(s, dir)
+            .select(col("c_nationkey"), col("c_mktsegment")),
+          Seq("c_nationkey"), "c_mktsegment", tNum = 1, tDen = 5)
+        .orderBy("c_nationkey")
+    }),
+
+    "graph_ktruss" -> ((s, dir) => {
+      // 3-round 4-truss peeling on the top-5 co-occurrence graph (the
+      // graph_triangles fixture — degree ≤ 2k at any corpus size):
+      // every surviving edge sits in ≥ 2 triangles of the surviving
+      // subgraph — the cohesion cut one step stronger than k-core.
+      // Peeling is idempotent past convergence, so the fixed-depth
+      // unrolled oracle grades the fixpoint.
+      graft.ops.Graph.ktrussRounds(
+          graft.ops.Graph.cooccurTopK(Tables.lineitem(s, dir),
+            "l_orderkey", "l_suppkey", k = 5),
+          "item", "co_item", k = 4, rounds = 3)
+        .orderBy("lo", "hi")
+    }),
+
     "ts_sax" -> ((s, dir) => {
       // SAX symbolization (Lin et al. 2003) of the daily order-count
       // series per priority — 8 PAA windows, 4-letter equi-depth
@@ -473,6 +499,48 @@ object Pipeline24Queries {
 
     "approx_bottomk" -> kmvOracle,
     "inc_bottomk_delta" -> kmvOracle,
+
+    "dq_t_closeness" ->
+      """WITH cell AS (SELECT c_nationkey, c_mktsegment,
+        |    COUNT(*) AS c_es
+        |  FROM customer GROUP BY 1, 2),
+        |pe AS (SELECT c_nationkey, CAST(SUM(c_es) AS BIGINT) AS n_e
+        |  FROM cell GROUP BY 1),
+        |gl AS (SELECT c_mktsegment, CAST(SUM(c_es) AS BIGINT) AS c_s
+        |  FROM cell GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(c_es) AS BIGINT) AS n_tot FROM cell),
+        |grid AS (SELECT pe.c_nationkey, gl.c_mktsegment, pe.n_e,
+        |    gl.c_s, COALESCE(cell.c_es, 0) AS c_es
+        |  FROM pe CROSS JOIN gl
+        |  LEFT JOIN cell ON cell.c_nationkey = pe.c_nationkey
+        |    AND cell.c_mktsegment = gl.c_mktsegment)
+        |SELECT g.c_nationkey, g.n_e,
+        |  CAST(SUM(abs(g.c_es * nt.n_tot - g.n_e * g.c_s)) AS BIGINT)
+        |    AS tv_num,
+        |  CAST(MAX(nt.n_tot) AS BIGINT) AS n_tot,
+        |  5 * CAST(SUM(abs(g.c_es * nt.n_tot - g.n_e * g.c_s))
+        |    AS BIGINT) > 2 * 1 * g.n_e * MAX(nt.n_tot) AS flagged
+        |FROM grid g, nt
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "graph_ktruss" -> {
+      def round(r: Int): String = {
+        val p = if (r == 1) "e" else s"ke${r - 1}"
+        s"""ka$r AS (SELECT lo AS a, hi AS x FROM $p
+           |  UNION ALL SELECT hi, lo FROM $p),
+           |ks$r AS (SELECT t.lo, t.hi, COUNT(*) AS sup
+           |  FROM $p t
+           |  JOIN ka$r pa ON pa.a = t.lo
+           |  JOIN ka$r pb ON pb.a = t.hi AND pb.x = pa.x
+           |  GROUP BY 1, 2),
+           |ke$r AS (SELECT t.lo, t.hi FROM $p t
+           |  JOIN ks$r s ON s.lo = t.lo AND s.hi = t.hi
+           |  WHERE s.sup >= 2)""".stripMargin
+      }
+      s"""WITH ${Pipeline10Queries.triCtes},
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT lo, hi FROM ke3 ORDER BY lo, hi""".stripMargin
+    },
 
     "ts_sax" ->
       """WITH daily AS (SELECT o_orderpriority AS pri,

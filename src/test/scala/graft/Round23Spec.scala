@@ -201,6 +201,39 @@ class Round23Spec extends SparkSuite {
     assert(viaAgg === window)
   }
 
+  test("tClosenessTV closed forms: a skewed class flags at t = 1/5, a " +
+      "globally-proportioned class scores exactly zero") {
+    // classes A (3X,1Y), B (1X,3Y), C (2X,2Y); global 6X/6Y, N = 12:
+    // tv_num(A) = |3·12−4·6| + |1·12−4·6| = 24 → tv = 24/96 = 0.25 > 0.2
+    // tv_num(C) = 0 (its mix IS the global mix)
+    val df = (Seq.fill(3)(("A", "X")) ++ Seq(("A", "Y")) ++
+      Seq(("B", "X")) ++ Seq.fill(3)(("B", "Y")) ++
+      Seq.fill(2)(("C", "X")) ++ Seq.fill(2)(("C", "Y")))
+      .toDF("cls", "sens")
+    val got = graft.ops.Quality.tClosenessTV(df, Seq("cls"), "sens",
+        tNum = 1, tDen = 5)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .sortBy(_._1).toSeq
+    assert(got === Seq(("A", 4L, 24L, 12L, true),
+      ("B", 4L, 24L, 12L, true), ("C", 4L, 0L, 12L, false)))
+  }
+
+  test("ktrussRounds: K4 survives 4-truss peeling, a pendant triangle " +
+      "dies in round 1, and over-unrolling past convergence is " +
+      "idempotent") {
+    // K4 on {1,2,3,4} (every edge in 2 triangles) + triangle {4,5,6}
+    // hanging off vertex 4 (each of its edges in exactly 1 triangle)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
+    def run(r: Int) = graft.ops.Graph.ktrussRounds(edges, "a", "b",
+        k = 4, rounds = r)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    assert(run(1) === k4) // pendant triangle gone immediately
+    assert(run(3) === k4) // fixpoint: extra rounds change nothing
+  }
+
   test("saxWords closed form: per-key PAA means, cross-key equi-depth " +
       "symbols, and window-ordered words") {
     val df = ((1 to 8).map(t => ("A", t, t)) ++
