@@ -640,10 +640,21 @@ object Similarity {
     *
     * @return (i, v) — 1-based dim index, integer direction estimate */
   def powerIterInt(sketch: DataFrame, rounds: Int,
-                   keepBits: Int = 20): DataFrame = {
+                   keepBits: Int = 20): DataFrame =
+    powerIterFromGram(gramInt8(sketch), rounds, keepBits)
+
+  /** [[powerIterInt]] over an ALREADY-BUILT upper-triangle gram frame
+    * ((i, j, gram) with i ≤ j — [[gramInt8]]'s shape). The seam the
+    * incremental path uses: the gram is ADDITIVE over corpus slices
+    * (Σ_v q_i·q_j splits by v), so a batch arrival maintains the d²-row
+    * gram by summing per-slice grams ([[gramMerge]]) and re-runs the
+    * iteration on the merged frame — the corpus slice is scanned once,
+    * the base corpus never rescanned (the 20th inc_* identity,
+    * inc_power_delta). */
+  def powerIterFromGram(g: DataFrame, rounds: Int,
+                        keepBits: Int = 20): DataFrame = {
     require(rounds >= 1 && keepBits >= 4 && keepBits <= 40,
       s"bad power-iteration shape $rounds x $keepBits")
-    val g = gramInt8(sketch)
     val full = g.select(col("i"), col("j"), col("gram"))
       .unionByName(g.where(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("gram")))
@@ -669,6 +680,16 @@ object Similarity {
     }
     v.select(col("j").as("i"), col("v"))
   }
+
+  /** Additive merge of [[gramInt8]] frames over DISJOINT corpus slices:
+    * Σ_v splits by v, so cell-wise sums of the d²-row summaries equal
+    * the full-corpus gram exactly — the covariance-maintenance
+    * semilattice under streaming-PCA (a day's arrival contributes one
+    * d²-row frame; the base corpus never rescans). */
+  def gramMerge(grams: DataFrame*): DataFrame =
+    grams.map(_.select("i", "j", "gram", "n")).reduce(_.unionByName(_))
+      .groupBy("i", "j")
+      .agg(sum("gram").as("gram"), sum("n").as("n"))
 
   /** Per-dimension profile of an int8 sketch (1-based dim index):
     * (i, n, s = Σ_v q_i, q_min, q_max) — the mean-vector side of the

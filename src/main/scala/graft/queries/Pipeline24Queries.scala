@@ -213,6 +213,23 @@ object Pipeline24Queries {
         .orderBy("i")
     }),
 
+    "inc_power_delta" -> ((s, dir) => {
+      // the 20th inc_* identity, on the covariance/PCA maintenance
+      // path: the gram is ADDITIVE over corpus slices, so a batch
+      // arrival sums its d²-row gram into the stored one (gramMerge)
+      // and the power iteration re-runs on the merged frame — the
+      // delta slice is scanned once, the base corpus never rescanned.
+      // Oracle = the full rebuild (emb_power_iter's SQL verbatim).
+      val sk = Similarity.quantizeInt8(Tables.embeddings(s, dir))
+      val isNew = col("vec_id") % 4 === 0
+      Similarity.powerIterFromGram(
+          Similarity.gramMerge(
+            Similarity.gramInt8(sk.where(!isNew)),
+            Similarity.gramInt8(sk.where(isNew))),
+          rounds = PowerRounds)
+        .orderBy("i")
+    }),
+
     "txt_min_pieces" -> ((s, dir) => {
       // OPTIMAL tokenization count: train the piece vocab on the corpus
       // (all singles + top-64 n-grams of length 2..4, deterministic
@@ -374,6 +391,42 @@ object Pipeline24Queries {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
        |      $rankOrder) AS rnk
        |  FROM fsc)""".stripMargin
+
+  /** Integer power iteration, unrolled — gram directly as the FULL
+    * matrix (G is symmetric, so the engine's triangle+mirror equals
+    * qv[a.i]·qv[b.i] both orders); each round = matvec + 1-row max +
+    * renorm. The sign(w)·(|w| div q) form keeps every division
+    * non-negative, where DuckDB // and Spark div agree. Shared by
+    * emb_power_iter and (identity) inc_power_delta. */
+  private lazy val powerIterOracle: String = {
+    def round(r: Int): String = {
+      val p = r - 1
+      s"""w$r AS (SELECT g.i, SUM(g.gram * v$p.v) AS w
+         |  FROM g0 g JOIN v$p ON v$p.j = g.j GROUP BY 1),
+         |m$r AS (SELECT MAX(abs(w)) AS m FROM w$r),
+         |v$r AS (SELECT w$r.i AS j,
+         |    CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END) *
+         |      (abs(w) // GREATEST(CAST(1 AS BIGINT),
+         |        m$r.m // ${1L << PowerKeep})) AS BIGINT) AS v
+         |  FROM w$r, m$r)""".stripMargin
+    }
+    s"""WITH mx AS (SELECT vec_id, embedding,
+       |  CAST(list_max(list_transform(embedding, x -> abs(x)))
+       |    AS DOUBLE) AS ma FROM embeddings),
+       |qq AS (SELECT vec_id,
+       |  list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 127 / ma) AS BIGINT))
+       |    AS qv
+       |  FROM mx WHERE ma > 0 AND NOT isnan(ma)),
+       |idx AS (SELECT CAST(ii AS BIGINT) AS i
+       |        FROM unnest(range(1, 65)) AS t(ii)),
+       |g0 AS (SELECT a.i AS i, b.i AS j,
+       |    CAST(SUM(qv[a.i] * qv[b.i]) AS BIGINT) AS gram
+       |  FROM qq, idx a, idx b GROUP BY 1, 2),
+       |v0 AS (SELECT i AS j, CAST(1 AS BIGINT) AS v FROM idx),
+       |${(1 to PowerRounds).map(round).mkString(",\n")}
+       |SELECT j AS i, v FROM v$PowerRounds ORDER BY i""".stripMargin
+  }
 
   /** KMV bottom-k rebuild over the order months — the oracle of both
     * approx_bottomk and (identity) inc_bottomk_delta. */
@@ -600,40 +653,11 @@ object Pipeline24Queries {
         |FROM dd JOIN sd ON sd.doc_id = dd.doc_id
         |GROUP BY 1 ORDER BY media_id""".stripMargin,
 
-    "emb_power_iter" -> {
-      // gram directly as the FULL matrix (G is symmetric, so the
-      // engine's triangle+mirror equals qv[a.i]*qv[b.j] both orders);
-      // each unrolled round = matvec + 1-row max + renorm — the
-      // sign(w)·(|w| div q) form keeps every division non-negative,
-      // where DuckDB // and Spark div agree
-      def round(r: Int): String = {
-        val p = r - 1
-        s"""w$r AS (SELECT g.i, SUM(g.gram * v$p.v) AS w
-           |  FROM g0 g JOIN v$p ON v$p.j = g.j GROUP BY 1),
-           |m$r AS (SELECT MAX(abs(w)) AS m FROM w$r),
-           |v$r AS (SELECT w$r.i AS j,
-           |    CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END) *
-           |      (abs(w) // GREATEST(CAST(1 AS BIGINT),
-           |        m$r.m // ${1L << PowerKeep})) AS BIGINT) AS v
-           |  FROM w$r, m$r)""".stripMargin
-      }
-      s"""WITH mx AS (SELECT vec_id, embedding,
-         |  CAST(list_max(list_transform(embedding, x -> abs(x)))
-         |    AS DOUBLE) AS ma FROM embeddings),
-         |qq AS (SELECT vec_id,
-         |  list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * 127 / ma) AS BIGINT))
-         |    AS qv
-         |  FROM mx WHERE ma > 0 AND NOT isnan(ma)),
-         |idx AS (SELECT CAST(ii AS BIGINT) AS i
-         |        FROM unnest(range(1, 65)) AS t(ii)),
-         |g0 AS (SELECT a.i AS i, b.i AS j,
-         |    CAST(SUM(qv[a.i] * qv[b.i]) AS BIGINT) AS gram
-         |  FROM qq, idx a, idx b GROUP BY 1, 2),
-         |v0 AS (SELECT i AS j, CAST(1 AS BIGINT) AS v FROM idx),
-         |${(1 to PowerRounds).map(round).mkString(",\n")}
-         |SELECT j AS i, v FROM v$PowerRounds ORDER BY i""".stripMargin
-    },
+    "emb_power_iter" -> powerIterOracle,
+
+    // the inc_* oracle-reuse convention: the gram-merge path must equal
+    // the full rebuild, so the rebuild's SQL IS the oracle
+    "inc_power_delta" -> powerIterOracle,
 
     "txt_min_pieces" ->
       // vocab mirror: singles ∪ top-64 n-grams (count DESC, piece ASC);

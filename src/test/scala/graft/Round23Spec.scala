@@ -113,6 +113,23 @@ class Round23Spec extends SparkSuite {
     assert(absMax >= (1L << 19) && absMax <= (1L << 21), s"renorm: $v")
   }
 
+  test("inc identity: powerIterFromGram over gramMerge of per-slice " +
+      "grams equals the full rebuild for every split class") {
+    val full = Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))
+    val rebuild = Similarity.powerIterInt(full, rounds = 4)
+      .as[(Long, Long)].collect().sorted.toSeq
+    for (m <- Seq(2L, 3L)) {
+      val isNew = col("vec_id") % m === 0
+      val merged = Similarity.powerIterFromGram(
+          Similarity.gramMerge(
+            Similarity.gramInt8(full.where(!isNew)),
+            Similarity.gramInt8(full.where(isNew))),
+          rounds = 4)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(merged === rebuild, s"split mod $m diverged from rebuild")
+    }
+  }
+
   test("powerIterInt refuses a gram magnitude that could overflow the " +
       "matvec (the loud fence, not a silent wrap)") {
     // 127² per vector per dim pair ⇒ need ≥ 2^36/127² ≈ 4.3M rows to
