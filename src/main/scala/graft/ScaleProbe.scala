@@ -330,6 +330,7 @@ object ScaleProbe {
     if (args.headOption.contains("substr")) { substrProbe(args); return }
     if (args.headOption.contains("fuzzy")) { fuzzyProbe(args); return }
     if (args.headOption.contains("quant")) { quantProbe(args); return }
+    if (args.headOption.contains("nnd")) { nndProbe(args); return }
     if (args.headOption.contains("stream")) { streamProbe(args); return }
     if (args.headOption.contains("longdoc")) { longdocProbe(args); return }
     if (args.headOption.contains("pack")) { packProbe(args); return }
@@ -694,6 +695,75 @@ object ScaleProbe {
     require(n1 == n2, s"replayed drain changed the target: $n1 -> $n2")
     require(t2 < t1 / 2,
       f"replay should be the no-new-files floor, got $t2%.1fs vs $t1%.1fs")
+    spark.stop()
+  }
+
+  /** Decade probe for the NN-descent kNN-graph path (sim_nn_descent):
+    * the claim under grade is that seed + one refinement round scale
+    * LINEARLY in N when the seed bucket count scales with N (per-bucket
+    * occupancy held constant — the production knob), where the brute
+    * kNN graph (sim_knn_graph's baseline) is N². Synthesizes `small`×
+    * and `big`× rotated-replica corpora (the quantProbe scheme), runs
+    * init+round at each size with planes chosen to hold ~N/2^planes
+    * constant, and requires the measured wall ratio to stay within 2×
+    * of the size ratio — a quadratic stage would read ~(big/small)².
+    *
+    *   sbt "runMain graft.ScaleProbe nnd /root/testdata/sf0.1 4 16"
+    */
+  private def nndProbe(args: Array[String]): Unit = {
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val small = args.drop(2).headOption.map(_.toInt).getOrElse(4)
+    val big = args.drop(3).headOption.map(_.toInt).getOrElse(16)
+    require(big % small == 0 && big > small, s"bad sizes $small/$big")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def corpus(copies: Int) = (0 until copies).map { k =>
+      val rot = (k * 7) % 64
+      val emb = if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, 64 - rot),
+          slice(col("embedding"), 1, rot))
+      src.select((col("vec_id") + k * 1000000L).as("vec_id"),
+        emb.as("embedding"))
+    }.reduce(_ unionByName _)
+    def lap[T](what: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[nnd] $what%-22s ${s}%8.2f s")
+      (r, s)
+    }
+    def planesFor(n: Long): Int = { // hold ~125 vectors per bucket
+      var p = 1
+      while ((n >> p) > 125 && p < 16) p += 1
+      p
+    }
+    val walls = Seq(small, big).map { c =>
+      val sk = ops.Similarity.quantizeInt8(corpus(c)).localCheckpoint()
+      val n = sk.count()
+      val p = planesFor(n)
+      println(s"[nnd] copies=$c n=$n planes=$p buckets=${1 << p}")
+      val (init, wInit) = lap(s"init x$c")(
+        ops.Similarity.nnDescentInit(sk, 5, p).localCheckpoint())
+      val (_, wRound) = lap(s"round x$c")(
+        ops.Similarity.nnDescentRound(sk, init, 5).count())
+      (n, wInit + wRound)
+    }
+    val sizeRatio = walls(1)._1.toDouble / walls(0)._1
+    val wallRatio = walls(1)._2 / walls(0)._2
+    println(f"[nnd] size ${sizeRatio}%.1fx -> wall ${wallRatio}%.2fx " +
+      f"(quadratic would be ${sizeRatio * sizeRatio}%.0fx)")
+    require(wallRatio < sizeRatio * 2.0,
+      f"[nnd] super-linear scaling: $wallRatio%.2fx wall for " +
+        f"$sizeRatio%.1fx data")
     spark.stop()
   }
 
