@@ -192,6 +192,32 @@ object Freq {
         col("hu"), col("k_key"))
   }
 
+  /** Jaccard / intersection estimate from two [[bottomK]] sketches over
+    * the SAME key domain (the theta-sketch set-operation trick, Dasgupta
+    * et al. 2016): merge the two k-row summaries to the union's bottom-k,
+    * then count how many survivors appear in BOTH input sketches —
+    * J(A,B) ≈ matches/k_eff, |A∩B| ≈ matches/k_eff · |A∪B|. Exact
+    * membership logic: an element of bottomK(A∪B) that belongs to A is
+    * necessarily in bottomK(A) (its hash is ≤ the union's k-th minimum ≤
+    * A's k-th minimum), so semi-joining against the retained SUMMARIES
+    * equals checking the raw sets — sketches are all you keep. One row:
+    * (k_eff, matches); the estimate forms downstream, no float leaves
+    * the engine.
+    *
+    * Both inputs must share the sketch width k and carry one group. */
+  def kmvJaccard(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val merged = bottomKMerge(
+      a.select("grp", "hu", "k_key").unionByName(
+        b.select("grp", "hu", "k_key")), k).pin()
+    val inBoth = merged
+      .join(a.select(col("hu"), col("k_key")).distinct(),
+        Seq("hu", "k_key"), "left_semi")
+      .join(b.select(col("hu"), col("k_key")).distinct(),
+        Seq("hu", "k_key"), "left_semi")
+    merged.agg(count(lit(1)).as("k_eff"))
+      .crossJoin(broadcast(inBoth.agg(count(lit(1)).as("matches"))))
+  }
+
   /** Distinct-count estimate terms from a [[bottomK]] sketch: one row
     * per group with n_sketch (< k ⇒ the group is EXACT: every distinct
     * key survived), and the (k−1)/h_k estimate as exact integer terms

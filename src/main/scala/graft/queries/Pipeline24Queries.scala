@@ -262,6 +262,21 @@ object Pipeline24Queries {
         .orderBy("doc_id")
     }),
 
+    "approx_kmv_jaccard" -> ((s, dir) => {
+      // sketch set-algebra (the theta-sketch trick): estimate the
+      // customer overlap between two order years from their KMV
+      // summaries alone — merge to the union's bottom-64, count
+      // survivors present in BOTH sketches. J ≈ matches/k_eff; exact
+      // integers out, the division forms downstream.
+      val o = Tables.orders(s, dir)
+        .select(year(col("o_orderdate").cast("date")).as("y"),
+          col("o_custkey"))
+      def sk(y: Int) = Freq.bottomK(
+        o.where(col("y") === y).select(lit("u").as("g"),
+          col("o_custkey")), "g", "o_custkey", KmvK * 2)
+      Freq.kmvJaccard(sk(1995).pin(), sk(1996).pin(), KmvK * 2)
+    }),
+
     "stream_kmv" -> ((s, dir) => {
       // the KMV sketch as STREAMING state: bottom-8 distinct-user
       // sketch per event type, maintained by the KmvBottomK Aggregator
@@ -698,6 +713,32 @@ object Pipeline24Queries {
         |  CAST(SUM(mp.pieces) AS BIGINT) AS n_pieces
         |FROM tok t JOIN mp ON mp.w = t.w
         |GROUP BY 1 ORDER BY t.doc_id""".stripMargin,
+
+    "approx_kmv_jaccard" -> {
+      // union bottom-k membership checked against the RAW year sets —
+      // equivalent to the engine's sketch semi-joins by the k-th-min
+      // lemma in Freq.kmvJaccard's doc
+      val jh = PipelineQueries.javaHashSql("k_key")
+      s"""WITH dk AS (SELECT DISTINCT
+         |    year(CAST(o_orderdate AS DATE)) AS y,
+         |    CAST(o_custkey AS VARCHAR) AS k_key
+         |  FROM orders WHERE year(CAST(o_orderdate AS DATE))
+         |    IN (1995, 1996)),
+         |hs AS (SELECT y, k_key,
+         |    CASE WHEN h < 0 THEN h + 4294967296 ELSE h END AS hu
+         |  FROM (SELECT y, k_key, $jh AS h FROM dk)),
+         |un AS (SELECT hu, k_key FROM (
+         |    SELECT hu, k_key, ROW_NUMBER() OVER
+         |      (ORDER BY hu ASC, k_key ASC) AS rnk
+         |    FROM (SELECT DISTINCT hu, k_key FROM hs))
+         |  WHERE rnk <= ${KmvK * 2})
+         |SELECT (SELECT COUNT(*) FROM un) AS k_eff,
+         |  (SELECT COUNT(*) FROM un
+         |   WHERE EXISTS (SELECT 1 FROM hs WHERE hs.y = 1995
+         |     AND hs.k_key = un.k_key)
+         |   AND EXISTS (SELECT 1 FROM hs WHERE hs.y = 1996
+         |     AND hs.k_key = un.k_key)) AS matches""".stripMargin
+    },
 
     "stream_kmv" -> {
       val jh = PipelineQueries.javaHashSql("k_key")

@@ -282,6 +282,22 @@ class Round23Spec extends SparkSuite {
     assert(got === Seq((1L, 1L, 2L, 260L), (2L, 0L, 4L, 0L)))
   }
 
+  test("kmvJaccard: with k covering the union it returns the EXACT " +
+      "intersection and union sizes; the merged bottom-k never " +
+      "exceeds k") {
+    def setDf(xs: Range) =
+      xs.map(i => ("u", s"key$i")).toDF("g", "key")
+    def sk(xs: Range, k: Int) = Freq.bottomK(setDf(xs), "g", "key", k)
+    // |A ∪ B| = 9, |A ∩ B| = 3, k = 16 covers everything
+    val wide = Freq.kmvJaccard(sk(1 to 6, 16), sk(4 to 9, 16), 16)
+      .as[(Long, Long)].collect().head
+    assert(wide === ((9L, 3L)))
+    // k = 4 < union: k_eff caps at 4 and matches ≤ k_eff
+    val tight = Freq.kmvJaccard(sk(1 to 6, 4), sk(4 to 9, 4), 4)
+      .as[(Long, Long)].collect().head
+    assert(tight._1 === 4L && tight._2 <= 4L)
+  }
+
   test("inc identity: bottomKMerge of per-slice sketches equals the " +
       "rebuild for every split class on the orders fixture") {
     val o = Tables.orders(spark, sfDir)
