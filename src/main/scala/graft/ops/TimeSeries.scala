@@ -289,6 +289,50 @@ object TimeSeries {
         lit(2L) * col("sum_sq") > col("n_gaps") * col("n_gaps"))
   }
 
+  /** Robust (median/MAD) anomaly gate — the heavy-tail-safe twin of
+    * [[anomalyZ]]: mean/variance gates move WITH the outliers they hunt
+    * (one huge spike inflates σ until nothing flags); the median and
+    * the Median Absolute Deviation have a 50% breakdown point. Flags
+    * x with |x − median| > (cNum/cDen)·MAD, entirely in scaled
+    * integers: med2 = lower-median + upper-median (= 2·median),
+    * d2 = |2x − med2| (= 2·|x − median|), mad4 = lower+upper median of
+    * d2 (= 4·MAD), so the gate is 2·cDen·d2 > cNum·mad4 — division-
+    * free and rank-based, hence bit-stable on any engine.
+    *
+    * Shape: two rank passes over the per-key SERIES (calendar-bounded —
+    * the acfExact justification; the raw-rows → series aggregate is the
+    * distributed step and happens before this call) plus a 2-row-pick
+    * aggregate joined back per key.
+    *
+    * @return (keys..., order col, x, d2, mad4, is_anomaly) */
+  def madAnomaly(df: DataFrame, keys: Seq[String], orderCol: Column,
+                 xCol: String, cNum: Int = 3, cDen: Int = 1)
+  : DataFrame = {
+    require(cNum >= 1 && cDen >= 1, s"bad threshold $cNum/$cDen")
+    val k = keys.map(col)
+    def med2Of(in: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(k: _*)
+        .orderBy(col(v).asc, col("__o").asc)
+      in.withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(k: _*)))
+        .groupBy(k: _*)
+        .agg((sum(when(col("__rn") ===
+            call_function("div", col("__n") + 1L, lit(2L)), col(v))) +
+          sum(when(col("__rn") ===
+            call_function("div", col("__n"), lit(2L)) + 1L, col(v))))
+          .as(out))
+    }
+    val x = col(xCol).cast("long")
+    val base = df.select((k :+ orderCol.as("__o") :+ x.as("__x")): _*)
+    val withMed = base.join(med2Of(base, "__x", "med2"), keys)
+      .withColumn("d2", abs(lit(2L) * col("__x") - col("med2")))
+    withMed.join(med2Of(withMed, "d2", "mad4"), keys)
+      .withColumn("is_anomaly",
+        lit(2L * cDen) * col("d2") > lit(cNum.toLong) * col("mad4"))
+      .select((k ++ Seq(col("__o"), col("__x").as("x"), col("d2"),
+        col("mad4"), col("is_anomaly"))): _*)
+  }
+
   /** SAX symbolization (Lin et al. 2003 — Symbolic Aggregate
     * approXimation, the motif/novelty-mining prep): each key's ordered
     * series splits into `windows` equal-index segments; the segment's

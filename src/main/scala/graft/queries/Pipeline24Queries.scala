@@ -170,6 +170,25 @@ object Pipeline24Queries {
         .orderBy("lo", "hi")
     }),
 
+    "ts_mad_anomaly" -> ((s, dir) => {
+      // the robust (median/MAD) anomaly gate beside ts_anomaly's
+      // rolling z: mean/variance gates move WITH the outliers they
+      // hunt; median/MAD have a 50% breakdown point. Flags days whose
+      // REVENUE deviates |x − median| > 3·MAD, in scaled integers
+      // (2·d2 > 3·mad4). Revenue cents, not counts: sparse small-count
+      // series degenerate to MAD = 0 (builder-measured: median-1 days
+      // made the count gate flag 40%), where the cents series keeps a
+      // healthy scale.
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("pri"),
+          col("o_orderdate").cast("date").as("day"))
+        .agg(sum(Fixtures.cents("o_totalprice")).as("x"))
+      TimeSeries.madAnomaly(daily, Seq("pri"), col("day"), "x",
+          cNum = 3, cDen = 1)
+        .withColumnRenamed("__o", "day")
+        .orderBy("pri", "day")
+    }),
+
     "ts_sax" -> ((s, dir) => {
       // SAX symbolization (Lin et al. 2003) of the daily order-count
       // series per priority — 8 PAA windows, 4-letter equi-depth
@@ -609,6 +628,38 @@ object Pipeline24Queries {
          |${(1 to 3).map(round).mkString(",\n")}
          |SELECT lo, hi FROM ke3 ORDER BY lo, hi""".stripMargin
     },
+
+    "ts_mad_anomaly" ->
+      """WITH daily AS (SELECT o_orderpriority AS pri,
+        |    CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM orders GROUP BY 1, 2),
+        |r1 AS (SELECT pri, day, x,
+        |    ROW_NUMBER() OVER (PARTITION BY pri ORDER BY x, day) AS rn,
+        |    COUNT(*) OVER (PARTITION BY pri) AS n
+        |  FROM daily),
+        |m1 AS (SELECT pri,
+        |    CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN x END) +
+        |      SUM(CASE WHEN rn = n // 2 + 1 THEN x END) AS BIGINT)
+        |      AS med2
+        |  FROM r1 GROUP BY 1),
+        |d AS (SELECT r1.pri, r1.day, r1.x,
+        |    abs(2 * r1.x - m1.med2) AS d2
+        |  FROM r1 JOIN m1 ON m1.pri = r1.pri),
+        |r2 AS (SELECT pri, day, x, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY pri ORDER BY d2, day) AS rn,
+        |    COUNT(*) OVER (PARTITION BY pri) AS n
+        |  FROM d),
+        |m2 AS (SELECT pri,
+        |    CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN d2 END) +
+        |      SUM(CASE WHEN rn = n // 2 + 1 THEN d2 END) AS BIGINT)
+        |      AS mad4
+        |  FROM r2 GROUP BY 1)
+        |SELECT d.pri, d.day, d.x, d.d2, m2.mad4,
+        |  2 * d.d2 > 3 * m2.mad4 AS is_anomaly
+        |FROM d JOIN m2 ON m2.pri = d.pri
+        |ORDER BY d.pri, d.day""".stripMargin,
 
     "ts_sax" ->
       """WITH daily AS (SELECT o_orderpriority AS pri,

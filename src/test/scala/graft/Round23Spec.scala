@@ -251,6 +251,34 @@ class Round23Spec extends SparkSuite {
     assert(run(3) === k4) // fixpoint: extra rounds change nothing
   }
 
+  test("madAnomaly closed forms: only the spike clears 3 MAD on odd " +
+      "and even series; x = median never flags even when MAD = 0") {
+    // odd series [1,2,3,4,100]: med2 = 6, d2 = [4,2,0,2,194],
+    // mad4 = 2+2 = 4 → flag iff 2·d2 > 12 → only the 100
+    val odd = Seq(1, 2, 3, 4, 100).zipWithIndex
+      .map { case (x, t) => ("k", t, x) }.toDF("k", "t", "x")
+    val gOdd = graft.ops.TimeSeries
+      .madAnomaly(odd, Seq("k"), col("t"), "x")
+      .select("x", "is_anomaly").as[(Long, Boolean)].collect().toMap
+    assert(gOdd.filter(_._2).keySet === Set(100L))
+    // even series [1,2,3,104]: med2 = 5, d2 = [3,1,1,203], mad4 = 1+3
+    val even = Seq(1, 2, 3, 104).zipWithIndex
+      .map { case (x, t) => ("k", t, x) }.toDF("k", "t", "x")
+    val gEven = graft.ops.TimeSeries
+      .madAnomaly(even, Seq("k"), col("t"), "x")
+      .select("x", "is_anomaly").as[(Long, Boolean)].collect().toMap
+    assert(gEven.filter(_._2).keySet === Set(104L))
+    // degenerate constant-heavy series: MAD = 0; the strict inequality
+    // keeps the median value itself unflagged, deviants flag
+    val const = Seq(5, 5, 5, 7).zipWithIndex
+      .map { case (x, t) => ("k", t, x) }.toDF("k", "t", "x")
+    val gC = graft.ops.TimeSeries
+      .madAnomaly(const, Seq("k"), col("t"), "x")
+      .select("x", "is_anomaly").as[(Long, Boolean)].collect().toSeq
+    assert(gC.count(r => r._1 == 5L && !r._2) === 3)
+    assert(gC.contains((7L, true)))
+  }
+
   test("saxWords closed form: per-key PAA means, cross-key equi-depth " +
       "symbols, and window-ordered words") {
     val df = ((1 to 8).map(t => ("A", t, t)) ++
