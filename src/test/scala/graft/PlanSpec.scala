@@ -695,6 +695,27 @@ class PlanSpec extends SparkSuite {
       "min_pieces fell out of whole-stage codegen:\n" + plan(df).take(2000))
   }
 
+  test("ts_sax: the one unpartitioned window (the equi-depth ntile) " +
+      "ranks the keys x windows AGGREGATE frame — raw series columns " +
+      "never ride through a single task") {
+    val df = q("ts_sax")
+    df.collect() // settle AQE
+    def deepWins(sp: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      sp.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          deepWins(s.plan)
+      }.flatten
+    val unpart = deepWins(unwrapped(df)).filter(_.partitionSpec.isEmpty)
+    assert(unpart.nonEmpty, "expected the global ntile window")
+    unpart.foreach { w =>
+      val cols = w.child.output.map(_.name)
+      assert(!cols.contains("x") && !cols.contains("day"),
+        s"raw series columns dragged through one task: $cols")
+    }
+  }
+
   test("KmvBottomK batch form: the aggregation is PARTIAL before the " +
       "exchange — each partition ships at most k entries per group") {
     graft.expr.GraftFunctions.register(spark)
