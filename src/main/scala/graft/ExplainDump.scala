@@ -346,7 +346,22 @@ object ExplainDump {
         "graduates to the KmvBottomK Aggregator form, whose PARTIAL " +
         "aggregation ships ≤ k entries per partition per group " +
         "(PlanSpec-pinned via partial_kmvbottomk) — the same " +
-        "semilattice the inc_bottomk_delta identity grades.")
+        "semilattice the inc_bottomk_delta identity grades."),
+    "graph_ktruss" ->
+      ("One truss-peel round per level: support = two id-keyed " +
+        "equi-joins of the canonical edge list against its symmetrized " +
+        "adjacency (wedge rows bounded by Σ deg² on the degree-bounded " +
+        "top-k co-occurrence fixture), keyed count, filter — survivors " +
+        "pinned per round so the next round's joins read a leaf, not " +
+        "the previous round's join tree. No cartesian, no windows."),
+    "emb_power_iter" ->
+      ("The corpus appears ONCE — inside gramInt8's exploded-pair " +
+        "partial aggregate (shuffle carries O(partitions·d²) longs, " +
+        "independent of corpus size). Every subsequent round is a " +
+        "d²-row matvec join + a 1-row broadcast renorm: the plan's " +
+        "iterated section is corpus-size-INDEPENDENT, which is the " +
+        "whole point of the gram seam (and why inc_power_delta can " +
+        "maintain it by summing d²-row summaries).")
   )
 
   def main(args: Array[String]): Unit = {

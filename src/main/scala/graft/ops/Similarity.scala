@@ -452,9 +452,17 @@ object Similarity {
     * weight is well-defined from either direction.
     *
     * @return (a_id, b_id, qdot) with a_id < b_id */
-  def mutualKnnGraph(sketch: DataFrame, k: Int): DataFrame = {
-    val l = knnListsOnSketch(sketch, k)
-      .select("query_id", "neighbor_id", "qdot").pin()
+  def mutualKnnGraph(sketch: DataFrame, k: Int): DataFrame =
+    mutualizeLists(knnListsOnSketch(sketch, k))
+
+  /** Mutual-ization of ANY directed neighbor lists (query_id,
+    * neighbor_id, qdot): keep (a, b) iff both directions are listed —
+    * works identically over the exact lists ([[knnListsOnSketch]] →
+    * the brute [[mutualKnnGraph]]) and the approximate ones
+    * ([[nnDescentRound]] → the production-scaled graph). One
+    * self-semi-join on the swapped key pair; qdot is symmetric. */
+  def mutualizeLists(lists: DataFrame): DataFrame = {
+    val l = lists.select("query_id", "neighbor_id", "qdot").pin()
     val swapped = l.select(col("neighbor_id").as("query_id"),
       col("query_id").as("neighbor_id"))
     l.join(swapped, Seq("query_id", "neighbor_id"), "left_semi")

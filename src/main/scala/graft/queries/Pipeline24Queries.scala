@@ -108,6 +108,24 @@ object Pipeline24Queries {
         .orderBy("vec_id")
     }),
 
+    "sim_nnd_components" -> ((s, dir) => {
+      // the PRODUCTION-SHAPED twin of sim_knn_components: components
+      // over the mutual-ized NN-DESCENT lists instead of the brute N²
+      // graph — the whole read path (seed → refine → mutualize →
+      // components) is sub-quadratic, so THIS is what runs at 100 TB
+      // while sim_knn_components stays the exact anchor.
+      val sk = Similarity.quantizeInt8(Tables.embeddings(s, dir))
+      val lists = Similarity.nnDescentRound(sk,
+        Similarity.nnDescentInit(sk, K, NndPlanes), K)
+      graft.ops.Cluster.connectedComponents(
+          sk.select(col("vec_id")), "vec_id",
+          Similarity.mutualizeLists(lists), "a_id", "b_id",
+          edgesCovered = true)
+        .select(col("id").as("vec_id"), col("cluster").as("cluster_id"),
+          (col("cluster") === col("id")).as("is_canonical"))
+        .orderBy("vec_id")
+    }),
+
     "ret_err" -> ((s, dir) => {
       // Expected Reciprocal Rank (Chapelle et al. 2009) of the graded
       // BM25 top-10 against the boolean-AND qrels — the cascade-model
@@ -523,6 +541,24 @@ object Pipeline24Queries {
          |  SELECT vec_id, vec_id FROM qn
          |  UNION
          |  SELECT e.v, r.lbl FROM reach r JOIN cedges e ON e.u = r.id)
+         |SELECT id AS vec_id, MIN(lbl) AS cluster_id,
+         |  MIN(lbl) = id AS is_canonical
+         |FROM reach GROUP BY id
+         |ORDER BY vec_id""".stripMargin,
+
+    "sim_nnd_components" ->
+      s"""WITH RECURSIVE $nndCtes,
+         |fl AS (SELECT query_id, neighbor_id FROM fin WHERE rnk <= $K),
+         |nme AS (SELECT a.query_id AS a_id, a.neighbor_id AS b_id
+         |  FROM fl a JOIN fl b ON b.query_id = a.neighbor_id
+         |    AND b.neighbor_id = a.query_id
+         |  WHERE a.query_id < a.neighbor_id),
+         |ced AS (SELECT a_id AS u, b_id AS v FROM nme
+         |        UNION SELECT b_id, a_id FROM nme),
+         |reach(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM qn
+         |  UNION
+         |  SELECT e.v, r.lbl FROM reach r JOIN ced e ON e.u = r.id)
          |SELECT id AS vec_id, MIN(lbl) AS cluster_id,
          |  MIN(lbl) = id AS is_canonical
          |FROM reach GROUP BY id
