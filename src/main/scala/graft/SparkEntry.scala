@@ -37,7 +37,8 @@ object SparkEntry {
       Pipeline18Queries.queries ++ Pipeline19Queries.queries ++
       Pipeline20Queries.queries ++ Pipeline21Queries.queries ++
       Pipeline22Queries.queries ++ Pipeline23Queries.queries ++
-      Pipeline24Queries.queries
+      Pipeline24Queries.queries ++ Pipeline25Queries.queries ++
+      Pipeline26Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -56,5 +57,6 @@ object SparkEntry {
       Pipeline18Queries.oracles ++ Pipeline19Queries.oracles ++
       Pipeline20Queries.oracles ++ Pipeline21Queries.oracles ++
       Pipeline22Queries.oracles ++ Pipeline23Queries.oracles ++
-      Pipeline24Queries.oracles
+      Pipeline24Queries.oracles ++ Pipeline25Queries.oracles ++
+      Pipeline26Queries.oracles
 }

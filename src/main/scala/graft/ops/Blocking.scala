@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Entity-resolution candidate generation by multi-pass blocking — the
+  * record-linkage counterpart of the document dedup family (dd_*): a
+  * candidate pair must share at least one BLOCKING KEY (cheap, high-
+  * recall derived keys: token + coarse attribute), and only candidates
+  * are verified with the expensive pair predicate (edit distance /
+  * token overlap). All-pairs never exists: the pair space is
+  * Σ_blocks |block|² — the MinHash-LSH banding bound with hand-chosen
+  * keys instead of hashed bands.
+  *
+  * Scale: each pass is one shuffle on its blocking key; skewed blocks
+  * are the operational risk, so [[blockedPairs]] takes a loud per-block
+  * fence (the cooccurTopK maxBasket contract) rather than silently
+  * detonating on a degenerate key.
+  */
+object Blocking {
+
+  /** Candidate pairs (a < b) sharing ≥ 1 of the `blockKeys` values.
+    * One pass per key; passes union and dedup, so a pair blocked by
+    * several keys appears once. NULL keys never block.
+    *
+    * @param maxBlock loud fail when any single block exceeds this many
+    *                 rows (quadratic detonation guard); None = no fence
+    * @return (a, b) distinct id pairs, a < b */
+  def blockedPairs(df: DataFrame, idCol: String, blockKeys: Seq[Column],
+                   maxBlock: Option[Int] = Some(10000)): DataFrame = {
+    require(blockKeys.nonEmpty, "blockedPairs: no blocking keys")
+    val passes = blockKeys.zipWithIndex.map { case (k, i) =>
+      val keyed0 = df.select(k.cast("string").as("__bk"),
+          col(idCol).as("a"))
+        .where(col("__bk").isNotNull)
+      val keyed = maxBlock match {
+        case None => keyed0
+        case Some(cap) => keyed0.withColumn("__n",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__bk"))))
+          .withColumn("a", when(col("__n") <= cap, col("a"))
+            .otherwise(raise_error(concat(
+              lit(s"blockedPairs: block over maxBlock=$cap on key#$i: "),
+              col("__bk"))).cast(keyed0.schema("a").dataType.sql)))
+          .drop("__n")
+      }
+      val right = keyed.select(col("__bk").as("__bk2"), col("a").as("b"))
+      keyed.join(right,
+          col("__bk") === col("__bk2") && col("a") < col("b"))
+        .select("a", "b")
+    }
+    passes.reduce(_ unionByName _).distinct()
+  }
+
+  /** Verify candidate pairs on their name strings: Levenshtein distance
+    * plus distinct-token overlap (intersection / union sizes) — the
+    * standard cheap-feature pair vector a linkage rule or model consumes.
+    * Joins are id-equi (shuffle-partitionable); the quadratic work never
+    * exceeds the candidate set.
+    *
+    * @return (a, b, lev, n_inter, n_union) */
+  def verifyPairs(pairs: DataFrame, df: DataFrame, idCol: String,
+                  nameCol: String): DataFrame = {
+    val la = df.select(col(idCol).as("a"), col(nameCol).as("__na"))
+    val lb = df.select(col(idCol).as("b"), col(nameCol).as("__nb"))
+    pairs.join(la, "a").join(lb, "b")
+      .withColumn("__ta", array_distinct(split(col("__na"), " ")))
+      .withColumn("__tb", array_distinct(split(col("__nb"), " ")))
+      .select(col("a"), col("b"),
+        levenshtein(col("__na"), col("__nb")).cast("long").as("lev"),
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long")
+          .as("n_inter"),
+        size(array_union(col("__ta"), col("__tb"))).cast("long")
+          .as("n_union"))
+  }
+}

@@ -1535,6 +1535,81 @@ object Graph {
         sum(call_function("div", lit(scale), col("dist")))
           .as("closeness"))
 
+  /** Betweenness centrality from a fixed seed set within a fixed hop
+    * horizon — Brandes (2001) restricted to the sampled-source form
+    * every at-scale implementation uses (exact all-sources betweenness
+    * is O(V·E) and hopeless at 100 TB; k sources and a hop horizon are
+    * the standard estimator, cf. Riondato–Kornaropoulos). Forward: one
+    * BFS per seed run simultaneously (frames keyed (src, node)),
+    * σ(node) = number of shortest src→node paths, accumulated level by
+    * level (in unweighted BFS the shortest-path DAG only links
+    * consecutive levels). Backward: the dependency recursion
+    * δ(v) = Σ_{w ∈ succ(v)} σ(v)·(scale + δ(w)) div σ(w) in
+    * `scale`-scaled truncated integers (both engines truncate
+    * identically), unrolled from the horizon down. bc(v) = Σ over
+    * seeds and levels ≥ 1 of δ — exact integers end to end, so the
+    * whole centrality is oracle-checkable.
+    *
+    * Shape: per level one join (frontier ⋈ adjacency, keyed on vertex
+    * ids) + one hash aggregate + one anti-join against the visited set;
+    * backward mirrors it. Every frame is pinned per level (the prRound
+    * double-reference rule). Run on degree-bounded graphs
+    * ([[cooccurTopK]] shapes); σ stays ≤ maxdeg^horizon.
+    *
+    * @return (node, bc_s) for EVERY vertex of the canonical edge set */
+  def betweennessFixed(edges: DataFrame, srcCol: String, dstCol: String,
+                       seeds: DataFrame, seedCol: String, horizon: Int,
+                       scale: Long = 1048576L): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val e = canonEdges(edges, srcCol, dstCol).pin()
+    val adj = e.select(explode(array(
+        struct(col("lo").as("v"), col("hi").as("n")),
+        struct(col("hi").as("v"), col("lo").as("n")))).as("x"))
+      .select(col("x.v").as("v"), col("x.n").as("n")).pin()
+    val lv0 = seeds.select(col(seedCol).cast("long").as("src"))
+      .distinct()
+      .select(col("src"), col("src").as("node"), lit(1L).as("sigma"))
+      .pin()
+    var levels = Vector(lv0)
+    var visited = lv0.select("src", "node").pin()
+    for (_ <- 1 to horizon) {
+      val next = levels.last.join(adj, col("node") === col("v"))
+        .select(col("src"), col("n").as("node"), col("sigma"))
+        .groupBy("src", "node").agg(sum("sigma").as("sigma"))
+        .join(visited, Seq("src", "node"), "left_anti")
+        .pin()
+      levels :+= next
+      visited = visited.unionByName(next.select("src", "node")).pin()
+    }
+    // deepest level has no successors inside the horizon → δ = 0
+    var deltas = Map(horizon -> levels(horizon)
+      .select(col("src"), col("node"), lit(0L).as("delta")))
+    for (t <- (horizon - 1) to 0 by -1) {
+      val cur = levels(t)
+      val sd = levels(t + 1).join(deltas(t + 1), Seq("src", "node"))
+        .select(col("src").as("__s2"), col("node").as("__w"),
+          col("sigma").as("__sw"), col("delta").as("__dw"))
+      val contrib = cur.join(adj, col("node") === col("v"))
+        .join(sd, col("src") === col("__s2") && col("n") === col("__w"))
+        .groupBy("src", "node")
+        .agg(sum(call_function("div",
+          col("sigma") * (lit(scale) + col("__dw")), col("__sw")))
+          .as("__c"))
+      deltas += t -> cur.join(contrib, Seq("src", "node"), "left")
+        .select(col("src"), col("node"),
+          coalesce(col("__c"), lit(0L)).as("delta"))
+        .pin()
+    }
+    val verts = e.select(col("lo").as("node"))
+      .unionByName(e.select(col("hi").as("node"))).distinct()
+    val bc = (1 to horizon).map(deltas(_)) // level 0 (the seeds) excluded
+      .reduce(_ unionByName _)
+      .groupBy("node").agg(sum("delta").as("__bc"))
+    verts.join(bc, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__bc"), lit(0L)).as("bc_s"))
+  }
+
   /** Single-source(-set) shortest paths over a WEIGHTED directed edge
     * list — distributed Bellman–Ford with a fixed round horizon (the
     * [[bfsDistances]] contract: `rounds` is both the statically-
@@ -1607,6 +1682,51 @@ object Graph {
       .select(col("a"), col("b"), col("n_common"),
         (col("da") + col("db") - col("n_common")).as("n_union"))
       .where(col("n_common") * 4 >= col("n_union"))
+  }
+
+  /** The classic link-prediction score triple over NON-edges (Liben-
+    * Nowell & Kleinberg 2003): common-neighbor count `cn`, resource
+    * allocation `ra_s` (Zhou et al. 2009 — Σ_z 1/deg(z) over common
+    * neighbors z, the exact-rational cousin of Adamic–Adar whose 1/log
+    * weights are irrational; kept as Σ (scale div deg(z)) truncated
+    * integers, deterministic on both engines), and preferential
+    * attachment `pa` = deg(a)·deg(b).
+    *
+    * Shape: [[neighborJaccard]]'s wedge enumeration — candidate pairs
+    * come only from shared-apex wedges (Σ deg² bound on the thinned
+    * input graph, never all-pairs), the apex degree joins BEFORE the
+    * pair aggregate so cn and ra_s come out of one shuffle, and the
+    * edge anti-join removes existing links. Run on degree-bounded
+    * graphs (cooccurTopK / support-thinned shapes).
+    *
+    * @return (a, b, cn, ra_s, pa) for non-adjacent a < b with
+    *         cn >= minCommon */
+  def linkPredScores(edges: DataFrame, srcCol: String, dstCol: String,
+                     minCommon: Int = 2, scale: Long = 1000000L)
+  : DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val e = canonEdges(edges, srcCol, dstCol).pin()
+    val adj = e.select(explode(array(
+        struct(col("lo").as("v"), col("hi").as("n")),
+        struct(col("hi").as("v"), col("lo").as("n")))).as("x"))
+      .select(col("x.v").as("v"), col("x.n").as("n"))
+    val deg = adj.groupBy("v").agg(count(lit(1)).as("d"))
+    val adjD = adj.join(deg, "v")
+    val adjR = adjD.select(col("v").as("__v2"), col("n").as("__n2"))
+    val wedges = adjD
+      .join(adjR, col("v") === col("__v2") && col("n") < col("__n2"))
+      .groupBy(col("n").as("a"), col("__n2").as("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(call_function("div", lit(scale), col("d"))).as("ra_s"))
+      .where(col("cn") >= minCommon)
+    wedges
+      .join(e, col("a") === col("lo") && col("b") === col("hi"),
+        "left_anti")
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"), col("cn"), col("ra_s"),
+        (col("da") * col("db")).as("pa"))
   }
 
   /** Deterministic pseudo-random walks over an undirected graph — the

@@ -263,4 +263,53 @@ object Multimodal {
           .as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Aspect-ratio bucketing (the SDXL/LAION training-batch prep): each
+    * image goes to the ratio bucket minimizing the scaled relative
+    * error |w·bh − h·bw|·scale div (h·bw) — i.e. |w/h − bw/bh| / (bw/bh)
+    * in exact truncated integers (both engines truncate identically) —
+    * ties to the EARLIER bucket in `buckets` order; then images inside a
+    * bucket are packed into fixed-size training batches in media-id
+    * order. Mixed-aspect batches waste pad pixels; this is the standard
+    * fix, expressed as two narrow passes + one per-bucket window.
+    *
+    * Shape: the bucket argmin is a pure row-local expression
+    * (`least` over a literal struct array — codegen'd, no shuffle);
+    * the only wide op is the per-bucket row_number for batch ids.
+    * At real scale the batch window is per (bucket, shard) — pass a
+    * pre-sharded frame and include the shard in `idCol`'s order if one
+    * global sequence per bucket would bottleneck.
+    *
+    * @param df frame bearing integer `widthCol`/`heightCol` (> 0)
+    * @param buckets (bw, bh) ratio buckets, 1-indexed in given order
+    * @return input keys + (bucket, bucket_w, bucket_h, cost_s,
+    *         batch_id) */
+  def aspectBuckets(df: DataFrame, idCol: String, widthCol: String,
+                    heightCol: String, buckets: Seq[(Int, Int)],
+                    batchSize: Int, scale: Long = 1000000L): DataFrame = {
+    require(buckets.nonEmpty, "aspectBuckets: no buckets given")
+    require(batchSize >= 1, s"bad batchSize $batchSize")
+    require(buckets.forall { case (w, h) => w > 0 && h > 0 },
+      "aspectBuckets: bucket dims must be positive")
+    val w = col(widthCol).cast("long")
+    val h = col(heightCol).cast("long")
+    val cands = buckets.zipWithIndex.map { case ((bw, bh), i) =>
+      struct(
+        call_function("div", abs(w * bh - h * bw) * scale,
+          h * lit(bw.toLong)).as("c"),
+        lit((i + 1).toLong).as("i"),
+        lit(bw.toLong).as("bw"), lit(bh.toLong).as("bh"))
+    }
+    val best = df.withColumn("__b", least(cands: _*))
+      .withColumn("bucket", col("__b.i"))
+      .withColumn("bucket_w", col("__b.bw"))
+      .withColumn("bucket_h", col("__b.bh"))
+      .withColumn("cost_s", col("__b.c"))
+      .drop("__b")
+    best.withColumn("batch_id", call_function("div",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket")).orderBy(col(idCol))).cast("long")
+          - 1L,
+        lit(batchSize.toLong)))
+  }
 }

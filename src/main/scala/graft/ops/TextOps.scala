@@ -642,4 +642,74 @@ object TextOps {
       .select("piece")
     singles.unionByName(top).distinct()
   }
+
+  /** Corpus stoplist for [[rakePhrases]]: the `topM` most frequent
+    * tokens by occurrence count (ties broken token-ascending) — the
+    * data-driven stand-in for a language stoplist on corpora whose
+    * language is unknown (the SAX equi-depth analogy: distribution-
+    * derived cuts instead of fixed irrational ones). One `w` column. */
+  def topTokenStoplist(docs: DataFrame, textCol: String, topM: Int)
+  : DataFrame = {
+    require(topM >= 1, s"topM must be >= 1, got $topM")
+    docs.select(explode(tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("w").asc)
+      .limit(topM)
+      .select("w")
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs; a word scores
+    * deg(w)/freq(w) where freq counts its phrase occurrences and deg
+    * sums the lengths of the phrases containing it (co-occurrence
+    * degree, self included); a phrase scores the sum of its member
+    * word scores. Scores are kept as `scale`-scaled truncated integers
+    * (div — both engines truncate identically), so ranking and output
+    * hash-match across engines.
+    *
+    * Shape: one narrow explode (positions are per-document), one
+    * window partitioned by document for phrase segmentation, two keyed
+    * aggregates (per-phrase, per-word) and a broadcast-sized stoplist
+    * join — every shuffle is on doc or word keys, nothing is
+    * collected. The stoplist frame is tiny by construction
+    * ([[topTokenStoplist]]) and broadcast.
+    *
+    * @param stop one-column (`w`) stoplist frame
+    * @return (phrase, n_words, n_occur, score_s) — one row per
+    *         distinct phrase text */
+  def rakePhrases(docs: DataFrame, idCol: String, textCol: String,
+                  stop: DataFrame, scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val tok = docs
+      .select(col(idCol).as("__id"),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
+      .where(col("__w") =!= "")
+    val marked = tok.join(
+        broadcast(stop.select(col("w").as("__w"),
+          lit(true).as("__isstop"))),
+        Seq("__w"), "left")
+      .withColumn("__pid", sum(when(col("__isstop"), 1L).otherwise(0L))
+        .over(Window.partitionBy(col("__id")).orderBy(col("__pos"))))
+    val members = marked.where(col("__isstop").isNull)
+      .withColumn("__len",
+        count(lit(1)).over(Window.partitionBy(col("__id"), col("__pid"))))
+    val wordScore = members.groupBy("__w")
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .withColumn("__ws",
+        call_function("div", col("__deg") * scale, col("__freq")))
+      .select("__w", "__ws")
+    members.join(wordScore, "__w")
+      .groupBy("__id", "__pid")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__w")))),
+          s => s.getField("__w"))).as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("__ws")).as("score_s"))
+      .groupBy("phrase")
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occur"),
+        max(col("score_s")).as("score_s"))
+  }
 }

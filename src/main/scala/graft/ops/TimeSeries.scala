@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinOps
 
 /** Gap handling for event streams: forward-fill of missing observations and
   * regularization onto a fixed-step grid ("resample"). The reference keeps
@@ -379,5 +380,173 @@ object TimeSeries {
     sym.join(word, keys)
       .select((k :+ col("w") :+ col("paa") :+ col("n") :+
         col("sym").cast("long").as("sym") :+ col("word")): _*)
+  }
+
+  /** Classical additive seasonal decomposition (the moving-average
+    * decomposition STL approximates — Cleveland et al. 1990 §2's
+    * baseline): trend = centered `period`-row moving sum (kept ×period
+    * to stay integer), detrended = period·x − trend, seasonal index =
+    * per-(keys, season) mean of the detrended values, residual = the
+    * rest. Only rows with a FULL centered window are emitted (the
+    * standard edge-trim; partial-window trends are not comparable).
+    * All divisions are Spark `div`/DuckDB `//` truncations (both
+    * truncate toward zero, negative detrended values included — the
+    * mm_resize hash-replay precedent), on `scale`-scaled integers, so
+    * every output hash-matches across engines.
+    *
+    * Shape: one window pass partitioned by the series key (series are
+    * calendar-bounded per key — the acfExact justification), one keyed
+    * aggregate for the seasonal indices (keys×period rows, broadcast-
+    * joined back). The raw-rows → series aggregate happens before this
+    * call and is the distributed step.
+    *
+    * @param seasonCol the season-of-cycle column (e.g. epoch-day % 7)
+    * @return (keys..., __o, season, x, trend_p, seas_s, resid_s) —
+    *         trend_p is ×period, seas_s/resid_s are ×scale */
+  def classicalDecompose(df: DataFrame, keys: Seq[String],
+                         orderCol: Column, seasonCol: Column, xCol: String,
+                         period: Int, scale: Long): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd >= 3 (centered window), got $period")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val k = keys.map(col)
+    val half = (period - 1) / 2
+    // the window orders by the RENAMED __o — orderCol itself is consumed
+    // by the projection below
+    val w = Window.partitionBy(k: _*).orderBy(col("__o"))
+      .rowsBetween(-half, half)
+    val x = col(xCol).cast("long")
+    val full = df
+      .select((k :+ orderCol.as("__o") :+ seasonCol.as("season") :+
+        x.as("x")): _*)
+      .withColumn("trend_p", sum(col("x")).over(w))
+      .withColumn("__wn", count(lit(1)).over(w))
+      .where(col("__wn") === period)
+      .withColumn("detr_p", lit(period.toLong) * col("x") - col("trend_p"))
+    val seas = full.groupBy((k :+ col("season")): _*)
+      .agg(call_function("div", sum(col("detr_p")) * scale,
+        count(lit(1)) * period).as("seas_s"))
+    full.join(seas, keys :+ "season")
+      .withColumn("resid_s", col("x") * scale -
+        call_function("div", col("trend_p") * scale, lit(period.toLong)) -
+        col("seas_s"))
+      .select((k ++ Seq(col("__o"), col("season"), col("x"),
+        col("trend_p"), col("seas_s"), col("resid_s"))): _*)
+  }
+
+  /** Theil–Sen robust trend: per key, the median of ALL pairwise scaled
+    * slopes slope_s = ((x_j − x_i)·scale) div (t_j − t_i) over i < j —
+    * the 29%-breakdown slope estimator next to madAnomaly's level gate.
+    * The median is the madAnomaly two-middle form (slope2_s = the sum of
+    * the two middle order statistics; the half assembles downstream), so
+    * the output is exact integers end to end.
+    *
+    * Shape: the pair space is |series|² per key — run on CALENDAR-
+    * BOUNDED series per key (days-per-month here: ≤ 31 rows → ≤ 465
+    * pairs), never on raw rows; the raw → series aggregate before this
+    * call is the distributed step. A loud fence rejects series past
+    * `maxSeries` instead of silently detonating the pair space.
+    *
+    * @param tCol numeric time (e.g. epoch days); must be distinct per key
+    * @return (keys..., n_days, n_pairs, slope2_s) */
+  def theilSenSlopes(df: DataFrame, keys: Seq[String], tCol: Column,
+                     xCol: String, scale: Long, maxSeries: Int = 1000)
+  : DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val k = keys.map(col)
+    val base = df.select((k :+ tCol.cast("long").as("__t") :+
+      col(xCol).cast("long").as("__x")): _*)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(k: _*)))
+      .withColumn("__t", when(col("__n") <= maxSeries, col("__t"))
+        .otherwise(raise_error(concat(
+          lit(s"theilSenSlopes: series over maxSeries=$maxSeries for "),
+          concat_ws(",", k: _*))).cast("long")))
+    // every right-side column renamed — no aliased self-join, so the
+    // ambiguous-self-join analyzer trap never arises
+    val right = base.select((keys.map(c => col(c).as(s"__r_$c")) :+
+      col("__t").as("__t2") :+ col("__x").as("__x2")): _*)
+    val slopes = base.join(right,
+        keys.map(c => col(c) === col(s"__r_$c")).reduce(_ && _) &&
+          col("__t") < col("__t2"))
+      .select((k ++ Seq(
+        col("__t").as("__o"),
+        call_function("div", (col("__x2") - col("__x")) * scale,
+          col("__t2") - col("__t")).as("__sl"),
+        col("__t2").as("__o2"))): _*)
+    val wm = Window.partitionBy(k: _*)
+      .orderBy(col("__sl").asc, col("__o").asc, col("__o2").asc)
+    val med = slopes
+      .withColumn("__rn", row_number().over(wm).cast("long"))
+      .withColumn("__np", count(lit(1)).over(Window.partitionBy(k: _*)))
+      .groupBy(k: _*)
+      .agg(max(col("__np")).as("n_pairs"),
+        (sum(when(col("__rn") ===
+            call_function("div", col("__np") + 1L, lit(2L)), col("__sl"))) +
+          sum(when(col("__rn") ===
+            call_function("div", col("__np"), lit(2L)) + 1L, col("__sl"))))
+          .as("slope2_s"))
+    base.groupBy(k: _*).agg(count(lit(1)).as("n_days"))
+      .join(med, keys)
+      .select((k ++ Seq(col("n_days"), col("n_pairs"),
+        col("slope2_s"))): _*)
+  }
+
+  /** Binary-segmentation change-point detection, depth 2 (Scott &
+    * Knott's classic recursion, the CUSUM-statistic form): the root
+    * change point maximizes the scaled CUSUM |n·P_k − k·T| over split
+    * positions k < n (P = prefix sum, T = total — the mean-shift
+    * statistic cleared of divisions), then each half is split once
+    * more with the statistic localized to the segment. Argmaxes are
+    * hash-aggregate max-of-struct picks (g DESC, position ASC — the
+    * labelPropagate argmax contract, never a sort window); everything
+    * is exact integers, ties deterministic, so the segmentation is
+    * oracle-checkable. Note g is NOT comparable across segments (each
+    * is scaled by its own segment length) — it grades the argmax, not
+    * a global score.
+    *
+    * Shape: one prefix-sum window per key (series are calendar-bounded
+    * per key — the acfExact justification), three keyed argmax
+    * aggregates, one broadcast-sized join of the root picks.
+    *
+    * @return (keys..., seg ∈ root|left|right, cp_rn, cp_o, g) — up to
+    *         3 rows per key; sides shorter than 2 rows emit nothing */
+  def binarySegment(df: DataFrame, keys: Seq[String], orderCol: Column,
+                    xCol: String): DataFrame = {
+    val k = keys.map(col)
+    val wOrd = Window.partitionBy(k: _*).orderBy(col("__o"))
+    val wAll = Window.partitionBy(k: _*)
+    val base = df
+      .select((k :+ orderCol.as("__o") :+
+        col(xCol).cast("long").as("__x")): _*)
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("p", sum(col("__x")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("__x")).over(wAll))
+      .pin()
+    def pick(cands: DataFrame, seg: String): DataFrame =
+      cands.groupBy(k: _*)
+        .agg(max(struct(col("__g").as("g"), (-col("rn")).as("nk"),
+          col("rn").as("rn"), col("__o").as("o"))).as("m"))
+        .select((k ++ Seq(lit(seg).as("seg"),
+          col("m.rn").as("cp_rn"), col("m.o").as("cp_o"),
+          col("m.g").as("g"))): _*)
+    val root = pick(base.where(col("rn") < col("n"))
+      .withColumn("__g",
+        abs(col("n") * col("p") - col("rn") * col("tot"))), "root")
+    val withRoot = base.join(
+      root.select((k :+ col("cp_rn").as("__k1")): _*), keys)
+    val pk1 = withRoot.where(col("rn") === col("__k1"))
+      .select((k :+ col("p").as("__pk1")): _*)
+    val sides = withRoot.join(pk1, keys)
+    val left = pick(sides.where(col("rn") < col("__k1"))
+      .withColumn("__g",
+        abs(col("__k1") * col("p") - col("rn") * col("__pk1"))), "left")
+    val right = pick(sides
+      .where(col("rn") > col("__k1") && col("rn") < col("n"))
+      .withColumn("__g", abs(
+        (col("n") - col("__k1")) * (col("p") - col("__pk1")) -
+          (col("rn") - col("__k1")) * (col("tot") - col("__pk1")))),
+      "right")
+    root.unionByName(left).unionByName(right)
   }
 }

@@ -147,6 +147,21 @@ private[graft] object StreamDrains {
       .groupBy("grp").agg(agg(col("hu"), col("k_key")).as("sk"))
   }
 
+  /** Streaming per-group top-k spend events: the
+    * [[graft.expr.TopKAggregator]] buffer (≤ k (value, id) pairs per
+    * group) IS the state — hard-bounded like the cms grid / kmv
+    * buffer — and merge is a k+k trim over the (value DESC, id ASC)
+    * total order, so the complete-mode final emission equals the batch
+    * top-k for ANY batching of the input. */
+  def topkPipeline(stream: DataFrame, k: Int): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.expr.TopKAggregator(k))
+    stream.select(col("event_type").as("grp"),
+        round(col("value") * 100).cast("long").as("v"),
+        col("event_id").cast("long").as("id"))
+      .groupBy("grp").agg(agg(col("v"), col("id")).as("tk"))
+  }
+
   /** Streaming CUSUM monitor over per-user spend (cents), preset
     * reference 5000 — O(1) state per key, the recursive fold whose
     * equality with the window-closed batch form the oracle gates. */
