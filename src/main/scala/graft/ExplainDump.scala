@@ -215,6 +215,25 @@ object ExplainDump {
         "chained Window nodes on the SAME (pri) partitioning — one " +
         "exchange for the whole window chain, allowance broadcast " +
         "back from a key-cardinality aggregate."),
+    "graph_betweenness" ->
+      ("Sampled-source Brandes: forward σ levels and backward δ levels " +
+        "are each one frontier⋈adjacency equi-join + one hash " +
+        "aggregate, frames pinned per level — (src, node) long pairs " +
+        "on every exchange, never paths. The anti-join visited fence " +
+        "keeps the frontier monotone; nothing in any round scales past " +
+        "seeds × reachable-within-horizon."),
+    "er_resolve" ->
+      ("ER pipeline: blocking passes are window-fenced equi-self-joins " +
+        "on the derived key (pair space Σ|block|², loud cap), the " +
+        "Levenshtein verify touches candidates only, and components " +
+        "run on the MATCH edges — three orders smaller than the " +
+        "candidate set. All-pairs appears nowhere in the plan."),
+    "txt_rake" ->
+      ("RAKE: the 16-row stoplist rides a BroadcastHashJoin into the " +
+        "token stream, phrase segmentation is one per-doc running-sum " +
+        "window, and both scoring aggregates (per-word, per-phrase) " +
+        "partial-aggregate map-side — the only data-sized exchanges " +
+        "key on doc and word."),
     "dd_ppjoin" ->
       ("Prefix filtering: candidate pairs come from an equi-join on " +
         "prefix shingles (each doc's rarest — measured max prefix-df 7 " +

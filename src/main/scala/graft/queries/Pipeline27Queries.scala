@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Graph, TimeSeries}
+
+/** Round-12 fifth batch: time-respecting temporal-graph reachability,
+  * JSON parse-and-quarantine ingestion (the corrupt-record routing every
+  * feed pipeline needs), and the seasonal-strength feature over the
+  * classical decomposition (Hyndman's tsfeatures F_s).
+  *
+  * Reference scope note: the reference (sri2db) parses its feed JSON
+  * with the platform parser and crashes on corruption
+  * (/root/reference/src/lib/client.js JSON handling); the quarantine
+  * form is the at-scale replacement. The temporal graph and tsfeatures
+  * are north-star extensions.
+  */
+object Pipeline27Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val ReachRounds = 2 // c → p → c: one temporal alternation
+  private val StlScale = 1000000L
+  private val MilliDown = 1000L // strength squares on /1000 values
+
+  val queries: Map[String, Q] = Map(
+
+    "graph_temporal_reach" -> ((s, dir) => {
+      // earliest-arrival time-respecting reachability over the
+      // bipartite purchase graph (customer 2c ↔ part 2p+1, edge time =
+      // epoch day of the order): from the nation-1 customer seeds, a
+      // walk may only move along non-decreasing order dates — the
+      // information-flow/contagion semantics a static BFS (graph_bfs)
+      // cannot state. Horizon 2 = one full c→p→c alternation.
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+          datediff(col("o_orderdate").cast("date"),
+            to_date(lit("1970-01-01"))).as("d"))
+      val cp = li.join(o, "ok")
+        .select((col("ck") * 2).as("u"), (col("pk") * 2 + 1).as("v"),
+          col("d"))
+      val edges = cp.unionByName(
+        cp.select(col("v").as("u"), col("u").as("v"), col("d")))
+      val seeds = Tables.customer(s, dir)
+        .where(col("c_nationkey") === 1)
+        .select((col("c_custkey") * 2).as("node"))
+      Graph.temporalReach(edges, "u", "v", "d", seeds, "node",
+          rounds = ReachRounds)
+        .orderBy("node")
+    }),
+
+    "dq_json_quarantine" -> ((s, dir) => {
+      // parse-and-quarantine ingestion: every 7th payload is corrupted
+      // deterministically (brace-balance break), get_json_object routes
+      // it to NULL instead of failing the job, and the gate reports
+      // per-type row / quarantined / extracted-sum counts — the
+      // corrupt-record pattern the reference's crash-on-bad-JSON
+      // parser needs at scale.
+      val pay = Fixtures.sri(s, dir).withColumn("payload",
+        when(col("key").cast("long") % 7 === 0,
+          expr("substring(jsondata, 1, length(jsondata) - 1)"))
+          .otherwise(col("jsondata")))
+      pay.withColumn("k",
+          get_json_object(col("payload"), "$.k").cast("long"))
+        .groupBy("resourcetype")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("k").isNull, 1L).otherwise(0L))
+            .as("n_quarantined"),
+          sum(coalesce(col("k"), lit(0L))).as("k_sum"))
+        .orderBy("resourcetype")
+    }),
+
+    "ts_stl_strength" -> ((s, dir) => {
+      // seasonal strength F_s = 1 − Var(resid)/Var(seas + resid)
+      // (Hyndman & Athanasopoulos' tsfeatures form) over the ts_stl
+      // decomposition, as exact cross-multiplied integers: the series
+      // is STRONGLY seasonal at F_s ≥ 1/2 ⟺ 2·Vr ≤ Vsr (equal n²
+      // denominators cancel). Squares run on /1000 downscaled values
+      // so n·Σx² stays far from the long boundary at any SF.
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("pri"),
+          col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("d",
+          datediff(col("day"), to_date(lit("1970-01-01"))))
+      val dec = TimeSeries.classicalDecompose(daily, Seq("pri"),
+        col("day"), (col("d") % 7).cast("long"), "x",
+        period = 7, scale = StlScale)
+      val down = dec.select(col("pri"),
+        call_function("div", col("resid_s"), lit(MilliDown)).as("r"),
+        call_function("div", col("seas_s") + col("resid_s"),
+          lit(MilliDown)).as("sr"))
+      down.groupBy("pri")
+        .agg(count(lit(1)).as("n"),
+          sum(col("r")).as("__sr1"), sum(col("r") * col("r")).as("__sr2"),
+          sum(col("sr")).as("__ss1"),
+          sum(col("sr") * col("sr")).as("__ss2"))
+        .select(col("pri"), col("n"),
+          (col("n") * col("__sr2") - col("__sr1") * col("__sr1"))
+            .as("vr_num"),
+          (col("n") * col("__ss2") - col("__ss1") * col("__ss1"))
+            .as("vsr_num"))
+        .withColumn("strong_seasonal",
+          lit(2L) * col("vr_num") <= col("vsr_num"))
+        .orderBy("pri")
+    })
+  )
+
+  // --------------------------------------------------------------------
+  // Oracles
+  // --------------------------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+
+    "graph_temporal_reach" -> {
+      def round(r: Int): String =
+        s"""a$r AS (SELECT node, MIN(ta) AS ta FROM (
+           |    SELECT node, ta FROM a${r - 1}
+           |    UNION ALL
+           |    SELECT e.v, e.t FROM a${r - 1} p JOIN e
+           |      ON e.u = p.node AND e.t >= p.ta) GROUP BY 1)"""
+          .stripMargin
+      s"""WITH cp AS (SELECT o.o_custkey * 2 AS u,
+         |    l.l_partkey * 2 + 1 AS v,
+         |    date_diff('day', DATE '1970-01-01',
+         |      CAST(o.o_orderdate AS DATE)) AS t
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+         |e AS (SELECT DISTINCT u, v, t FROM (
+         |    SELECT u, v, t FROM cp UNION ALL SELECT v, u, t FROM cp)),
+         |a0 AS (SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS ta
+         |  FROM customer WHERE c_nationkey = 1),
+         |${(1 to ReachRounds).map(round).mkString(",\n")}
+         |SELECT node, CAST(ta AS BIGINT) AS t_arrive
+         |FROM a$ReachRounds ORDER BY node""".stripMargin
+    },
+
+    "dq_json_quarantine" ->
+      s"""WITH sri AS (${Tables.sriEventsSql}),
+         |pay AS (SELECT resourcetype,
+         |    CASE WHEN CAST(key AS BIGINT) % 7 = 0
+         |      THEN substr(jsondata, 1, len(jsondata) - 1)
+         |      ELSE jsondata END AS payload
+         |  FROM sri),
+         |p2 AS (SELECT resourcetype,
+         |    CASE WHEN json_valid(payload)
+         |      THEN TRY_CAST(json_extract_string(payload, '$$.k')
+         |        AS BIGINT) END AS k
+         |  FROM pay)
+         |SELECT resourcetype, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quarantined,
+         |  CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS k_sum
+         |FROM p2 GROUP BY 1 ORDER BY resourcetype""".stripMargin,
+
+    "ts_stl_strength" ->
+      s"""WITH ${Pipeline25Queries.stlCtes},
+         |dn AS (SELECT pri, resid_s // 1000 AS r,
+         |    (seas_s + resid_s) // 1000 AS sr FROM dec),
+         |ag AS (SELECT pri, COUNT(*) AS n,
+         |    CAST(SUM(r) AS BIGINT) AS sr1,
+         |    CAST(SUM(r * r) AS BIGINT) AS sr2,
+         |    CAST(SUM(sr) AS BIGINT) AS ss1,
+         |    CAST(SUM(sr * sr) AS BIGINT) AS ss2
+         |  FROM dn GROUP BY 1)
+         |SELECT pri, n,
+         |  CAST(n * sr2 - sr1 * sr1 AS BIGINT) AS vr_num,
+         |  CAST(n * ss2 - ss1 * ss1 AS BIGINT) AS vsr_num,
+         |  2 * (n * sr2 - sr1 * sr1) <= (n * ss2 - ss1 * ss1)
+         |    AS strong_seasonal
+         |FROM ag ORDER BY pri""".stripMargin
+  )
+}

@@ -235,6 +235,29 @@ class Round24Spec extends SparkSuite {
     assert(out("right") === (("right", 4L, 3L, 0L))) // flat → tie → 4
   }
 
+  // ---- temporalReach ---------------------------------------------------
+
+  private def reach(edges: Seq[(Long, Long, Long)],
+                    rounds: Int): Map[Long, Long] =
+    Graph.temporalReach(edges.toDF("u", "v", "t"), "u", "v", "t",
+        Seq(1L).toDF("node"), "node", rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("temporalReach: time must not decrease along the walk, and a " +
+      "LATER parallel copy of an edge carries it where the earlier " +
+      "copy cannot (min-folding parallel edges would be wrong)") {
+    // 1→2 at t=5; 2→3 exists at t=3 (unusable: 3 < 5) and t=9 (usable)
+    assert(reach(Seq((1L, 2L, 5L), (2L, 3L, 3L), (2L, 3L, 9L)),
+      rounds = 2) === Map(1L -> 0L, 2L -> 5L, 3L -> 9L))
+  }
+
+  test("temporalReach: arrival is the MIN over time-respecting walks " +
+      "within the horizon") {
+    // direct 1→3 at t=7 beats the two-hop arrival at t=9
+    assert(reach(Seq((1L, 2L, 5L), (2L, 3L, 9L), (1L, 3L, 7L)),
+      rounds = 2) === Map(1L -> 0L, 2L -> 5L, 3L -> 7L))
+  }
+
   test("binarySegment: a 1-point series emits nothing; a 2-point " +
       "series emits only the root") {
     def segs(xs: Seq[Long]): Set[String] = {
