@@ -23,6 +23,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries
+
+  private lazy val allQueries
+  : Map[String, (SparkSession, String) => DataFrame] =
     SyncQueries.queries ++ RelationalQueries.queries ++
       WindowQueries.queries ++ PipelineQueries.queries ++
       ExtraQueries.queries ++ Relational2Queries.queries ++

@@ -505,6 +505,44 @@ object Graph {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Global wedge and 4-cycle counts — the graphlet census one step
+    * past triangles (C4 density separates bipartite-ish community
+    * structure from tree-like graphs, which triangle counts cannot
+    * see; the triangle+wedge+C4 triple is the standard cheap graphlet
+    * feature vector). n_wedges = Σ_v C(deg v, 2). Every simple
+    * 4-cycle has exactly two opposite-corner pairs, so
+    * 2·C4 = Σ_{a<b} C(w_ab, 2) with w_ab the common-neighbor count —
+    * the sum is provably even and the halving exact (a common
+    * neighbor is adjacent to both corners, so it can equal neither:
+    * every counted quadruple is a genuine simple cycle).
+    *
+    * Shape: wedge pairs enumerate at the apex (Σ deg² bound — run on
+    * degree-bounded inputs, the [[cooccurTopK]] shapes), one keyed
+    * aggregate each; nothing is collected.
+    *
+    * @return one row (n_wedges, n_c4) */
+  def graphletCounts(edges: DataFrame, srcCol: String, dstCol: String)
+  : DataFrame = {
+    val e = canonEdges(edges, srcCol, dstCol).pin()
+    val adj = e.select(explode(array(
+        struct(col("lo").as("v"), col("hi").as("n")),
+        struct(col("hi").as("v"), col("lo").as("n")))).as("x"))
+      .select(col("x.v").as("v"), col("x.n").as("n"))
+    val deg = adj.groupBy("v").agg(count(lit(1)).as("d"))
+    val nw = deg.agg(coalesce(sum(call_function("div",
+      col("d") * (col("d") - 1L), lit(2L))), lit(0L)).as("n_wedges"))
+    val adjR = adj.select(col("v").as("__v2"), col("n").as("__n2"))
+    val wab = adj
+      .join(adjR, col("v") === col("__v2") && col("n") < col("__n2"))
+      .groupBy(col("n").as("a"), col("__n2").as("b"))
+      .agg(count(lit(1)).as("w"))
+    val c4 = wab.agg(coalesce(sum(call_function("div",
+      col("w") * (col("w") - 1L), lit(2L))), lit(0L)).as("__c4x2"))
+    nw.crossJoin(c4)
+      .select(col("n_wedges"),
+        call_function("div", col("__c4x2"), lit(2L)).as("n_c4"))
+  }
+
   /** Per-vertex triangle counts over an UNDIRECTED simple graph — the
     * clustering-coefficient / community-density primitive (a link graph
     * with many triangles is a community; one with none is a spam farm —

@@ -121,19 +121,35 @@ object Pipeline25Queries {
     }),
 
     "er_resolve" -> ((s, dir) => {
-      // entity resolution end to end: two-pass blocking ((noun, size) ∪
-      // (adjective, size)) → Levenshtein ≤ 2 verify on candidates only
-      // → connected components → resolved-entity roll-up. Graded
-      // surface = the multi-record entities (cluster id, record count,
-      // distinct name variants merged).
+      // entity resolution end to end, REPRESENTATIVE-CONTRACTED (the
+      // sf1 probe measured the naive record-level blocking 14× for 10×
+      // data — with a fixed key domain and linearly growing duplicate
+      // classes the candidate space is inherently quadratic, exactly
+      // like the true pair set): exact-dedup each (name, size) group to
+      // its min-id representative (star edges, one groupBy), run the
+      // two-pass blocking + Levenshtein ≤ 2 verify on the
+      // REPRESENTATIVES only (constant domain → constant work), and
+      // take components over stars ∪ rep-matches. Provably the same
+      // components as record-level blocking (stars are lev-0 in-block
+      // pairs; any record-level match r1–r2 is the path
+      // r1–rep1–rep2–r2, reps sharing r1/r2's block), so the graded
+      // output is IDENTICAL while the plan is linear in records.
       val p = Tables.part(s, dir)
+      val reps = p.groupBy("p_name", "p_size")
+        .agg(min(col("p_partkey")).as("rep_id"))
+      val stars = p
+        .join(reps, Seq("p_name", "p_size"))
+        .where(col("p_partkey") =!= col("rep_id"))
+        .select(col("rep_id").as("a"), col("p_partkey").as("b"))
       val tk = split(col("p_name"), " ")
-      val cand = Blocking.blockedPairs(p, "p_partkey", partBlockKeys(tk))
-      val matches = Blocking.verifyPairs(cand, p, "p_partkey", "p_name")
+      val near = Blocking.verifyPairs(
+          Blocking.blockedPairs(reps, "rep_id", partBlockKeys(tk)),
+          reps, "rep_id", "p_name")
         .where(col("lev") <= 2)
         .select("a", "b")
       Cluster.connectedComponents(p.select(col("p_partkey")),
-          "p_partkey", matches, "a", "b", edgesCovered = true)
+          "p_partkey", stars.unionByName(near), "a", "b",
+          edgesCovered = true)
         .join(p.select(col("p_partkey").as("id"), col("p_name")), "id")
         .groupBy(col("cluster").as("cluster_id"))
         .agg(count(lit(1)).as("n_records"),
@@ -144,24 +160,36 @@ object Pipeline25Queries {
 
     "er_pair_features" -> ((s, dir) => {
       // the verify stage's feature surface, rolled up by unordered name
-      // pair: which name variants the blocking+verify rule links and
-      // how often — the bounded audit of the lev ≤ 2 match rule (name
-      // vocabulary is SF-independent, so this stays ≤ ~24 rows at any
-      // scale).
+      // pair — computed in CLOSED FORM from (name, size) group counts
+      // (the sf1 probe measured the pair-enumeration form 23× for 10×
+      // data: counting record pairs by generating them is quadratic by
+      // definition; Σ_size c_a·c_b over the blocked name pairs is the
+      // same number, linear): which name variants the lev ≤ 2 rule
+      // links and how often. Name vocabulary is SF-independent, so the
+      // name-pair table is a broadcast-sized cross and the output stays
+      // ≤ ~24 rows at any scale. Output identical to enumeration.
       val p = Tables.part(s, dir)
-      val tk = split(col("p_name"), " ")
-      val cand = Blocking.blockedPairs(p, "p_partkey", partBlockKeys(tk))
-      val withNames = cand
-        .join(p.select(col("p_partkey").as("a"),
-          col("p_name").as("na")), "a")
-        .join(p.select(col("p_partkey").as("b"),
-          col("p_name").as("nb")), "b")
-        .select(least(col("na"), col("nb")).as("name_a"),
-          greatest(col("na"), col("nb")).as("name_b"),
-          levenshtein(col("na"), col("nb")).cast("long").as("lev"))
-      withNames.where(col("lev").between(1, 2))
+      val cnt = p.groupBy("p_name", "p_size")
+        .agg(count(lit(1)).as("c"))
+      val names = p.select("p_name").distinct()
+        .withColumn("tk", split(col("p_name"), " "))
+      val nb = names.select(col("p_name").as("name_b"),
+        col("tk").as("tkb"))
+      val np = names.select(col("p_name").as("name_a"),
+          col("tk").as("tka"))
+        .join(broadcast(nb), col("name_a") < col("name_b") &&
+          (element_at(col("tka"), 1) === element_at(col("tkb"), 1) ||
+            element_at(col("tka"), 2) === element_at(col("tkb"), 2)))
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long")
+            .as("lev"))
+        .where(col("lev").between(1, 2))
+      np.join(cnt.select(col("p_name").as("name_a"),
+          col("p_size").as("s"), col("c").as("ca")), "name_a")
+        .join(cnt.select(col("p_name").as("name_b"),
+          col("p_size").as("s"), col("c").as("cb")), Seq("name_b", "s"))
         .groupBy("name_a", "name_b", "lev")
-        .agg(count(lit(1)).as("n_pairs"))
+        .agg(sum(col("ca") * col("cb")).as("n_pairs"))
         .orderBy("name_a", "name_b")
     })
   )

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Graph, TimeSeries}
+import graft.ops.{Blocking, Graph, TimeSeries}
 
 /** Round-12 fifth batch: time-respecting temporal-graph reachability,
   * JSON parse-and-quarantine ingestion (the corrupt-record routing every
@@ -71,6 +71,50 @@ object Pipeline27Queries {
             .as("n_quarantined"),
           sum(coalesce(col("k"), lit(0L))).as("k_sum"))
         .orderBy("resourcetype")
+    }),
+
+    "graph_c4" -> ((s, dir) => {
+      // global wedge + 4-cycle census of the top-5 supplier
+      // co-occurrence graph (the triangles fixture): the graphlet
+      // feature pair beyond graph_triangles — C4 density sees
+      // bipartite-ish structure triangles cannot. One row, exact.
+      Graph.graphletCounts(
+        Graph.cooccurTopK(Tables.lineitem(s, dir),
+          "l_orderkey", "l_suppkey", k = 5),
+        "item", "co_item")
+    }),
+
+    "inc_er_delta" -> ((s, dir) => {
+      // the 21st inc_* identity, on the ER-blocking path: candidate
+      // pairs are MONOTONE in the record set (a pair exists iff its two
+      // records share a key value, independent of everything else), so
+      // a batch arrival adds exactly the pairs touching it —
+      // blockedPairs(B ∪ D) = stored ∪ blockedPairsDelta. Demonstrated
+      // on the (name, size) CLASS frame (er_resolve's representative
+      // contraction — the form that is linear at any SF): classes
+      // absent from the base slice (p_partkey % 3 ≠ 0) are the
+      // arrivals. Graded surface = the verified lev ≤ 2 near pairs
+      // from the MERGED candidate set; oracle = the full rebuild.
+      val p = Tables.part(s, dir)
+      val cls = p.groupBy("p_name", "p_size")
+        .agg(max(when(col("p_partkey") % 3 =!= 0, 1L).otherwise(0L))
+          .as("__inBase"))
+        .withColumn("ck", concat(col("p_name"), lit("|"),
+          col("p_size")))
+      val tk = split(col("p_name"), " ")
+      val keys = Seq(
+        concat(element_at(tk, 2), lit(":"), col("p_size")),
+        concat(element_at(tk, 1), lit(":"), col("p_size")))
+      val stored = Blocking.blockedPairs(
+        cls.where(col("__inBase") === 1L), "ck", keys)
+      val merged = Blocking.blockedPairsDelta(cls,
+        col("__inBase") === 0L, "ck", keys, stored)
+      Blocking.verifyPairs(merged,
+          cls.select(col("ck"), col("p_name")), "ck", "p_name")
+        .where(col("lev") <= 2)
+        .select(col("a").as("class_a"), col("b").as("class_b"),
+          col("lev"))
+        .orderBy("class_a", "class_b")
     }),
 
     "ts_stl_strength" -> ((s, dir) => {
@@ -154,6 +198,40 @@ object Pipeline27Queries {
          |    AS n_quarantined,
          |  CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS k_sum
          |FROM p2 GROUP BY 1 ORDER BY resourcetype""".stripMargin,
+
+    "graph_c4" ->
+      s"""WITH ${Pipeline10Queries.triCtes},
+         |adjx AS (SELECT lo AS v, hi AS n FROM e
+         |         UNION ALL SELECT hi, lo FROM e),
+         |dgx AS (SELECT v, COUNT(*) AS d FROM adjx GROUP BY v),
+         |nw AS (SELECT COALESCE(CAST(SUM((d * (d - 1)) // 2) AS BIGINT),
+         |    0) AS n_wedges FROM dgx),
+         |wab AS (SELECT x.n AS a, y.n AS b, COUNT(*) AS w
+         |  FROM adjx x JOIN adjx y ON x.v = y.v AND x.n < y.n
+         |  GROUP BY 1, 2),
+         |c4 AS (SELECT COALESCE(CAST(SUM((w * (w - 1)) // 2) AS BIGINT),
+         |    0) AS c4x2 FROM wab)
+         |SELECT nw.n_wedges, CAST(c4.c4x2 // 2 AS BIGINT) AS n_c4
+         |FROM nw, c4""".stripMargin,
+
+    // the inc_* oracle-reuse convention: merge must equal the rebuild —
+    // the oracle recomputes class-level blocking from scratch
+    "inc_er_delta" ->
+      """WITH cls AS (SELECT DISTINCT p_name, p_size FROM part),
+        |c2 AS (SELECT p_name,
+        |    p_name || '|' || CAST(p_size AS VARCHAR) AS ck,
+        |    string_split(p_name, ' ') AS tkx, p_size FROM cls),
+        |k AS (SELECT ck, p_name,
+        |    tkx[2] || ':' || CAST(p_size AS VARCHAR) AS bk FROM c2
+        |  UNION ALL SELECT ck, p_name,
+        |    tkx[1] || ':' || CAST(p_size AS VARCHAR) FROM c2),
+        |pr AS (SELECT DISTINCT a.ck AS ca, b.ck AS cb,
+        |    a.p_name AS na, b.p_name AS nb
+        |  FROM k a JOIN k b ON a.bk = b.bk AND a.ck < b.ck)
+        |SELECT ca AS class_a, cb AS class_b,
+        |  CAST(levenshtein(na, nb) AS BIGINT) AS lev
+        |FROM pr WHERE levenshtein(na, nb) <= 2
+        |ORDER BY class_a, class_b""".stripMargin,
 
     "ts_stl_strength" ->
       s"""WITH ${Pipeline25Queries.stlCtes},

@@ -744,4 +744,49 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"),
       "the refine tier planned a cartesian:\n" + p.take(1500))
   }
+
+  test("txt_rake: the stoplist rides a BROADCAST join into the token " +
+      "stream — the only data-sized exchanges key on doc and word") {
+    val df = q("txt_rake")
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      "the 16-row stoplist must broadcast:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"),
+      "RAKE planned a cartesian:\n" + p.take(1500))
+  }
+
+  test("er_pair_features: the name-pair table is a BROADCAST " +
+      "nested-loop over the 64-name domain — record-sized data only " +
+      "flows through keyed aggregates/joins, never a pair enumeration") {
+    val df = q("er_pair_features")
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "name-pair cross must run over a broadcast side:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"),
+      "the closed-form count planned a cartesian:\n" + p.take(1500))
+  }
+
+  test("er_resolve: blocking runs as EQUI self-joins on the derived " +
+      "key over the representative frame — no cartesian anywhere in " +
+      "the resolve plan") {
+    val df = q("er_resolve")
+    df.collect() // settle AQE through the CC rounds
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      "the ER pipeline planned a cartesian:\n" + p.take(1500))
+  }
+
+  test("graph_betweenness: every level is an id-keyed equi-join — " +
+      "no cartesian, no unpartitioned window in the final plan") {
+    val df = q("graph_betweenness")
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      "betweenness planned a cartesian:\n" + p.take(1500))
+    assert(!p.contains("Window"),
+      "betweenness must aggregate, never sort-window:\n" + p.take(1500))
+  }
 }

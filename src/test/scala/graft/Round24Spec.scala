@@ -187,6 +187,30 @@ class Round24Spec extends SparkSuite {
     assert(e.getMessage.contains("maxBlock"))
   }
 
+  test("blockedPairsDelta: merge equals the rebuild (the blocking " +
+      "monotonicity identity), and the delta pass alone never " +
+      "re-derives a base×base pair") {
+    // base 1,2,3 in block x and 5 in y; arrivals 4 (x) and 6 (y)
+    val all = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"),
+      (5L, "y"), (6L, "y")).toDF("id", "k")
+    val isNew = col("id") === 4L || col("id") === 6L
+    val base = all.where(!(col("id") === 4L || col("id") === 6L))
+    val stored = Blocking.blockedPairs(base, "id", Seq(col("k")),
+      maxBlock = None)
+    val merged = Blocking.blockedPairsDelta(all, isNew, "id",
+        Seq(col("k")), stored, maxBlock = None)
+      .as[(Long, Long)].collect().toSet
+    val rebuild = Blocking.blockedPairs(all, "id", Seq(col("k")),
+        maxBlock = None)
+      .as[(Long, Long)].collect().toSet
+    assert(merged === rebuild)
+    val deltaOnly = Blocking.blockedPairsDelta(all, isNew, "id",
+        Seq(col("k")),
+        Seq.empty[(Long, Long)].toDF("a", "b"), maxBlock = None)
+      .as[(Long, Long)].collect().toSet
+    assert(deltaOnly === Set((1L, 4L), (2L, 4L), (3L, 4L), (5L, 6L)))
+  }
+
   test("verifyPairs: lev and distinct-token overlap on a known pair") {
     val df = Seq((1L, "cold bolt"), (2L, "old bolt")).toDF("id", "nm")
     val pairs = Seq((1L, 2L)).toDF("a", "b")
@@ -233,6 +257,21 @@ class Round24Spec extends SparkSuite {
     assert(out("root") === (("root", 3L, 2L, 90L)))
     assert(out("left") === (("left", 1L, 0L, 0L)))   // all-zero → tie → 1
     assert(out("right") === (("right", 4L, 3L, 0L))) // flat → tie → 4
+  }
+
+  // ---- graphletCounts --------------------------------------------------
+
+  private def glet(edges: Seq[(Long, Long)]): (Long, Long) =
+    Graph.graphletCounts(edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long)].head()
+
+  test("graphletCounts closed forms: the square has 4 wedges and 1 " +
+      "four-cycle, the triangle has 3 and 0, K4 has 12 and 3") {
+    assert(glet(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+      === ((4L, 1L)))
+    assert(glet(Seq((1L, 2L), (2L, 3L), (1L, 3L))) === ((3L, 0L)))
+    assert(glet(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))) === ((12L, 3L)))
   }
 
   // ---- temporalReach ---------------------------------------------------
