@@ -491,6 +491,72 @@ object TimeSeries {
         col("slope2_s"))): _*)
   }
 
+  /** Exact matrix profile (Yeh et al. 2016 — THE motif/discord mining
+    * primitive): for every length-`w` window of each key's series, the
+    * minimum squared Euclidean distance to any NON-OVERLAPPING window
+    * of the same series (exclusion zone = w, the non-trivial-match
+    * guard), plus the argmin position. Distances are raw-integer
+    * Σ(aᵢ−bᵢ)² — exact, so motifs (small mp_d2) and discords (large
+    * mp_d2) are oracle-checkable; the z-normalized variant needs
+    * irrational normalization and is out of the exact idiom by design.
+    *
+    * Shape: run on the CALENDAR-BOUNDED per-key series (the
+    * theilSenSlopes contract — the raw→series aggregate before this
+    * call is the distributed step, and the |series|² pair space is
+    * SF-independent); windows assemble by an offsets join + one keyed
+    * aggregate, pairs are a key-equi self-join with renamed right
+    * side, the argmin is a hash-aggregate min-of-struct. A loud
+    * `maxSeries` fence guards the quadratic.
+    *
+    * @return (keys..., i, mp_d2, mp_j) — i, j are 1-based window
+    *         positions; series shorter than 2w emit nothing */
+  def matrixProfile(df: DataFrame, keys: Seq[String], orderCol: Column,
+                    xCol: String, w: Int, maxSeries: Int = 1000)
+  : DataFrame = {
+    require(w >= 2, s"window must be >= 2, got $w")
+    val k = keys.map(col)
+    val wOrd = Window.partitionBy(k: _*).orderBy(col("__o"))
+    val base = df
+      .select((k :+ orderCol.as("__o") :+
+        col(xCol).cast("long").as("__x")): _*)
+      .withColumn("__p", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(k: _*)))
+      .withColumn("__p", when(col("__n") <= maxSeries, col("__p"))
+        .otherwise(raise_error(concat(
+          lit(s"matrixProfile: series over maxSeries=$maxSeries for "),
+          concat_ws(",", k: _*))).cast("long")))
+    // window vectors: offsets join + ordered collect — position i
+    // covers rows i .. i+w-1
+    val wins = base
+      .select((k :+ col("__p") :+ col("__x") :+
+        explode(sequence(lit(0L), lit(w - 1L))).as("__k")): _*)
+      .withColumn("__i", col("__p") - col("__k"))
+      .where(col("__i") >= 1L)
+      .groupBy((k :+ col("__i")): _*)
+      .agg(count(lit(1)).as("__len"),
+        transform(array_sort(collect_list(struct(col("__k"),
+          col("__x")))), s => s.getField("__x")).as("__v"))
+      .where(col("__len") === w)
+      .drop("__len")
+    val right = wins.select((keys.map(c => col(c).as(s"__r_$c")) :+
+      col("__i").as("__j") :+ col("__v").as("__vb")): _*)
+    val d2 = aggregate(
+      zip_with(col("__v"), col("__vb"), (p, q) => (p - q) * (p - q)),
+      lit(0L), (acc, x) => acc + x)
+    val pairs = wins.join(right,
+        keys.map(c => col(c) === col(s"__r_$c")).reduce(_ && _) &&
+          col("__j") >= col("__i") + w)
+      .select((k ++ Seq(col("__i"), col("__j"), d2.as("__d2"))): _*)
+    val both = pairs.unionByName(
+      pairs.select((k ++ Seq(col("__j").as("__i"),
+        col("__i").as("__j"), col("__d2"))): _*))
+    both.groupBy((k :+ col("__i")): _*)
+      .agg(min(struct(col("__d2").as("d"), col("__j").as("j")))
+        .as("__m"))
+      .select((k ++ Seq(col("__i").as("i"), col("__m.d").as("mp_d2"),
+        col("__m.j").as("mp_j"))): _*)
+  }
+
   /** Binary-segmentation change-point detection, depth 2 (Scott &
     * Knott's classic recursion, the CUSUM-statistic form): the root
     * change point maximizes the scaled CUSUM |n·P_k − k·T| over split

@@ -73,6 +73,26 @@ object Pipeline27Queries {
         .orderBy("resourcetype")
     }),
 
+    "ts_matrix_profile" -> ((s, dir) => {
+      // exact matrix profile (Yeh et al. 2016) of the weekly
+      // order-count series per priority, window 8, exclusion zone 8
+      // (non-overlapping): per window the min squared Euclidean
+      // distance to any other window + its argmin — motifs are the
+      // small values, discords the large ones. Weekly grid keeps the
+      // quadratic pair space calendar-bounded (≈ 340 windows per key
+      // at ANY scale factor — the raw→series aggregate is the
+      // distributed step).
+      val wkly = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("pri"),
+          call_function("div",
+            datediff(col("o_orderdate").cast("date"),
+              to_date(lit("1970-01-01"))), lit(7L)).as("wn"))
+        .agg(count(lit(1)).as("x"))
+      TimeSeries.matrixProfile(wkly, Seq("pri"), col("wn"), "x",
+          w = 8, maxSeries = 400)
+        .orderBy("pri", "i")
+    }),
+
     "graph_c4" -> ((s, dir) => {
       // global wedge + 4-cycle census of the top-5 supplier
       // co-occurrence graph (the triangles fixture): the graphlet
@@ -198,6 +218,33 @@ object Pipeline27Queries {
          |    AS n_quarantined,
          |  CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS k_sum
          |FROM p2 GROUP BY 1 ORDER BY resourcetype""".stripMargin,
+
+    "ts_matrix_profile" ->
+      """WITH daily AS (SELECT o_orderpriority AS pri,
+        |    date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS d
+        |  FROM orders),
+        |wk AS (SELECT pri, d // 7 AS wn, COUNT(*) AS x
+        |  FROM daily GROUP BY 1, 2),
+        |sp AS (SELECT pri, x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY wn)
+        |      AS BIGINT) AS p
+        |  FROM wk),
+        |wi AS (SELECT pri, i, list(x ORDER BY kk) AS v FROM (
+        |    SELECT s.pri, s.p - kk AS i, s.x, kk
+        |    FROM sp s, unnest(range(0, 8)) AS u(kk)) t
+        |  WHERE i >= 1 GROUP BY pri, i HAVING COUNT(*) = 8),
+        |pr AS (SELECT a.pri, a.i, b.i AS j,
+        |    CAST(list_sum(list_transform(list_zip(a.v, b.v),
+        |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d2
+        |  FROM wi a JOIN wi b ON a.pri = b.pri AND b.i >= a.i + 8),
+        |bo AS (SELECT pri, i, j, d2 FROM pr
+        |       UNION ALL SELECT pri, j, i, d2 FROM pr),
+        |rk AS (SELECT pri, i, j, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY pri, i
+        |      ORDER BY d2, j) AS rr FROM bo)
+        |SELECT pri, i, d2 AS mp_d2, j AS mp_j
+        |FROM rk WHERE rr = 1 ORDER BY pri, i""".stripMargin,
 
     "graph_c4" ->
       s"""WITH ${Pipeline10Queries.triCtes},

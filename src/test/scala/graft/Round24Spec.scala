@@ -259,6 +259,34 @@ class Round24Spec extends SparkSuite {
     assert(out("right") === (("right", 4L, 3L, 0L))) // flat → tie → 4
   }
 
+  // ---- matrixProfile ---------------------------------------------------
+
+  test("matrixProfile: an implanted motif pair has mp_d2 = 0 pointing " +
+      "at its twin; the discord window carries the max distance") {
+    // 0×8, 5×8, 0×8 — windows 1 and 17 are identical (the motif),
+    // window 9 is the all-fives discord
+    val xs = Seq.fill(8)(0L) ++ Seq.fill(8)(5L) ++ Seq.fill(8)(0L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      .toDF("grp", "t", "x")
+    val out = TimeSeries.matrixProfile(df, Seq("grp"), col("t"), "x",
+        w = 8)
+      .select("i", "mp_d2", "mp_j")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === ((0L, 17L)))
+    assert(out(17L) === ((0L, 1L)))
+    assert(out(9L) === ((200L, 1L))) // 8·25 to either flat window
+    assert(out.size === 17) // positions 1..17 all emitted
+  }
+
+  test("matrixProfile: series shorter than 2w emit nothing (no " +
+      "non-overlapping partner exists)") {
+    val df = (0L until 12L).map(t => ("k", t, t))
+      .toDF("grp", "t", "x")
+    assert(TimeSeries.matrixProfile(df, Seq("grp"), col("t"), "x",
+      w = 8).count() === 0L)
+  }
+
   // ---- graphletCounts --------------------------------------------------
 
   private def glet(edges: Seq[(Long, Long)]): (Long, Long) =
