@@ -21,6 +21,11 @@ object Pipeline27Queries {
   type Q = (SparkSession, String) => DataFrame
 
   private val ReachRounds = 2 // c → p → c: one temporal alternation
+
+  /** floor(P(Poisson(1) ≤ k)·2³²) for k = 0..6 — the bootstrap weight
+    * cutoffs, shared verbatim with the oracle SQL. */
+  private val BootCuts = Seq(1580030168L, 3160060337L, 3950075421L,
+    4213413783L, 4279248373L, 4292415291L, 4294609777L)
   private val StlScale = 1000000L
   private val MilliDown = 1000L // strength squares on /1000 values
 
@@ -71,6 +76,38 @@ object Pipeline27Queries {
             .as("n_quarantined"),
           sum(coalesce(col("k"), lit(0L))).as("k_sum"))
         .orderBy("resourcetype")
+    }),
+
+    "samp_bootstrap" -> ((s, dir) => {
+      // deterministic Poisson(1) bootstrap (the Owen/Eckles online
+      // bootstrap — at scale one NEVER materializes resamples; each row
+      // gets an i.i.d.-looking Poisson weight per replicate, derived
+      // here from the row hash so replicates are reproducible and
+      // oracle-checkable): 8 replicates of the per-priority
+      // revenue-cents total/count. The Poisson CDF cutoffs are
+      // precomputed u32 literals (floor(P(X ≤ k)·2³²), k = 0..6, tail
+      // capped at 7) shared verbatim by engine and oracle — the
+      // replicate spread is the bootstrap CI downstream.
+      graft.expr.GraftFunctions.register(s)
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("pri"),
+          col("o_orderkey").as("okey"),
+          Fixtures.cents("o_totalprice").as("cts"))
+        .select(col("pri"), col("okey"), col("cts"),
+          explode(sequence(lit(0L), lit(7L))).as("r"))
+      // java_hash alone has no low-bit avalanche on near-identical
+      // strings (the HRW-degeneracy lesson — r11 verdict); mix32
+      // restores uniformity, and the oracle replays the same rounds
+      val u = graft.ops.Sampling.mix32(
+        graft.expr.GraftFunctions.java_hash_u32(
+          concat(lit("boot|"), col("okey"), lit("#"), col("r"))))
+      val k = BootCuts.zipWithIndex.foldRight(lit(7L)) {
+        case ((c, i), rest) => when(u < c, i.toLong).otherwise(rest) }
+      o.select(col("pri"), col("r"), k.as("w"), col("cts"))
+        .groupBy("pri", "r")
+        .agg(count(lit(1)).as("n_rows"), sum(col("w")).as("w_sum"),
+          sum(col("w") * col("cts")).as("wx_sum"))
+        .orderBy("pri", "r")
     }),
 
     "ts_matrix_profile" -> ((s, dir) => {
@@ -218,6 +255,38 @@ object Pipeline27Queries {
          |    AS n_quarantined,
          |  CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS k_sum
          |FROM p2 GROUP BY 1 ORDER BY resourcetype""".stripMargin,
+
+    "samp_bootstrap" -> {
+      val jh = PipelineQueries.javaHashSql("k_key")
+      // SQL mirror of Sampling.mix32 (the Pipeline21 HRW convention)
+      def mixSql(x: String): String = {
+        def round(v: String) =
+          s"((xor($v >> 16, $v) * 73244475) % 4294967296)"
+        val a = round(round(x))
+        s"xor($a >> 16, $a)"
+      }
+      val cuts = Seq(1580030168L, 3160060337L, 3950075421L,
+        4213413783L, 4279248373L, 4292415291L, 4294609777L)
+      val kCase = cuts.zipWithIndex
+        .map { case (c, i) => s"WHEN hu < $c THEN $i" }
+        .mkString("CASE ", " ", " ELSE 7 END")
+      s"""WITH o AS (SELECT o_orderpriority AS pri, o_orderkey AS okey,
+         |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cts
+         |  FROM orders),
+         |x AS (SELECT pri, cts, CAST(r AS BIGINT) AS r,
+         |    'boot|' || CAST(okey AS VARCHAR) || '#' ||
+         |      CAST(r AS VARCHAR) AS k_key
+         |  FROM o, unnest(range(0, 8)) AS t(r)),
+         |h0 AS (SELECT pri, r, cts,
+         |    CASE WHEN h < 0 THEN h + 4294967296 ELSE h END AS hraw
+         |  FROM (SELECT pri, r, cts, $jh AS h FROM x)),
+         |hh AS (SELECT pri, r, cts, ${mixSql("hraw")} AS hu FROM h0),
+         |w AS (SELECT pri, r, cts, CAST($kCase AS BIGINT) AS w FROM hh)
+         |SELECT pri, r, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(w) AS BIGINT) AS w_sum,
+         |  CAST(SUM(w * cts) AS BIGINT) AS wx_sum
+         |FROM w GROUP BY 1, 2 ORDER BY pri, r""".stripMargin
+    },
 
     "ts_matrix_profile" ->
       """WITH daily AS (SELECT o_orderpriority AS pri,

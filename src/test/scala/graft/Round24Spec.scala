@@ -259,6 +259,24 @@ class Round24Spec extends SparkSuite {
     assert(out("right") === (("right", 4L, 3L, 0L))) // flat → tie → 4
   }
 
+  // ---- Poisson bootstrap weights ----------------------------------------
+
+  test("bootstrap weights: hash-derived Poisson(1) weights have mean " +
+      "≈ 1 and every replicate touches every row (the online-bootstrap " +
+      "contract)") {
+    val out = SparkEntry.queries("samp_bootstrap")(spark, sfDir)
+      .select("r", "n_rows", "w_sum")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val n = out.map(_._2).sum.toDouble
+    val w = out.map(_._3).sum.toDouble
+    assert(w / n > 0.9 && w / n < 1.1, s"mean weight ${w / n} off 1")
+    // every (pri, replicate) cell counts ALL its rows — weights of 0
+    // drop a row from the resample, never from the accounting
+    val byR = out.groupBy(_._1).values.map(_.map(_._2).sum).toSet
+    assert(byR.size === 1, "replicates saw different row counts")
+  }
+
   // ---- matrixProfile ---------------------------------------------------
 
   test("matrixProfile: an implanted motif pair has mp_d2 = 0 pointing " +
