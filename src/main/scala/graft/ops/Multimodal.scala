@@ -300,7 +300,9 @@ object Multimodal {
         lit((i + 1).toLong).as("i"),
         lit(bw.toLong).as("bw"), lit(bh.toLong).as("bh"))
     }
-    val best = df.withColumn("__b", least(cands: _*))
+    // least() needs >= 2 args; a single bucket is trivially the argmin
+    val pick = if (cands.size == 1) cands.head else least(cands: _*)
+    val best = df.withColumn("__b", pick)
       .withColumn("bucket", col("__b.i"))
       .withColumn("bucket_w", col("__b.bw"))
       .withColumn("bucket_h", col("__b.bh"))

@@ -442,6 +442,28 @@ object Similarity {
       sketch.select(col("vec_id").as("query_id"), col("q_emb"),
         col("q_norm")), k)
 
+  /** Deterministic fixed-N corpus fence for the brute (N²) ground-truth
+    * anchors: keep the `n` sketch rows with the SMALLEST
+    * (java_hash_u32(vec_id), vec_id) — an SF-independent uniform sample
+    * by the engine's one string hash, so the exact-baseline anchors
+    * (sim_knn_graph, inc_knn_delta, sim_recall_nnd, sim_knn_components)
+    * cost the SAME at every scale factor while the production paths
+    * ([[nnDescentInit]]/[[nnDescentRound]], IVF, LSH) still run the
+    * whole corpus. On a corpus of ≤ n vectors the sample IS the corpus
+    * (identity at the correctness SF). Plans as TakeOrderedAndProject —
+    * per-partition top-n then one driver merge of n rows; no global
+    * sort, no full shuffle, so the FENCE itself is 100 TB-safe even
+    * though what it guards is not. */
+  def anchorSample(sketch: DataFrame, n: Int): DataFrame = {
+    graft.expr.GraftFunctions.register(sketch.sparkSession)
+    require(n >= 1, s"anchorSample: bad n=$n")
+    sketch.orderBy(
+      graft.expr.GraftFunctions
+        .java_hash_u32(col("vec_id").cast("string")).asc,
+      col("vec_id").asc)
+      .limit(n)
+  }
+
   /** Mutual-kNN graph: an undirected edge (a, b) exists iff a ranks in
     * b's top-k AND b ranks in a's top-k — the standard symmetrization
     * that kills hub vertices (a hub lands in everyone's list, but its

@@ -525,36 +525,127 @@ object TimeSeries {
         .otherwise(raise_error(concat(
           lit(s"matrixProfile: series over maxSeries=$maxSeries for "),
           concat_ws(",", k: _*))).cast("long")))
-    // window vectors: offsets join + ordered collect — position i
-    // covers rows i .. i+w-1
-    val wins = base
-      .select((k :+ col("__p") :+ col("__x") :+
-        explode(sequence(lit(0L), lit(w - 1L))).as("__k")): _*)
+    val wins = mpWindows(base, keys, w, withNew = false)
+    mpMinimize(mpPairs(wins, keys, w, deltaOnly = false), keys)
+  }
+
+  /** Window-vector assembly shared by [[matrixProfile]] and
+    * [[matrixProfileMergedDelta]]: position i covers rows i .. i+w-1,
+    * assembled by an offsets join + ordered collect. `base` must carry
+    * keys, __p (1-based position), __x, and — when `withNew` — a
+    * boolean __new row flag, folded to a per-window `__wnew` =
+    * "window touches ≥ 1 new row". */
+  private def mpWindows(base: DataFrame, keys: Seq[String], w: Int,
+                        withNew: Boolean): DataFrame = {
+    val k = keys.map(col)
+    val sel: Seq[Column] = (k :+ col("__p") :+ col("__x") :+
+      explode(sequence(lit(0L), lit(w - 1L))).as("__k")) ++
+      (if (withNew) Seq(col("__new")) else Nil)
+    val aggs = Seq(
+      transform(array_sort(collect_list(struct(col("__k"),
+        col("__x")))), s => s.getField("__x")).as("__v")) ++
+      (if (withNew) Seq(max(col("__new")).as("__wnew")) else Nil)
+    base.select(sel: _*)
       .withColumn("__i", col("__p") - col("__k"))
       .where(col("__i") >= 1L)
       .groupBy((k :+ col("__i")): _*)
-      .agg(count(lit(1)).as("__len"),
-        transform(array_sort(collect_list(struct(col("__k"),
-          col("__x")))), s => s.getField("__x")).as("__v"))
+      .agg(count(lit(1)).as("__len"), aggs: _*)
       .where(col("__len") === w)
       .drop("__len")
-    val right = wins.select((keys.map(c => col(c).as(s"__r_$c")) :+
-      col("__i").as("__j") :+ col("__v").as("__vb")): _*)
+  }
+
+  /** The non-overlapping pair space over window vectors, symmetrized:
+    * (keys, __i, __j, __d2) for every |i−j| ≥ w pair. With `deltaOnly`
+    * only pairs touching a __wnew window are generated — the old×old
+    * block (the stored profile's domain) is never re-scored. */
+  private def mpPairs(wins: DataFrame, keys: Seq[String], w: Int,
+                      deltaOnly: Boolean): DataFrame = {
+    val k = keys.map(col)
+    val rcols = keys.map(c => col(c).as(s"__r_$c")) ++
+      Seq(col("__i").as("__j"), col("__v").as("__vb")) ++
+      (if (deltaOnly) Seq(col("__wnew").as("__wnewb")) else Nil)
+    val right = wins.select(rcols: _*)
     val d2 = aggregate(
       zip_with(col("__v"), col("__vb"), (p, q) => (p - q) * (p - q)),
       lit(0L), (acc, x) => acc + x)
-    val pairs = wins.join(right,
-        keys.map(c => col(c) === col(s"__r_$c")).reduce(_ && _) &&
-          col("__j") >= col("__i") + w)
+    val joinCond = keys.map(c => col(c) === col(s"__r_$c"))
+      .reduce(_ && _) && col("__j") >= col("__i") + w &&
+      (if (deltaOnly) col("__wnew") || col("__wnewb") else lit(true))
+    val pairs = wins.join(right, joinCond)
       .select((k ++ Seq(col("__i"), col("__j"), d2.as("__d2"))): _*)
-    val both = pairs.unionByName(
+    pairs.unionByName(
       pairs.select((k ++ Seq(col("__j").as("__i"),
         col("__i").as("__j"), col("__d2"))): _*))
-    both.groupBy((k :+ col("__i")): _*)
+  }
+
+  /** min-of-struct profile assembly from candidate (i, j, d2) rows. */
+  private def mpMinimize(cand: DataFrame, keys: Seq[String]): DataFrame = {
+    val k = keys.map(col)
+    cand.groupBy((k :+ col("__i")): _*)
       .agg(min(struct(col("__d2").as("d"), col("__j").as("j")))
         .as("__m"))
       .select((k ++ Seq(col("__i").as("i"), col("__m.d").as("mp_d2"),
         col("__m.j").as("mp_j"))): _*)
+  }
+
+  /** Delta maintenance of [[matrixProfile]] under APPEND-ONLY arrivals
+    * (the 22nd inc_* merge≡rebuild identity — the streaming-monitoring
+    * story for the ts_ family): appending rows AFTER every stored row
+    * (later calendar time) leaves all old window vectors and their
+    * old×old pair distances untouched, so the new profile is
+    *
+    *   mp'(i) = min( stored mp(i),  min over pairs touching a NEW
+    *                                window )
+    *
+    * — existing minima can only be LOWERED by new-window pairs, and
+    * only the delta pair block (old×new ∪ new×new) is ever scored;
+    * the stored profile enters the final min-aggregate verbatim as
+    * candidate rows. Positions are stable because the arrivals are a
+    * suffix: base position p is full-series position p. A loud fence
+    * verifies the append-only precondition per key (max old order <
+    * min new order) rather than silently merging an interleaved split.
+    *
+    * @param stored matrixProfile(base) — (keys..., i, mp_d2, mp_j)
+    * @param isNew  marks the arrival rows of `df` (the full series)
+    * @return equals matrixProfile(df) exactly */
+  def matrixProfileMergedDelta(df: DataFrame, keys: Seq[String],
+                               orderCol: Column, xCol: String, w: Int,
+                               isNew: Column, stored: DataFrame,
+                               maxSeries: Int = 1000): DataFrame = {
+    require(w >= 2, s"window must be >= 2, got $w")
+    val k = keys.map(col)
+    val wOrd = Window.partitionBy(k: _*).orderBy(col("__o"))
+    val wKey = Window.partitionBy(k: _*)
+    val base = df
+      .select((k ++ Seq(orderCol.as("__o"),
+        col(xCol).cast("long").as("__x"), isNew.as("__new"))): _*)
+      .withColumn("__p", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .withColumn("__p", when(col("__n") <= maxSeries, col("__p"))
+        .otherwise(raise_error(concat(
+          lit(s"matrixProfileMergedDelta: series over " +
+            s"maxSeries=$maxSeries for "),
+          concat_ws(",", k: _*))).cast("long")))
+      // append-only fence: every old row must order before every new
+      // row within its key, else positions shift and the identity lies
+      .withColumn("__maxOld",
+        max(when(!col("__new"), col("__o"))).over(wKey))
+      .withColumn("__minNew",
+        min(when(col("__new"), col("__o"))).over(wKey))
+      .withColumn("__x", when(
+          col("__maxOld").isNull || col("__minNew").isNull ||
+            col("__maxOld") < col("__minNew"), col("__x"))
+        .otherwise(raise_error(concat(
+          lit("matrixProfileMergedDelta: arrivals are not a suffix " +
+            "(append-only precondition violated) for "),
+          concat_ws(",", k: _*))).cast("long")))
+      .drop("__n", "__maxOld", "__minNew")
+    val wins = mpWindows(base, keys, w, withNew = true)
+    val deltaCand = mpPairs(wins, keys, w, deltaOnly = true)
+    val storedCand = stored.select((k ++ Seq(
+      col("i").as("__i"), col("mp_j").as("__j"),
+      col("mp_d2").as("__d2"))): _*)
+    mpMinimize(deltaCand.unionByName(storedCand), keys)
   }
 
   /** Binary-segmentation change-point detection, depth 2 (Scott &

@@ -20,6 +20,13 @@ object Pipeline24Queries {
   type Q = (SparkSession, String) => DataFrame
 
   private val K = 5 // the k of every k-NN list in this file
+  /** Fixed-N ground-truth corpus for the brute (N²) anchors —
+    * [[graft.ops.Similarity.anchorSample]]'s n. 500 = the WHOLE
+    * embedding corpus at the sf0.01 correctness grade (sample ≡
+    * corpus there, outputs unchanged); past it the anchors' pair
+    * space stays 500² at ANY scale factor, so scale refreshes read
+    * the engine's real curve instead of the anchors' by-design N². */
+  private val AnchorN = 500
   private val NndPlanes = 4 // 16 LSH seed buckets for NN-descent
   private val KmvK = 32 // bottom-k sketch width
   private val PowerRounds = 4 // emb_power_iter matvec rounds
@@ -28,14 +35,18 @@ object Pipeline24Queries {
   val queries: Map[String, Q] = Map(
 
     "sim_knn_graph" -> ((s, dir) => {
-      // mutual-kNN graph over the int8 sketch of the WHOLE embedding
-      // corpus: an edge survives only if each endpoint ranks in the
-      // other's top-5 — the hub-killing symmetrization whose connected
-      // components are the usual embedding-cluster definition. Brute
-      // N²-bounded baseline (the oracle anchor); sim_nn_descent is the
-      // scale path to the same lists.
+      // mutual-kNN graph over the int8 sketch of the ANCHOR-SAMPLED
+      // corpus (fixed N=500, deterministic bottom-by-hash — the whole
+      // corpus at the correctness SF): an edge survives only if each
+      // endpoint ranks in the other's top-5 — the hub-killing
+      // symmetrization whose connected components are the usual
+      // embedding-cluster definition. Brute N²-bounded BASELINE (the
+      // oracle anchor, SF-independent by the fence); sim_nn_descent is
+      // the scale path to the same lists over the full corpus.
       Similarity.mutualKnnGraph(
-          Similarity.quantizeInt8(Tables.embeddings(s, dir)), K)
+          Similarity.anchorSample(
+            Similarity.quantizeInt8(Tables.embeddings(s, dir)), AnchorN),
+          K)
         .orderBy("a_id", "b_id")
     }),
 
@@ -45,8 +56,10 @@ object Pipeline24Queries {
       // per-query ranking), so a corpus batch arrival merges the STORED
       // base lists with delta-only scores — base×base never rescans.
       // Split by vec_id hash class; quantization is per-vector, hence
-      // split-invariant. Oracle = the full rebuild.
-      val sk = Similarity.quantizeInt8(Tables.embeddings(s, dir))
+      // split-invariant. Anchor-sampled (the brute-rebuild oracle is
+      // the N² side of the identity). Oracle = the full rebuild.
+      val sk = Similarity.anchorSample(
+        Similarity.quantizeInt8(Tables.embeddings(s, dir)), AnchorN)
       val isNew = col("vec_id") % 3 === 0
       Similarity.knnListsMergedDelta(
           sk.where(!isNew), sk.where(isNew), K)
@@ -79,8 +92,12 @@ object Pipeline24Queries {
       // (round 2 adds 0 hits, measured) — on manifold-structured real
       // embeddings the neighbor-of-neighbor expansion is exactly what
       // converges. The graded object is the deterministic process and
-      // the honest audit, not the noise ceiling.
-      val sk = Similarity.quantizeInt8(Tables.embeddings(s, dir))
+      // the honest audit, not the noise ceiling. Both sides run on the
+      // ANCHOR SAMPLE (like vs like — the exact side is the N² brute,
+      // and recall against an exact list from a different corpus would
+      // be meaningless).
+      val sk = Similarity.anchorSample(
+        Similarity.quantizeInt8(Tables.embeddings(s, dir)), AnchorN)
       val exact = Similarity.knnListsOnSketch(sk, K)
         .select("query_id", "neighbor_id").pin()
       val refined = Similarity.nnDescentRound(sk,
@@ -97,8 +114,10 @@ object Pipeline24Queries {
       // the semantic-dedup grouping read path (SemDeDup keeps one doc
       // per component). Composes two already-graded operators; edges
       // derive from the sketch's own ids, so the CC endpoint fence is
-      // skipped (the dd_cluster_cc convention).
-      val sk = Similarity.quantizeInt8(Tables.embeddings(s, dir))
+      // skipped (the dd_cluster_cc convention). Anchor-sampled — the
+      // production twin over the full corpus is sim_nnd_components.
+      val sk = Similarity.anchorSample(
+        Similarity.quantizeInt8(Tables.embeddings(s, dir)), AnchorN)
       graft.ops.Cluster.connectedComponents(
           sk.select(col("vec_id")), "vec_id",
           Similarity.mutualKnnGraph(sk, K), "a_id", "b_id",
@@ -380,14 +399,32 @@ object Pipeline24Queries {
       |      (sqrt(CAST(qna AS DOUBLE)) * sqrt(CAST(qnb AS DOUBLE))) DESC,
       |      neighbor_id ASC""".stripMargin
 
-  /** Brute k-NN lists over the whole sketch — the rebuild both
+  /** The fixed-N anchor sample over qn — bottom-[[AnchorN]] by
+    * (java_hash_u32(vec_id), vec_id), mirroring
+    * [[Similarity.anchorSample]] exactly. At the sf0.01 correctness
+    * corpus (500 vectors) qs == qn, so the graded outputs are
+    * unchanged; past it the brute anchors stop growing N² with SF. */
+  private val anchorCtes: String =
+    s"""$qnCtes,
+       |qh AS (SELECT vec_id, qv, q_norm,
+       |    CASE WHEN h < 0 THEN h + 4294967296 ELSE h END AS hu
+       |  FROM (SELECT vec_id, qv, q_norm,
+       |      ${PipelineQueries.javaHashSql("CAST(vec_id AS VARCHAR)")}
+       |      AS h
+       |    FROM qn)),
+       |qs AS (SELECT vec_id, qv, q_norm FROM (
+       |    SELECT vec_id, qv, q_norm,
+       |      ROW_NUMBER() OVER (ORDER BY hu ASC, vec_id ASC) AS srn
+       |    FROM qh) WHERE srn <= $AnchorN)""".stripMargin
+
+  /** Brute k-NN lists over the ANCHOR SAMPLE — the rebuild both
     * sim_knn_graph and inc_knn_delta grade against. */
   private val knnListsCtes: String =
-    s"""$qnCtes,
+    s"""$anchorCtes,
        |sc AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    ${qdotSql("p.qv", "c.qv")} AS qdot,
        |    p.q_norm AS qna, c.q_norm AS qnb
-       |  FROM qn p, qn c WHERE c.vec_id <> p.vec_id),
+       |  FROM qs p, qs c WHERE c.vec_id <> p.vec_id),
        |rk AS (SELECT query_id, neighbor_id, qdot,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
        |      $rankOrder) AS rnk
@@ -411,11 +448,14 @@ object Pipeline24Queries {
   /** LSH-seeded NN-descent, one round — init buckets, seed lists,
     * candidate expansion, exact re-score, final cut. Ends with CTE
     * `fin(query_id, neighbor_id, qdot, rnk)`. */
-  private val nndCtes: String =
-    s"""$qnCtes,
-       |bk AS (SELECT vec_id, qv, q_norm,
+  /** The NN-descent CTE tail (bk → … → fin) over sketch CTE `src` —
+    * `src` = qn for the production queries (whole corpus),
+    * qs for the recall audit (the anchor-sampled ground-truth
+    * corpus, so recall compares like with like). */
+  private def nndTail(src: String): String =
+    s"""bk AS (SELECT vec_id, qv, q_norm,
        |    ${bucketSql(NndPlanes)} AS bucket
-       |  FROM qn),
+       |  FROM $src),
        |isc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    ${qdotSql("q.qv", "c.qv")} AS qdot,
        |    q.q_norm AS qna, c.q_norm AS qnb
@@ -437,12 +477,20 @@ object Pipeline24Queries {
        |fsc AS (SELECT cand.query_id, cand.neighbor_id,
        |    ${qdotSql("p.qv", "c.qv")} AS qdot,
        |    p.q_norm AS qna, c.q_norm AS qnb
-       |  FROM cand JOIN qn p ON p.vec_id = cand.query_id
-       |  JOIN qn c ON c.vec_id = cand.neighbor_id),
+       |  FROM cand JOIN $src p ON p.vec_id = cand.query_id
+       |  JOIN $src c ON c.vec_id = cand.neighbor_id),
        |fin AS (SELECT query_id, neighbor_id, qdot,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
        |      $rankOrder) AS rnk
        |  FROM fsc)""".stripMargin
+
+  /** Full-corpus NN-descent stack — sim_nn_descent /
+    * sim_nnd_components (the production paths stay unsampled). */
+  private val nndCtes: String = s"$qnCtes,\n${nndTail("qn")}"
+
+  /** Anchor-sampled NN-descent stack — sim_recall_nnd only. */
+  private val nndAnchorCtes: String =
+    s"$anchorCtes,\n${nndTail("qs")}"
 
   /** Integer power iteration, unrolled — gram directly as the FULL
     * matrix (G is symmetric, so the engine's triangle+mirror equals
@@ -544,7 +592,7 @@ object Pipeline24Queries {
          |cedges AS (SELECT a_id AS u, b_id AS v FROM me
          |           UNION SELECT b_id, a_id FROM me),
          |reach(id, lbl) AS (
-         |  SELECT vec_id, vec_id FROM qn
+         |  SELECT vec_id, vec_id FROM qs
          |  UNION
          |  SELECT e.v, r.lbl FROM reach r JOIN cedges e ON e.u = r.id)
          |SELECT id AS vec_id, MIN(lbl) AS cluster_id,
@@ -577,11 +625,11 @@ object Pipeline24Queries {
          |ORDER BY query_id, rnk""".stripMargin,
 
     "sim_recall_nnd" ->
-      s"""WITH $nndCtes,
+      s"""WITH $nndAnchorCtes,
          |ex AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    ${qdotSql("p.qv", "c.qv")} AS qdot,
          |    p.q_norm AS qna, c.q_norm AS qnb
-         |  FROM qn p, qn c WHERE c.vec_id <> p.vec_id),
+         |  FROM qs p, qs c WHERE c.vec_id <> p.vec_id),
          |exl AS (SELECT query_id, neighbor_id FROM (
          |    SELECT query_id, neighbor_id,
          |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY

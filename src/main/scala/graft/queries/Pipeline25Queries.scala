@@ -177,9 +177,14 @@ object Pipeline25Queries {
         col("tk").as("tkb"))
       val np = names.select(col("p_name").as("name_a"),
           col("tk").as("tka"))
+        // union blocking semantics (the blockedPairs contract): any of
+        // A's two token keys equal to any of B's — cross-position
+        // matches included, exactly the oracle's unioned-k self-join
         .join(broadcast(nb), col("name_a") < col("name_b") &&
           (element_at(col("tka"), 1) === element_at(col("tkb"), 1) ||
-            element_at(col("tka"), 2) === element_at(col("tkb"), 2)))
+            element_at(col("tka"), 2) === element_at(col("tkb"), 2) ||
+            element_at(col("tka"), 1) === element_at(col("tkb"), 2) ||
+            element_at(col("tka"), 2) === element_at(col("tkb"), 1)))
         .select(col("name_a"), col("name_b"),
           levenshtein(col("name_a"), col("name_b")).cast("long")
             .as("lev"))

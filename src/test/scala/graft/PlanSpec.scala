@@ -789,4 +789,30 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"),
       "betweenness must aggregate, never sort-window:\n" + p.take(1500))
   }
+
+  test("betweenness IN-LOOP frames (the shape the pinned wrapper " +
+      "hides): forward level = equi-join + hash aggregate + anti-join; " +
+      "backward step = equi-joins + hash aggregate — no cartesian, no " +
+      "window in either") {
+    import spark.implicits._
+    val adj = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("v", "n")
+    val lv0 = Seq(1L).toDF("src")
+      .select(col("src"), col("src").as("node"), lit(1L).as("sigma"))
+    val fwd = ops.Graph.betweennessForwardLevel(lv0, adj,
+      lv0.select("src", "node"))
+    fwd.collect()
+    val pf = plan(fwd)
+    assert(!pf.contains("CartesianProduct") && !pf.contains("Window"),
+      "forward level must stay join+aggregate:\n" + pf.take(1500))
+    assert(pf.contains("HashAggregate"),
+      "sigma must hash-aggregate:\n" + pf.take(1500))
+    val bwd = ops.Graph.betweennessBackwardStep(lv0, adj,
+      fwd.withColumn("delta", lit(0L)), scale = 1048576L)
+    bwd.collect()
+    val pb = plan(bwd)
+    assert(!pb.contains("CartesianProduct") && !pb.contains("Window"),
+      "backward step must stay join+aggregate:\n" + pb.take(1500))
+    assert(pb.contains("HashAggregate"),
+      "delta must hash-aggregate:\n" + pb.take(1500))
+  }
 }

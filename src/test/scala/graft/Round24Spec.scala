@@ -164,17 +164,31 @@ class Round24Spec extends SparkSuite {
       === Seq(0L, 0L, 1L, 1L))
   }
 
+  test("aspectBuckets: a single bucket is the trivial argmin (least() " +
+      "needs two args — the size-1 path is special-cased)") {
+    val df = Seq((1L, 1920L, 1080L), (2L, 100L, 100L)).toDF("id", "w", "h")
+    val out = Multimodal.aspectBuckets(df, "id", "w", "h",
+        Seq((1, 1)), batchSize = 2, scale = 1000000L)
+      .select("id", "bucket", "cost_s").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === 1L && out(1L)._3 > 0L)
+    assert(out(2L)._2 === 1L && out(2L)._3 === 0L)
+  }
+
   // ---- Blocking -------------------------------------------------------
 
-  test("blockedPairs: passes union and dedup; NULL keys never block") {
+  test("blockedPairs: key expressions pool into one relation (cross-" +
+      "expression value matches block too); NULL keys never block") {
     val df = Seq(
-      (1L, "x", "p"), (2L, "x", "q"), (3L, "y", "p"),
+      (1L, "x", "p"), (2L, "x", "q"), (3L, "y", "p"), (5L, "q", "z"),
       (4L, null.asInstanceOf[String], null.asInstanceOf[String]))
       .toDF("id", "k1", "k2")
     val got = Blocking.blockedPairs(df, "id",
         Seq(col("k1"), col("k2")), maxBlock = None)
       .as[(Long, Long)].collect().toSet
-    assert(got === Set((1L, 2L), (1L, 3L))) // (1,2) via k1, (1,3) via k2
+    // (1,2) via k1=x, (1,3) via k2=p, (2,5) via 2.k2 = 5.k1 = q —
+    // the unioned-value contract the er_* oracles grade
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 5L)))
   }
 
   test("blockedPairs fences an over-cap block loudly instead of " +
