@@ -388,6 +388,16 @@ object ExplainDump {
         "top-k co-occurrence fixture), keyed count, filter — survivors " +
         "pinned per round so the next round's joins read a leaf, not " +
         "the previous round's join tree. No cartesian, no windows."),
+    "inc_mp_delta" ->
+      ("Matrix-profile append maintenance as ONE composed plan: the " +
+        "stored profile (the base series' full pair space) and the " +
+        "delta pair block (only pairs touching a __wnew window — the " +
+        "old×old block is filtered out INSIDE the join condition, " +
+        "before any pair materializes) union into a single " +
+        "min-of-struct hash aggregate. Every join is key-equi on the " +
+        "series keys with the exclusion-zone range as a residual; the " +
+        "append-only fence rides the same window pass that assigns " +
+        "positions."),
     "emb_power_iter" ->
       ("The corpus appears ONCE — inside gramInt8's exploded-pair " +
         "partial aggregate (shuffle carries O(partitions·d²) longs, " +

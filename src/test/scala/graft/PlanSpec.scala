@@ -790,6 +790,17 @@ class PlanSpec extends SparkSuite {
       "betweenness must aggregate, never sort-window:\n" + p.take(1500))
   }
 
+  test("inc_mp_delta: the delta pair space is key-equi joined (no " +
+      "cartesian) and the profile assembles in a hash aggregate") {
+    val df = q("inc_mp_delta")
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      "mp delta planned a cartesian:\n" + p.take(1500))
+    assert(p.contains("HashAggregate"),
+      "mp delta must min-aggregate the candidates:\n" + p.take(1500))
+  }
+
   test("betweenness IN-LOOP frames (the shape the pinned wrapper " +
       "hides): forward level = equi-join + hash aggregate + anti-join; " +
       "backward step = equi-joins + hash aggregate — no cartesian, no " +
