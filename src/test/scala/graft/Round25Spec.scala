@@ -70,6 +70,64 @@ class Round25Spec extends SparkSuite {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("matrixProfileMergedDelta ≡ rebuild on seeded random series " +
+      "with random suffix cuts — multiple keys, lengths straddling " +
+      "2w, empty and full deltas all drawn") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val rows = (0 until 3).flatMap { g =>
+        val n = 12 + rnd.nextInt(25) // 12..36 rows, w=8 → some < 2w
+        (0 until n).map(t => (s"k$g", t.toLong, rnd.nextInt(9).toLong))
+      }
+      val df = rows.toDF("grp", "t", "x")
+      val cut = rnd.nextInt(38).toLong // suffix cut; may be 0 or past-end
+      val isNew = col("t") >= cut
+      val stored = TimeSeries.matrixProfile(df.where(!isNew),
+        Seq("grp"), col("t"), "x", w = 8)
+      val merged = TimeSeries.matrixProfileMergedDelta(df, Seq("grp"),
+          col("t"), "x", w = 8, isNew, stored)
+        .select("grp", "i", "mp_d2", "mp_j")
+        .as[(String, Long, Long, Long)].collect().toSet
+      val rebuild = TimeSeries.matrixProfile(df, Seq("grp"), col("t"),
+          "x", w = 8)
+        .select("grp", "i", "mp_d2", "mp_j")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(merged === rebuild, s"trial $trial cut=$cut diverged")
+    }
+  }
+
+  test("blockedPairs ≡ brute shared-key-value reference on seeded " +
+      "random records (two nullable key expressions, small value " +
+      "domain — cross-expression matches and NULLs all drawn); " +
+      "blockedPairsDelta merges to the same set on a random split") {
+    val rnd = new scala.util.Random(25)
+    import graft.ops.Blocking
+    def drawKey(): String =
+      if (rnd.nextInt(4) == 0) null else s"v${rnd.nextInt(5)}"
+    for (trial <- 1 to 5) {
+      val recs = (1L to 30L).map(i => (i, drawKey(), drawKey()))
+      val df = recs.toDF("id", "k1", "k2")
+      // brute reference: pair iff the records' non-null value sets meet
+      val keySets = recs.map { case (i, a, b) =>
+        i -> Set(Option(a), Option(b)).flatten }.toMap
+      val want = (for {
+        a <- recs.map(_._1); b <- recs.map(_._1)
+        if a < b && (keySets(a) & keySets(b)).nonEmpty
+      } yield (a, b)).toSet
+      val got = Blocking.blockedPairs(df, "id",
+          Seq(col("k1"), col("k2")), maxBlock = None)
+        .as[(Long, Long)].collect().toSet
+      assert(got === want, s"trial $trial blockedPairs diverged")
+      val isNew = col("id") % 3 === rnd.nextInt(3).toLong
+      val stored = Blocking.blockedPairs(df.where(!isNew), "id",
+        Seq(col("k1"), col("k2")), maxBlock = None)
+      val merged = Blocking.blockedPairsDelta(df, isNew, "id",
+          Seq(col("k1"), col("k2")), stored, maxBlock = None)
+        .as[(Long, Long)].collect().toSet
+      assert(merged === want, s"trial $trial delta merge diverged")
+    }
+  }
+
   // ---- anchorSample ------------------------------------------------
 
   test("anchorSample: keeps exactly the n smallest (hash, id) rows, " +
