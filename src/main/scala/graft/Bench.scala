@@ -86,10 +86,25 @@ object Bench {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "--one" :: name :: Nil => runOne(name)
-    case "--isolated" :: rest =>
-      runIsolated(rest.headOption.getOrElse(".*"))
-    case _ => runSweep()
+    case "--isolated" :: Nil => runIsolated(".*")
+    case "--isolated" :: regex :: Nil => runIsolated(regex)
+    case Nil => runSweep()
+    case bad =>
+      // a typo'd flag must NOT fall through to the multi-minute sweep
+      // (which would overwrite BENCH_FULL.json and drop any spliced
+      // isolated floors) — fail loudly instead
+      System.err.println(s"[bench] unrecognized args: ${bad.mkString(" ")}" +
+        " — expected nothing, '--one <query>', or '--isolated [regex]'")
+      sys.exit(2)
   }
+
+  /** SF dir + CPU count shared by the sweep and the isolated children —
+    * one resolution point so a child never silently runs against a
+    * different corpus/parallelism than the sweep it is spliced next to. */
+  private def envConfig(): (String, String) = (
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString))
 
   private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
@@ -127,9 +142,7 @@ object Bench {
     * is that NOTHING from the other 300 queries (JIT state, code cache,
     * broadcast cleanup backlog, heap fragmentation) is resident. */
   private def runOne(name: String): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors.toString)
+    val (sfDir, cpus) = envConfig()
     val spark = buildSession(cpus)
     warmup(spark, sfDir)
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3).max(1)
@@ -189,10 +202,16 @@ object Bench {
     val p = java.nio.file.Paths.get(detailPath)
     val merged =
       if (java.nio.file.Files.exists(p)) {
-        // strip a previous top-level "isolated" map (one nesting level)
+        // strip a previous top-level "isolated" map (one nesting level;
+        // trailing comma OPTIONAL — an isolated-only file ends the map
+        // with '}' and the comma-required form left a stale duplicate
+        // key behind), then re-insert after the opening brace with a
+        // separator only if other keys remain
         val prev = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-          .replaceAll("\"isolated\":\\{(?:[^{}]|\\{[^{}]*\\})*\\},", "")
-        prev.replaceFirst("\\{", s"""{"isolated":${java.util.regex.Matcher.quoteReplacement(isolatedJson)},""")
+          .replaceAll("\"isolated\":\\{(?:[^{}]|\\{[^{}]*\\})*\\},?", "")
+        val body = prev.replaceFirst("\\{", "")
+        val sep = if (body.trim.startsWith("}")) "" else ","
+        "{\"isolated\":" + isolatedJson + sep + body
       } else s"""{"isolated":$isolatedJson}""" + "\n"
     java.nio.file.Files.write(p, merged.getBytes("UTF-8"))
     println(s"""{"metric":"isolated","n":${names.size},"isolated":$isolatedJson,"detail":"$detailPath"}""")
@@ -236,9 +255,7 @@ object Bench {
   }
 
   private def runSweep(): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors.toString)
+    val (sfDir, cpus) = envConfig()
     val spark = buildSession(cpus)
     warmup(spark, sfDir)
 
