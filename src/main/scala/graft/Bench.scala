@@ -201,20 +201,28 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
     val p = java.nio.file.Paths.get(detailPath)
     val merged =
-      if (java.nio.file.Files.exists(p)) {
-        // strip a previous top-level "isolated" map (one nesting level;
-        // trailing comma OPTIONAL — an isolated-only file ends the map
-        // with '}' and the comma-required form left a stale duplicate
-        // key behind), then re-insert after the opening brace with a
-        // separator only if other keys remain
-        val prev = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-          .replaceAll("\"isolated\":\\{(?:[^{}]|\\{[^{}]*\\})*\\},?", "")
-        val body = prev.replaceFirst("\\{", "")
-        val sep = if (body.trim.startsWith("}")) "" else ","
-        "{\"isolated\":" + isolatedJson + sep + body
-      } else s"""{"isolated":$isolatedJson}""" + "\n"
+      if (java.nio.file.Files.exists(p))
+        spliceIsolated(
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"),
+          isolatedJson)
+      else s"""{"isolated":$isolatedJson}""" + "\n"
     java.nio.file.Files.write(p, merged.getBytes("UTF-8"))
     println(s"""{"metric":"isolated","n":${names.size},"isolated":$isolatedJson,"detail":"$detailPath"}""")
+  }
+
+  /** Replace/insert the top-level `"isolated"` map in a BENCH_FULL-style
+    * JSON line: strip a previous map (one nesting level; the trailing
+    * comma is OPTIONAL — an isolated-only file ends the map with '}',
+    * and a comma-required strip left a stale duplicate key behind), then
+    * re-insert after the opening brace with a separator only if other
+    * keys remain. Unit-pinned in `BenchStatsSpec`. */
+  private[graft] def spliceIsolated(prev: String,
+                                    isolatedJson: String): String = {
+    val stripped = prev
+      .replaceAll("\"isolated\":\\{(?:[^{}]|\\{[^{}]*\\})*\\},?", "")
+    val body = stripped.replaceFirst("\\{", "")
+    val sep = if (body.trim.startsWith("}")) "" else ","
+    "{\"isolated\":" + isolatedJson + sep + body
   }
 
   /** Warmup shared by the sweep and the isolated children: codegen,

@@ -39,4 +39,24 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(Bench.windowLoadOf(ps, 60) === 1.1)  // past the last probe
     assert(Bench.windowLoadOf(Nil, 5) === 0.0)
   }
+
+  test("spliceIsolated: inserts into a sweep artifact, replaces a " +
+      "previous map in a full artifact, and re-splices an " +
+      "isolated-only file WITHOUT leaving a stale duplicate key") {
+    val iso1 = """{"q1":{"median":1.0}}"""
+    val iso2 = """{"q2":{"median":2.0}}"""
+    // sweep artifact, no isolated yet
+    val sweep = """{"metric":"total","value":9.9}"""
+    assert(Bench.spliceIsolated(sweep, iso1) ===
+      s"""{"isolated":$iso1,"metric":"total","value":9.9}""")
+    // full artifact with an existing isolated map → replaced, once
+    val full = s"""{"isolated":$iso1,"metric":"total","value":9.9}"""
+    val re = Bench.spliceIsolated(full, iso2)
+    assert(re === s"""{"isolated":$iso2,"metric":"total","value":9.9}""")
+    // isolated-only file (the map ends with '}' not '},') → no stale
+    // duplicate key and no trailing comma
+    val only = s"""{"isolated":$iso1}"""
+    val re2 = Bench.spliceIsolated(only, iso2)
+    assert(re2 === s"""{"isolated":$iso2}""")
+  }
 }
