@@ -11,9 +11,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Modes: no args = the full in-session sweep (the graded artifact);
   * `--isolated <regex>` = fresh-JVM floor per matched query, spliced
-  * into BENCH_FULL.json as a top-level "isolated" map (run AFTER a
-  * sweep — a new sweep overwrites the file and drops the floors);
-  * `--one <query>` = the child the isolated mode spawns.
+  * into BENCH_FULL.json as a top-level "isolated" map; `--one <query>`
+  * = the child the isolated mode spawns. A sweep PRESERVES a previously
+  * spliced isolated map (it re-splices it into the new artifact); only
+  * a new `--isolated` run replaces the floors.
   */
 object Bench {
 
@@ -142,11 +143,17 @@ object Bench {
     * is that NOTHING from the other 300 queries (JIT state, code cache,
     * broadcast cleanup backlog, heap fragmentation) is resident. */
   private def runOne(name: String): Unit = {
+    // validate BEFORE session build + multi-table warmup: a typo'd
+    // `--one` name must fail in milliseconds, not after minutes of
+    // warmup with a bare NoSuchElementException (ADVICE r13)
+    val fn = SparkEntry.queries.getOrElse(name, {
+      System.err.println(s"[bench] --one: unknown query '$name'")
+      sys.exit(2)
+    })
     val (sfDir, cpus) = envConfig()
     val spark = buildSession(cpus)
     warmup(spark, sfDir)
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3).max(1)
-    val fn = SparkEntry.queries(name)
     val first = runOnce(spark, sfDir, name, fn)
     val times =
       if (first < 0) Vector(first)
@@ -176,6 +183,7 @@ object Bench {
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments.asScala.toSeq
     val cp = System.getProperty("java.class.path")
+    var failedChildren = 0
     val results = names.map { name =>
       val cmd = (javaBin +: jvmArgs) ++
         Seq("-cp", cp, "graft.Bench", "--one", name)
@@ -186,9 +194,11 @@ object Bench {
       val code = proc.waitFor()
       val line = out.linesIterator.toSeq
         .findLast(_.startsWith("{\"query\""))
-      if (code != 0 || line.isEmpty)
+      if (code != 0 || line.isEmpty) {
+        failedChildren += 1
         System.err.println(s"[bench] isolated $name: child exit $code, " +
           s"no result line")
+      }
       val obj = line.getOrElse(s"""{"query":"$name","median":-1,"min":-1,"runs":[]}""")
       // re-key: {"query":"x",REST} → "x":{REST}
       val rest = obj.stripPrefix(s"""{"query":"$name",""")
@@ -207,19 +217,71 @@ object Bench {
           isolatedJson)
       else s"""{"isolated":$isolatedJson}""" + "\n"
     java.nio.file.Files.write(p, merged.getBytes("UTF-8"))
-    println(s"""{"metric":"isolated","n":${names.size},"isolated":$isolatedJson,"detail":"$detailPath"}""")
+    // failed count in the summary + nonzero exit: a broken isolated leg
+    // (classpath/env drift in the spawned JVM) must not splice -1 floors
+    // and still look like a clean run from the exit code (ADVICE r13)
+    println(s"""{"metric":"isolated","n":${names.size},"failed":$failedChildren,"isolated":$isolatedJson,"detail":"$detailPath"}""")
+    if (failedChildren > 0) sys.exit(1)
+  }
+
+  /** Find a TOP-LEVEL `"key":{...}` entry by scanning with brace-depth
+    * and in-string tracking, and return (its object value, the JSON with
+    * the entry and one adjacent comma removed). The previous regex strip
+    * broke when the map sat anywhere but first (left the preceding comma
+    * behind → invalid JSON) and would also have eaten a query literally
+    * named `key` inside the nested `detailed` map (ADVICE r13); a depth
+    * scanner has neither failure mode. None when the key is absent at
+    * depth 1. Unit-pinned in `BenchStatsSpec`. */
+  private[graft] def extractTopLevelMap(json: String,
+                                        key: String): Option[(String, String)] = {
+    val marker = "\"" + key + "\":"
+    var i = 0; var depth = 0; var inStr = false
+    while (i < json.length) {
+      val c = json.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' =>
+          if (depth == 1 && json.startsWith(marker, i)) {
+            val vStart = i + marker.length
+            if (vStart < json.length && json.charAt(vStart) == '{') {
+              // span of the value object: matching close brace, string-aware
+              var j = vStart; var d = 0; var s = false; var end = -1
+              while (end < 0 && j < json.length) {
+                val cj = json.charAt(j)
+                if (s) { if (cj == '\\') j += 1 else if (cj == '"') s = false }
+                else if (cj == '"') s = true
+                else if (cj == '{') d += 1
+                else if (cj == '}') { d -= 1; if (d == 0) end = j }
+                j += 1
+              }
+              if (end > 0) {
+                val value = json.substring(vStart, end + 1)
+                var from = i; var to = end + 1
+                if (to < json.length && json.charAt(to) == ',') to += 1
+                else if (from > 0 && json.charAt(from - 1) == ',') from -= 1
+                return Some((value, json.substring(0, from) + json.substring(to)))
+              }
+            }
+          }
+          inStr = true
+        case '{' => depth += 1
+        case '}' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    None
   }
 
   /** Replace/insert the top-level `"isolated"` map in a BENCH_FULL-style
-    * JSON line: strip a previous map (one nesting level; the trailing
-    * comma is OPTIONAL — an isolated-only file ends the map with '}',
-    * and a comma-required strip left a stale duplicate key behind), then
-    * re-insert after the opening brace with a separator only if other
-    * keys remain. Unit-pinned in `BenchStatsSpec`. */
+    * JSON line: strip a previous map wherever it sits, then re-insert
+    * after the opening brace with a separator only if other keys remain.
+    * Unit-pinned in `BenchStatsSpec`. */
   private[graft] def spliceIsolated(prev: String,
                                     isolatedJson: String): String = {
-    val stripped = prev
-      .replaceAll("\"isolated\":\\{(?:[^{}]|\\{[^{}]*\\})*\\},?", "")
+    val stripped = extractTopLevelMap(prev, "isolated").map(_._2).getOrElse(prev)
     val body = stripped.replaceFirst("\\{", "")
     val sep = if (body.trim.startsWith("}")) "" else ","
     "{\"isolated\":" + isolatedJson + sep + body
@@ -409,8 +471,24 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","nruns":$runs,"load_factor":${r3(loadFactor)},"load_cal":{"before":${r3(calBefore)},"after":${r3(calAfter)},"threads":$cpus},"load_probes":$probesJson,"retried":$retriedJson,"queries":$full,"detailed":$runsJson,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      (fullLine + "\n").getBytes("UTF-8"))
+    try {
+      // carry forward the previous artifact's spliced isolated floors —
+      // a sweep used to overwrite them silently (the r13 driver sweep
+      // dropped 20 floors from the working tree); fresh-JVM floors are
+      // not invalidated by a new in-session sweep, only by a new
+      // --isolated run, which replaces the map itself
+      val p = java.nio.file.Paths.get(detailPath)
+      val outLine =
+        if (java.nio.file.Files.exists(p))
+          extractTopLevelMap(
+            new String(java.nio.file.Files.readAllBytes(p), "UTF-8"),
+            "isolated") match {
+            case Some((iso, _)) => spliceIsolated(fullLine, iso)
+            case None => fullLine
+          }
+        else fullLine
+      java.nio.file.Files.write(p, (outLine + "\n").getBytes("UTF-8"))
+    }
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     // group = leading letters of the first '_'-token (a1→a, f13→f, dd→dd):
     // one subtotal per operator family, failures (-1) excluded but flagged

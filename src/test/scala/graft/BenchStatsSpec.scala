@@ -59,4 +59,40 @@ class BenchStatsSpec extends AnyFunSuite {
     val re2 = Bench.spliceIsolated(only, iso2)
     assert(re2 === s"""{"isolated":$iso2}""")
   }
+
+  test("extractTopLevelMap: finds the map wherever it sits (first, " +
+      "middle, last — the r13 regex left a stale comma for non-first), " +
+      "removes exactly one adjacent comma, and ignores a same-named key " +
+      "nested inside another map (a query literally named 'isolated')") {
+    val iso = """{"q1":{"median":1.0},"q2":{"median":2.0}}"""
+    // first
+    assert(Bench.extractTopLevelMap(s"""{"isolated":$iso,"v":1}""", "isolated")
+      === Some((iso, """{"v":1}""")))
+    // middle
+    assert(Bench.extractTopLevelMap(s"""{"a":1,"isolated":$iso,"v":2}""", "isolated")
+      === Some((iso, """{"a":1,"v":2}""")))
+    // last — the regex-era failure mode: must not leave ",}"
+    assert(Bench.extractTopLevelMap(s"""{"a":1,"isolated":$iso}""", "isolated")
+      === Some((iso, """{"a":1}""")))
+    // nested same-named key is NOT top-level → untouched
+    val nested = """{"detailed":{"isolated":{"median":3.0}},"v":1}"""
+    assert(Bench.extractTopLevelMap(nested, "isolated") === None)
+    // key inside a string literal is not a key
+    val inStr = """{"note":"\"isolated\":{}","v":1}"""
+    assert(Bench.extractTopLevelMap(inStr, "isolated") === None)
+    // absent
+    assert(Bench.extractTopLevelMap("""{"v":1}""", "isolated") === None)
+  }
+
+  test("spliceIsolated round-trip pins the sweep-preserve path: a new " +
+      "sweep line re-spliced with the floors extracted from the old " +
+      "artifact keeps the floors (What's-missing r13 #4)") {
+    val iso = """{"q1":{"median":1.0}}"""
+    val oldArtifact = s"""{"isolated":$iso,"metric":"total","value":9.9}"""
+    val newSweepLine = """{"metric":"total","value":8.8}"""
+    val carried = Bench.extractTopLevelMap(oldArtifact, "isolated").map(_._1)
+    assert(carried === Some(iso))
+    assert(Bench.spliceIsolated(newSweepLine, carried.get) ===
+      s"""{"isolated":$iso,"metric":"total","value":8.8}""")
+  }
 }

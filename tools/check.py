@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [artifactPath]
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from oracle_sql.json in DuckDB against views over the
@@ -10,9 +10,16 @@ values (rows sorted, columns sorted by name). Exact equality for ints /
 strings / dates; doubles compared bitwise-exact first, then with 1e-12
 relative tolerance reported separately.
 
+Besides the PASS/FAIL stdout it persists a driver-format artifact (per
+query {"rows_match","schema_match","hash_match","spark_rows",
+"oracle_rows","err"} — the CORRECTNESS_r{N}.json shape) to
+[artifactPath], default CORRECTNESS_LOCAL.json in the repo root, so the
+round always carries a committed correctness record even when the
+driver's own artifact arrives empty (it did in round 13).
+
 Driver-side tooling only — the shipped Scala library never imports this.
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -23,17 +30,26 @@ def norm(v):
         return v
     return v
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, artifact=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    report = {}
+
+    def rec(name, rows=False, schema=False, hsh=False,
+            spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {"rows_match": rows, "schema_match": schema,
+                        "hash_match": hsh, "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
+
     for name, sql in sorted(oracle.items()):
         try:
             want = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            rec(name, err=f"oracle error: {e}")
             n_fail += 1
             continue
         try:
@@ -41,11 +57,15 @@ def main(sf_dir, out_dir):
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}")
+            rec(name, oracle_rows=want.num_rows,
+                err=f"spark output missing: {e}")
             n_fail += 1
             continue
         wcols, gcols = sorted(want.column_names), sorted(got.column_names)
         if wcols != gcols:
             print(f"FAIL {name}: columns differ: oracle={wcols} spark={gcols}")
+            rec(name, spark_rows=got.num_rows, oracle_rows=want.num_rows,
+                err=f"columns differ: oracle={wcols} spark={gcols}")
             n_fail += 1
             continue
         # Arrow-level type check: DuckDB SUM(int) yields HUGEINT → arrow
@@ -61,6 +81,8 @@ def main(sf_dir, out_dir):
                 tdiff.append((c, str(wt), str(gt)))
         if tdiff:
             print(f"FAIL {name}: arrow type mismatch (oracle vs spark): {tdiff}")
+            rec(name, spark_rows=got.num_rows, oracle_rows=want.num_rows,
+                err=f"arrow type mismatch: {tdiff}")
             n_fail += 1
             continue
         skey = lambda r: [(v is None, str(v)) for v in r]
@@ -68,6 +90,8 @@ def main(sf_dir, out_dir):
         grows = sorted([tuple(r[c] for c in gcols) for r in got.to_pylist()], key=skey)
         if len(wrows) != len(grows):
             print(f"FAIL {name}: rowcount oracle={len(wrows)} spark={len(grows)}")
+            rec(name, schema=True, spark_rows=len(grows),
+                oracle_rows=len(wrows), err="rowcount mismatch")
             n_fail += 1
             continue
         exact = True
@@ -89,17 +113,32 @@ def main(sf_dir, out_dir):
                 break
         if exact:
             print(f"PASS {name} ({len(grows)} rows, exact)")
+            rec(name, rows=True, schema=True, hsh=True,
+                spark_rows=len(grows), oracle_rows=len(wrows))
             n_pass += 1
         elif close:
             print(f"WARN {name} ({len(grows)} rows): values within 1e-12 but "
                   f"NOT bit-exact — hash compare may fail")
+            rec(name, rows=True, schema=True, spark_rows=len(grows),
+                oracle_rows=len(wrows),
+                err="values within 1e-12 but not bit-exact")
             n_fail += 1
         else:
             print(f"FAIL {name}: first diff\n  oracle={first_diff[0]}\n  "
                   f"spark ={first_diff[1]}")
+            rec(name, rows=True, schema=True, spark_rows=len(grows),
+                oracle_rows=len(wrows),
+                err=f"value diff: oracle={first_diff[0]} spark={first_diff[1]}")
             n_fail += 1
-    print(f"\n{n_pass} pass / {n_fail} fail")
+    if artifact is None:
+        artifact = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "CORRECTNESS_LOCAL.json")
+    with open(artifact, "w") as f:
+        json.dump(report, f, indent=2, sort_keys=True)
+        f.write("\n")
+    print(f"\n{n_pass} pass / {n_fail} fail  (artifact: {artifact})")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
