@@ -348,8 +348,9 @@ object Pipeline10Queries {
 
   // ---- PQ oracle: the same trajectory with (sub, cell) keys --------
 
-  /** PQ assignment `ai` under codebook `ci` (sub-vector frame `svn`). */
-  private def pqAssignCte(ai: String, ci: String): String =
+  /** PQ assignment `ai` under codebook `ci` (sub-vector frame `src`). */
+  private def pqAssignCte(ai: String, ci: String,
+                          src: String = "svn"): String =
     s"""$ai AS (SELECT vec_id, sub, cell, dist2 FROM (
        |  SELECT vec_id, sub, cell, dist2,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub
@@ -360,14 +361,15 @@ object Pipeline10Queries {
        |            z -> z[1] * z[2])) AS BIGINT)
        |        + CAST(list_sum(list_transform(c.cv, v -> v * v))
        |            AS BIGINT) AS dist2
-       |    FROM svn s JOIN $ci c ON s.sub = c.sub) ) WHERE rn = 1)"""
+       |    FROM $src s JOIN $ci c ON s.sub = c.sub) ) WHERE rn = 1)"""
       .stripMargin
 
   /** PQ codebook update `cn` from assignment `ai` over previous `cp`. */
-  private def pqUpdateCtes(ai: String, cp: String, cn: String): String =
+  private def pqUpdateCtes(ai: String, cp: String, cn: String,
+                           src: String = "svn"): String =
     s"""${cn}u AS (SELECT a.sub, a.cell, i.d,
        |    CAST(SUM(s.sv[i.d]) AS BIGINT) // COUNT(*) AS v
-       |  FROM $ai a JOIN svn s ON a.vec_id = s.vec_id AND a.sub = s.sub,
+       |  FROM $ai a JOIN $src s ON a.vec_id = s.vec_id AND a.sub = s.sub,
        |    idx8 i
        |  GROUP BY a.sub, a.cell, i.d),
        |$cn AS (SELECT p.sub, p.cell, COALESCE(n.cv, p.cv) AS cv
@@ -381,12 +383,23 @@ object Pipeline10Queries {
     * Internal seed CTEs carry a `pq` prefix so the block composes into
     * one WITH next to [[kmeansCtes]] (sim_ivfpq_topk); with `shared`
     * the quantizer CTEs (`mx`, `qq`) are NOT re-emitted — the composer
-    * already has them. */
+    * already has them. With `srcFilter` set, TRAINING (seed pool,
+    * assignment rounds, updates) is restricted to the matching vectors
+    * via an extra `svnb` CTE — the inc_pq_delta base-corpus replay —
+    * while the FINAL `pa$iters` assignment still encodes the full
+    * corpus (`svn`): exactly the codebook-reuse rebuild the identity
+    * oracles against. */
   private[queries] def pqCtes(m: Int, ksub: Int, subDim: Int, iters: Int,
                               salt: String,
-                              shared: Boolean = false): String = {
+                              shared: Boolean = false,
+                              srcFilter: Option[String] = None): String = {
     val quant =
       if (shared) "" else s"${Pipeline7Queries.quantCtes},\n"
+    val src = if (srcFilter.isDefined) "svnb" else "svn"
+    val trainCte = srcFilter
+      .map(f => s",\nsvnb AS (SELECT * FROM svn WHERE $f)")
+      .getOrElse("")
+    val seedWhere = srcFilter.map(f => s" WHERE $f").getOrElse("")
     val seed =
       s"""${quant}pqh AS (SELECT vec_id, qv,
          |  ${PipelineQueries.javaHashSql(
@@ -405,8 +418,8 @@ object Pipeline10Queries {
          |svn AS (SELECT vec_id, sub, sv,
          |    CAST(list_sum(list_transform(sv, v -> v * v)) AS BIGINT)
          |      AS svn
-         |  FROM svn0),
-         |pqsd AS (SELECT vec_id, qv, hu FROM pqsk
+         |  FROM svn0)$trainCte,
+         |pqsd AS (SELECT vec_id, qv, hu FROM pqsk$seedWhere
          |       ORDER BY hu, vec_id LIMIT $ksub),
          |r0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY hu, vec_id) - 1
          |    AS BIGINT) AS cell, qv FROM pqsd),
@@ -414,9 +427,11 @@ object Pipeline10Queries {
          |    r.qv[b.sub*$subDim+1 : b.sub*$subDim+$subDim] AS cv
          |  FROM r0 r, subs b)""".stripMargin
     val rounds = (0 until iters).map { i =>
-      s"""${pqAssignCte(s"pa$i", s"pc$i")},
-         |${pqUpdateCtes(s"pa$i", s"pc$i", s"pc${i + 1}")}""".stripMargin
+      s"""${pqAssignCte(s"pa$i", s"pc$i", src)},
+         |${pqUpdateCtes(s"pa$i", s"pc$i", s"pc${i + 1}", src)}""".stripMargin
     }
+    // the final encode always covers the FULL corpus — with a srcFilter
+    // this is the codebook-reuse rebuild inc_pq_delta grades against
     (Seq(seed) ++ rounds :+ pqAssignCte(s"pa$iters", s"pc$iters"))
       .mkString(",\n")
   }
@@ -668,9 +683,14 @@ object Pipeline10Queries {
   /** ADC: probe sub-distance tables against the trained codebook,
     * corpus ranked by summing m code lookups; ties to the smaller
     * neighbor_id — all integers, so ids, ranks and adist hash-match.
-    * (lazy: referenced from `oracles` during its initialization.) */
-  private lazy val pqTopkOracle: String =
-    s"""WITH ${pqCtes(PQ_M, PQ_K, PQ_SD, PQ_ITERS, "pq")},
+    * With `srcFilter` the codebook trains on the matching vectors only
+    * while the encode + serve still cover the full corpus — the
+    * inc_pq_delta full-rebuild oracle.
+    * (lazy base form: referenced from `oracles` during init.) */
+  private[queries] def pqTopkOracleWith(srcFilter: Option[String])
+  : String =
+    s"""WITH ${pqCtes(PQ_M, PQ_K, PQ_SD, PQ_ITERS, "pq",
+           srcFilter = srcFilter)},
        |pt AS (SELECT s.vec_id AS query_id, s.sub, c.cell,
        |    s.svn
        |      - 2 * CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
@@ -691,4 +711,6 @@ object Pipeline10Queries {
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
        |FROM rk WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
+
+  private lazy val pqTopkOracle: String = pqTopkOracleWith(None)
 }

@@ -45,20 +45,22 @@ def main(sf_dir, out_dir, artifact=None):
                         "oracle_rows": oracle_rows, "err": err}
 
     for name, sql in sorted(oracle.items()):
-        try:
-            want = con.execute(sql).fetch_arrow_table()
-        except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
-            rec(name, err=f"oracle error: {e}")
-            n_fail += 1
-            continue
+        # spark dump first — it is cheap to read and a scoped
+        # SPARK_GRAFT_VERIFY_ONLY run must not pay every other query's
+        # oracle CTEs just to find the dump missing
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}")
-            rec(name, oracle_rows=want.num_rows,
-                err=f"spark output missing: {e}")
+            rec(name, err=f"spark output missing: {e}")
+            n_fail += 1
+            continue
+        try:
+            want = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            rec(name, spark_rows=got.num_rows, err=f"oracle error: {e}")
             n_fail += 1
             continue
         wcols, gcols = sorted(want.column_names), sorted(got.column_names)
