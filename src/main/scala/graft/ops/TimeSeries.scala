@@ -348,8 +348,14 @@ object TimeSeries {
     *
     * Shape: one window pass keyed on the series (calendar-bounded per
     * key — the acfExact justification), one keyed aggregate for the
-    * PAAs (keys×windows rows), and the ntile runs over that aggregate
-    * frame, never the raw series.
+    * PAAs (keys×windows rows), and the equi-depth cut runs over that
+    * aggregate frame, never the raw series. The cut itself is a
+    * range-partitioned global rank ([[Ranks.globalRowNumber]]) plus
+    * the closed-form NTILE arithmetic — `ntile(n)` is a pure function
+    * of the global rank rn and the frame size N (the SQL rule: the
+    * first N mod n buckets carry one extra row) — so the aggregate
+    * frame never rides through a single task even when the key count
+    * grows with the data (millions of series at 100 TB).
     *
     * @return (keys..., w, paa, n, sym, word) — w 0-based */
   def saxWords(df: DataFrame, keys: Seq[String], order: Seq[Column],
@@ -369,9 +375,24 @@ object TimeSeries {
       .withColumn("paa",
         call_function("div", col("__s") * 1000000L, col("n")))
       .drop("__s")
-    val sym = paa.withColumn("sym",
-      ntile(alphabet).over(Window.orderBy(
-        (col("paa") +: k :+ col("w")): _*)))
+    // NTILE(alphabet) ORDER BY (paa, keys, w) without the single-task
+    // global sort: rank via P parallel range sorts, then rebuild the
+    // SQL bucket rule exactly (q = N div n, r = N mod n; rank rn maps
+    // to ceil(rn/(q+1)) inside the first r*(q+1) rows, else
+    // r + ceil((rn - r*(q+1))/q)). The order is total (keys+w unique),
+    // so the rank — and therefore every symbol — is deterministic.
+    val ranked = Ranks.globalRowNumber(paa, "__rk", numRanges = 32,
+      (col("paa") +: k :+ col("w")): _*)
+    val nRows = paa.agg(count(lit(1)).as("__N"))
+    val q = call_function("div", col("__N"), lit(alphabet.toLong))
+    val r = col("__N") % alphabet.toLong
+    val sym = ranked.crossJoin(broadcast(nRows))
+      .withColumn("sym",
+        when(col("__rk") <= r * (q + lit(1L)),
+          call_function("div", col("__rk") + q, q + lit(1L)))
+        .otherwise(r + call_function("div",
+          col("__rk") - r * (q + lit(1L)) + q - lit(1L), q)))
+      .drop("__rk", "__N")
     val letters = ('a' to 'z').take(alphabet).mkString
     val word = sym.groupBy(k: _*)
       .agg(concat_ws("",

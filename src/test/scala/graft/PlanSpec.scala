@@ -695,9 +695,9 @@ class PlanSpec extends SparkSuite {
       "min_pieces fell out of whole-stage codegen:\n" + plan(df).take(2000))
   }
 
-  test("ts_sax: the one unpartitioned window (the equi-depth ntile) " +
-      "ranks the keys x windows AGGREGATE frame — raw series columns " +
-      "never ride through a single task") {
+  test("ts_sax: no data-sized single-task window — the equi-depth " +
+      "symbols come from a range-partitioned global rank; the only " +
+      "unpartitioned window is the P-row per-range offset frame") {
     val df = q("ts_sax")
     df.collect() // settle AQE
     def deepWins(sp: org.apache.spark.sql.execution.SparkPlan)
@@ -708,11 +708,13 @@ class PlanSpec extends SparkSuite {
           deepWins(s.plan)
       }.flatten
     val unpart = deepWins(unwrapped(df)).filter(_.partitionSpec.isEmpty)
-    assert(unpart.nonEmpty, "expected the global ntile window")
+    assert(unpart.nonEmpty, "expected the P-row range-offset window " +
+      "(Ranks.globalRowNumber prefix sum)")
     unpart.foreach { w =>
       val cols = w.child.output.map(_.name)
-      assert(!cols.contains("x") && !cols.contains("day"),
-        s"raw series columns dragged through one task: $cols")
+      assert(cols.forall(_.startsWith("__")) && cols.contains("__pid"),
+        s"a data-sized frame rides through one task (expected only the " +
+          s"per-range __pid/__cnt offsets): $cols")
     }
   }
 
