@@ -1041,12 +1041,33 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.DataFrame
+    // Per-copy KEYED ALPHABET PERMUTATION (letters→letters,
+    // digits→digits so tokenization shape is preserved). The previous
+    // Caesar rotation had period 26: at copies > 26 every pure-alpha
+    // word was IDENTICAL across copies k ≡ k' (mod 26), which seeded
+    // ~(copies/26)-way clone classes — the sf10 curve measured
+    // dd_ppjoin at 41.8x for 10x data purely from that output-bound
+    // pair blowup (clone classes make C(c,2) genuine near-dup pairs
+    // per class; the engine plan was unchanged). A Fisher-Yates
+    // shuffle seeded by the copy index has period 26!·10! — replicas
+    // keep organic duplicate density at ANY copy count.
     def caesar(c: org.apache.spark.sql.Column, k: Int) = {
+      def perm(s: String, seed: Long): String = {
+        val a = s.toCharArray
+        val r = new scala.util.Random(seed)
+        var i = a.length - 1
+        while (i > 0) {
+          val j = r.nextInt(i + 1)
+          val t = a(i); a(i) = a(j); a(j) = t
+          i -= 1
+        }
+        new String(a)
+      }
       val alpha = "abcdefghijklmnopqrstuvwxyz"
       val dig = "0123456789"
-      val rot = alpha.drop(k % 26) + alpha.take(k % 26) +
-        dig.drop(k % 10) + dig.take(k % 10)
-      translate(c, alpha + dig, rot)
+      if (k == 0) c
+      else translate(c, alpha + dig,
+        perm(alpha, 0x5DEECE66DL * k) + perm(dig, 0xDA3E39CB94B95BDBL * k))
     }
     def write(t: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -1102,10 +1123,24 @@ object ScaleProbe {
       .withColumn("doc_id", col("doc_id") + k * 100000L)
       .withColumn("text", caesar(col("text"), k)))
     scaled("embeddings")((d, k) => {
+      // rotation alone has period 64 (copies 64.. duplicated copies
+      // 0.. EXACTLY — same clone-class artifact as the old Caesar);
+      // compose it with a per-copy deterministic SIGN-FLIP pattern
+      // (bits of a hashed copy index). Sign flips preserve norms and
+      // all within-copy dot products (s_i^2 = 1 termwise), so each
+      // replica keeps the source's cosine/cluster structure while
+      // cross-copy dots scramble — and the composite transform family
+      // is unbounded, no collisions at any copy count.
       val rot = (k * 7) % 64
-      val emb = if (rot == 0) col("embedding")
+      val rotated = if (rot == 0) col("embedding")
         else concat(slice(col("embedding"), rot + 1, 64 - rot),
           slice(col("embedding"), 1, rot))
+      val signBits = (0 until 64).map(j =>
+        ((k.toLong * 0x9E3779B97F4A7C15L + 0x165667B19E3779F9L) >>> j) & 1L)
+      val emb = if (k == 0) col("embedding")
+        else zip_with(rotated,
+          array(signBits.map(b => lit(if (b == 1L) -1.0f else 1.0f)): _*),
+          (x, s) => x * s)
       d.withColumn("vec_id", col("vec_id") + k * 10000L)
         .withColumn("embedding", emb)
         .withColumn("label", col("label") + k * 1000)

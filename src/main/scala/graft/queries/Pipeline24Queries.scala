@@ -452,10 +452,24 @@ object Pipeline24Queries {
     * `src` = qn for the production queries (whole corpus),
     * qs for the recall audit (the anchor-sampled ground-truth
     * corpus, so recall compares like with like). */
-  private def nndTail(src: String): String =
-    s"""bk AS (SELECT vec_id, qv, q_norm,
-       |    ${bucketSql(NndPlanes)} AS bucket
-       |  FROM $src),
+  private def nndTail(src: String): String = {
+    // the occupancy-adaptive plane count, mirrored from
+    // Similarity.nnDescentInit: p = base + #{j : N > occ·2^j}, bucket =
+    // low-p-bit prefix of the 16-plane signature. At the sf0.01
+    // correctness corpus p = NndPlanes, so the prefix equals the old
+    // fixed-plane bucket bit-for-bit.
+    val thresholds = (NndPlanes until Similarity.AdaptiveMaxPlanes)
+      .map(j => s"+ (CASE WHEN nv > ${Similarity.AdaptiveOcc << j} " +
+        "THEN 1 ELSE 0 END)")
+      .mkString("\n      ")
+    s"""nbv AS (SELECT COUNT(*) AS nv FROM $src),
+       |plv AS (SELECT $NndPlanes
+       |      $thresholds AS p
+       |  FROM nbv),
+       |bk AS (SELECT vec_id, qv, q_norm,
+       |    (${bucketSql(Similarity.AdaptiveMaxPlanes)})
+       |      % (CAST(1 AS BIGINT) << p) AS bucket
+       |  FROM $src, plv),
        |isc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    ${qdotSql("q.qv", "c.qv")} AS qdot,
        |    q.q_norm AS qna, c.q_norm AS qnb
@@ -483,6 +497,7 @@ object Pipeline24Queries {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
        |      $rankOrder) AS rnk
        |  FROM fsc)""".stripMargin
+  }
 
   /** Full-corpus NN-descent stack — sim_nn_descent /
     * sim_nnd_components (the production paths stay unsampled). */

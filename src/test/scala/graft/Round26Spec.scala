@@ -152,4 +152,53 @@ class Round26Spec extends SparkSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(streamed === rebuild)
   }
+
+  // ---- occupancy-adaptive NN-descent seeding ------------------------
+
+  test("adaptiveBucketed widens the signature prefix with corpus size " +
+      "(p=5 at 3000 vectors) and reproduces the fixed-plane bucket " +
+      "bit-for-bit below the first threshold") {
+    // 3000 deterministic 64-d vectors (hash-derived, no RNG)
+    val vecs = spark.range(3000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        (pmod(hash(col("id") * 64 + i), lit(255)) - lit(127))
+          .cast("float")).as("embedding"))
+    val sk = Similarity.quantizeInt8(vecs)
+    val n = sk.count() // quantizeInt8 can drop all-zero vectors
+    assert(n > 2048 && n <= 4096, s"fixture drifted: $n vectors")
+    val big = Similarity.adaptiveBucketed(sk, planes = 4)
+      .agg(countDistinct(col("bucket")).as("d"),
+        max(col("bucket")).as("mx"))
+      .as[(Long, Long)].head()
+    // N in (128·2^4, 128·2^5] → p = 5: strictly more buckets than the
+    // fixed-plane 16, all inside the 5-bit prefix
+    assert(big._1 > 16 && big._2 < 32,
+      s"expected 5-bit adaptive buckets, got distinct=${big._1} " +
+        s"max=${big._2}")
+    // below occ·2^planes the prefix IS the old fixed-plane bucket
+    val small = sk.limit(500)
+    val got = Similarity.adaptiveBucketed(small, planes = 4)
+      .select(col("vec_id"), col("bucket"))
+    val fixed = small.withColumn("bucket",
+      Similarity.bucketExprInt(col("q_emb"), 4))
+      .select(col("vec_id"), col("bucket"))
+    assert(got.except(fixed).isEmpty && fixed.except(got).isEmpty,
+      "small-corpus bucket diverged from the fixed-plane construction")
+  }
+
+  test("nnDescentInit above the adaptive threshold still emits valid " +
+      "top-k seed lists (<= k per query, exact scores)") {
+    val vecs = spark.range(2500).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        (pmod(hash(col("id") * 64 + i), lit(255)) - lit(127))
+          .cast("float")).as("embedding"))
+    val sk = Similarity.quantizeInt8(vecs)
+    val lists = Similarity.nnDescentInit(sk, 3, planes = 4)
+    val perQuery = lists.groupBy("query_id")
+      .agg(count(lit(1)).as("c"), max("rnk").as("mr"))
+      .agg(max("c").as("mc"), max("mr").as("mmr"))
+      .as[(Long, Long)].head()
+    assert(perQuery._1 <= 3 && perQuery._2 <= 3)
+    assert(lists.where(col("query_id") === col("neighbor_id")).isEmpty)
+  }
 }
