@@ -682,12 +682,30 @@ object DedupText {
       .select(col("pa.id").as("a_id"), col("pb.id").as("b_id"),
         col("pa.m").as("ma"), col("pb.m").as("mb"))
       .distinct()
+    // verify arm: per-pair set intersection on COLLECTED token arrays —
+    // the r14 sf10 leg measured the previous token-level expansion
+    // (cand ⋈ tok on a_id, Σ_pairs m_a rows — 1.8e9 intermediate rows
+    // at 12M candidates × ~150 shingles) at 23× wall for 10× data from
+    // shuffle pressure alone. Shipping each candidate pair ONCE with
+    // both token sets and intersecting in-row (codegen'd
+    // array_intersect over per-doc-distinct sets — exact count) keeps
+    // the verify stage at O(candidates) rows; the arrays ride two
+    // id-keyed equi-joins, never a broadcast of the corpus. The sets
+    // frame is PINNED: it feeds both join sides, and unpinned the
+    // 28M-row collect_list aggregate re-ran once per side (the r14
+    // stage profile measured the recomputation at ~2/3 of the whole
+    // verify arm).
+    val sets = tok.groupBy("id").agg(collect_list(col("tok")).as("ts"))
+      .pin()
     val inter = cand
-      .join(tok.select(col("id").as("a_id"), col("tok")), "a_id")
-      .join(tok.select(col("id").as("b_id"), col("tok")),
-        Seq("b_id", "tok"))
-      .groupBy("a_id", "b_id", "ma", "mb")
-      .agg(count(lit(1)).as("n_inter"))
+      .join(sets.select(col("id").as("a_id"), col("ts").as("__ta")),
+        "a_id")
+      .join(sets.select(col("id").as("b_id"), col("ts").as("__tb")),
+        "b_id")
+      .select(col("a_id"), col("b_id"), col("ma"), col("mb"),
+        size(array_intersect(col("__ta"), col("__tb")))
+          .cast("long").as("n_inter"))
+      .where(col("n_inter") > 0)
     inter
       .where(lit((tauDen + tauNum).toLong) * col("n_inter") >=
         lit(tauNum.toLong) * (col("ma") + col("mb")))
