@@ -405,7 +405,26 @@ object ExplainDump {
         "d²-row matvec join + a 1-row broadcast renorm: the plan's " +
         "iterated section is corpus-size-INDEPENDENT, which is the " +
         "whole point of the gram seam (and why inc_power_delta can " +
-        "maintain it by summing d²-row summaries).")
+        "maintain it by summing d²-row summaries)."),
+    "graph_reach_sketch" ->
+      ("ANF by bottom-k sketch propagation: each round is ONE " +
+        "sketch⋈edges equi-join on the source vertex (fan-out ≤ k·|E| " +
+        "rows of 16-byte (grp, hu, key) triples — never ball members) " +
+        "plus a grp-partitioned rank window cutting back to k rows per " +
+        "vertex; rounds pin, so the final plan reads pinned leaves and " +
+        "assembles the per-(node, radius) estimate terms in partial→" +
+        "final hash aggregates. State is k·|V| regardless of ball " +
+        "sizes — exact BFS counting would carry Σ|B(v,r)| and die on " +
+        "any small-diameter 100 TB graph."),
+    "inc_contam_delta" ->
+      ("Growing-benchmark decontamination: both shingle probes are " +
+        "BroadcastHashJoins into the corpus token stream (an eval " +
+        "suite is tiny next to a 100 TB corpus — the corpus NEVER " +
+        "shuffles on shingles), the new-shingle remainder is a " +
+        "broadcast anti-join of delta vs stored base shingles, and " +
+        "the merged counts are one keyed hash aggregate over " +
+        "stored ∪ delta partials. The base benchmark's probe work " +
+        "never re-runs — the additivity the identity grades.")
   )
 
   def main(args: Array[String]): Unit = {

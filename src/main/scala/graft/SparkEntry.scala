@@ -43,7 +43,8 @@ object SparkEntry {
       Pipeline22Queries.queries ++ Pipeline23Queries.queries ++
       Pipeline24Queries.queries ++ Pipeline25Queries.queries ++
       Pipeline26Queries.queries ++ Pipeline27Queries.queries ++
-      Pipeline28Queries.queries ++ Pipeline29Queries.queries
+      Pipeline28Queries.queries ++ Pipeline29Queries.queries ++
+      Pipeline30Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -64,5 +65,6 @@ object SparkEntry {
       Pipeline22Queries.oracles ++ Pipeline23Queries.oracles ++
       Pipeline24Queries.oracles ++ Pipeline25Queries.oracles ++
       Pipeline26Queries.oracles ++ Pipeline27Queries.oracles ++
-      Pipeline28Queries.oracles ++ Pipeline29Queries.oracles
+      Pipeline28Queries.oracles ++ Pipeline29Queries.oracles ++
+      Pipeline30Queries.oracles
 }

@@ -247,7 +247,29 @@ object DedupText {
     * the probe happens map-side inside the corpus scan stage and only
     * (id, count) partials reach the final aggregation. */
   def contaminationHits(corpus: DataFrame, bench: DataFrame, idCol: String,
-                        text: String, n: Int = 3): DataFrame = {
+                        text: String, n: Int = 3): DataFrame =
+    contaminationHitsSet(corpus, benchShingles(bench, text, n), idCol,
+      text, n)
+
+  /** The benchmark's globally-distinct shingle set (col `s`) — the
+    * persisted sketch artifact of the contamination pipeline: tiny next
+    * to the corpus, broadcast into every probe, and the base AGAINST
+    * which a later benchmark batch deduplicates its shingles
+    * ([[contaminationMergedDelta]]). Null/empty texts are fenced (see
+    * [[contaminationHits]]'s sentinel note). */
+  def benchShingles(bench: DataFrame, text: String, n: Int = 3)
+  : DataFrame =
+    bench.where(col(text).isNotNull && length(col(text)) > 0)
+      .select(explode(TextOps.shingles(col(text), n)).as("s"))
+      .distinct()
+
+  /** [[contaminationHits]] against an EXPLICIT shingle set (col `s`) —
+    * the probe half on its own, so a stored [[benchShingles]] frame (or
+    * the new-shingles remainder of a benchmark batch) can drive the
+    * corpus join without re-deriving the set from raw text. */
+  def contaminationHitsSet(corpus: DataFrame, shingleSet: DataFrame,
+                           idCol: String, text: String, n: Int = 3)
+  : DataFrame = {
     // null/empty text carries no contamination signal, but shingles()'s
     // short-doc branch would map it to the "" sentinel shingle on BOTH
     // sides — flagging every empty corpus doc as contaminated by every
@@ -255,11 +277,40 @@ object DedupText {
     val hasText = col(text).isNotNull && length(col(text)) > 0
     val cSh = Par.fanOut(corpus.where(hasText), col(idCol)).select(col(idCol),
       explode(TextOps.shingles(col(text), n)).as("s"))
-    val bSh = bench.where(hasText)
-      .select(explode(TextOps.shingles(col(text), n)).as("s"))
-      .distinct()
-    cSh.join(broadcast(bSh), Seq("s"))
+    cSh.join(broadcast(shingleSet.select(col("s")).distinct()), Seq("s"))
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Contamination maintenance under a GROWING benchmark — the
+    * merge≡rebuild identity of the decontamination path: per-doc hit
+    * counts are ADDITIVE over a partition of the benchmark shingle set,
+    *
+    *   n_hits(c, B ∪ D) = |sh(c) ∩ sh(B)| + |sh(c) ∩ (sh(D) \ sh(B))|,
+    *
+    * so when a new eval suite lands, the STORED per-doc counts enter
+    * the result verbatim and the corpus probes only the genuinely new
+    * shingles (the batch's shingles anti-joined against the stored
+    * [[benchShingles]] sketch). At 100 TB the corpus-side probe against
+    * the full benchmark set is the entire cost of a rebuild; the delta
+    * pass broadcasts |sh(D) \ sh(B)| ≪ |sh(B ∪ D)| and the base×base
+    * work never re-runs — the blockedPairsDelta convention on the
+    * text-overlap path.
+    *
+    * @param stored   a [[contaminationHits]]/[[contaminationHitsSet]]
+    *                 output for (corpus, base benchmark)
+    * @param benchShB the base benchmark's [[benchShingles]] frame
+    *                 (pin it — it is referenced by the anti-join here
+    *                 AND by whatever built `stored`)
+    * @param benchDelta the newly-arrived benchmark documents (raw) */
+  def contaminationMergedDelta(corpus: DataFrame, stored: DataFrame,
+                               benchShB: DataFrame, benchDelta: DataFrame,
+                               idCol: String, text: String, n: Int = 3)
+  : DataFrame = {
+    val newSh = benchShingles(benchDelta, text, n)
+      .join(benchShB.select("s"), Seq("s"), "left_anti")
+    stored.select(col(idCol), col("n_hits"))
+      .unionByName(contaminationHitsSet(corpus, newSh, idCol, text, n))
+      .groupBy(idCol).agg(sum("n_hits").as("n_hits"))
   }
 
   /** Exact-substring duplicate spans (the exact-match half of Lee et al.

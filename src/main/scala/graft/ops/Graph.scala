@@ -2040,4 +2040,63 @@ object Graph {
     }
     e
   }
+
+  /** Approximate Neighborhood Function via bottom-k reachability
+    * sketches — ANF (Palmer et al. 2002) with the KMV bottom-k register
+    * of [[Freq.bottomK]] in place of ANF's Flajolet–Martin bitmasks and
+    * HyperBall's HLL counters (Boldi & Vigna 2011; the size-estimation
+    * framework is Cohen 1997): the bottom-k merge is DETERMINISTIC
+    * under the total (hash, key) order, so every propagation round
+    * replays bit-for-bit in the SQL oracle — the approx_bottomk idiom
+    * lifted onto graph balls.
+    *
+    * sketch₀(v) = {v};  sketchᵣ(v) = bottomK( sketchᵣ₋₁(v) ∪
+    * ⋃_{(u→v)∈E} sketchᵣ₋₁(u) ) — after r rounds the sketch summarizes
+    * the set of nodes with a ≤ r-hop path INTO v (feed a symmetric edge
+    * list for the undirected ball), so [[Freq.kmvEstimate]]'s
+    * (k−1)·2³²/h_k terms estimate |B(v, r)|, and n_sketch < k means the
+    * ball is EXACT (every reached node survived the cut). The
+    * per-radius curve IS the neighborhood function N(v, r); where it
+    * stops growing is the effective-diameter read, and Σ_v N(v, r) is
+    * the classic ANF "how connected is this graph" statistic.
+    *
+    * Scale: one round = one equi-join (sketch ⋈ edges on the source
+    * endpoint — the bfsDistances frontier shape, fan-out ≤ k·|E|) + one
+    * per-vertex bottom-k cut; state is ≤ k rows per vertex REGARDLESS
+    * of ball sizes — the whole point of sketched ANF vs exact BFS
+    * counting, whose per-source state Σ_v |B(v, r)| explodes on the
+    * small-diameter graphs real link corpora are. Rounds pin per the
+    * iterative-operator contract.
+    *
+    * @return one row per (node, r ∈ 1..rounds): n_sketch plus integer
+    *         estimate terms est_num/est_den (division downstream — no
+    *         float leaves the engine). */
+  def reachSketch(edges: DataFrame, srcCol: String, dstCol: String,
+                  k: Int, rounds: Int): DataFrame = {
+    require(k >= 2 && rounds >= 1, s"bad sketch shape k=$k r=$rounds")
+    graft.expr.GraftFunctions.register(edges.sparkSession)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().pin()
+    val nodes = e.select(col("src").as("grp"))
+      .unionByName(e.select(col("dst").as("grp"))).distinct()
+    var sk = nodes
+      .select(col("grp"),
+        graft.expr.GraftFunctions.java_hash_u32(
+          col("grp").cast("string")).as("hu"),
+        col("grp").cast("string").as("k_key"))
+      .pin()
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val prop = sk.join(e, sk("grp") === e("src"))
+        .select(col("dst").as("grp"), col("hu"), col("k_key"))
+      sk = Freq.bottomKMerge(sk.unionByName(prop), k)
+        .select("grp", "hu", "k_key")
+        .pin()
+      val est = Freq.kmvEstimate(sk, k)
+        .select(col("grp").as("node"), lit(r.toLong).as("r"),
+          col("n_sketch"), col("est_num"), col("est_den"))
+      out = if (out == null) est else out.unionByName(est)
+    }
+    out
+  }
 }

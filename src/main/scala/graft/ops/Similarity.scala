@@ -651,6 +651,75 @@ object Similarity {
     rankScored(scored, k)
   }
 
+  /** Batch BEAM search over a prebuilt kNN graph — the graph-ANN
+    * SERVING path (HNSW's layer-0 best-first search, Malkov & Yashunin
+    * 2018; DiskANN's greedy search, Jayaram Subramanya et al. 2019),
+    * reformulated for the shuffle engine: a per-query priority queue is
+    * sequential state Spark cannot distribute, so ALL queries advance a
+    * fixed-width beam in LOCKSTEP rounds — round r's beam is the top-b
+    * (by exact int8 cosine, [[rankScored]]'s total order) of the
+    * previous beam ∪ its graph out-neighbors. With beam width b ≥ the
+    * greedy queue length, the lockstep beam visits a superset of
+    * greedy's frontier at equal depth; each round is ONE id-keyed
+    * equi-join into the graph (fan-out ≤ b·outdeg per query) + one
+    * bounded rank window (≤ b·(outdeg+1) candidate rows per query) —
+    * never a corpus scan, which is the entire point: serving cost per
+    * query is O(rounds · b · outdeg) at ANY corpus size, vs the brute
+    * probe's O(N).
+    *
+    * Fully deterministic (exact integer dots, total-order ranks), so
+    * the unrolled round replay in the SQL oracle is bit-exact.
+    * Self-matches are excluded throughout (a corpus-member probe
+    * re-finding itself is not retrieval).
+    *
+    * @param graph   directed kNN out-lists (query_id, neighbor_id) —
+    *                e.g. [[nnDescentRound]] output (the build path this
+    *                read path completes)
+    * @param probes  probe sketch rows (query_id, q_emb, q_norm); tiny
+    *                vs the corpus, broadcast into every scoring join
+    * @param entries entry vectors (vec_id) — the fixed handful of
+    *                deterministic start nodes every query descends
+    *                from ([[anchorSample]]'s bottom-by-hash rule)
+    * @return (query_id, rnk, neighbor_id, qdot) — top-k per probe */
+  def graphBeamSearch(sketch: DataFrame, graph: DataFrame,
+                      probes: DataFrame, entries: DataFrame,
+                      beam: Int, rounds: Int, k: Int): DataFrame = {
+    require(beam >= k && rounds >= 1 && k >= 1,
+      s"bad beam shape b=$beam r=$rounds k=$k")
+    graft.expr.GraftFunctions.register(sketch.sparkSession)
+    val ll = graft.expr.GraftFunctions.dot_ll _
+    val g = graph.select(col("query_id").as("node"),
+      col("neighbor_id").as("next")).distinct().pin()
+    val q = probes.select(col("query_id"), col("q_emb").as("p_q"),
+      col("q_norm").as("p_n")).pin()
+    val c = sketch.select(col("vec_id").as("neighbor_id"),
+      col("q_emb").as("c_q"), col("q_norm").as("c_n"))
+    // score a (query_id, neighbor_id) candidate frame and cut to top-b
+    def score(cand: DataFrame): DataFrame =
+      rankScored(
+        cand.where(col("query_id") =!= col("neighbor_id"))
+          .join(c, "neighbor_id")
+          .join(broadcast(q), "query_id")
+          .select(col("query_id"), col("neighbor_id"),
+            ll(col("p_q"), col("c_q")).as("qdot"),
+            col("p_n").as("qna"), col("c_n").as("qnb")),
+        beam)
+    var bm = score(q.select("query_id")
+        .crossJoin(broadcast(entries.select(col("vec_id").as("neighbor_id")))))
+      .pin()
+    for (_ <- 1 to rounds) {
+      val nbr = bm.select("query_id", "neighbor_id")
+        .join(g, col("neighbor_id") === col("node"))
+        .select(col("query_id"), col("next").as("neighbor_id"))
+      bm = score(bm.select("query_id", "neighbor_id")
+        .unionByName(nbr).distinct()).pin()
+    }
+    // the final k-cut: the last beam is already ranked under the same
+    // total order, so the top-k IS its first k rows per query
+    bm.where(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "qdot")
+  }
+
   /** Matryoshka prefix of an int8 sketch: keep the first `dims`
     * dimensions and recompute the norm over the prefix — the
     * MRL-serving trick (Kusupati et al. 2022: nested representations

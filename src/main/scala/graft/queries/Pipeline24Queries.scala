@@ -19,15 +19,15 @@ object Pipeline24Queries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val K = 5 // the k of every k-NN list in this file
+  private[queries] val K = 5 // the k of every k-NN list in this file
   /** Fixed-N ground-truth corpus for the brute (N²) anchors —
     * [[graft.ops.Similarity.anchorSample]]'s n. 500 = the WHOLE
     * embedding corpus at the sf0.01 correctness grade (sample ≡
     * corpus there, outputs unchanged); past it the anchors' pair
     * space stays 500² at ANY scale factor, so scale refreshes read
     * the engine's real curve instead of the anchors' by-design N². */
-  private val AnchorN = 500
-  private val NndPlanes = 4 // 16 LSH seed buckets for NN-descent
+  private[queries] val AnchorN = 500
+  private[queries] val NndPlanes = 4 // 16 LSH seed buckets for NN-descent
   private val KmvK = 32 // bottom-k sketch width
   private val PowerRounds = 4 // emb_power_iter matvec rounds
   private val PowerKeep = 20 // renorm target magnitude = 2^20
@@ -378,7 +378,7 @@ object Pipeline24Queries {
   /** The int8-sketch CTE stack (mx → qq → qn), shared with
     * sim_quantized_topk's oracle: per-vector max-abs floor quantization,
     * zero/NaN vectors fenced, exact integer norms. */
-  private val qnCtes: String =
+  private[queries] val qnCtes: String =
     """mx AS (SELECT vec_id, embedding,
       |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
       |    AS ma FROM embeddings),
@@ -390,11 +390,11 @@ object Pipeline24Queries {
       |  list_sum(list_transform(qv, v -> v * v)) AS q_norm FROM qq)"""
       .stripMargin
 
-  private def qdotSql(a: String, b: String): String =
+  private[queries] def qdotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) " +
       "AS BIGINT)"
 
-  private val rankOrder: String =
+  private[queries] val rankOrder: String =
     """CAST(qdot AS DOUBLE) /
       |      (sqrt(CAST(qna AS DOUBLE)) * sqrt(CAST(qnb AS DOUBLE))) DESC,
       |      neighbor_id ASC""".stripMargin
@@ -404,7 +404,7 @@ object Pipeline24Queries {
     * [[Similarity.anchorSample]] exactly. At the sf0.01 correctness
     * corpus (500 vectors) qs == qn, so the graded outputs are
     * unchanged; past it the brute anchors stop growing N² with SF. */
-  private val anchorCtes: String =
+  private[queries] val anchorCtes: String =
     s"""$qnCtes,
        |qh AS (SELECT vec_id, qv, q_norm,
        |    CASE WHEN h < 0 THEN h + 4294967296 ELSE h END AS hu
@@ -452,7 +452,7 @@ object Pipeline24Queries {
     * `src` = qn for the production queries (whole corpus),
     * qs for the recall audit (the anchor-sampled ground-truth
     * corpus, so recall compares like with like). */
-  private def nndTail(src: String): String = {
+  private[queries] def nndTail(src: String): String = {
     // the occupancy-adaptive plane count, mirrored from
     // Similarity.nnDescentInit: p = base + #{j : N > occ·2^j}, bucket =
     // low-p-bit prefix of the 16-plane signature. At the sf0.01

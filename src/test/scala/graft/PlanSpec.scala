@@ -828,4 +828,63 @@ class PlanSpec extends SparkSuite {
     assert(pb.contains("HashAggregate"),
       "delta must hash-aggregate:\n" + pb.take(1500))
   }
+
+  test("reachSketch IN-LOOP round (the frame each pin executes): " +
+      "propagate is an id-keyed equi-join, the bottom-k cut is a " +
+      "grp-partitioned window — no cartesian, no unpartitioned window") {
+    import spark.implicits._
+    graft.expr.GraftFunctions.register(spark)
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val sk0 = e.select(col("src").as("grp"))
+      .unionByName(e.select(col("dst").as("grp"))).distinct()
+      .select(col("grp"),
+        graft.expr.GraftFunctions.java_hash_u32(col("grp").cast("string"))
+          .as("hu"),
+        col("grp").cast("string").as("k_key"))
+    val prop = sk0.join(e, sk0("grp") === e("src"))
+      .select(col("dst").as("grp"), col("hu"), col("k_key"))
+    val round = ops.Freq.bottomKMerge(sk0.unionByName(prop), 4)
+    round.collect()
+    val p = plan(round)
+    assert(!p.contains("CartesianProduct"),
+      "a sketch round planned a cartesian:\n" + p.take(1500))
+    def deepWins(sp: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      sp.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          deepWins(s.plan)
+      }.flatten
+    val wins = deepWins(unwrapped(round))
+    assert(wins.nonEmpty, "expected the bottom-k rank window")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"the bottom-k cut must partition per vertex, got single-task: $w")
+    }
+  }
+
+  test("graph_reach_sketch end-to-end: estimates assemble in hash " +
+      "aggregates over the pinned sketches — no cartesian anywhere") {
+    val df = q("graph_reach_sketch")
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      "reach sketch planned a cartesian:\n" + p.take(1500))
+    assert(p.contains("HashAggregate"),
+      "per-node estimate terms must hash-aggregate:\n" + p.take(1500))
+  }
+
+  test("inc_contam_delta: both benchmark shingle sets ride broadcasts " +
+      "into the corpus probe (the corpus never shuffles on shingles); " +
+      "no cartesian") {
+    val df = q("inc_contam_delta")
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      "contamination delta planned a cartesian:\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      "the shingle probe must broadcast:\n" + p.take(1500))
+    assert(p.contains("HashAggregate"),
+      "hit counts must hash-aggregate:\n" + p.take(1500))
+  }
 }
