@@ -424,7 +424,17 @@ object ExplainDump {
         "broadcast anti-join of delta vs stored base shingles, and " +
         "the merged counts are one keyed hash aggregate over " +
         "stored ∪ delta partials. The base benchmark's probe work " +
-        "never re-runs — the additivity the identity grades.")
+        "never re-runs — the additivity the identity grades."),
+    "sim_graph_search" ->
+      ("Graph-ANN serving (HNSW layer-0 / DiskANN greedy, lockstep-" +
+        "beam reformulated): the kNN out-lists pin once, each beam " +
+        "round is ONE id-keyed equi-join into the pinned graph " +
+        "(fan-out ≤ beam·outdeg per query) + a query-partitioned rank " +
+        "window over ≤ beam·(outdeg+1) candidates, and the tiny probe " +
+        "and entry frames ride broadcasts. Per-probe serving cost is " +
+        "O(rounds·beam·outdeg) at ANY corpus size — the corpus is " +
+        "never scanned, which is what the sub-quadratic NN-descent " +
+        "build exists to enable.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.ops.{DedupText, Graph, Similarity}
 import graft.ops.Pin.PinOps
@@ -35,6 +36,10 @@ object Pipeline30Queries {
     * the ANF effective-diameter read. */
   private[queries] val ReachRounds = 3
 
+  /** Horizon for the effective-diameter read — one past the flatten
+    * point, so the 90%-of-final criterion has a stable denominator. */
+  private[queries] val EffRounds = 4
+
   /** Unsigned 32-bit Java hash in DuckDB (the Pipeline11 convention). */
   private def huSql(c: String): String = {
     val jh = PipelineQueries.javaHashSql(c)
@@ -52,6 +57,30 @@ object Pipeline30Queries {
     * ([[graft.ops.Similarity.anchorSample]]'s rule at n = 4). */
   private[queries] val GsEntries = 4
 
+  /** Split `docs` into `n` doc_id-ordered slices and write each as a
+    * single parquet file with strictly increasing mtimes (the
+    * writeWeeklySlices replay-order pin) — the arriving-eval-suite
+    * fixture for stream_contam. */
+  private[graft] def writeDocSlices(docs: DataFrame, n: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("scm_src").toString
+    val sliced = docs
+      .withColumn("__part", ntile(n).over(Window.orderBy(col("doc_id"))))
+      .pin()
+    for (i <- 1 to n) {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"scm_t$i").toString
+      sliced.where(col("__part") === i).drop("__part")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, f"bench_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L),
+        s"stream_contam: could not pin mtime of $dst")
+    }
+    dir
+  }
+
   val queries: Map[String, Q] = Map(
 
     "graph_reach_sketch" -> ((s, dir) => {
@@ -66,6 +95,28 @@ object Pipeline30Queries {
           Pipeline8Queries.purchaseEdges(s, dir, symmetric = true),
           "src", "dst", k = ReachK, rounds = ReachRounds)
         .orderBy("r", "node")
+    }),
+
+    "graph_eff_diameter" -> ((s, dir) => {
+      // the ANF headline statistic (Palmer et al. 2002 §1: "how many
+      // hops until the graph is effectively covered"): the global
+      // neighborhood function N(r) = Σ_v est|B(v, r)| per radius, and
+      // the 90%-effective-diameter flag 10·N(r) ≥ 9·N(R) — division-
+      // free integers throughout (per-node est = est_num div est_den,
+      // both engines truncate non-negative division identically). The
+      // 1-row final-radius total rides a broadcast; 4 rows out.
+      val sk = Graph.reachSketch(
+        Pipeline8Queries.purchaseEdges(s, dir, symmetric = true),
+        "src", "dst", k = ReachK, rounds = EffRounds)
+      val curve = sk.select(col("r"),
+          call_function("div", col("est_num"), col("est_den")).as("est"))
+        .groupBy("r").agg(sum("est").as("n_sum"))
+      val last = curve.where(col("r") === EffRounds)
+        .select(col("n_sum").as("n_last"))
+      curve.crossJoin(broadcast(last))
+        .select(col("r"), col("n_sum"),
+          (col("n_sum") * 10 >= col("n_last") * 9).as("reaches90"))
+        .orderBy("r")
     }),
 
     "inc_contam_delta" -> ((s, dir) => {
@@ -87,6 +138,36 @@ object Pipeline30Queries {
       DedupText.contaminationMergedDelta(corpus, stored, bShB,
           d.where(m103 === 0 && m101 =!= 0), "doc_id", "text", n = 3)
         .orderBy("doc_id")
+    }),
+
+    "stream_contam" -> ((s, dir) => {
+      // the streaming deployment of inc_contam_delta: benchmark suites
+      // land as 3 doc_id-ordered microbatches (1 file per trigger,
+      // mtime-ordered); each batch probes the corpus ONLY with its
+      // genuinely new shingles and folds into the filesystem-
+      // checkpointed (shingle set, hit counts) state. The final state
+      // must equal the batch rebuild over ALL benchmark docs — oracle
+      // = inc_contam_delta's full-rebuild SQL verbatim. Restart and
+      // replay safety pinned in Round27Spec.
+      val d = Tables.documents(s, dir)
+      val m101 = pmod(col("doc_id"), lit(101L))
+      val m103 = pmod(col("doc_id"), lit(103L))
+      val srcDir = writeDocSlices(
+        d.where(m101 === 0 || m103 === 0).select("doc_id", "text"),
+        n = 3)
+      val corpus = d.where(m101 =!= 0 && m103 =!= 0)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("scm_ckpt").toString
+      val state = java.nio.file.Files
+        .createTempDirectory("scm_state").toString
+      val stream = s.readStream
+        .schema(s.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(srcDir)
+      graft.streaming.ContamMonitor.run(s, stream, corpus, "doc_id",
+        "text", n = 3, stateDir = state, ckptDir = ckpt)
+      graft.streaming.ContamMonitor.hits(s, state).orderBy("doc_id")
     }),
 
     "sim_graph_search" -> ((s, dir) => {
@@ -144,6 +225,47 @@ object Pipeline30Queries {
   // Oracles
   // --------------------------------------------------------------------
 
+  /** The ANF CTE stack over the symmetrized purchase graph: edges,
+    * node seeds, `rounds` unrolled bottom-k merge rounds (mirroring
+    * [[graft.ops.Graph.reachSketch]] exactly), per-round estimate-term
+    * CTEs, and the union frame `u(node, r, n_sketch, est_num,
+    * est_den)` — shared by graph_reach_sketch and graph_eff_diameter. */
+  private def reachCtes(rounds: Int): String = {
+    val k = ReachK
+    val merges = (1 to rounds).map { r =>
+      s"""m$r AS (SELECT DISTINCT grp, hu, k_key FROM (
+         |    SELECT grp, hu, k_key FROM s${r - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS grp, s${r - 1}.hu, s${r - 1}.k_key
+         |    FROM s${r - 1} JOIN e ON e.src = s${r - 1}.grp)),
+         |s$r AS (SELECT grp, hu, k_key FROM (
+         |    SELECT grp, hu, k_key,
+         |      ROW_NUMBER() OVER (PARTITION BY grp
+         |        ORDER BY hu, k_key) AS rn FROM m$r)
+         |  WHERE rn <= $k),
+         |est$r AS (SELECT grp, COUNT(*) AS n_sketch, MAX(hu) AS h_k
+         |  FROM s$r GROUP BY grp)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds).map { r =>
+      s"""SELECT grp AS node, CAST($r AS BIGINT) AS r, n_sketch,
+         |  CASE WHEN n_sketch < $k THEN n_sketch
+         |       ELSE CAST(${(k - 1).toLong * 4294967296L} AS BIGINT)
+         |       END AS est_num,
+         |  CASE WHEN n_sketch < $k THEN CAST(1 AS BIGINT)
+         |       ELSE h_k END AS est_den
+         |FROM est$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+       |    l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |nd AS (SELECT src AS grp FROM e UNION SELECT dst FROM e),
+       |s0 AS (SELECT grp, ${huSql("CAST(grp AS VARCHAR)")} AS hu,
+       |    CAST(grp AS VARCHAR) AS k_key FROM nd),
+       |$merges,
+       |u AS ($unions)""".stripMargin
+  }
+
   /** The lockstep-beam CTE tail over sketch CTE `src` — requires `qh`
     * (the hashed sketch frame from Pipeline24's anchorCtes), `fin`
     * (the NN-descent ranked lists over `src` from nndTail), and a
@@ -184,62 +306,48 @@ object Pipeline30Queries {
        |$rounds""".stripMargin
   }
 
+  /** Full decontamination rebuild over base ∪ delta benchmark — the
+    * shared oracle of inc_contam_delta (the batch identity) and
+    * stream_contam (the streaming fold of the same identity). */
+  private val contamRebuildSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents
+      |           WHERE text IS NOT NULL AND len(text) > 0),
+      |sh AS (SELECT doc_id,
+      |  unnest(list_distinct(CASE WHEN len(ws) >= 3
+      |    THEN list_transform(range(1, len(ws) - 1),
+      |         i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2])
+      |    ELSE [list_aggregate(ws, 'string_agg', ' ')] END)) AS s
+      |  FROM t),
+      |b AS (SELECT DISTINCT s FROM sh
+      |      WHERE doc_id % 101 = 0 OR doc_id % 103 = 0),
+      |c AS (SELECT * FROM sh
+      |      WHERE doc_id % 101 <> 0 AND doc_id % 103 <> 0)
+      |SELECT c.doc_id, COUNT(*) AS n_hits
+      |FROM c JOIN b USING (s)
+      |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
-    "graph_reach_sketch" -> {
-      val k = ReachK
-      val rounds = (1 to ReachRounds).map { r =>
-        s"""m$r AS (SELECT DISTINCT grp, hu, k_key FROM (
-           |    SELECT grp, hu, k_key FROM s${r - 1}
-           |    UNION ALL
-           |    SELECT e.dst AS grp, s${r - 1}.hu, s${r - 1}.k_key
-           |    FROM s${r - 1} JOIN e ON e.src = s${r - 1}.grp)),
-           |s$r AS (SELECT grp, hu, k_key FROM (
-           |    SELECT grp, hu, k_key,
-           |      ROW_NUMBER() OVER (PARTITION BY grp
-           |        ORDER BY hu, k_key) AS rn FROM m$r)
-           |  WHERE rn <= $k),
-           |est$r AS (SELECT grp, COUNT(*) AS n_sketch, MAX(hu) AS h_k
-           |  FROM s$r GROUP BY grp)""".stripMargin
-      }.mkString(",\n")
-      val unions = (1 to ReachRounds).map { r =>
-        s"""SELECT grp AS node, CAST($r AS BIGINT) AS r, n_sketch,
-           |  CASE WHEN n_sketch < $k THEN n_sketch
-           |       ELSE CAST(${(k - 1).toLong * 4294967296L} AS BIGINT)
-           |       END AS est_num,
-           |  CASE WHEN n_sketch < $k THEN CAST(1 AS BIGINT)
-           |       ELSE h_k END AS est_den
-           |FROM est$r""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
-         |    l_suppkey * 2 + 1 AS dst
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-         |nd AS (SELECT src AS grp FROM e UNION SELECT dst FROM e),
-         |s0 AS (SELECT grp, ${huSql("CAST(grp AS VARCHAR)")} AS hu,
-         |    CAST(grp AS VARCHAR) AS k_key FROM nd),
-         |$rounds
-         |$unions
-         |ORDER BY r, node""".stripMargin
-    },
+    "graph_reach_sketch" ->
+      s"""WITH ${reachCtes(ReachRounds)}
+         |SELECT node, r, n_sketch, est_num, est_den FROM u
+         |ORDER BY r, node""".stripMargin,
 
-    "inc_contam_delta" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
-        |           FROM documents
-        |           WHERE text IS NOT NULL AND len(text) > 0),
-        |sh AS (SELECT doc_id,
-        |  unnest(list_distinct(CASE WHEN len(ws) >= 3
-        |    THEN list_transform(range(1, len(ws) - 1),
-        |         i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2])
-        |    ELSE [list_aggregate(ws, 'string_agg', ' ')] END)) AS s
-        |  FROM t),
-        |b AS (SELECT DISTINCT s FROM sh
-        |      WHERE doc_id % 101 = 0 OR doc_id % 103 = 0),
-        |c AS (SELECT * FROM sh
-        |      WHERE doc_id % 101 <> 0 AND doc_id % 103 <> 0)
-        |SELECT c.doc_id, COUNT(*) AS n_hits
-        |FROM c JOIN b USING (s)
-        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    "graph_eff_diameter" ->
+      s"""WITH ${reachCtes(EffRounds)},
+         |nc AS (SELECT r, CAST(SUM(est_num // est_den) AS BIGINT)
+         |         AS n_sum
+         |       FROM u GROUP BY r),
+         |nl AS (SELECT n_sum AS n_last FROM nc WHERE r = $EffRounds)
+         |SELECT r, n_sum, (10 * n_sum >= 9 * n_last) AS reaches90
+         |FROM nc, nl ORDER BY r""".stripMargin,
+
+    "inc_contam_delta" -> contamRebuildSql,
+
+    // the streaming fold must land on the identical batch rebuild —
+    // the stream_mp convention: oracle = the batch SQL verbatim
+    "stream_contam" -> contamRebuildSql,
 
     "sim_graph_search" ->
       s"""WITH ${Pipeline24Queries.anchorCtes},

@@ -874,6 +874,28 @@ class PlanSpec extends SparkSuite {
       "per-node estimate terms must hash-aggregate:\n" + p.take(1500))
   }
 
+  test("sim_graph_search: every beam round is an id-keyed equi-join + " +
+      "a query-partitioned rank window; the only nested loop is the " +
+      "4-row entry broadcast — no CartesianProduct, no unpartitioned " +
+      "window") {
+    val df = q("sim_graph_search")
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      "beam search planned a cartesian:\n" + p.take(1500))
+    def deepWins(sp: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      sp.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          deepWins(s.plan)
+      }.flatten
+    deepWins(unwrapped(df)).foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"a beam rank window ran single-task: $w")
+    }
+  }
+
   test("inc_contam_delta: both benchmark shingle sets ride broadcasts " +
       "into the corpus probe (the corpus never shuffles on shingles); " +
       "no cartesian") {

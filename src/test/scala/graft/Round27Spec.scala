@@ -136,6 +136,78 @@ class Round27Spec extends SparkSuite {
     assert(merged === Map(10L -> 2L))
   }
 
+  // ---- stream_contam: the streaming fold of the identity ------------
+
+  test("ContamMonitor: a drain STOPPED after one batch and resumed " +
+      "from the same checkpoint + state lands on the batch rebuild " +
+      "exactly (the stream_contam restart contract)") {
+    import graft.streaming.ContamMonitor
+    val corpus = docsDf(
+      10L -> "a b c d e", 11L -> "x y z w v", 12L -> "p q r s t")
+    val bench = docsDf(1L -> "a b c", 2L -> "c d e", 3L -> "x y z")
+    val srcAll = graft.queries.Pipeline30Queries
+      .writeDocSlices(bench, n = 3)
+    val files = new java.io.File(srcAll).listFiles().sortBy(_.getName)
+    assert(files.length === 3)
+    val src = java.nio.file.Files
+      .createTempDirectory("scm_restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("scm_rck").toString
+    val state = java.nio.file.Files.createTempDirectory("scm_rst").toString
+    def copy(i: Int): Unit = {
+      val dst = new java.io.File(src, files(i).getName)
+      java.nio.file.Files.copy(files(i).toPath, dst.toPath)
+      assert(dst.setLastModified(files(i).lastModified()))
+    }
+    def drive(): Long = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcAll).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src)
+      ContamMonitor.run(spark, stream, corpus, "doc_id", "text", n = 3,
+        stateDir = state, ckptDir = ckpt)
+    }
+    copy(0)
+    assert(drive() === 1L)
+    copy(1); copy(2)
+    assert(drive() >= 2L)
+    val streamed = ContamMonitor.hits(spark, state)
+      .as[(Long, Long)].collect().toMap
+    val rebuild = DedupText.contaminationHits(corpus, bench,
+        "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === rebuild)
+    assert(streamed.nonEmpty)
+  }
+
+  test("ContamMonitor.foldBatch: a committed batch id is a no-op, and " +
+      "a REPLAYED benchmark doc in a later batch contributes nothing " +
+      "(its shingles are already in the stored sketch)") {
+    import graft.streaming.ContamMonitor
+    val corpus = docsDf(10L -> "a b c d e")
+    val state = java.nio.file.Files
+      .createTempDirectory("scm_replay").toString
+    val b0 = docsDf(1L -> "a b c")
+    ContamMonitor.foldBatch(b0, 0L, corpus, "doc_id", "text", 3, state)
+    val first = ContamMonitor.hits(spark, state)
+      .as[(Long, Long)].collect().toMap
+    assert(first === Map(10L -> 1L))
+    // committed-id replay: state untouched
+    ContamMonitor.foldBatch(docsDf(9L -> "q q q"), 0L, corpus,
+      "doc_id", "text", 3, state)
+    assert(ContamMonitor.hits(spark, state)
+      .as[(Long, Long)].collect().toMap === first)
+    assert(ContamMonitor.latestId(state) === Some(0L))
+    // row-level replay: batch 1 re-delivers doc 1 plus a new doc —
+    // the replayed doc's shingles are already stored, so only the
+    // novel shingle lands
+    ContamMonitor.foldBatch(
+      docsDf(1L -> "a b c", 2L -> "c d e"), 1L, corpus,
+      "doc_id", "text", 3, state)
+    assert(ContamMonitor.hits(spark, state)
+      .as[(Long, Long)].collect().toMap === Map(10L -> 2L))
+  }
+
   // ---- sim_graph_search: lockstep beam over a kNN graph -------------
 
   /** Hand-built int8 sketch rows: 2-d integer vectors on a quarter
