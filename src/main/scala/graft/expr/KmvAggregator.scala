@@ -59,3 +59,53 @@ class KmvBottomK(k: Int) extends Aggregator[KmvEntry, KmvBuf, KmvBuf]
   override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
   override def outputEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
 }
+
+/** The semilattice join of WHOLE bottom-k sketches: both inputs are
+  * already sorted-ascending, distinct, ≤ k entries (a [[KmvBottomK]] /
+  * [[KmvMergeK]] output or a singleton seed), so one two-pointer pass
+  * merges them exactly — O(k) per merge instead of [[KmvBottomK]]'s
+  * per-entry O(k) inserts. This is the sketch-PROPAGATION form (ANF
+  * rounds, [[graft.ops.Graph.reachSketch]]): the join fan-out carries
+  * one ≤ k-entry ARRAY row per edge instead of k exploded rows, and the
+  * partial aggregation folds arrays map-side, so the exchange ships ≤ 1
+  * row (≤ k entries) per (vertex, map partition). Same fold, same
+  * (hu, k_key) total order, bit-identical kept set. */
+class KmvMergeK(k: Int) extends Aggregator[KmvBuf, KmvBuf, KmvBuf]
+    with Serializable {
+  require(k >= 2, "KMV needs k >= 2")
+
+  private def lt(a: KmvEntry, b: KmvEntry): Boolean =
+    a.hu < b.hu || (a.hu == b.hu && a.k_key < b.k_key)
+
+  override def zero: KmvBuf = KmvBuf(Vector.empty)
+
+  override def reduce(buf: KmvBuf, e: KmvBuf): KmvBuf = merge(buf, e)
+
+  override def merge(a: KmvBuf, b: KmvBuf): KmvBuf = {
+    val ae = a.entries; val be = b.entries
+    if (ae.isEmpty) KmvBuf(be.take(k))
+    else if (be.isEmpty) KmvBuf(ae.take(k))
+    else {
+      val out = Vector.newBuilder[KmvEntry]
+      var i = 0; var j = 0; var n = 0
+      while (n < k && (i < ae.length || j < be.length)) {
+        val pick =
+          if (i >= ae.length) { val e = be(j); j += 1; e }
+          else if (j >= be.length) { val e = ae(i); i += 1; e }
+          else {
+            val x = ae(i); val y = be(j)
+            if (lt(x, y)) { i += 1; x }
+            else if (lt(y, x)) { j += 1; y }
+            else { i += 1; j += 1; x } // same (hu, k_key): keep once
+          }
+        out += pick; n += 1
+      }
+      KmvBuf(out.result())
+    }
+  }
+
+  override def finish(r: KmvBuf): KmvBuf = r
+
+  override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+  override def outputEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+}

@@ -2068,6 +2068,21 @@ object Graph {
     * small-diameter graphs real link corpora are. Rounds pin per the
     * iterative-operator contract.
     *
+    * The sketch state rides as ONE sorted ≤k-entry ARRAY row per
+    * vertex, not k exploded rows (r14 optimization; the window form of
+    * [[Freq.bottomKMerge]] shuffled the whole k·|E| fan-out TWICE —
+    * distinct exchange + window exchange, 139 MB in round 3 at sf0.1):
+    * the propagation join fans out |E| array rows instead of k·|E|
+    * entry rows, the per-round cut is the [[graft.expr.KmvMergeK]]
+    * Aggregator (an O(k) two-pointer semilattice merge) whose PARTIAL
+    * aggregation caps every map partition's contribution at one ≤
+    * k-entry row per vertex BEFORE the exchange, and the per-round
+    * estimate terms read as a pure projection of the array (size +
+    * last entry's hash — ascending order makes h_k the tail), no
+    * aggregation exchange at all. Same fold, same (hu, k_key) total
+    * order, bit-identical kept set per vertex. The edge frame pins
+    * PRE-PARTITIONED on `src` so no round re-exchanges it.
+    *
     * @return one row per (node, r ∈ 1..rounds): n_sketch plus integer
     *         estimate terms est_num/est_den (division downstream — no
     *         float leaves the engine). */
@@ -2076,25 +2091,38 @@ object Graph {
     require(k >= 2 && rounds >= 1, s"bad sketch shape k=$k r=$rounds")
     graft.expr.GraftFunctions.register(edges.sparkSession)
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct().pin()
+      col(dstCol).cast("long").as("dst")).distinct()
+      .repartition(col("src")).pin()
     val nodes = e.select(col("src").as("grp"))
       .unionByName(e.select(col("dst").as("grp"))).distinct()
     var sk = nodes
       .select(col("grp"),
-        graft.expr.GraftFunctions.java_hash_u32(
-          col("grp").cast("string")).as("hu"),
-        col("grp").cast("string").as("k_key"))
+        array(struct(
+          graft.expr.GraftFunctions.java_hash_u32(
+            col("grp").cast("string")).as("hu"),
+          col("grp").cast("string").as("k_key"))).as("entries"))
       .pin()
+    val mrg = org.apache.spark.sql.functions.udaf(
+      new graft.expr.KmvMergeK(k))
     var out: DataFrame = null
     for (r <- 1 to rounds) {
       val prop = sk.join(e, sk("grp") === e("src"))
-        .select(col("dst").as("grp"), col("hu"), col("k_key"))
-      sk = Freq.bottomKMerge(sk.unionByName(prop), k)
-        .select("grp", "hu", "k_key")
+        .select(col("dst").as("grp"), col("entries"))
+      sk = sk.unionByName(prop)
+        .groupBy("grp").agg(mrg(col("entries")).as("__m"))
+        .select(col("grp"), col("__m.entries").as("entries"))
         .pin()
-      val est = Freq.kmvEstimate(sk, k)
-        .select(col("grp").as("node"), lit(r.toLong).as("r"),
-          col("n_sketch"), col("est_num"), col("est_den"))
+      // estimate terms as a pure projection — [[Freq.kmvEstimate]]'s
+      // exact fields read off the sorted array (n = size; h_k = the
+      // LAST entry's hash, maximal under the ascending order)
+      val n = size(col("entries")).cast("long")
+      val est = sk.select(col("grp").as("node"), lit(r.toLong).as("r"),
+        n.as("n_sketch"),
+        when(n < k, n).otherwise(lit((k - 1).toLong * 4294967296L))
+          .as("est_num"),
+        when(n < k, lit(1L))
+          .otherwise(element_at(col("entries"), -1).getField("hu"))
+          .as("est_den"))
       out = if (out == null) est else out.unionByName(est)
     }
     out

@@ -830,48 +830,56 @@ class PlanSpec extends SparkSuite {
   }
 
   test("reachSketch IN-LOOP round (the frame each pin executes): " +
-      "propagate is an id-keyed equi-join, the bottom-k cut is a " +
-      "grp-partitioned window — no cartesian, no unpartitioned window") {
+      "propagate is an id-keyed equi-join of ARRAY sketches, the " +
+      "bottom-k cut is a partial-aggregated KmvMergeK fold — no " +
+      "cartesian, no window, no exploded per-entry fan-out") {
     import spark.implicits._
     graft.expr.GraftFunctions.register(spark)
     val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
     val sk0 = e.select(col("src").as("grp"))
       .unionByName(e.select(col("dst").as("grp"))).distinct()
       .select(col("grp"),
-        graft.expr.GraftFunctions.java_hash_u32(col("grp").cast("string"))
-          .as("hu"),
-        col("grp").cast("string").as("k_key"))
+        array(struct(
+          graft.expr.GraftFunctions.java_hash_u32(col("grp").cast("string"))
+            .as("hu"),
+          col("grp").cast("string").as("k_key"))).as("entries"))
     val prop = sk0.join(e, sk0("grp") === e("src"))
-      .select(col("dst").as("grp"), col("hu"), col("k_key"))
-    val round = ops.Freq.bottomKMerge(sk0.unionByName(prop), 4)
+      .select(col("dst").as("grp"), col("entries"))
+    val mrg = org.apache.spark.sql.functions.udaf(
+      new graft.expr.KmvMergeK(4))
+    val round = sk0.unionByName(prop)
+      .groupBy("grp").agg(mrg(col("entries")).as("__m"))
+      .select(col("grp"), col("__m.entries").as("entries"))
     round.collect()
     val p = plan(round)
     assert(!p.contains("CartesianProduct"),
       "a sketch round planned a cartesian:\n" + p.take(1500))
-    def deepWins(sp: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.window.WindowExec] =
-      sp.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
-        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          deepWins(s.plan)
-      }.flatten
-    val wins = deepWins(unwrapped(round))
-    assert(wins.nonEmpty, "expected the bottom-k rank window")
-    wins.foreach { w =>
-      assert(w.partitionSpec.nonEmpty,
-        s"the bottom-k cut must partition per vertex, got single-task: $w")
-    }
+    assert(!p.contains("Window"),
+      "the array-sketch round must not window:\n" + p.take(1500))
+    // the cut must be TRUE partial aggregation: a partial_kmvmergek
+    // appears below the exchange (map-side k-cap before the shuffle)
+    assert(p.toLowerCase.contains("partial_kmvmergek"),
+      "expected the KmvMergeK partial aggregate:\n" + p.take(2000))
   }
 
-  test("graph_reach_sketch end-to-end: estimates assemble in hash " +
-      "aggregates over the pinned sketches — no cartesian anywhere") {
+  test("graph_reach_sketch end-to-end: estimate terms read as pure " +
+      "projections of the pinned array sketches — no cartesian, no " +
+      "window, no per-round aggregation exchange") {
     val df = q("graph_reach_sketch")
     df.collect()
     val p = plan(df)
     assert(!p.contains("CartesianProduct"),
       "reach sketch planned a cartesian:\n" + p.take(1500))
-    assert(p.contains("HashAggregate"),
-      "per-node estimate terms must hash-aggregate:\n" + p.take(1500))
+    // the only exchange is the output sort's rangepartitioning — the
+    // per-round estimate terms themselves are projections, never an
+    // aggregate over the pinned sketches
+    assert(!p.contains("HashAggregate"),
+      "estimate terms must not aggregate (pure projection):\n" +
+        p.take(1500))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2,
+      s"expected only the output-sort exchange, got $exchanges:\n" +
+        p.take(1500))
   }
 
   test("sim_graph_search: every beam round is an id-keyed equi-join + " +
