@@ -1381,6 +1381,14 @@ object Graph {
       var isIdentity = true // labels of the identity assignment are the
                             // endpoints themselves — round 1 skips both
                             // labeling joins outright
+      // the labeled frame of the CURRENT assignment, pinned: qNum
+      // scores label(cand) and — when the candidate is accepted — the
+      // next round's move needs label(assign) = label(cand) again.
+      // Deriving it once per round and pinning (r14) removes one full
+      // 2-join labeling pass over the edge frame per accepted round;
+      // at 100 TB that frame is data-sized, so this halves the
+      // labeling shuffles of the whole ascent.
+      var labCur: DataFrame = null
       // (Speculative next-round pinning — materializing cand_{r+1} on a
       // second thread while this one reads cand_r's score — was tried
       // and MEASURED SLOWER at local[32]: the concurrent jobs contend
@@ -1391,15 +1399,17 @@ object Graph {
         val labA =
           if (isIdentity) x.select(col("lo"), col("hi"), col("w"),
             col("lo").as("cl"), col("hi").as("ch"))
-          else label(assign)
+          else labCur
         // pinIter, not pin: the move round references the assignment
         // ~7 times, so propagated size stats would grow 7^rounds digits
         // and stall the PLANNER (see Pin.resetStats)
         val cand = moveFromLabeled(labA, assign, deg, wTot,
           capInMigration = true).pinIter()
-        val qc = qNum(label(cand), cand)
+        val labC = label(cand).pinIter()
+        val qc = qNum(labC, cand)
         attempts += 1
-        if (qc > q) { assign = cand; q = qc; isIdentity = false }
+        if (qc > q) { assign = cand; q = qc; isIdentity = false
+          labCur = labC }
         else done = true
       }
       assign
