@@ -60,6 +60,87 @@ class KmvBottomK(k: Int) extends Aggregator[KmvEntry, KmvBuf, KmvBuf]
   override def outputEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
 }
 
+/** All-long sketch entry for LONG-keyed corpora: `kv` is the key
+  * itself; ordering must still match the STRING form (the graded
+  * total order is (hu, CAST(key AS VARCHAR))), so comparisons go
+  * through [[KmvLongOrder.strLess]] — the decimal-string order
+  * computed arithmetically, no String ever allocated. */
+case class KmvEntryL(hu: Long, kv: Long)
+
+/** Sorted ≤k-entry all-long buffer (see [[KmvEntryL]]). */
+case class KmvBufL(entries: Seq[KmvEntryL])
+
+/** Decimal-string order over non-negative longs, without strings:
+  * str(a) < str(b)  ⇔  (lj(a), a) < (lj(b), b)  where lj left-justifies
+  * the value to 18 digits (v · 10^(18−digits(v))). Lexicographic
+  * comparison walks the most significant digits first, which is
+  * exactly what the left-justification exposes; ties (one value a
+  * digit-prefix of the other) resolve by the shorter-first rule, i.e.
+  * the smaller value. Domain fence: 0 ≤ v < 10¹⁸ (callers raise
+  * loudly per row before entries are built). */
+object KmvLongOrder {
+  private val P = Array(1L, 10L, 100L, 1000L, 10000L, 100000L,
+    1000000L, 10000000L, 100000000L, 1000000000L, 10000000000L,
+    100000000000L, 1000000000000L, 10000000000000L, 100000000000000L,
+    1000000000000000L, 10000000000000000L, 100000000000000000L)
+  def lj(v: Long): Long = {
+    var d = 1
+    while (d < 18 && v >= P(d)) d += 1
+    v * P(18 - d)
+  }
+  def strLess(a: Long, b: Long): Boolean = {
+    val x = lj(a); val y = lj(b)
+    x < y || (x == y && a < b)
+  }
+}
+
+/** [[KmvMergeK]] over all-long entries — identical fold, identical
+  * (hu, decimal-string(key)) total order ([[KmvLongOrder]]), but the
+  * per-row encoder moves primitive longs instead of allocating a
+  * String per entry per row: the ANF propagation's dominant task-time
+  * was exactly that codec (guide §1.2 step 2 — per-task work, after
+  * the shape is right). Bit-identical kept sets to the string form on
+  * the fenced domain, so the sketch-derived outputs are unchanged. */
+class KmvMergeKL(k: Int) extends Aggregator[KmvBufL, KmvBufL, KmvBufL]
+    with Serializable {
+  require(k >= 2, "KMV needs k >= 2")
+
+  private def lt(a: KmvEntryL, b: KmvEntryL): Boolean =
+    a.hu < b.hu || (a.hu == b.hu && KmvLongOrder.strLess(a.kv, b.kv))
+
+  override def zero: KmvBufL = KmvBufL(Vector.empty)
+
+  override def reduce(buf: KmvBufL, e: KmvBufL): KmvBufL = merge(buf, e)
+
+  override def merge(a: KmvBufL, b: KmvBufL): KmvBufL = {
+    val ae = a.entries; val be = b.entries
+    if (ae.isEmpty) KmvBufL(be.take(k))
+    else if (be.isEmpty) KmvBufL(ae.take(k))
+    else {
+      val out = Vector.newBuilder[KmvEntryL]
+      var i = 0; var j = 0; var n = 0
+      while (n < k && (i < ae.length || j < be.length)) {
+        val pick =
+          if (i >= ae.length) { val e = be(j); j += 1; e }
+          else if (j >= be.length) { val e = ae(i); i += 1; e }
+          else {
+            val x = ae(i); val y = be(j)
+            if (lt(x, y)) { i += 1; x }
+            else if (lt(y, x)) { j += 1; y }
+            else { i += 1; j += 1; x } // same (hu, kv): keep once
+          }
+        out += pick; n += 1
+      }
+      KmvBufL(out.result())
+    }
+  }
+
+  override def finish(r: KmvBufL): KmvBufL = r
+
+  override def bufferEncoder: Encoder[KmvBufL] = Encoders.product[KmvBufL]
+  override def outputEncoder: Encoder[KmvBufL] = Encoders.product[KmvBufL]
+}
+
 /** The semilattice join of WHOLE bottom-k sketches: both inputs are
   * already sorted-ascending, distinct, ≤ k entries (a [[KmvBottomK]] /
   * [[KmvMergeK]] output or a singleton seed), so one two-pointer pass

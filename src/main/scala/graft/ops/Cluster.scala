@@ -139,12 +139,17 @@ object Cluster {
       // fixpoint detection needs no second join against the old frame
       val msgs = sym.join(labels, sym("u") === labels("id"))
         .select(col("v").as("id"), col("lbl"), lit(0).as("own"))
+      // LAZY pin (r14): the `changed` count below is the round's only
+      // same-step consumer and full-scans the frame, so the eager pin
+      // job + second scan per round were pure overhead; `next` appears
+      // exactly once in the count's plan (no duplicated-subtree risk),
+      // and round r+1 reads the blocks the count job cached.
       val next = msgs
         .union(labels.select(col("id"), col("lbl"), lit(1).as("own")))
         .groupBy("id")
         .agg(min("lbl").as("lbl"),
           min(when(col("own") === 1, col("lbl"))).as("prev"))
-        .pin()
+        .pinLazy()
       changed = next.where(col("lbl") < col("prev")).count()
       labels = next.select("id", "lbl")
       it += 1
@@ -225,7 +230,8 @@ object Cluster {
         .select(col("p.x").as("hi"), col("p.y").as("lo"))
         .where(col("hi") =!= col("lo"))
         .distinct()
-        .pin()
+        .pinLazy() // r14: the signature read below full-scans it — same
+                   // lazy-pin rationale as the propagation round
       // signature of the new edge set from the frame that seeds the next
       // round: sum of bounded hashes can't overflow below ~9e9 edges
       val sig = ss.agg(count(lit(1)),

@@ -192,7 +192,9 @@ object Graph {
     var rounds = 0
     var delta = Long.MaxValue
     while (delta > eps && rounds < maxIters) {
-      val next = prRound(in, r).pin()
+      // lazy pin (r14): the delta read below references `next` exactly
+      // once and full-scans it — the eager pin job was an extra pass
+      val next = prRound(in, r).pinLazy()
       rounds += 1
       delta = next.as("n").join(r.as("p"), col("n.node") === col("p.node"))
         .agg(max(abs(col("n.pr") - col("p.pr"))).as("d"))
@@ -236,10 +238,15 @@ object Graph {
     def normalized(raw0: DataFrame): DataFrame = {
       // pin the half-round before normalizing: `raw` is referenced
       // TWICE (the max aggregate and the output projection), and since
-      // each round builds on the previous, leaving it lazy re-evaluates
-      // every earlier round 2^(2·iters) times — measured 2× on the
-      // graded query at 3 iters, and unbounded growth beyond
-      val raw = raw0.pin()
+      // each round builds on the previous, leaving it UNPINNED
+      // re-evaluates every earlier round 2^(2·iters) times — measured
+      // 2× on the graded query at 3 iters, and unbounded growth
+      // beyond. The pin is LAZY (r14): the max side rides a broadcast
+      // subquery, and broadcast jobs run before their consumer stage,
+      // so mx's job materializes+caches raw (one reference there) and
+      // the projection reads the cache — one job per half-round
+      // instead of two.
+      val raw = raw0.pinLazy()
       val mx = raw.agg(max(col("s")).as("mx"))
       raw.crossJoin(broadcast(mx))
         .select(col("node"),
@@ -283,7 +290,7 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .pin()
     def normalized(raw0: DataFrame): DataFrame = {
-      val raw = raw0.pin() // same pin rationale as hitsInt
+      val raw = raw0.pinLazy() // same pin + lazy rationale as hitsInt
       val mx = raw.agg(max(col("s")).as("mx"))
       raw.crossJoin(broadcast(mx))
         .select(col("node"),
@@ -421,7 +428,9 @@ object Graph {
     var rounds = 0
     var changed = Long.MaxValue
     while (changed > 0L && rounds < maxIters) {
-      val next = lpRound(in, lab).pin()
+      // lazy pin (r14): the change count below references `next` once
+      // and full-scans it — same rationale as pageRankIntConverged
+      val next = lpRound(in, lab).pinLazy()
       rounds += 1
       // null-safe change count: unreached (null) vs labeled transitions
       // must count as changes, so compare with <=>
@@ -699,14 +708,20 @@ object Graph {
     * them. Two shuffles (degree groupBy + the two co-keyed semi-joins);
     * the surviving edge set is pinned so the next round never re-derives
     * this one. */
-  private def peelRound(e: DataFrame, k: Int): DataFrame = {
+  /** @param lazyPin true ONLY when the caller's next action full-scans
+    *        the result exactly once (the converged loop's per-round
+    *        count) — the fixed-round form's next consumer is the next
+    *        peel, which references the frame three times and would
+    *        triple-compute a lazy pin. */
+  private def peelRound(e: DataFrame, k: Int,
+                        lazyPin: Boolean = false): DataFrame = {
     val keep = e.select(explode(array(col("lo"), col("hi"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
       .where(col("deg") >= k).select("v")
-    e.join(keep.withColumnRenamed("v", "lo"), Seq("lo"), "left_semi")
+    val out = e.join(keep.withColumnRenamed("v", "lo"), Seq("lo"), "left_semi")
       .join(keep.withColumnRenamed("v", "hi"), Seq("hi"), "left_semi")
       .select("lo", "hi")
-      .pin()
+    if (lazyPin) out.pinLazy() else out.pin()
   }
 
   /** Fixed-round k-core peeling (Seidman's cores / Matula–Beck, the
@@ -751,7 +766,7 @@ object Graph {
     var converged = false
     var i = 0
     while (!converged && i < maxRounds) {
-      e = peelRound(e, k)
+      e = peelRound(e, k, lazyPin = true) // count below materializes it
       val n2 = e.count() // 1-row read per round
       converged = n2 == n
       n = n2
@@ -1147,6 +1162,20 @@ object Graph {
     * delegates here. */
   private[graft] def moveFromLabeled(lab: DataFrame, b: DataFrame,
       deg: DataFrame, wTot: DataFrame, capInMigration: Boolean)
+  : DataFrame =
+    moveFromLabeledW(lab, b, deg, Left(wTot), capInMigration)
+
+  /** [[moveFromLabeled]] with the total weight as EITHER the 1-row
+    * fenced frame (Left — the standalone graph_louvain_move path,
+    * where the W ≤ 2³⁰ fence must live in-plan) or a driver literal
+    * (Right — the [[louvain]] ascent, which already holds W as a
+    * checked Long: shipping it as a literal removes one
+    * BroadcastExchange + crossJoin from EVERY attempted round's plan,
+    * guide §2.4 "remove shuffles outright"; a broadcast of a 1-row
+    * local relation is cheap but not free — it is a per-round job). */
+  private[graft] def moveFromLabeledW(lab: DataFrame, b: DataFrame,
+      deg: DataFrame, wTot: Either[DataFrame, Long],
+      capInMigration: Boolean)
   : DataFrame = {
     val inc = lab.select(explode(array(
         struct(col("lo").as("node"), col("cl").as("own"),
@@ -1168,25 +1197,45 @@ object Graph {
     // dependent on node) — no join back to the assignment frame
     val kix = inc.groupBy("node", "own", "nbr")
       .agg(sum(col("w")).as("k"))
-    // all node-keyed joins chain FIRST (one partitioning reused), the
-    // two community-keyed lookups last — fewer re-exchanges per round
-    val cand = nf.where(col("d_i").isNotNull)
-      .join(kix.where(col("nbr") === col("own"))
-        .select(col("node"), col("k").as("k_ia")), Seq("node"), "left")
-      .select(col("node"), col("comm"), col("d_i"),
-        coalesce(col("k_ia"), lit(0L)).as("k_ia"))
-      .join(kix.where(col("nbr") =!= col("own"))
-          .select(col("node"), col("nbr").as("c"), col("k").as("k_ic")),
-        Seq("node"))
+    // fold the two kix readings (own-community mass k_ia; the
+    // per-candidate k_ic rows) into ONE node-partitioned pass: the old
+    // shape re-exchanged kix twice (its (node,own,nbr) partitioning
+    // serves neither node-keyed join) and joined nf twice. k_ia now
+    // rides a node-partitioned window over the SAME exchange the join
+    // needs — one exchange and one join fewer per round (r14, guide
+    // §2.4). There is at most one nbr==own row per node (own is
+    // functionally dependent on node), so the window sum IS the old
+    // left-joined k_ia; rows stay FLAT (a hub's candidates never
+    // buffer into one per-key aggregate state — WindowExec groups
+    // spill, aggregation list buffers do not), and nodes whose
+    // neighbors are all in-community drop at the filter exactly like
+    // the old inner join.
+    val wNode = org.apache.spark.sql.expressions.Window.partitionBy("node")
+    val kflat = kix
+      .withColumn("k_ia", coalesce(
+        sum(when(col("nbr") === col("own"), col("k"))).over(wNode),
+        lit(0L)))
+      .where(col("nbr") =!= col("own"))
+      .select(col("node"), col("nbr").as("c"), col("k").as("k_ic"),
+        col("k_ia"))
+    // node-keyed join first (kflat's window partitioning reused), the
+    // two community-keyed lookups last
+    val cand0 = nf.where(col("d_i").isNotNull)
+      .join(kflat, Seq("node"))
       .join(cs.select(col("c").as("comm"), col("d_c").as("d_a"),
         col("n_c").as("n_a")), Seq("comm"))
       .join(cs, Seq("c"))
       // the swap guard: singleton → larger-id singleton is forbidden
       .where(!(col("n_a") === 1L && col("n_c") === 1L &&
         col("c") > col("comm")))
-      .crossJoin(broadcast(wTot))
+    val withW = wTot match {
+      case Left(frame) => cand0.crossJoin(broadcast(frame))
+        .withColumn("__w4", lit(4L) * col("__w"))
+      case Right(w) => cand0.withColumn("__w4", lit(4L * w))
+    }
+    val cand = withW
       .select(col("node"), col("comm"), col("c"),
-        (lit(4L) * col("__w") * (col("k_ic") - col("k_ia")) -
+        (col("__w4") * (col("k_ic") - col("k_ia")) -
           lit(2L) * col("d_i") *
             (col("d_c") - col("d_a") + col("d_i"))).as("gain"))
     val prop = cand.where(col("gain") > 0)
@@ -1337,7 +1386,6 @@ object Graph {
       require(wL <= (1L << 30),
         "louvain: W > 2^30 overflows the 4W·k int64 budget — rescale first")
       val sL = parts.getLong(1)
-      val wTot = e.sparkSession.range(1).select(lit(wL).as("__w"))
       val x = e.where(col("lo") =!= col("hi"))
       val deg = degreesWeighted(e).pin() // invariant: every round reads it
       def label(b: DataFrame): DataFrame = x
@@ -1345,18 +1393,22 @@ object Graph {
           Seq("lo"))
         .join(b.select(col("node").as("hi"), col("comm").as("ch")),
           Seq("hi"))
-      // q_num from a labeled frame + the level invariants: one action,
-      // two scalar aggregates (intra cross-mass; Σ vol²) joined 1×1
+      // q_num from a labeled frame + the level invariants: ONE action,
+      // two scalar aggregates (intra cross-mass; Σ vol²) carried as a
+      // tagged union into a single final aggregate — no 1×1
+      // BroadcastExchange join per round (r14; the assembled q_num is
+      // two driver multiplications over exact longs, same integers)
       def qNum(lab: DataFrame, b: DataFrame): Long = {
         val intra = lab.where(col("cl") === col("ch"))
-          .agg(coalesce(sum(col("w")), lit(0L)).as("__i"))
+          .select(col("w").as("x"), lit(0).as("t"))
         val volsq = deg.join(b, Seq("node"))
           .groupBy(col("comm")).agg(sum(col("d_i")).as("d_c"))
-          .agg(coalesce(sum(col("d_c") * col("d_c")), lit(0L)).as("__v"))
-        intra.crossJoin(broadcast(volsq))
-          .select((lit(4L * wL) * (col("__i") + lit(sL)) - col("__v"))
-            .as("q_num"))
-          .head().getLong(0)
+          .select((col("d_c") * col("d_c")).as("x"), lit(1).as("t"))
+        val r = intra.unionByName(volsq)
+          .agg(coalesce(sum(when(col("t") === 0, col("x"))), lit(0L)),
+            coalesce(sum(when(col("t") === 1, col("x"))), lit(0L)))
+          .head()
+        4L * wL * (r.getLong(0) + sL) - r.getLong(1)
       }
       // init is ALWAYS the identity (singleton) assignment here, so
       // q0 has a closed form: intra cross-mass is 0 and vol_i = d_i,
@@ -1402,10 +1454,18 @@ object Graph {
           else labCur
         // pinIter, not pin: the move round references the assignment
         // ~7 times, so propagated size stats would grow 7^rounds digits
-        // and stall the PLANNER (see Pin.resetStats)
-        val cand = moveFromLabeled(labA, assign, deg, wTot,
+        // and stall the PLANNER (see Pin.resetStats). cand stays EAGER
+        // — it is referenced three times downstream (twice in label,
+        // once in the vol aggregate), and a lazy pin would recompute
+        // the whole move subtree per branch inside the consuming job
+        // (measured: 13.0 → 18-20 s warm). labC is LAZY: its only
+        // same-step consumer (qNum's intra term) full-scans it, so the
+        // eager pin job + extra scan per round were pure overhead.
+        // W rides as a literal (already driver-checked ≤ 2³⁰), not a
+        // broadcast 1-row frame — one less BroadcastExchange per round.
+        val cand = moveFromLabeledW(labA, assign, deg, Right(wL),
           capInMigration = true).pinIter()
-        val labC = label(cand).pinIter()
+        val labC = label(cand).pinIterLazy()
         val qc = qNum(labC, cand)
         attempts += 1
         if (qc > q) { assign = cand; q = qc; isIdentity = false
@@ -1622,17 +1682,27 @@ object Graph {
     var levels = Vector(lv0)
     var visited = lv0.select("src", "node").pin()
     for (_ <- 1 to horizon) {
-      val next = betweennessForwardLevel(levels.last, adj, visited).pin()
+      // next is lazy: the visited pin job below references it exactly
+      // once and full-scans it, so one job per level materializes both
+      // (r14 — was two eager pin jobs + an extra pass per level)
+      val next = betweennessForwardLevel(levels.last, adj, visited)
+        .pinLazy()
       levels :+= next
       visited = visited.unionByName(next.select("src", "node")).pin()
     }
     // deepest level has no successors inside the horizon → δ = 0
     var deltas = Map(horizon -> levels(horizon)
       .select(col("src"), col("node"), lit(0L).as("delta")))
-    for (t <- (horizon - 1) to 0 by -1) {
+    // t stops at 1: level 0 is the seeds, excluded from bc below — the
+    // old loop's t=0 step eagerly pinned a frame nobody ever read (r14)
+    for (t <- (horizon - 1) to 1 by -1) {
       val succ = levels(t + 1).join(deltas(t + 1), Seq("src", "node"))
+      // lazy chain (r14): each delta references the next exactly once
+      // and all other inputs are already cached, so the final bc
+      // aggregate materializes the whole backward chain in one job
+      // (was one eager pin job per level)
       deltas += t ->
-        betweennessBackwardStep(levels(t), adj, succ, scale).pin()
+        betweennessBackwardStep(levels(t), adj, succ, scale).pinLazy()
     }
     val verts = e.select(col("lo").as("node"))
       .unionByName(e.select(col("hi").as("node"))).distinct()
@@ -2105,15 +2175,28 @@ object Graph {
       .repartition(col("src")).pin()
     val nodes = e.select(col("src").as("grp"))
       .unionByName(e.select(col("dst").as("grp"))).distinct()
+    // entries carry the key as a LONG (kv) instead of its decimal
+    // string — KmvMergeKL compares in decimal-STRING order
+    // arithmetically (KmvLongOrder), so the kept sets and every
+    // sketch-derived output are bit-identical to the string form, but
+    // the hot merge path stops allocating a String per entry per row
+    // (r14; this was the dominant task-time of the ANF rounds). The
+    // order equivalence holds on 0 ≤ id < 10¹⁸ — fenced loudly.
+    val fencedGrp = when(col("grp") < 0L ||
+        col("grp") >= 1000000000000000000L,
+      raise_error(concat(lit("reachSketch: node id out of the " +
+        "long-keyed sketch domain [0, 1e18): "),
+        col("grp").cast("string"))))
+      .otherwise(col("grp"))
     var sk = nodes
       .select(col("grp"),
         array(struct(
           graft.expr.GraftFunctions.java_hash_u32(
             col("grp").cast("string")).as("hu"),
-          col("grp").cast("string").as("k_key"))).as("entries"))
+          fencedGrp.as("kv"))).as("entries"))
       .pin()
     val mrg = org.apache.spark.sql.functions.udaf(
-      new graft.expr.KmvMergeK(k))
+      new graft.expr.KmvMergeKL(k))
     var out: DataFrame = null
     for (r <- 1 to rounds) {
       val prop = sk.join(e, sk("grp") === e("src"))

@@ -49,6 +49,22 @@ object Pin {
   def apply[T](ds: Dataset[T]): Dataset[T] =
     if (reliable(ds)) ds.checkpoint() else ds.localCheckpoint()
 
+  /** LAZY pin: marks the plan for checkpointing but defers
+    * materialization to the first downstream action — which computes
+    * and caches the pinned blocks as a side effect of its own run
+    * (RDD `doCheckpoint` recurses through marked ancestors at job
+    * end). For a per-round loop frame whose FIRST consumer already
+    * scans it fully (a fixpoint count, a 1-row score read, the next
+    * round's pin), the eager pin job is a pure extra pass: the same
+    * rows are computed either way, but eager pays one more job
+    * launch + one more scan per round. Use the lazy form ONLY when
+    * such a full-scan consumer provably runs in the same driver step;
+    * otherwise the deferred cost lands somewhere surprising
+    * (guide §1.2: remove passes, not reorder them). */
+  def lazily[T](ds: Dataset[T]): Dataset[T] =
+    if (reliable(ds)) ds.checkpoint(eager = false)
+    else ds.localCheckpoint(eager = false)
+
   /** Pin AND drop the inherited size statistics — for ITERATED round
     * functions that reference their pinned input k > 1 times.
     *
@@ -75,9 +91,22 @@ object Pin {
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
+  /** [[resetStats]] over a [[lazily]] pin — same stats reset, same RDD
+    * leaf, but materialization rides the round's first full-scan
+    * consumer instead of its own job. */
+  def resetStatsLazy(df: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val cp = lazily(df)
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   /** `df.pin()` — postfix form, drop-in for `.localCheckpoint()`. */
   implicit class PinOps[T](private val ds: Dataset[T]) extends AnyVal {
     def pin(): Dataset[T] = Pin(ds)
+
+    /** Lazy pin ([[Pin.lazily]]) — only where the round's own next
+      * action provably full-scans the frame. */
+    def pinLazy(): Dataset[T] = Pin.lazily(ds)
   }
 
   /** `df.pinIter()` — the [[resetStats]] form, for the per-round pin
@@ -85,5 +114,8 @@ object Pin {
   implicit class PinIterOps(private val df: org.apache.spark.sql.DataFrame)
     extends AnyVal {
     def pinIter(): org.apache.spark.sql.DataFrame = resetStats(df)
+
+    /** Lazy [[pinIter]] ([[Pin.resetStatsLazy]]). */
+    def pinIterLazy(): org.apache.spark.sql.DataFrame = resetStatsLazy(df)
   }
 }

@@ -39,32 +39,53 @@ object Selection {
     var live = pairs.select(col(itemCol).as("item"),
         col(elemCol).as("elem"))
       .distinct().pin()
-    var chosen: DataFrame = null
+    // The winner is ONE row per round — read it to the driver (the
+    // watermark-read convention: ≤ k 1-row reads total, k small by
+    // construction) instead of pinning a 1-row frame and re-joining
+    // it. The contraction's "winner's elements" probe becomes a
+    // FILTER on the live incidence (no join, no broadcast), the
+    // per-round winner pin + isEmpty jobs collapse into the argmax
+    // read, and the accumulated picks assemble into a k-row local
+    // frame at the end. Also: the old loop contracted `live` on the
+    // FINAL round too — a data-sized anti-join nobody ever read; the
+    // contraction now runs only while another round follows. (r14,
+    // guide §1.2. Items must be scalar-typed — they ride a literal.)
+    val itemType = live.schema("item").dataType
+    val picks =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Any, Long)]
     var r = 1
     var done = false
     while (r <= k && !done) {
-      val gains = live.groupBy("item").agg(count(lit(1)).as("gain"))
       // 1-row argmax by (gain desc, item asc) — a hash aggregate,
       // never a global sort (the label-prop argmax rule)
-      val winner = gains
+      val w = live.groupBy("item").agg(count(lit(1)).as("gain"))
         .agg(min(struct((-col("gain")).as("ng"), col("item").as("item")))
           .as("m"))
-        .select(col("m.item").as("item"), (-col("m.ng")).as("gain"),
-          lit(r.toLong).as("rnk"))
-        .where(col("item").isNotNull)
-        .pin()
-      done = winner.isEmpty // nothing uncovered remains: stop early
-      if (!done) {
-        chosen = if (chosen == null) winner
-          else chosen.unionByName(winner).pin()
-        val newCov = live.join(winner.select("item"), Seq("item"))
-          .select("elem")
-        live = live.join(newCov, Seq("elem"), "left_anti")
-          .pin()
+        .select(col("m.item").as("item"), (-col("m.ng")).as("gain"))
+        .head()
+      if (w.isNullAt(0)) done = true // nothing uncovered remains
+      else {
+        picks += ((r.toLong, w.get(0), w.getLong(1)))
+        if (r < k) {
+          val newCov = live.where(col("item") === lit(w.get(0)))
+            .select("elem")
+          live = live.join(newCov, Seq("elem"), "left_anti").pin()
+        }
       }
       r += 1
     }
-    chosen.select("rnk", "item", "gain")
+    require(picks.nonEmpty,
+      "greedyMaxCoverage: empty incidence — nothing to select")
+    val s = pairs.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    s.createDataFrame(
+      s.sparkContext.parallelize(
+        picks.toSeq.map { case (rnk, item, gain) => Row(rnk, item, gain) },
+        1),
+      StructType(Seq(StructField("rnk", LongType, nullable = false),
+        StructField("item", itemType),
+        StructField("gain", LongType, nullable = false))))
   }
 
   /** DSIR — Data Selection with Importance Resampling (Xie et al.,

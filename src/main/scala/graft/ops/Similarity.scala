@@ -814,6 +814,10 @@ object Similarity {
       val w = full.join(v, "j")
         .groupBy("i").agg(sum(col("gram") * col("v")).as("w"))
       val m = w.agg(max(abs(col("w"))).as("m"))
+      // lazy pin (r14): each round's v is referenced once by the next
+      // round's matvec (and the m-broadcast job materializes it first),
+      // so the d-row frames chain into the query's own jobs instead of
+      // paying one eager pin job per round
       v = w.crossJoin(broadcast(m))
         .select(col("i").as("j"),
           (when(col("w") < 0, lit(-1L)).otherwise(lit(1L)) *
@@ -821,7 +825,7 @@ object Similarity {
               greatest(lit(1L),
                 call_function("div", col("m"),
                   lit(1L << keepBits))))).as("v"))
-        .pin()
+        .pinLazy()
     }
     v.select(col("j").as("i"), col("v"))
   }
@@ -1051,14 +1055,17 @@ object Similarity {
     def fp(a: DataFrame): Long =
       a.agg(call_function("bit_xor", xxhash64(col("vec_id"), col("cell"))))
         .head().getLong(0) // 1-row read per round
+    // lazy pins (r14): each assignment's first consumer is its own
+    // fingerprint read, which references it exactly once and
+    // full-scans it — the eager pin job per round was an extra pass
     var cent = kmSeed(sk, k, salt)
-    var assign = kmAssign(sk, cent).pin()
+    var assign = kmAssign(sk, cent).pinLazy()
     val seen = scala.collection.mutable.Set(fp(assign))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       cent = kmUpdate(assign, cent)
-      assign = kmAssign(sk, cent).pin()
+      assign = kmAssign(sk, cent).pinLazy()
       converged = !seen.add(fp(assign)) // first revisited state
       i += 1
     }

@@ -272,11 +272,21 @@ object TextOps {
       .select(explode(tokens(col(textCol))).as("word"))
       .where(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("n"))
+    // vocab pins are LAZY (r14): each round's argmax TakeOrdered is
+    // the frame's first consumer, full-scans it, and references it
+    // exactly once — so the argmax job materializes the round's vocab
+    // and the eager pin job per round was a pure extra pass.
     var vocab = wt.select(col("word"), col("n"),
         concat(lit(" "), concat_ws(" ", split(col("word"), "")),
           lit(" ")).as("seg"))
-      .pin()
-    val merges = Seq.newBuilder[DataFrame]
+      .pinLazy()
+    // the winner is ONE row per round — read it to the driver (the
+    // Selection.greedyMaxCoverage convention) instead of pinning a
+    // 1-row frame, isEmpty-probing it, and crossJoin-broadcasting it
+    // back into the vocab update: the merge application becomes a
+    // literal projection and each round costs exactly one job (r14)
+    val picked =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     while (r <= rounds) {
       val adj = bind(split(trim(col("seg")), " ")) { s =>
@@ -290,29 +300,36 @@ object TextOps {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1)
-        .pin()
+        .take(1)
       // fail-loudly contract: an empty argmax (every word fully merged
-      // to one symbol) would silently wipe the vocab through the cross
-      // join below — a caller asking for more rounds than the corpus
-      // supports must hear about it, not get an empty model
+      // to one symbol) would silently wipe the vocab through the merge
+      // application below — a caller asking for more rounds than the
+      // corpus supports must hear about it, not get an empty model
       if (best.isEmpty)
         throw new IllegalStateException(
           s"bpeTrainMerges: no adjacent pairs left at round $r of " +
             s"$rounds — every word type is a single symbol; lower " +
             "rounds")
-      merges += best.select(lit(r).cast("long").as("rnk"), col("l"),
-        col("r"), col("cnt"))
+      val (ml, mr, cnt) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      picked += ((r.toLong, ml, mr, cnt))
       vocab = vocab
-        .crossJoin(broadcast(best.select(col("l").as("ml"),
-          col("r").as("mr"))))
         .select(col("word"), col("n"),
-          expr("replace(seg, concat(' ', ml, ' ', mr, ' '), " +
-            "concat(' ', ml, mr, ' '))").as("seg"))
-        .pin()
+          replace(col("seg"), lit(s" $ml $mr "), lit(s" $ml$mr "))
+            .as("seg"))
+        .pinLazy()
       r += 1
     }
-    BpeResult(merges.result().reduce(_ unionByName _), vocab)
+    val s = docs.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val mergesDf = s.createDataFrame(
+      s.sparkContext.parallelize(
+        picked.toSeq.map { case (k, l2, r2, c) => Row(k, l2, r2, c) }, 1),
+      StructType(Seq(StructField("rnk", LongType, nullable = false),
+        StructField("l", StringType), StructField("r", StringType),
+        StructField("cnt", LongType, nullable = false))))
+    BpeResult(mergesDf, vocab)
   }
 
   /** Apply a TRAINED merge table to a fresh word list — the tokenizer
@@ -337,35 +354,34 @@ object TextOps {
   def bpeApplyMerges(words: DataFrame, merges: DataFrame,
                      rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    // mirror the trainer's fail-loudly contract: a round with no merge
-    // row would crossJoin an EMPTY frame and silently empty the whole
-    // output. One 1-row aggregate up front (not a count per round)
-    // proves ranks 1..rounds are all present in the table.
-    val have = merges
-      .agg(count_distinct(when(col("rnk").between(1L, rounds.toLong),
-        col("rnk"))).as("k"))
-      .head().getLong(0)
-    if (have != rounds)
+    // The merge table is KB-sized by construction (`rounds` rows) —
+    // read it ONCE to the driver and replay the merges as a single
+    // nested replace-chain projection: one codegen'd pass over the
+    // word-type table instead of `rounds` crossJoin+checkpoint passes
+    // (r14, guide §1.2/§2.4 — replace in training order is exactly the
+    // old per-round application, so segmentations are bit-identical).
+    // The fail-loudly contract tightens for free: a missing OR
+    // duplicated rank is detected from the collected rows (the old
+    // crossJoin would have silently doubled rows on a duplicate).
+    val mrows = merges
+      .where(col("rnk").between(1L, rounds.toLong))
+      .select(col("rnk"), col("l"), col("r"))
+      .collect()
+    val byRank = mrows.groupBy(_.getLong(0))
+    if (byRank.size != rounds || byRank.valuesIterator.exists(_.length > 1))
       throw new IllegalStateException(
-        s"bpeApplyMerges: merge table covers $have of ranks 1..$rounds " +
-          "— a missing rank would silently empty the segmentation; " +
-          "retrain or lower rounds")
-    var seg = words.select(col("word"),
-        concat(lit(" "), concat_ws(" ", split(col("word"), "")),
-          lit(" ")).as("seg"))
-      .pin()
-    var r = 1
-    while (r <= rounds) {
-      val m = merges.where(col("rnk") === r).select(
-        col("l").as("ml"), col("r").as("mr"))
-      seg = seg.crossJoin(broadcast(m))
-        .select(col("word"),
-          expr("replace(seg, concat(' ', ml, ' ', mr, ' '), " +
-            "concat(' ', ml, mr, ' '))").as("seg"))
-        .pin()
-      r += 1
+        s"bpeApplyMerges: merge table covers ${byRank.size} of ranks " +
+          s"1..$rounds (duplicates: " +
+          s"${byRank.count(_._2.length > 1)}) — a missing rank would " +
+          "silently empty the segmentation; retrain or lower rounds")
+    val seg0 = concat(lit(" "), concat_ws(" ", split(col("word"), "")),
+      lit(" "))
+    val segN = (1 to rounds).foldLeft(seg0) { (acc, r) =>
+      val m = byRank(r.toLong).head
+      val (ml, mr) = (m.getString(1), m.getString(2))
+      replace(acc, lit(s" $ml $mr "), lit(s" $ml$mr "))
     }
-    seg
+    words.select(col("word"), segN.as("seg"))
   }
 
   /** C4-style global span deduplication (Raffel et al., JMLR 2020 §2.2:

@@ -842,11 +842,11 @@ class PlanSpec extends SparkSuite {
         array(struct(
           graft.expr.GraftFunctions.java_hash_u32(col("grp").cast("string"))
             .as("hu"),
-          col("grp").cast("string").as("k_key"))).as("entries"))
+          col("grp").as("kv"))).as("entries")) // r14: all-long entries
     val prop = sk0.join(e, sk0("grp") === e("src"))
       .select(col("dst").as("grp"), col("entries"))
     val mrg = org.apache.spark.sql.functions.udaf(
-      new graft.expr.KmvMergeK(4))
+      new graft.expr.KmvMergeKL(4))
     val round = sk0.unionByName(prop)
       .groupBy("grp").agg(mrg(col("entries")).as("__m"))
       .select(col("grp"), col("__m.entries").as("entries"))
@@ -856,10 +856,10 @@ class PlanSpec extends SparkSuite {
       "a sketch round planned a cartesian:\n" + p.take(1500))
     assert(!p.contains("Window"),
       "the array-sketch round must not window:\n" + p.take(1500))
-    // the cut must be TRUE partial aggregation: a partial_kmvmergek
+    // the cut must be TRUE partial aggregation: a partial_kmvmergekl
     // appears below the exchange (map-side k-cap before the shuffle)
-    assert(p.toLowerCase.contains("partial_kmvmergek"),
-      "expected the KmvMergeK partial aggregate:\n" + p.take(2000))
+    assert(p.toLowerCase.contains("partial_kmvmergekl"),
+      "expected the KmvMergeKL partial aggregate:\n" + p.take(2000))
   }
 
   test("graph_reach_sketch end-to-end: estimate terms read as pure " +
