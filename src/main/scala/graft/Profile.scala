@@ -71,6 +71,23 @@ object Profile {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // streaming-side breakdown: per-microbatch durationMs map (trigger
+    // execution, addBatch, state commit, WAL commits…) — where the
+    // wall − job-wall gap of the stream_* queries actually goes
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit =
+          println(s"[stream] started ${e.name}")
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          import scala.jdk.CollectionConverters._
+          val d = e.progress.durationMs.asScala.toSeq.sortBy(-_._2)
+            .map { case (k, v) => s"$k=$v" }.mkString(" ")
+          println(s"[stream] batch ${e.progress.batchId}: $d")
+        }
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          println(s"[stream] terminated")
+      })
     val runs = sys.env.get("SPARK_GRAFT_PROFILE_RUNS").map(_.toInt).getOrElse(1)
     var r = 0
     while (r < runs) { // repeat to separate first-run codegen/JIT cost

@@ -140,7 +140,13 @@ object DedupText {
       .crossJoin(broadcast(nDocs))
       .where(col("df") > (col("n_docs") * maxDocFrac))
       .select("s")
-      .pin() // small by the bound above; read 2-3 times below
+      .pinLazy() // small by the bound above; read 2-3 times below.
+                 // LAZY (r14): in the overwhelmingly-common clean-
+                 // corpus case the isEmpty probe below is the ONLY
+                 // consumer — an eager pin materialized the full hot
+                 // aggregation just to find out it was empty; lazy
+                 // caches whatever the probe (and any later consumer)
+                 // actually computes
     // clean corpus (no shingle above the threshold) — the overwhelmingly
     // common case: the fence is a no-op, so skip the anti-join and the
     // lost-doc repair entirely and hand back the pinned raw explode

@@ -2058,7 +2058,12 @@ object Graph {
         .pin()
       done = best.isEmpty // no cut edge anywhere: the forest is complete
       chosen = if (chosen == null) best else chosen.unionByName(best)
-      if (!done) {
+      // r + 1 < rounds: the contraction only feeds the NEXT round, so
+      // the final allowed round's relabel (a full CC over the chosen
+      // graph + two joins + a pin that nobody ever read) is skipped
+      // outright (r14, guide §1.2 "don't compute things you throw
+      // away")
+      if (!done && r + 1 < rounds) {
         // contract: new component labels = CC over the chosen-edge
         // component graph (labels as vertices, chosen edges relabeled)
         val cg = best
