@@ -594,7 +594,10 @@ object GraftFunctions {
     "might_contain" -> (es =>
       BloomFilterMightContain(es.head, new XxHash64(Seq(es(1))))),
     "explode_windows" -> (es => ExplodeWindows(es.head, es(1))),
-    "min_pieces" -> (es => MinPieces(es.head, es(1))))
+    "min_pieces" -> (es => MinPieces(es.head, es(1))),
+    // KMV sketch-propagation aggregate (reachSketch) — the analyzer
+    // wraps the returned AggregateFunction, the bloom_agg precedent
+    "kmv_merge_arr" -> (es => KmvMergeArr(es.head, KmvMergeArr.litK(es(1)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -634,6 +637,8 @@ object GraftFunctions {
     call_function("explode_windows", arr, width)
   def min_pieces(word: Column, vocab: Column): Column =
     call_function("min_pieces", word, vocab)
+  def kmv_merge_arr(entries: Column, k: Column): Column =
+    call_function("kmv_merge_arr", entries, k)
 }
 
 /** Session-extension registration for deployments that configure

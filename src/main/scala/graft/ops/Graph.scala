@@ -2200,15 +2200,20 @@ object Graph {
             col("grp").cast("string")).as("hu"),
           fencedGrp.as("kv"))).as("entries"))
       .pin()
-    val mrg = org.apache.spark.sql.functions.udaf(
-      new graft.expr.KmvMergeKL(k))
+    // hand-rolled TypedImperativeAggregate over a flat long[] buffer
+    // (r15): the udaf(KmvMergeKL) path decoded every input row's entry
+    // array into a Vector of case classes before merging — the
+    // remaining dominant task-time of the ANF rounds. Same fold, same
+    // (hu, decimal-string) order, bit-identical kept sets
+    // (OptR15Spec pins KmvMergeArr ≡ KmvMergeKL on random merge trees).
     var out: DataFrame = null
     for (r <- 1 to rounds) {
       val prop = sk.join(e, sk("grp") === e("src"))
         .select(col("dst").as("grp"), col("entries"))
       sk = sk.unionByName(prop)
-        .groupBy("grp").agg(mrg(col("entries")).as("__m"))
-        .select(col("grp"), col("__m.entries").as("entries"))
+        .groupBy("grp")
+        .agg(graft.expr.GraftFunctions
+          .kmv_merge_arr(col("entries"), lit(k)).as("entries"))
         .pin()
       // estimate terms as a pure projection — [[Freq.kmvEstimate]]'s
       // exact fields read off the sorted array (n = size; h_k = the

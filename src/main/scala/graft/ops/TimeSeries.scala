@@ -594,9 +594,17 @@ object TimeSeries {
       (if (deltaOnly) col("__wnew") || col("__wnewb") else lit(true))
     val pairs = wins.join(right, joinCond)
       .select((k ++ Seq(col("__i"), col("__j"), d2.as("__d2"))): _*)
-    pairs.unionByName(
-      pairs.select((k ++ Seq(col("__j").as("__i"),
-        col("__i").as("__j"), col("__d2"))): _*))
+    // symmetrize by EXPLODING each scored pair into its two directions
+    // instead of unioning two copies of the join: the union form
+    // inlines the join subtree into both branches and executes it (and
+    // the d2 fold) twice per profile (guide §1.2 — don't compute things
+    // twice). Same candidate multiset, so mpMinimize is unchanged.
+    pairs.select((k :+ explode(array(
+        struct(col("__i"), col("__j"), col("__d2")),
+        struct(col("__j").as("__i"), col("__i").as("__j"),
+          col("__d2")))).as("__e")): _*)
+      .select((k ++ Seq(col("__e.__i").as("__i"),
+        col("__e.__j").as("__j"), col("__e.__d2").as("__d2"))): _*)
   }
 
   /** min-of-struct profile assembly from candidate (i, j, d2) rows. */

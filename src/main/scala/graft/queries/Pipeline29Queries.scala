@@ -47,12 +47,16 @@ object Pipeline29Queries {
     val dir = java.nio.file.Files.createTempDirectory("smp_src").toString
     val weekPart = wkly.select("wn").distinct()
       .withColumn("__part", ntile(n).over(Window.orderBy(col("wn"))))
-    val sliced = wkly.join(weekPart, "wn").pin()
+    // ONE partitioned write instead of n filtered coalesce(1) passes
+    // (guide §1.2): repartition by __part puts each slice value in
+    // exactly one task, so every __part=i directory holds exactly one
+    // file; each is then moved/renamed with the pinned-mtime contract.
+    // Same rows per slice — downstream folds are order-insensitive.
+    val tmp = java.nio.file.Files.createTempDirectory("smp_t").toString
+    wkly.join(weekPart, "wn").repartition(n, col("__part"))
+      .write.partitionBy("__part").mode("overwrite").parquet(tmp)
     for (i <- 1 to n) {
-      val tmp = java.nio.file.Files.createTempDirectory(s"smp_t$i").toString
-      sliced.where(col("__part") === i).drop("__part")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
+      val part = new java.io.File(tmp, s"__part=$i").listFiles()
         .find(_.getName.endsWith(".parquet")).get
       val dst = new java.io.File(dir, f"wk_$i%02d.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)

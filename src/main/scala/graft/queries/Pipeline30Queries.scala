@@ -63,15 +63,18 @@ object Pipeline30Queries {
     * fixture for stream_contam. */
   private[graft] def writeDocSlices(docs: DataFrame, n: Int): String = {
     val dir = java.nio.file.Files.createTempDirectory("scm_src").toString
-    val sliced = docs
+    // ONE partitioned write instead of n filtered coalesce(1) passes
+    // (guide §1.2; the writeWeeklySlices rationale): repartition by
+    // __part puts each slice value in exactly one task, so every
+    // __part=i directory holds exactly one file, moved/renamed under
+    // the pinned-mtime replay-order contract. Same rows per slice.
+    val tmp = java.nio.file.Files.createTempDirectory("scm_t").toString
+    docs
       .withColumn("__part", ntile(n).over(Window.orderBy(col("doc_id"))))
-      .pin()
+      .repartition(n, col("__part"))
+      .write.partitionBy("__part").mode("overwrite").parquet(tmp)
     for (i <- 1 to n) {
-      val tmp = java.nio.file.Files
-        .createTempDirectory(s"scm_t$i").toString
-      sliced.where(col("__part") === i).drop("__part")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
+      val part = new java.io.File(tmp, s"__part=$i").listFiles()
         .find(_.getName.endsWith(".parquet")).get
       val dst = new java.io.File(dir, f"bench_$i%02d.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)

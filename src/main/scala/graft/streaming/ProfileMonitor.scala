@@ -65,28 +65,48 @@ object ProfileMonitor {
     if (prev.exists(_ >= batchId)) return // committed replay — no-op
     val cols = (keys :+ orderCol :+ xCol).map(col)
     val rows = batch.select(cols: _*)
-    val merged = prev match {
+    // Derive the (prev ∪ fresh) series frame ONCE and lazy-pin it: the
+    // old shape re-read the prev-series parquet and re-ran the
+    // replay-dedup anti-join in BOTH the profile plan and the series
+    // write (guide §1.2 — the same rows computed twice per batch). The
+    // series write below is the pin's first consumer: it full-scans the
+    // frame and references it exactly once (the Pin.lazily discipline),
+    // so materialization rides that write job and the profile plan then
+    // reads the cached blocks.
+    val (merged, fullSeries) = prev match {
       case None =>
-        TimeSeries.matrixProfile(rows, keys, col(orderCol), xCol, w,
-          maxSeries)
+        val pinned = graft.ops.Pin.lazily(rows)
+        (TimeSeries.matrixProfile(pinned, keys, col(orderCol), xCol, w,
+          maxSeries), pinned)
       case Some(id) =>
-        val prevSeries = s.read.parquet(s"$stateDir/series_b$id")
+        // explicit schemas: the state tables' shapes are fully
+        // determined by the batch schema, so the per-batch parquet
+        // footer/schema-inference job of each bare s.read.parquet is
+        // pure overhead (guide §1.2 — two 1-task jobs per batch gone)
+        val seriesSchema = rows.schema
+        val profileSchema = org.apache.spark.sql.types.StructType(
+          keys.map(kc => seriesSchema(kc)) ++ Seq(
+            org.apache.spark.sql.types.StructField("i",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("mp_d2",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("mp_j",
+              org.apache.spark.sql.types.LongType)))
+        val prevSeries = s.read.schema(seriesSchema)
+          .parquet(s"$stateDir/series_b$id")
         // replayed rows (same key + order position) are not new
         val fresh = rows.join(prevSeries, keys :+ orderCol, "left_anti")
-        val full = prevSeries.withColumn("__arrived", lit(false))
-          .unionByName(fresh.withColumn("__arrived", lit(true)))
-        TimeSeries.matrixProfileMergedDelta(full, keys, col(orderCol),
+        val full = graft.ops.Pin.lazily(
+          prevSeries.withColumn("__arrived", lit(false))
+            .unionByName(fresh.withColumn("__arrived", lit(true))))
+        (TimeSeries.matrixProfileMergedDelta(full, keys, col(orderCol),
           xCol, w, col("__arrived"),
-          s.read.parquet(s"$stateDir/profile_b$id"), maxSeries)
+          s.read.schema(profileSchema).parquet(s"$stateDir/profile_b$id"),
+          maxSeries),
+          full.drop("__arrived"))
     }
-    val fullSeries = prev match {
-      case None => rows
-      case Some(id) =>
-        val prevSeries = s.read.parquet(s"$stateDir/series_b$id")
-        prevSeries.unionByName(
-          rows.join(prevSeries, keys :+ orderCol, "left_anti"))
-    }
-    // state is profile-sized (calendar-bounded series × keys): one file
+    // state is profile-sized (calendar-bounded series × keys): one file.
+    // The series write runs FIRST — it materializes the lazy pin.
     fullSeries.coalesce(1).write.mode("overwrite")
       .parquet(s"$stateDir/series_b$batchId")
     merged.coalesce(1).write.mode("overwrite")

@@ -845,21 +845,20 @@ class PlanSpec extends SparkSuite {
           col("grp").as("kv"))).as("entries")) // r14: all-long entries
     val prop = sk0.join(e, sk0("grp") === e("src"))
       .select(col("dst").as("grp"), col("entries"))
-    val mrg = org.apache.spark.sql.functions.udaf(
-      new graft.expr.KmvMergeKL(4))
     val round = sk0.unionByName(prop)
-      .groupBy("grp").agg(mrg(col("entries")).as("__m"))
-      .select(col("grp"), col("__m.entries").as("entries"))
+      .groupBy("grp")
+      .agg(graft.expr.GraftFunctions
+        .kmv_merge_arr(col("entries"), lit(4)).as("entries"))
     round.collect()
     val p = plan(round)
     assert(!p.contains("CartesianProduct"),
       "a sketch round planned a cartesian:\n" + p.take(1500))
     assert(!p.contains("Window"),
       "the array-sketch round must not window:\n" + p.take(1500))
-    // the cut must be TRUE partial aggregation: a partial_kmvmergekl
+    // the cut must be TRUE partial aggregation: a partial_kmv_merge_arr
     // appears below the exchange (map-side k-cap before the shuffle)
-    assert(p.toLowerCase.contains("partial_kmvmergekl"),
-      "expected the KmvMergeKL partial aggregate:\n" + p.take(2000))
+    assert(p.toLowerCase.contains("partial_kmv_merge_arr"),
+      "expected the KmvMergeArr partial aggregate:\n" + p.take(2000))
   }
 
   test("graph_reach_sketch end-to-end: estimate terms read as pure " +
