@@ -568,6 +568,59 @@ case class MinPieces(left: Expression, right: Expression)
   override def prettyName: String = "min_pieces"
 }
 
+/** Exact |A ∩ B| over two SORTED-ascending string arrays with no null
+  * elements (a `sort_array(collect_list(...))` of per-key-distinct
+  * tokens — the prefixJaccardJoin verify arm): one two-pointer merge
+  * pass, no per-row hash set, no materialized intersection array. The
+  * `size(array_intersect(a, b))` form it replaces builds an OpenHashSet
+  * AND the result array per candidate pair — measured as the dominant
+  * per-row cost of the dd_ppjoin verify stage (guide §1.2 step 2,
+  * per-task work). Count-identical on sorted distinct inputs: both
+  * sides deduplicate, and UTF8String binary order is exactly
+  * sort_array's StringType order. Whole-stage-codegen'd via the
+  * MinPieces self-reference pattern. */
+case class SortedInterCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_inter_count needs (array<string>, array<string>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp < 0) i += 1
+      else if (cmp > 0) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode = {
+    val self = ctx.addReferenceObj("sortedInterCount", this,
+      classOf[SortedInterCount].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$self.compute($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): SortedInterCount = copy(left = l, right = r)
+  override def prettyName: String = "sorted_inter_count"
+}
+
 /** Session-level registration + typed Column wrappers. Registration is
   * idempotent; wrappers route through call_function so they resolve via
   * the registry (the public Spark 4 path from Expression to Column). */
@@ -595,6 +648,7 @@ object GraftFunctions {
       BloomFilterMightContain(es.head, new XxHash64(Seq(es(1))))),
     "explode_windows" -> (es => ExplodeWindows(es.head, es(1))),
     "min_pieces" -> (es => MinPieces(es.head, es(1))),
+    "sorted_inter_count" -> (es => SortedInterCount(es.head, es(1))),
     // KMV sketch-propagation aggregate (reachSketch) — the analyzer
     // wraps the returned AggregateFunction, the bloom_agg precedent
     "kmv_merge_arr" -> (es => KmvMergeArr(es.head, KmvMergeArr.litK(es(1)))))
@@ -639,6 +693,8 @@ object GraftFunctions {
     call_function("min_pieces", word, vocab)
   def kmv_merge_arr(entries: Column, k: Column): Column =
     call_function("kmv_merge_arr", entries, k)
+  def sorted_inter_count(a: Column, b: Column): Column =
+    call_function("sorted_inter_count", a, b)
 }
 
 /** Session-extension registration for deployments that configure

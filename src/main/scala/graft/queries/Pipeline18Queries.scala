@@ -59,7 +59,11 @@ object Pipeline18Queries {
       // emb_kmeans cell machinery and the graded emb_pq_codes
       // codebook verbatim, so the oracle composes their unrolled CTEs.
       val emb = Tables.embeddings(s, dir)
-      val sk = Similarity.quantizeInt8(emb)
+      // pinned ONCE at query level (r15, the Pipeline29 convention):
+      // unpinned, the quantize pass re-ran inside kmeansInt8's pin,
+      // pqTrainInt8's sub-vector pin AND seed scan, and ivfIndex's
+      // assignment — 4 corpus quantize passes for one query
+      val sk = Similarity.quantizeInt8(emb).pin()
       val km = Similarity.kmeansInt8(sk, IvK, IvIters)
       val cells = Similarity.ivfIndex(sk, km.centroids)
         .select("vec_id", "cell")

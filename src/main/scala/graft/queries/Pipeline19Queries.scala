@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.ops.Graph
+import graft.ops.Pin.PinOps
 
 /** Round-10 third batch: engagement/session analytics that every event
   * warehouse ships (gaps-and-islands streaks, top-k user journeys) and
@@ -71,7 +72,10 @@ object Pipeline19Queries {
       // so the serving architecture's recall is a graded number, not a
       // hope. Mirrors sim_recall_quantized's shape.
       val emb = Tables.embeddings(s, dir)
-      val sk = graft.ops.Similarity.quantizeInt8(emb)
+      // pinned ONCE at query level (r15, the Pipeline29 convention):
+      // unpinned, the quantize pass re-ran in kmeansInt8, pqTrainInt8
+      // (sub-vectors + seed) and ivfIndex — 4 corpus passes per query
+      val sk = graft.ops.Similarity.quantizeInt8(emb).pin()
       val km = graft.ops.Similarity.kmeansInt8(sk, 8, 2)
       val cells = graft.ops.Similarity.ivfIndex(sk, km.centroids)
         .select("vec_id", "cell")

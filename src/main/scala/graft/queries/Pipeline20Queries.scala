@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{Graph, Quality, Sampling, Similarity}
+import graft.ops.Pin.PinOps
 
 /** Round-10 fourth batch: closing rings opened earlier in the round —
   * the refine tier that completes the two-tier ANN read path
@@ -35,7 +36,11 @@ object Pipeline20Queries {
       // caps recall; the refine tier recovers the ordering among the
       // survivors at the cost of |probes|·20 full-vector reads.
       val emb = Tables.embeddings(s, dir)
-      val sk = Similarity.quantizeInt8(emb)
+      // pinned ONCE at query level (r15, the Pipeline29 convention):
+      // unpinned, the quantize pass re-ran in kmeansInt8, pqTrainInt8
+      // (sub-vectors + seed), ivfIndex AND both refine-tier reads —
+      // 6 corpus quantize passes for one query
+      val sk = Similarity.quantizeInt8(emb).pin()
       val km = Similarity.kmeansInt8(sk, Pipeline18Queries.IvK,
         Pipeline18Queries.IvIters)
       val cells = Similarity.ivfIndex(sk, km.centroids)
